@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Headline set: the flagship aggregation + one representative per operator
+family (join, window, set-op, JSON, dedup exact/near, similarity, text).
+Each query is executed with a count/collect to force full evaluation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from event_streamer_spark.operators import REGISTRY  # noqa: E402
+from event_streamer_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "b11_tpch_q1",
+    "b05_join_inner",
+    "b09_range_join",
+    "b10_broadcast_join",
+    "b15_window_rank",
+    "b17_window_frame",
+    "b19_union_all",
+    "b26_json_fns",
+    "c1_tumbling_window",
+    "c3_session_window",
+    "d1_exact_dedup",
+    "d2_minhash_lsh",
+    "d3_topk_cosine",
+    "d4_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query times measure the
+    # query, not session bootstrap
+    REGISTRY["b01_parquet_scan"].fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

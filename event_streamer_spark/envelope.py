@@ -1,0 +1,101 @@
+"""Envelope enrichment & parsing as Spark column expressions.
+
+The data-plane (distributed) equivalent of ``producer.normalize_payloads``
+/ the consumer's JSON parse (SURVEY.md §1.2, §1.5, A3/A4/A11/A12):
+
+* ``with_envelope(df, ...)`` adds ``createdAt``/``appName``/``code``
+  columns (user value wins via ``coalesce``) — reference
+  ``legacy-producer.ts:36-48``.
+* ``serialize(df)`` packs all columns into a JSON ``value`` (A4).
+* ``parse_stream(df, schema)`` parses Kafka ``value`` bytes and silently
+  drops corrupt rows (A3, reference ``helpers/index.ts:12-21``).
+* ``upper_camel_col(col)`` is A12 as a pure column expression — no
+  Python UDF, so it stays inside whole-stage codegen.
+
+All of these are narrow (no shuffle) and scale linearly with input.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# Byte-parity with the reference's createdAt format (legacy-producer.ts:42):
+# "YYYY-MM-DD HH:MM:SSZ" — space separator, second precision, literal Z.
+CREATED_AT_FORMAT = "yyyy-MM-dd HH:mm:ss'Z'"
+
+
+def upper_camel_col(col: Union[str, Column]) -> Column:
+    """UpperCamelCase normalization (A12) as a JVM-side expression.
+
+    Splits on ``[-_ ]``, uppercases each fragment's first character, and
+    concatenates — identical semantics to
+    ``helpers.to_upper_camel_case`` (consecutive separators collapse,
+    non-initial characters pass through unchanged).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    frags = F.filter(F.split(c, "[-_ ]"), lambda s: s != F.lit(""))
+    camel = F.transform(
+        frags, lambda s: F.concat(F.upper(F.substring(s, 1, 1)), F.substring(s, 2, 2147483646))
+    )
+    return F.array_join(camel, "")
+
+
+def with_envelope(
+    df: DataFrame,
+    code: Optional[Union[str, Column]] = None,
+    app_name: Optional[str] = None,
+    created_at_col: str = "createdAt",
+) -> DataFrame:
+    """Add/complete the envelope columns (A11).
+
+    ``code``: a literal subject (normalized to UpperCamelCase) or a
+    Column; ``createdAt`` defaults to now in the reference's format but an
+    existing non-null value wins; ``appName`` likewise.
+    """
+    now_str = F.date_format(F.current_timestamp(), CREATED_AT_FORMAT)
+    existing_created = (
+        F.col(created_at_col) if created_at_col in df.columns else F.lit(None)
+    )
+    existing_app = F.col("appName") if "appName" in df.columns else F.lit(None)
+
+    out = df.withColumn(created_at_col, F.coalesce(existing_created, now_str))
+    out = out.withColumn("appName", F.coalesce(existing_app, F.lit(app_name)))
+    if code is not None:
+        code_col = (
+            upper_camel_col(F.lit(code)) if isinstance(code, str) else code
+        )
+        out = out.withColumn("code", code_col)
+    return out
+
+
+def serialize(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Serialize all columns to a JSON string column (A4).
+
+    ``to_json(struct(*))`` — the Kafka sink consumes ``value`` (and an
+    optional ``topic``/``key`` column).
+    """
+    return df.select(F.to_json(F.struct(*df.columns)).alias(value_col))
+
+
+def parse_stream(
+    df: DataFrame,
+    schema: Union[StructType, str],
+    value_col: str = "value",
+    keep_cols: tuple[str, ...] = ("topic",),
+) -> DataFrame:
+    """Parse JSON ``value`` bytes; drop corrupt rows silently (A3).
+
+    ``from_json`` yields NULL for unparseable or non-object values; the
+    filter drops them — the PERMISSIVE-mode analog of the reference's
+    ``getParsedJson() == null`` skip. Kept narrow: no shuffle, fully
+    codegen'd, pushdown-friendly.
+    """
+    parsed = df.withColumn(
+        "__parsed", F.from_json(F.col(value_col).cast("string"), schema)
+    ).filter(F.col("__parsed").isNotNull())
+    keep = [c for c in keep_cols if c in df.columns]
+    return parsed.select(*keep, "__parsed.*")

@@ -1,0 +1,17 @@
+"""Operator library: the declared query surface (SURVEY.md §2).
+
+Importing this package registers every query into
+``event_streamer_spark.operators.registry.REGISTRY`` — the single source
+of truth consumed by ``__spark_entry__.queries()`` / ``oracle_sql()``.
+"""
+
+from event_streamer_spark.operators import registry  # noqa: F401
+from event_streamer_spark.operators import relational  # noqa: F401
+from event_streamer_spark.operators import events  # noqa: F401
+from event_streamer_spark.operators import windows  # noqa: F401
+from event_streamer_spark.operators import dedup  # noqa: F401
+from event_streamer_spark.operators import text  # noqa: F401
+from event_streamer_spark.operators import similarity  # noqa: F401
+from event_streamer_spark.operators import multimodal  # noqa: F401
+
+REGISTRY = registry.REGISTRY

@@ -1,0 +1,269 @@
+"""Deduplication operators (SURVEY §2.C D1/D2) — designed for 100 TB.
+
+* **Exact** (D1): content hash (`sha2`) + groupBy — one shuffle on the
+  hash, map-side partial aggregation, no driver state.
+* **N-gram Jaccard** (D2, exact verification path): shingle → explode →
+  self-join on shingle → pair counts. Exact but the shingle join can
+  explode on hot shingles — at scale this runs AFTER LSH candidate
+  pruning; here it doubles as the SQL-checkable oracle for near-dup
+  semantics.
+* **MinHash + LSH banding** (D2, scale path): signatures via an
+  Arrow-batched pandas UDF, candidate pairs via groupBy(band, hash) —
+  shuffle volume is O(docs × bands), never O(docs²). All hash
+  parameters are fixed constants → fully deterministic.
+* **SimHash** (D2): 64-bit fingerprints; near-dup = small Hamming
+  distance, bucketed by 16-bit chunks (same banding idea).
+
+CRC32 is the token hash everywhere: stable across Python/JVM runs,
+cheap, and vectorizable in numpy.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from event_streamer_spark.operators.registry import query
+from event_streamer_spark.tables import load
+
+# -- fixed MinHash parameters (deterministic across runs) --------------
+# 31-bit Mersenne prime keeps (a·x + b) inside int64 → pure vectorized
+# numpy, no object math. Collision probability 2^-31 per slot is far
+# below MinHash's own estimation error.
+_MERSENNE = (1 << 31) - 1
+_N_PERM = 64
+_LSH_BANDS = 16
+_LSH_ROWS = _N_PERM // _LSH_BANDS
+_rng = np.random.RandomState(42)
+_PERM_A = _rng.randint(1, _MERSENNE, size=_N_PERM, dtype=np.int64)
+_PERM_B = _rng.randint(0, _MERSENNE, size=_N_PERM, dtype=np.int64)
+
+
+@query(
+    "d1_exact_dedup",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           COUNT(*) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def d1_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """D1: exact dedup via SHA-256 content hash.
+
+    Scale: the only shuffle is on the 256-bit hash (uniform, no skew);
+    `min(doc_id)` picks the canonical survivor deterministically.
+    """
+    d = load(spark, sf, "documents")
+    return (
+        d.withColumn("content_hash", F.sha2("text", 256))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )
+
+
+@query(
+    "d2_ngram_jaccard",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both) >= 0.1
+    """,
+)
+def d2_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """D2 (exact path): 3-gram shingle Jaccard similarity ≥ 0.1.
+
+    Pure DataFrame composition: shingle (sequence+transform), explode,
+    self-join on shingle, pair-count aggregation. At 100 TB this exact
+    join runs only on LSH candidate pairs (see d2_minhash_lsh); standalone
+    it is the semantic oracle.
+    """
+    d = load(spark, sf, "documents").withColumn("t", F.split("text", " "))
+    shingles = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacc = F.col("both").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("both")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jacc >= 0.1)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+def _minhash_signatures(df: DataFrame) -> DataFrame:
+    """doc_id → MinHash signature (array<long>, 64 permutations).
+
+    Arrow-batched pandas UDF: CRC32 shingle hashes, then
+    min((a·x + b) mod p) per permutation — vectorized in numpy over the
+    whole batch.
+    """
+
+    @pandas_udf("array<long>")
+    def minhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            toks = text.split(" ")
+            shingle_hashes = np.unique(
+                np.fromiter(
+                    (
+                        zlib.crc32(" ".join(toks[i : i + 3]).encode()) % _MERSENNE
+                        for i in range(max(len(toks) - 2, 1))
+                    ),
+                    dtype=np.int64,
+                )
+            )
+            # (n_perm, n_shingles) broadcast — stays < 2^62, pure int64
+            sig = (
+                (shingle_hashes[None, :] * _PERM_A[:, None] + _PERM_B[:, None])
+                % _MERSENNE
+            ).min(axis=1)
+            out.append(sig.tolist())
+        return pd.Series(out)
+
+    return df.select("doc_id", minhash("text").alias("sig"))
+
+
+@query("d2_minhash_lsh", oracle=None)  # not SQL-expressible → rows-only check
+def d2_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """D2 (scale path): MinHash + LSH banding near-dup candidates.
+
+    16 bands × 4 rows: P(candidate) ≈ 1-(1-j⁴)¹⁶ — steep around j≈0.5.
+    Shuffles: one on (band, band_hash) to form buckets, one self-join on
+    bucket, one groupBy pair. All O(docs × bands); no O(n²) stage, no
+    driver-side state. Deterministic: fixed permutations + CRC32.
+    """
+    docs = load(spark, sf, "documents")
+    # signatures feed three consumers (banding + both join sides): persist
+    # so the pandas UDF runs once per row, not three times
+    sigs = _minhash_signatures(docs).persist()
+
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_LSH_BANDS - 1}),"
+                f" b -> struct(b AS band, hash(slice(sig, b*{_LSH_ROWS}+1, {_LSH_ROWS})) AS bh))"
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+    ).cast("double") / F.lit(float(_N_PERM))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.25)
+    )
+
+
+@query("d2_simhash", oracle=None)  # bit manipulation → rows-only check
+def d2_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """D2: 64-bit SimHash fingerprints + 16-bit chunk buckets.
+
+    Near-dup docs differ in few bits; bucketing each 16-bit chunk gives
+    LSH-style candidate recall for Hamming distance ≤ 3 (pigeonhole).
+    Output: per-doc fingerprint + chunk values (deterministic).
+    """
+
+    @pandas_udf("long")
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            toks = text.split(" ")
+            hashes = np.fromiter(
+                (zlib.crc32((t + " " + u).encode()) for t, u in zip(toks, toks[1:])),
+                dtype=np.uint64,
+                count=max(len(toks) - 1, 0),
+            )
+            if len(hashes) == 0:
+                out[i] = 0
+                continue
+            # widen to 64 bits deterministically: h64 = h32 * PRIME ^ h32
+            h64 = (hashes * np.uint64(0x9E3779B97F4A7C15)) ^ hashes
+            bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for bit in np.nonzero(votes > 0)[0]:
+                fp |= np.uint64(1) << np.uint64(bit)
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    d = load(spark, sf, "documents")
+    fp = d.select("doc_id", simhash("text").alias("fingerprint"))
+    chunks = F.expr(
+        "transform(sequence(0, 3), i -> (fingerprint >> (i*16)) & 65535)"
+    )
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        chunks.getItem(0).alias("chunk0"),
+        chunks.getItem(1).alias("chunk1"),
+        chunks.getItem(2).alias("chunk2"),
+        chunks.getItem(3).alias("chunk3"),
+    )

@@ -1,0 +1,119 @@
+"""Query registry + determinism helpers for the DuckDB-oracle gate.
+
+Every declared operator (SURVEY.md §2) registers here as a
+``(spark, sf_dir) -> DataFrame`` callable, optionally paired with an
+ANSI-SQL oracle string DuckDB runs over the same parquet tables. The
+driver hash-compares both sides order-insensitively, sorting columns by
+name — so **column names must match exactly** and float outputs must be
+made bit-stable on both sides.
+
+Determinism protocol (FIXTURES.md §3):
+
+* Money arithmetic goes through ``DECIMAL(18,2)`` (exact) on BOTH sides,
+  cast back to DOUBLE at the end — partial-aggregation order then cannot
+  perturb low bits, so ``round(x, 6)`` is stable.
+* Timestamps are serialized to strings before output.
+* Integer-typed aggregates are cast to BIGINT on both sides (DuckDB's
+  ``SUM(BIGINT)`` is HUGEINT otherwise).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle=None`` → driver does a rows-only check."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver owns the SparkSession; pin the runtime-settable
+            # confs our determinism protocol depends on (UTC timestamps
+            # must match DuckDB's naive-UTC reads).
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return deco
+
+
+# -- determinism helpers (Spark side) ---------------------------------
+
+def money(col: Union[str, Column]) -> Column:
+    """Exact decimal view of a 2-decimal money column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+def dsum(col: Union[str, Column], alias: str) -> Column:
+    """Order-stable SUM of money: exact decimal sum, then double."""
+    return F.sum(money(col)).cast("double").alias(alias)
+
+
+def davg(col: Union[str, Column], alias: str) -> Column:
+    """Order-stable AVG of money: exact decimal sum / count, then round."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(money(c)).cast("double") / F.count(c), 6
+    ).alias(alias)
+
+
+def fmt_ts(col: Union[str, Column], alias: Optional[str] = None) -> Column:
+    """Timestamp → 'yyyy-MM-dd HH:mm:ss' string (UTC) for stable hashing."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    return out.alias(alias) if alias else out
+
+
+def fmt_date(col: Union[str, Column], alias: Optional[str] = None) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.date_format(c, "yyyy-MM-dd")
+    return out.alias(alias) if alias else out
+
+
+# -- determinism helpers (oracle / DuckDB SQL fragments) ---------------
+
+def o_money(expr: str) -> str:
+    return f"CAST({expr} AS DECIMAL(18,2))"
+
+
+def o_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM({o_money(expr)}) AS DOUBLE) AS {alias}"
+
+
+def o_davg(expr: str, alias: str) -> str:
+    return f"ROUND(CAST(SUM({o_money(expr)}) AS DOUBLE) / COUNT({expr}), 6) AS {alias}"
+
+
+def o_fmt_ts(expr: str, alias: str) -> str:
+    return f"strftime({expr}, '%Y-%m-%d %H:%M:%S') AS {alias}"
+
+
+def o_fmt_date(expr: str, alias: str) -> str:
+    return f"strftime({expr}, '%Y-%m-%d') AS {alias}"

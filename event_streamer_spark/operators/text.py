@@ -1,0 +1,177 @@
+"""Text analysis operators (SURVEY §2.C D4) over the documents table.
+
+All hot-path metrics are pure column expressions (JVM-side, codegen);
+the rolling-hash fingerprint is the one pandas-UDF (Arrow-batched).
+Everything is embarrassingly parallel — no shuffle except final
+aggregations, so the operators scale linearly to 100 TB.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from event_streamer_spark.operators.registry import query
+from event_streamer_spark.tables import load
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# language → marker words for the n-gram/stopword language-ID heuristic
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "los", "y"),
+    "fr": ("le", "les", "des", "et"),
+    "de": ("der", "die", "das", "und"),
+    "zh": ("de5", "shi4", "le5", "bu4"),  # romanized placeholders
+}
+
+
+@query(
+    "d4_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           n_chars
+    FROM documents
+    """,
+)
+def d4_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: whitespace tokenization count + char counts."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        "n_chars",
+    )
+
+
+@query(
+    "d4_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           ROUND(CAST(len(list_filter(toks, x -> x IN {_STOPWORDS!r})) AS DOUBLE)
+                 / len(toks), 6) AS stopword_ratio,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks), 6)
+             AS mean_word_len,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT)
+             AS n_punct
+    FROM t
+    """,
+)
+def d4_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: quality signals — stopword ratio, mean word length, punct count.
+
+    All JVM-side expressions; a quality filter at 100 TB is a narrow map
+    stage with zero shuffle.
+    """
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    d = load(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.round(
+            F.expr(f"size(filter(toks, x -> x IN ({stop_list})))").cast("double")
+            / F.size("toks"),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size("toks"),
+            6,
+        ).alias("mean_word_len"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+        ).cast("bigint").alias("n_punct"),
+    )
+
+
+def _langid_case_sql() -> tuple[str, str]:
+    """Build (duckdb_sql, spark_score_exprs) for the marker-vote heuristic."""
+    score_cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        score_cols.append((lang, f"len(list_filter(toks, x -> x IN ({lst})))"))
+    # argmax with fixed preference order (dict order) on ties
+    case = "CASE "
+    langs = [lang for lang, _ in score_cols]
+    for i, lang in enumerate(langs):
+        others = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        prior = [f"s_{lang} > s_{other}" for other in langs[:i]]
+        conds = prior + others
+        cond = " AND ".join(conds) if conds else "TRUE"
+        case += f"WHEN {cond} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    scores_sql = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score_cols)
+    return scores_sql, case
+
+
+@query(
+    "d4_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {_langid_case_sql()[0]} FROM t)
+    SELECT doc_id, lang AS labeled_lang, {_langid_case_sql()[1]} AS predicted_lang
+    FROM s
+    """,
+)
+def d4_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: language ID via stopword-marker votes (deterministic argmax with
+    fixed preference order on ties). A real model would be a pandas UDF;
+    the heuristic keeps the oracle SQL-expressible."""
+    d = load(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    scored = d
+    for lang, markers in _LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        scored = scored.withColumn(
+            f"s_{lang}", F.expr(f"size(filter(toks, x -> x IN ({lst})))")
+        )
+    langs = list(_LANG_MARKERS)
+    pred = F.lit("und")
+    # build the same fixed-preference argmax, innermost-first
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        cond = F.lit(True)
+        for other in langs[:i]:
+            cond = cond & (F.col(f"s_{lang}") > F.col(f"s_{other}"))
+        for other in langs[i + 1 :]:
+            cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{other}"))
+        pred = F.when(cond, F.lit(lang)).otherwise(pred) if i < len(langs) - 1 else (
+            F.when(cond, F.lit(lang)).otherwise(pred)
+        )
+    return scored.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    )
+
+
+@query("d4_fingerprint", oracle=None)  # rolling hash → rows-only check
+def d4_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: polynomial rolling-hash document fingerprint (mod 2^61-1).
+
+    fp = Σ crc32(tok_i) · B^i  (mod p) — order-sensitive, so reordered
+    documents get different fingerprints (unlike bag-of-words hashes).
+    Deterministic; Arrow-batched pandas UDF.
+    """
+    P = (1 << 61) - 1
+    B = 1_000_003
+
+    @pandas_udf("long")
+    def fingerprint(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            acc, power = 0, 1
+            for tok in text.split(" "):
+                acc = (acc + zlib.crc32(tok.encode()) * power) % P
+                power = (power * B) % P
+            out[i] = acc
+        return pd.Series(out)
+
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fingerprint"))

@@ -1,0 +1,130 @@
+"""Time-window aggregations (SURVEY §2.C C1-C3, C5) — batch-evaluable.
+
+``window()`` / ``session_window()`` are the same expressions Structured
+Streaming uses; running them over the batch ``events`` table lets the
+DuckDB oracle hash-check the exact window semantics that the streaming
+path (``event_streamer_spark.streaming``) reuses verbatim.
+
+Float note: ``value`` is a full-precision double, so sums are rounded to
+4 decimals on both sides — per-window partial-sum reordering perturbs
+~1e-13, far below the rounding grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from event_streamer_spark.operators.registry import query
+from event_streamer_spark.tables import load
+
+
+@query(
+    "c1_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 4) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def c1_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """C1: tumbling 1-hour window (epoch-aligned, same as date_trunc)."""
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "cnt",
+            "total",
+        )
+    )
+
+
+@query(
+    "c2_sliding_window",
+    oracle="""
+    WITH s AS (SELECT value, CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS b FROM events),
+    w AS (SELECT b AS ws, value FROM s UNION ALL SELECT b - 1800 AS ws, value FROM s)
+    SELECT strftime(make_timestamp(ws*1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 4) AS total
+    FROM w GROUP BY ws
+    """,
+)
+def c2_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """C2: sliding window (1 hour length, 30 min slide) — each event lands
+    in exactly 2 windows; oracle materializes the two shifted buckets."""
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "cnt",
+            "total",
+        )
+    )
+
+
+@query(
+    "c3_session_window",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS cnt
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def c3_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """C3: session windows with a 5-minute gap per user — the oracle is the
+    classic gaps-and-islands rewrite. A new session starts when the gap is
+    >= the timeout (matches Spark's half-open [start, start+gap) merge)."""
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "cnt",
+        )
+    )
+
+
+@query(
+    "c5_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event
+    FROM (
+      SELECT user_id, event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def c5_dedup_first(spark: SparkSession, sf: str) -> DataFrame:
+    """C5: keyed dedup keeping the earliest record — the deterministic batch
+    analog of streaming ``dropDuplicates`` (which keeps the first arrival;
+    event-time order makes it reproducible)."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event"))
+    )

@@ -1,0 +1,23 @@
+"""Structured Streaming surface (SURVEY §2.C C1-C10)."""
+
+from event_streamer_spark.streaming.ops import (
+    tumbling_agg,
+    sliding_agg,
+    session_agg,
+    with_watermark,
+    stream_dedup,
+    stream_static_join,
+    stream_stream_join,
+)
+from event_streamer_spark.streaming.state import sessionize_with_state
+
+__all__ = [
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "with_watermark",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_stream_join",
+    "sessionize_with_state",
+]

@@ -1,0 +1,112 @@
+"""Streaming stateful operators (SURVEY §2.C C1-C7, C9).
+
+Each helper is a declarative transformation valid on BOTH streaming and
+batch DataFrames — the batch path is what the DuckDB oracle checks
+(``operators.windows``), the streaming path is exercised by
+``tests/test_streaming.py`` with file sources + ``availableNow``.
+
+Watermarks bound state: without them a windowed agg or dedup grows
+state forever at 100 TB/day. Every stateful helper takes the watermark
+delay explicitly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """C4: late-data bound; enables state eviction + append-mode output."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    aggs: Sequence[Column],
+    keys: Sequence[str] = (),
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """C1: tumbling window aggregation (epoch-aligned windows)."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(F.window(ts_col, duration).alias("window"), *keys).agg(*aggs)
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    aggs: Sequence[Column],
+    keys: Sequence[str] = (),
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """C2: sliding window aggregation (duration/slide overlap)."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.window(ts_col, duration, slide).alias("window"), *keys
+    ).agg(*aggs)
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: Sequence[Column],
+    keys: Sequence[str] = (),
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """C3: session window aggregation (dynamic gap-merged windows)."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.session_window(ts_col, gap).alias("session"), *keys
+    ).agg(*aggs)
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: Optional[str] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """C5: streaming dedup; with a watermark the key-state is bounded
+    (``dropDuplicatesWithinWatermark`` when available)."""
+    if watermark and ts_col:
+        df = df.withWatermark(ts_col, watermark)
+        if hasattr(df, "dropDuplicatesWithinWatermark"):
+            return df.dropDuplicatesWithinWatermark(list(keys))
+        return df.dropDuplicates([*keys, ts_col])
+    return df.dropDuplicates(list(keys))
+
+
+def stream_static_join(
+    stream: DataFrame, static: DataFrame, on, how: str = "inner", broadcast: bool = True
+) -> DataFrame:
+    """C6: stream ⋈ static dim — broadcast by default so each micro-batch
+    joins map-side with zero shuffle of the stream."""
+    if broadcast:
+        static = F.broadcast(static)
+    return stream.join(static, on, how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_ts: str,
+    right_ts: str,
+    watermark: str,
+    how: str = "inner",
+) -> DataFrame:
+    """C7: stream ⋈ stream — both sides watermarked so join state is
+    evictable; ``on`` should include an event-time range condition."""
+    return left.withWatermark(left_ts, watermark).join(
+        right.withWatermark(right_ts, watermark), on, how
+    )

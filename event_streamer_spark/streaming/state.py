@@ -1,0 +1,96 @@
+"""Arbitrary stateful streaming (SURVEY §2.C C8): applyInPandasWithState.
+
+``sessionize_with_state`` is the canonical custom stateful operator the
+reference's handler-callback model can't express declaratively: per-key
+session tracking with explicit timeout-driven state eviction. State is
+per-key and partitioned by Spark's state store — no driver-side state,
+so it scales horizontally (the 100 TB requirement).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+STATE_SCHEMA = "start_s double, last_s double, n bigint"
+
+SESSION_GAP_S = 300.0
+
+
+def _sessionize(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Emit closed sessions; keep the open session in GroupState."""
+    (user_id,) = key
+
+    if state.hasTimedOut:
+        (start_s, last_s, n) = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_s, unit="s")],
+                "session_end": [pd.Timestamp(last_s, unit="s")],
+                "n_events": [n],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    secs = rows["ts"].astype("int64") / 1e9
+
+    if state.exists:
+        start_s, last_s, n = state.get
+    else:
+        start_s, last_s, n = float(secs.iloc[0]), float(secs.iloc[0]), 0
+
+    closed = []
+    for s in secs:
+        if s - last_s > SESSION_GAP_S:
+            closed.append((start_s, last_s, n))
+            start_s, n = float(s), 0
+        last_s = float(s)
+        n += 1
+
+    state.update((float(start_s), float(last_s), int(n)))
+    state.setTimeoutDuration(int(SESSION_GAP_S * 1000))
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(c[0], unit="s") for c in closed],
+                "session_end": [pd.Timestamp(c[1], unit="s") for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+
+def sessionize_with_state(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """C8: custom per-user sessionization via applyInPandasWithState.
+
+    Input: streaming DataFrame with (user_id, ts, ...). Output: one row
+    per *closed* session. Sessions close via processing-time timeout —
+    the part plain ``session_window`` cannot express (emit-on-close with
+    custom state shape).
+    """
+    return (
+        events.withWatermark(ts_col, "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

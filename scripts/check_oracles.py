@@ -1,0 +1,135 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every REGISTRY query on Spark and its oracle on DuckDB, then
+compares row count, column names, and an order-insensitive canonical
+value hash (columns sorted by name; floats formatted to 6 decimals;
+NULL literal for nulls). Usage::
+
+    python scripts/check_oracles.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from event_streamer_spark.operators import REGISTRY  # noqa: E402
+from event_streamer_spark.session import get_spark  # noqa: E402
+from event_streamer_spark.tables import TABLES  # noqa: E402
+
+
+def canon_value(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}"
+    if isinstance(v, (datetime, date)):
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(canon_value(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    name_filters = sys.argv[2:]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    spark = get_spark("oracle-check", shuffle_partitions=8)
+    failures = []
+    for name, spec in sorted(REGISTRY.items()):
+        if name_filters and not any(f in name for f in name_filters):
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        if spec.oracle is None:
+            print(f"ok*   {name}: rows-only ({len(srows)} rows, "
+                  f"{time.time()-t0:.1f}s)")
+            if len(srows) == 0 and name not in ("d2_minhash_lsh",):
+                print(f"      WARNING: zero rows")
+            continue
+        try:
+            rel = con.sql(spec.oracle)
+            ocols = rel.columns
+            orows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: DUCKDB ERROR {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+
+        problems = []
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+            problems.append(f"columns spark={scols} duckdb={ocols}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
+        if not problems:
+            hs = canon_hash(scols, srows)
+            ho = canon_hash(ocols, orows)
+            if hs != ho:
+                problems.append("value-hash mismatch")
+                # show a few differing rows for debugging
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                set_s = {
+                    "\x1f".join(canon_value(r[i]) for i in order_s) for r in srows
+                }
+                set_o = {
+                    "\x1f".join(canon_value(r[i]) for i in order_o) for r in orows
+                }
+                only_s = list(set_s - set_o)[:3]
+                only_o = list(set_o - set_s)[:3]
+                for x in only_s:
+                    problems.append(f"  spark-only: {x!r}")
+                for x in only_o:
+                    problems.append(f"  duck-only:  {x!r}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(f"      {p}")
+            failures.append(name)
+        else:
+            print(f"PASS  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+
+    print()
+    total = len([n for n in REGISTRY if not name_filters or any(f in n for f in name_filters)])
+    print(f"{total - len(failures)}/{total} ok; failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

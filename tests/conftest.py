@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+import pytest
+
+from event_streamer_spark.config import reset_config
+from event_streamer_spark.producer import _emitted_events
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from event_streamer_spark.session import get_spark
+
+    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(autouse=True)
+def clean_state():
+    reset_config()
+    _emitted_events.clear()
+    yield
+    reset_config()
+    _emitted_events.clear()
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def sf_dir() -> str:
+    return SF_DIR

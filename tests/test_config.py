@@ -1,0 +1,63 @@
+"""Config singleton + app_name chain (reference ``src/config/__tests__``,
+producer test ``:551-565``; SURVEY §1.2/§1.4)."""
+
+import pytest
+
+from event_streamer_spark.config import (
+    Config,
+    ConsumerConfig,
+    get_config,
+    resolve_app_name,
+    set_config,
+)
+
+
+def test_get_before_set_raises():
+    with pytest.raises(RuntimeError, match="Event streamer not initialized"):
+        get_config()
+
+
+def test_set_then_get():
+    cfg = Config(host="localhost:9092", only_testing=True)
+    set_config(cfg)
+    assert get_config() is cfg
+
+
+def test_defaults():
+    cfg = Config()
+    assert cfg.producer.connection_ttl == 5000
+    assert cfg.consumer.max_messages_per_topic == 20
+    assert cfg.consumer.strategy == "topic"
+    assert cfg.only_testing is False
+
+
+class TestAppNameChain:
+    def test_message_wins(self):
+        cfg = Config(app_name="cfg-app")
+        assert resolve_app_name("msg-app", cfg) == "msg-app"
+
+    def test_config_app_name(self):
+        cfg = Config(app_name="cfg-app", consumer=ConsumerConfig(group_id="grp"))
+        assert resolve_app_name(None, cfg) == "cfg-app"
+
+    def test_group_id_fallback(self):
+        cfg = Config(consumer=ConsumerConfig(group_id="grp"))
+        assert resolve_app_name(None, cfg) == "grp"
+
+    def test_hostname_pod_strip(self, monkeypatch):
+        monkeypatch.setenv("HOSTNAME", "my-service-name-abcd-1234")
+        assert resolve_app_name(None, Config()) == "my-service-name"
+
+    def test_hostname_short_kept(self, monkeypatch):
+        monkeypatch.setenv("HOSTNAME", "my-host")
+        assert resolve_app_name(None, Config()) == "my-host"
+
+    def test_unknown(self, monkeypatch):
+        monkeypatch.delenv("HOSTNAME", raising=False)
+        assert resolve_app_name(None, Config()) == "unknown"
+
+
+def test_hosts_with_additional():
+    cfg = Config(host="a:9092")
+    cfg.producer.additional_hosts = ["b:9092"]
+    assert cfg.hosts() == ["a:9092", "b:9092"]

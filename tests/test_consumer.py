@@ -1,0 +1,182 @@
+"""ConsumerRouter routing semantics (reference
+``src/consumer/__tests__/index.test.ts``; SURVEY §2.A A5/A6/A16/A19,
+§3.3 + the README routing truth table)."""
+
+import pytest
+
+from event_streamer_spark.config import Config, ConsumerConfig, set_config
+from event_streamer_spark.consumer import ConsumerRouter, Route
+from event_streamer_spark.producer import get_parsed_emitted_events
+
+
+def _testing_config():
+    set_config(
+        Config(
+            host="h:9092",
+            app_name="app",
+            only_testing=True,
+            consumer=ConsumerConfig(group_id="grp"),
+        )
+    )
+
+
+class TestAddOverloads:
+    """Cross-product expansion (reference ``legacy-consumer.ts:39-71``;
+    structural test ``consumer/__tests__/index.test.ts:314-422``)."""
+
+    def _cb(self, *_):
+        pass
+
+    def test_topic_only(self):
+        r = ConsumerRouter()
+        r.add("topic-a", self._cb)
+        assert [(x.topic, x.event_name) for x in r.routes] == [("topic-a", None)]
+
+    def test_topics_list(self):
+        r = ConsumerRouter()
+        r.add(["a", "b"], self._cb)
+        assert len(r.routes) == 2
+
+    def test_topic_event(self):
+        r = ConsumerRouter()
+        r.add("a", "my-event", self._cb)
+        assert r.routes[0].event_name == "MyEvent"
+
+    def test_cross_product(self):
+        r = ConsumerRouter()
+        r.add(["a", "b"], ["e-one", "e-two"], self._cb)
+        combos = {(x.topic, x.event_name) for x in r.routes}
+        assert combos == {
+            ("a", "EOne"), ("a", "ETwo"), ("b", "EOne"), ("b", "ETwo"),
+        }
+
+    def test_route_object(self):
+        r = ConsumerRouter()
+        r.add(Route(topic="a", event_name="ev-x", callback=self._cb))
+        assert r.routes[0].event_name == "EvX"
+
+    def test_fourteen_route_expansion(self):
+        # mirrors the reference's 14-route structural test shape
+        r = ConsumerRouter()
+        r.add("t1", self._cb)                       # 1
+        r.add(["t2", "t3"], self._cb)               # 2
+        r.add("t4", "e1", self._cb)                 # 1
+        r.add("t5", ["e1", "e2", "e3"], self._cb)   # 3
+        r.add(["t6", "t7"], ["e1", "e2"], self._cb) # 4
+        r.add(["t8", "t9"], "e1", self._cb)         # 2
+        r.add(Route(topic="t10", callback=self._cb))  # 1
+        assert len(r.routes) == 14
+
+    def test_distinct_topics_ordered(self):
+        r = ConsumerRouter()
+        r.add(["b", "a"], self._cb)
+        r.add("b", "e", self._cb)
+        assert r.topics() == ["b", "a"]
+
+
+class TestInputDispatch:
+    """Truth table (README.md:318-345): match iff topic equal AND
+    (route has no event_name OR event_name == code)."""
+
+    def _router_with_hits(self):
+        _testing_config()
+        hits = []
+        r = ConsumerRouter()
+        r.add("topic-a", lambda c, e: hits.append(("global-a", c["code"])))
+        r.add("topic-a", "event-x", lambda c, e: hits.append(("ax", c["code"])))
+        r.add("topic-b", "event-x", lambda c, e: hits.append(("bx", c["code"])))
+        return r, hits
+
+    def test_no_event_name_matches_global_only(self):
+        r, hits = self._router_with_hits()
+        r.input({"topic": "topic-a", "data": {"p": 1}})
+        # code = UpperCamelCase(topic) = TopicA → global handler only
+        assert hits == [("global-a", "TopicA")]
+
+    def test_event_name_matches_both(self):
+        r, hits = self._router_with_hits()
+        r.input({"topic": "topic-a", "event_name": "event-x", "data": {"p": 1}})
+        assert hits == [("global-a", "EventX"), ("ax", "EventX")]
+
+    def test_wrong_topic_no_match(self):
+        r, hits = self._router_with_hits()
+        r.input({"topic": "topic-z", "data": {"p": 1}})
+        assert hits == []
+
+    def test_no_enrichment_asymmetry(self):
+        # input() merges code but does NOT add createdAt/appName
+        # (reference legacy-consumer.ts:73-81; SURVEY §3.3)
+        _testing_config()
+        seen = []
+        r = ConsumerRouter()
+        r.add("t", lambda c, e: seen.append(c))
+        r.input({"topic": "t", "data": {"p": 1}})
+        [content] = seen
+        assert content == {"p": 1, "code": "T"}
+        assert "createdAt" not in content and "appName" not in content
+
+    def test_input_requires_testing_mode(self):
+        set_config(Config(host="h", only_testing=False))
+        r = ConsumerRouter()
+        r.add("t", lambda c, e: None)
+        with pytest.raises(RuntimeError, match="only_testing"):
+            r.input({"topic": "t", "data": {}})
+
+    def test_handler_emit_composes(self):
+        # end-to-end loop: input → handler → emit → testing sink
+        # (README.md:400-446)
+        _testing_config()
+        r = ConsumerRouter()
+
+        def fwd(content, emit_fn):
+            emit_fn("downstream", "forwarded", {"orig": content["code"]})
+
+        r.add("up", fwd)
+        r.input({"topic": "up", "data": {"x": 1}})
+        [ev] = get_parsed_emitted_events()
+        assert ev["topic"] == "downstream"
+        assert ev["event_name"] == "Forwarded"
+        assert ev["data"]["orig"] == "Up"
+
+
+class TestDispatchErrors:
+    def test_handler_error_swallowed(self):
+        # A16: errors logged, batch never fails
+        _testing_config()
+        hits = []
+        r = ConsumerRouter()
+
+        def bad(c, e):
+            raise RuntimeError("boom")
+
+        r.add("t", bad)
+        r.add("t", lambda c, e: hits.append(1))
+        n = r.dispatch_message("t", {"code": "T", "p": 1})
+        assert n == 2 and hits == [1]
+
+    def test_corrupt_content_dropped(self):
+        _testing_config()
+        r = ConsumerRouter()
+        r.add("t", lambda c, e: None)
+        assert r.dispatch_message("t", None) == 0
+
+
+class TestStartValidation:
+    def test_missing_group_id(self):
+        set_config(Config(host="h", only_testing=True))
+        r = ConsumerRouter()
+        r.add("t", lambda c, e: None)
+        with pytest.raises(ValueError, match="groupId"):
+            r.start()
+
+    def test_missing_routes(self):
+        _testing_config()
+        r = ConsumerRouter()
+        with pytest.raises(ValueError, match="Missing routes"):
+            r.start()
+
+    def test_testing_mode_resolves_immediately(self):
+        _testing_config()
+        r = ConsumerRouter()
+        r.add("t", lambda c, e: None)
+        assert r.start() == []
