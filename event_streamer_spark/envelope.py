@@ -94,8 +94,23 @@ def parse_stream(
     ``getParsedJson() == null`` skip. Kept narrow: no shuffle, fully
     codegen'd, pushdown-friendly.
     """
+    if isinstance(schema, StructType):
+        schema_ddl = schema.simpleString()[len("struct<") : -1].replace(":", " ")
+    else:
+        schema_ddl = schema
+    # PERMISSIVE mode routes malformed input (including non-object JSON,
+    # which from_json otherwise maps to an all-null struct) into the
+    # corrupt-record column, which we then require to be NULL.
+    full_schema = f"{schema_ddl}, __corrupt string"
     parsed = df.withColumn(
-        "__parsed", F.from_json(F.col(value_col).cast("string"), schema)
-    ).filter(F.col("__parsed").isNotNull())
+        "__parsed",
+        F.from_json(
+            F.col(value_col).cast("string"),
+            full_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "__corrupt"},
+        ),
+    ).filter(
+        F.col("__parsed").isNotNull() & F.col("__parsed.__corrupt").isNull()
+    )
     keep = [c for c in keep_cols if c in df.columns]
-    return parsed.select(*keep, "__parsed.*")
+    return parsed.select(*keep, "__parsed.*").drop("__corrupt")

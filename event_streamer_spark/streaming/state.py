@@ -24,6 +24,11 @@ STATE_SCHEMA = "start_s double, last_s double, n bigint"
 SESSION_GAP_S = 300.0
 
 
+def _us_ts(seconds: float) -> pd.Timestamp:
+    """Microsecond-precision timestamp (Arrow rejects lossy ns→us casts)."""
+    return pd.Timestamp(int(round(seconds * 1e6)), unit="us")
+
+
 def _sessionize(
     key: Tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
@@ -38,8 +43,8 @@ def _sessionize(
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
-                "session_start": [pd.Timestamp(start_s, unit="s")],
-                "session_end": [pd.Timestamp(last_s, unit="s")],
+                "session_start": [_us_ts(start_s)],
+                "session_end": [_us_ts(last_s)],
                 "n_events": [n],
             }
         )
@@ -68,8 +73,8 @@ def _sessionize(
         yield pd.DataFrame(
             {
                 "user_id": [user_id] * len(closed),
-                "session_start": [pd.Timestamp(c[0], unit="s") for c in closed],
-                "session_end": [pd.Timestamp(c[1], unit="s") for c in closed],
+                "session_start": [_us_ts(c[0]) for c in closed],
+                "session_end": [_us_ts(c[1]) for c in closed],
                 "n_events": [c[2] for c in closed],
             }
         )

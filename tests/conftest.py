@@ -10,7 +10,14 @@ from event_streamer_spark.producer import _emitted_events
 def spark():
     from event_streamer_spark.session import get_spark
 
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        # skip empty micro-batches: cuts stateful-streaming test time ~10×
+        # (timeout-driven emission isn't what the tests assert)
+        extra_conf={"spark.sql.streaming.noDataMicroBatches.enabled": "false"},
+    )
     yield s
     s.stop()
 

