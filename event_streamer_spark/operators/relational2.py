@@ -1,0 +1,393 @@
+"""Batch relational surface, part 2: pivot, statistics, percentiles,
+extended scalar-function coverage, correlated subqueries, lexicon joins
+(SURVEY §2.B deep coverage + §2.D D4 sentiment).
+
+Determinism notes per query; same protocol as ``relational`` (integer
+cents, magnitude-sized rounding grains for floating aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from event_streamer_spark.operators.registry import query
+from event_streamer_spark.tables import load, register_views
+
+
+@query(
+    "b14_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS cnt_F,
+           CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS cnt_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def b14_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """B14: pivot with explicit value list (no value-discovery job —
+    at scale never let pivot() scan for distinct values)."""
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .withColumnRenamed("F", "cnt_F")
+        .withColumnRenamed("O", "cnt_O")
+        .na.fill({"cnt_F": 0, "cnt_O": 0})
+    )
+
+
+@query(
+    "b11_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 3) AS sd_price,
+           ROUND(var_samp(l_extendedprice), 0)    AS var_price,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def b11_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """B11: statistical aggregates. Rounding grains sized to magnitude so
+    partial-aggregation order noise (≲1e-9 relative) can't flip a digit:
+    stddev ~3e4 → 3dp, variance ~1e9 → 0dp, corr ∈ [-1,1] → 6dp."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 3).alias("sd_price"),
+        F.round(F.var_samp("l_extendedprice"), 0).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_cov"
+        ),
+    )
+
+
+@query(
+    "b11_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           ROUND(median(l_extendedprice), 6) AS med
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def b11_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """B11: exact interpolated percentiles (both engines sort + linearly
+    interpolate — identical arithmetic, 6dp absorbs any ulp)."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.median("l_extendedprice"), 6).alias("med"),
+    )
+
+
+@query(
+    "b11_collect_agg",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses,
+           CAST(MAX(o_orderkey) AS BIGINT) AS last_order
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def b11_collect_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """B11: ordered collect/string aggregation (deterministic via sort
+    before aggregation + unique order key)."""
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(F.struct("o_orderkey", "o_orderstatus"))
+                ).getField("o_orderstatus"),
+            ).alias("statuses"),
+            F.max("o_orderkey").alias("last_order"),
+        )
+    )
+
+
+@query(
+    "b11_bool_bit_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000)  AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def b11_bool_bit_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """B11: boolean/bitwise aggregates (order-insensitive by definition)."""
+    o = load(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+    )
+
+
+@query(
+    "b11_max_by",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(arg_max(o_orderkey, o_orderkey) AS BIGINT) AS max_key,
+           CAST(arg_min(o_orderkey, o_orderkey) AS BIGINT) AS min_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def b11_max_by(spark: SparkSession, sf: str) -> DataFrame:
+    """B11: arg-max/arg-min over a unique ordering key (ties impossible)."""
+    o = load(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_orderkey").alias("max_key"),
+        F.min_by("o_orderkey", "o_orderkey").alias("min_key"),
+    )
+
+
+@query(
+    "b15_percent_rank",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist()    OVER w, 6) AS cd
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    """,
+)
+def b15_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """B15: percent_rank / cume_dist over a unique total ordering."""
+    li = load(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "b21_string_fns2",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           rpad(p_brand, 12, '.') AS brand_rpad,
+           repeat(p_brand, 2) AS brand2,
+           reverse(p_name) AS name_rev,
+           translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+           CAST(ascii(p_type) AS BIGINT) AS type_ascii,
+           left(p_name, 4) AS name_l4,
+           right(p_name, 4) AS name_r4,
+           CAST(instr(p_name, 'a') AS BIGINT) AS a_pos,
+           split_part(p_type, ' ', 1) AS type_first
+    FROM part
+    """,
+)
+def b21_string_fns2(spark: SparkSession, sf: str) -> DataFrame:
+    """B21: extended string functions."""
+    p = load(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.repeat("p_brand", 2).alias("brand2"),
+        F.reverse("p_name").alias("name_rev"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_tr"),
+        F.ascii("p_type").cast("bigint").alias("type_ascii"),
+        F.expr("left(p_name, 4)").alias("name_l4"),
+        F.expr("right(p_name, 4)").alias("name_r4"),
+        F.instr("p_name", "a").cast("bigint").alias("a_pos"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_first"),
+    )
+
+
+@query(
+    "b22_date_fns2",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS week_no,
+           CAST(isodow(o_orderdate) - 1 AS BIGINT) AS weekday_no,
+           strftime(o_orderdate + INTERVAL 45 DAY, '%Y-%m-%d') AS plus_45d,
+           strftime(make_date(2024, month(o_orderdate), 1), '%Y-%m-%d') AS in_2024
+    FROM orders
+    """,
+)
+def b22_date_fns2(spark: SparkSession, sf: str) -> DataFrame:
+    """B22: add_months (month-end clamped identically on both engines),
+    last_day, ISO week, weekday (Mon=0), day arithmetic, make_date."""
+    o = load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months("o_orderdate", 1), "yyyy-MM-dd").alias(
+            "next_month"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("week_no"),
+        F.weekday("o_orderdate").cast("bigint").alias("weekday_no"),
+        F.date_format(F.date_add("o_orderdate", 45), "yyyy-MM-dd").alias("plus_45d"),
+        F.date_format(
+            F.make_date(F.lit(2024), F.month("o_orderdate"), F.lit(1)), "yyyy-MM-dd"
+        ).alias("in_2024"),
+    )
+
+
+@query(
+    "b24_array_fns2",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(list_filter(toks, x -> x = 'data')) > 0 AS has_data,
+           len(list_filter(toks, x -> length(x) = 0)) = 0 AS all_nonempty,
+           CAST(list_reduce(list_transform(toks, x -> length(x)), (a, b) -> a + b)
+                AS BIGINT) AS total_chars,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+           CAST(list_position(toks, 'data') AS BIGINT) AS data_pos,
+           list_max(toks) AS tok_max,
+           list_min(toks) AS tok_min
+    FROM t
+    """,
+)
+def b24_array_fns2(spark: SparkSession, sf: str) -> DataFrame:
+    """B24: higher-order array functions (exists/forall/aggregate) +
+    distinct/position/min/max — all JVM-side lambda expressions."""
+    d = load(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.exists("toks", lambda x: x == F.lit("data")).alias("has_data"),
+        F.forall("toks", lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, b: a + b,
+        ).alias("total_chars"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_unique"),
+        F.array_position("toks", "data").cast("bigint").alias("data_pos"),
+        F.array_max("toks").alias("tok_max"),
+        F.array_min("toks").alias("tok_min"),
+    )
+
+
+@query(
+    "b25_map_fns",
+    oracle="""
+    WITH t AS (SELECT c_custkey,
+                      map(['seg', 'name'], [c_mktsegment, c_name]) AS m
+               FROM customer)
+    SELECT c_custkey,
+           map_extract(m, 'seg')[1] AS seg,
+           CAST(cardinality(m) AS BIGINT) AS n_keys,
+           array_to_string(map_keys(m), ',') AS keys_csv
+    FROM t
+    """,
+)
+def b25_map_fns(spark: SparkSession, sf: str) -> DataFrame:
+    """B25: map construction, element access, keys/cardinality."""
+    c = load(spark, sf, "customer").withColumn(
+        "m",
+        F.map_from_arrays(
+            F.array(F.lit("seg"), F.lit("name")),
+            F.array("c_mktsegment", "c_name"),
+        ),
+    )
+    return c.select(
+        "c_custkey",
+        F.element_at("m", "seg").alias("seg"),
+        F.size("m").cast("bigint").alias("n_keys"),
+        F.concat_ws(",", F.map_keys("m")).alias("keys_csv"),
+    )
+
+
+_CORRELATED_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > (
+    SELECT 1.5 * AVG(o2.o_totalprice) FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@query("b28_correlated_subquery", oracle=_CORRELATED_SQL)
+def b28_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """B28: correlated scalar subquery (decorrelated by Catalyst into an
+    aggregate + join — no per-row re-execution). Same SQL both engines."""
+    register_views(spark, sf)
+    return spark.sql(_CORRELATED_SQL)
+
+
+_NOT_IN_SQL = """
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey NOT IN (
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+"""
+
+
+@query("b28_not_in_subquery", oracle=_NOT_IN_SQL)
+def b28_not_in_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """B28: NOT IN subquery (null-aware anti join). Same SQL both engines."""
+    register_views(spark, sf)
+    return spark.sql(_NOT_IN_SQL)
+
+
+_SENTIMENT_LEXICON = [
+    ("fast", 1),
+    ("big", 1),
+    ("value", 1),
+    ("merge", 1),
+    ("slow", -1),
+    ("small", -1),
+    ("dup", -1),
+    ("error", -1),
+]
+
+
+@query(
+    "d4_sentiment",
+    oracle=f"""
+    WITH lex(w, s) AS (VALUES {", ".join(f"('{w}', {s})" for w, s in _SENTIMENT_LEXICON)}),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                   len(string_split(text, ' ')) AS n FROM documents)
+    SELECT t.doc_id,
+           CAST(COALESCE(SUM(l.s), 0) AS BIGINT) AS score,
+           ROUND(CAST(COALESCE(SUM(l.s), 0) AS DOUBLE) / ANY_VALUE(t.n), 6)
+             AS score_norm
+    FROM tok t LEFT JOIN lex l ON t.w = l.w
+    GROUP BY t.doc_id
+    """,
+)
+def d4_sentiment(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: lexicon-join sentiment scoring (broadcast dim join after
+    explode; the aggregation shuffles only doc_id)."""
+    lex = F.broadcast(
+        load(spark, sf, "documents").sparkSession.createDataFrame(
+            _SENTIMENT_LEXICON, "w string, s int"
+        )
+    )
+    d = load(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    tok = d.select(
+        "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("w")
+    )
+    return (
+        tok.join(lex, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum("s"), F.lit(0)).cast("bigint").alias("score"),
+            F.round(
+                F.coalesce(F.sum("s"), F.lit(0)).cast("double") / F.any_value("n"),
+                6,
+            ).alias("score_norm"),
+        )
+    )

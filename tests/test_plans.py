@@ -1,0 +1,79 @@
+"""Physical-plan assertions — the 100 TB posture, enforced.
+
+These tests pin the *plan shape*, not timing: filters reach the parquet
+scan, projections prune columns, small dims broadcast, global top-k
+avoids a full sort, aggregations are partial (map-side) before the
+exchange. A regression here is a scale regression even if sf0.001 timing
+looks fine.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from event_streamer_spark.operators import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "b04_filter")
+    assert "PushedFilters: [Or(And(" in plan.replace("\n", "")
+
+
+def test_q1_pushdown_and_partial_agg(spark):
+    plan = plan_of(spark, "b11_tpch_q1")
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # partial aggregation before the exchange: HashAggregate appears
+    # below AND above Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "b01_parquet_scan")
+    # only the 5 projected columns in ReadSchema — not all 11
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_dims_broadcast(spark):
+    plan = plan_of(spark, "b10_broadcast_join")
+    # formatted explain shows each node twice (tree + detail): 2 joins → 4
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_stream_static_join_broadcasts(spark):
+    plan = plan_of(spark, "b05_join_inner")
+    # AQE or static planning must pick broadcast for the small customer dim
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
+
+
+def test_topk_no_global_sort(spark):
+    plan = plan_of(spark, "b18_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_semi_anti_join_shapes(spark):
+    assert "LeftSemi" in plan_of(spark, "b07_join_semi")
+    assert "LeftAnti" in plan_of(spark, "b07_join_anti")
+
+
+def test_range_join_is_equi_with_residual(spark):
+    """b09 must remain an equi join on l_orderkey with the date range as
+    a residual condition — not a cartesian/BNLJ explosion."""
+    plan = plan_of(spark, "b09_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
