@@ -106,10 +106,15 @@ def a12_camel_norm(spark: SparkSession, sf: str) -> DataFrame:
     WITH raw AS (
       SELECT event_id,
              CASE WHEN event_id % 10 = 0 THEN substr(props, 1, 3) ELSE props END AS payload
-      FROM events)
-    SELECT event_id, CAST(json_extract(payload, '$.k') AS BIGINT) AS k
-    FROM raw
-    WHERE json_valid(payload) AND json_extract(payload, '$.k') IS NOT NULL
+      FROM events),
+    j AS (
+      -- CASE guards evaluation: DuckDB does not short-circuit AND, so a
+      -- bare json_extract on malformed input can throw at larger SFs
+      SELECT event_id,
+             CASE WHEN json_valid(payload)
+                  THEN CAST(json_extract(payload, '$.k') AS BIGINT) END AS k
+      FROM raw)
+    SELECT event_id, k FROM j WHERE k IS NOT NULL
     """,
 )
 def a03_corrupt_drop(spark: SparkSession, sf: str) -> DataFrame:

@@ -17,9 +17,11 @@ summation order on either engine hashes identically.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from event_streamer_spark.operators.registry import query
 from event_streamer_spark.tables import load
@@ -160,4 +162,110 @@ def d3_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("src", "nbr", "sim")
+    )
+
+
+@query(
+    "d2_embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """,
+)
+def d2_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """D2: embedding-cosine near-duplicate pairs (exact, cos ≥ 0.45).
+
+    Physical design: the comparison side is tiny relative to the scan
+    (n_vectors × dim doubles), so it is broadcast once as a dense numpy
+    matrix and each partition runs one GEMM against it — the classic
+    "broadcast the small side of an O(n²) compare" pattern. At 100 TB
+    n² is never viable; this operator is the exact verifier that runs
+    AFTER LSH/IVF candidate pruning (d3_ann_lsh / d3_ivf_topk), and
+    standalone it defines the semantics the oracle checks.
+    """
+    from typing import Iterator
+
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rows = emb.collect()  # comparison matrix: tiny (n×64 doubles)
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def score(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = X @ all_mat.T  # one GEMM per Arrow batch
+            src = pdf["vec_id"].to_numpy()
+            out_a, out_b, out_s = [], [], []
+            for i in range(S.shape[0]):
+                mask = (S[i] >= 0.45) & (all_ids > src[i])
+                for j in np.nonzero(mask)[0]:
+                    out_a.append(src[i])
+                    out_b.append(all_ids[j])
+                    out_s.append(round(float(S[i, j]), 6))
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "sim": out_s})
+
+    return emb.mapInPandas(score, "vec_a long, vec_b long, sim double")
+
+
+_IVF_CELLS = 8
+_IVF_SEED = 11
+
+
+@query("d3_ivf_topk", oracle=None)  # approximate (cell-local) → rows-only
+def d3_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """D3 scale path #2: IVF-flat — coarse quantize to the nearest of K
+    seeded random centroids, then exact top-3 within each cell.
+
+    The per-cell search is an applyInPandas numpy GEMM — cells shuffle
+    once on cell_id and never exceed ~n/K vectors, so memory per task is
+    bounded. A trained k-means coarse quantizer drops in by replacing
+    the centroid constants; the dataflow is identical.
+    """
+    rng = np.random.RandomState(_IVF_SEED)
+    cents = rng.standard_normal((_IVF_CELLS, 64))
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    @pandas_udf("int")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        X = np.array(vs.tolist(), dtype=np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        return pd.Series(np.argmax(X @ b_cents.value.T, axis=1).astype("int32"))
+
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cells = emb.withColumn("cell", cell_of("v"))
+
+    def topk_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = X @ X.T
+        np.fill_diagonal(S, -2.0)
+        ids = pdf["vec_id"].to_numpy()
+        out = {"src": [], "nbr": [], "sim": []}
+        for i in range(len(ids)):
+            sims = np.round(S[i], 6)
+            # top-3 by (sim desc, nbr asc) — stable under ties
+            order = np.lexsort((ids, -sims))[:3]
+            for j in order:
+                out["src"].append(ids[i])
+                out["nbr"].append(ids[j])
+                out["sim"].append(float(sims[j]))
+        return pd.DataFrame(out)
+
+    return cells.groupBy("cell").applyInPandas(
+        topk_in_cell, "src long, nbr long, sim double"
     )

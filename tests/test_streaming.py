@@ -197,3 +197,52 @@ def test_sessionize_with_state(spark, tmp_path):
     for r in rows:
         assert r["session_end"] >= r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """C7: watermarked stream-stream join with an event-time range —
+    purchases joined to views by the same user within ±30 minutes."""
+    from event_streamer_spark.streaming import stream_stream_join
+
+    ev = load(spark, SF, "events")
+    base = str(tmp_path)
+    ev.filter(F.col("event_type") == "purchase").write.parquet(base + "/p")
+    ev.filter(F.col("event_type") == "view").write.parquet(base + "/v")
+
+    p = read_file_stream(spark, base + "/p").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    v = read_file_stream(spark, base + "/v").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    joined = stream_stream_join(p, v, cond, "p_ts", "v_ts", "1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_c7")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT count(*) n FROM t_c7").collect()[0]["n"]
+
+    pb = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    vb = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    batch = pb.join(
+        vb,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).count()
+    assert got == batch and got > 0
