@@ -391,3 +391,79 @@ def d4_sentiment(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("score_norm"),
         )
     )
+
+
+@query(
+    "b27_try_cast",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           TRY_CAST(event_type AS BIGINT) AS not_a_number,
+           TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS roundtrip
+    FROM events
+    """,
+)
+def b27_try_cast(spark: SparkSession, sf: str) -> DataFrame:
+    """B27: try_cast — NULL on failure instead of error (the building
+    block for DLQ-style poison-record routing)."""
+    e = load(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_num"),
+        F.col("event_type").try_cast("bigint").alias("not_a_number"),
+        F.col("value").cast("string").try_cast("double").alias("roundtrip"),
+    )
+
+
+@query(
+    "b16_nth_value",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                     AND UNBOUNDED FOLLOWING)
+             AS second_total
+    FROM orders
+    """,
+)
+def b16_nth_value(spark: SparkSession, sf: str) -> DataFrame:
+    """B16: nth_value over the full-partition frame."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_total"),
+    )
+
+
+@query(
+    "b21_regexp_extract",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(source, '([0-9]+)', 1) AS src_num,
+           regexp_extract(text, '(table|join) (\\w+)', 2) AS after_kw,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+             AS novowel_len
+    FROM documents
+    """,
+)
+def b21_regexp_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """B21: regexp_extract (no-match → '' on both engines) + global
+    regexp_replace."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", r"([0-9]+)", 1).alias("src_num"),
+        F.regexp_extract("text", r"(table|join) (\w+)", 2).alias("after_kw"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("bigint").alias(
+            "novowel_len"
+        ),
+    )

@@ -246,3 +246,29 @@ def test_stream_stream_join(spark, tmp_path):
         & (F.col("v_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
     ).count()
     assert got == batch and got > 0
+
+
+def test_update_output_mode(spark):
+    """C9: update mode emits only changed aggregate rows per batch."""
+    stream = _events_stream(spark)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_update")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per key == final batch counts
+    rows = spark.sql(
+        "SELECT event_type, max(cnt) AS cnt FROM t_update GROUP BY event_type"
+    ).collect()
+    batch = {
+        r["event_type"]: r["cnt"]
+        for r in load(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert {r["event_type"]: r["cnt"] for r in rows} == batch
