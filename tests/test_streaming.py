@@ -272,3 +272,41 @@ def test_update_output_mode(spark):
         .collect()
     }
     assert {r["event_type"]: r["cnt"] for r in rows} == batch
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """C10: stop a checkpointed query mid-stream, restart it, and verify
+    the file sink holds each record exactly once (no loss, no dupes)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load(spark, SF, "events").select("event_id", "event_type")
+    # two separate files → two micro-batches with maxFilesPerTrigger=1
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src + "/a")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(src + "/b")
+
+    def start_query():
+        stream = (
+            spark.readStream.schema("event_id long, event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start_query()
+    q.awaitTermination(120)  # first run drains everything available
+    n_first = spark.read.parquet(out).count()
+
+    # restart from the same checkpoint — must be a no-op, not a replay
+    q2 = start_query()
+    q2.awaitTermination(120)
+
+    final = spark.read.parquet(out)
+    assert final.count() == ev.count() == n_first
+    assert final.select("event_id").distinct().count() == ev.count()
