@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from event_streamer_spark.operators import REGISTRY  # noqa: E402
@@ -44,9 +46,17 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so per-query times measure the
-    # query, not session bootstrap
+    # warm the JVM + parquet footers + Python/Arrow worker pool once so
+    # per-query times measure the query, not session bootstrap (a real
+    # deployment is a long-lived session)
     REGISTRY["b01_parquet_scan"].fn(spark, sf_dir).count()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(_warm("id")).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -179,7 +179,11 @@ def d2_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     bucket, one groupBy pair. All O(docs × bands); no O(n²) stage, no
     driver-side state. Deterministic: fixed permutations + CRC32.
     """
-    docs = load(spark, sf, "documents")
+    # single-file parquet arrives as ONE partition — spread the UDF work
+    # across cores (at real scale the source has many splits already)
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # signatures feed three consumers (banding + both join sides): persist
     # so the pandas UDF runs once per row, not three times
     sigs = _minhash_signatures(docs).persist()
@@ -207,6 +211,10 @@ def d2_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
 
+    # NOTE: measured A/B — an explicit broadcast of the UDF-derived
+    # signature table is SLOWER and high-variance here (driver-side
+    # collect races the cache); the shuffled joins on the persisted
+    # signatures are stable. AQE still picks broadcast when warranted.
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.expr(
