@@ -64,6 +64,11 @@ class Config:
     consumer: ConsumerConfig = field(default_factory=ConsumerConfig)
     debug: int = 0
     only_testing: bool = False
+    # Reference parity: legacy-API deprecation warnings (the reference
+    # warns on emit()/ConsumerRouter pointing at a schema-registry
+    # successor that doesn't exist yet; default on, reference
+    # ``showDeprecationWarnings`` semantics).
+    show_deprecation_warnings: bool = True
     # Spark-specific extensions (no reference analog):
     checkpoint_root: Optional[str] = None
 
@@ -71,6 +76,21 @@ class Config:
         """All clusters to produce to: primary + additional (A10)."""
         primary = [self.host] if self.host else []
         return primary + list(self.producer.additional_hosts)
+
+
+def warn_deprecation(message: str) -> None:
+    """Reference ``warnDeprecation`` (``legacy-producer.ts:8-19``):
+    respects ``show_deprecation_warnings``; silent if config unset."""
+    import warnings
+
+    try:
+        cfg = get_config()
+    except RuntimeError:
+        return
+    if cfg.show_deprecation_warnings:
+        warnings.warn(
+            f"[DEPRECATION WARNING] {message}", DeprecationWarning, stacklevel=3
+        )
 
 
 _config: Optional[Config] = None

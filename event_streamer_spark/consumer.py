@@ -75,6 +75,12 @@ class ConsumerRouter:
     """Routes messages to handlers by ``(topic, code)`` (SURVEY §3.2)."""
 
     def __init__(self) -> None:
+        from event_streamer_spark.config import warn_deprecation
+
+        warn_deprecation(
+            "ConsumerRouter is deprecated. Use SchemaRegistryConsumerRouter "
+            "for Schema Registry support."
+        )
         self.routes: list[Route] = []
         self._queries: list = []  # active streaming queries
 

@@ -150,6 +150,12 @@ def emit(
     return value is ``[]``. Otherwise rows are written to every target
     cluster via Spark's Kafka batch sink.
     """
+    from event_streamer_spark.config import warn_deprecation
+
+    warn_deprecation(
+        "emit() is deprecated. Use SchemaRegistryProducer.emitWithSchema() "
+        "for Schema Registry support."
+    )
     config = get_config()
     app_name = resolve_app_name(None, config)
 
