@@ -237,6 +237,24 @@ class ConsumerRouter:
 
     # -- streaming start (A1/A3/A14/A15) -------------------------------
 
+    def topic_limits(self) -> dict[str, Optional[int]]:
+        """A14: per-topic in-flight caps from config.
+
+        Maps the reference's ``maxMessagesPerSpecificTopic`` /
+        ``maxMessagesPerTopic`` (default 20, ``'unlimited'`` → None)
+        onto per-topic ``maxOffsetsPerTrigger`` values. Topics sharing
+        the default can ride one Kafka source; topics with a specific
+        cap get their own source (Spark's limit is per-source).
+        """
+        config = get_config()
+        default = config.consumer.max_messages_per_topic
+        specific = config.consumer.max_messages_per_specific_topic
+        out: dict[str, Optional[int]] = {}
+        for topic in self.topics():
+            cap = specific.get(topic, default)
+            out[topic] = None if cap == "unlimited" else int(cap)
+        return out
+
     def start(
         self,
         spark: Optional[SparkSession] = None,

@@ -175,3 +175,31 @@ def d4_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents")
     return d.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "d4_token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                AS BIGINT) AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def d4_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: BPE-style pre-tokenization count — a GPT-2-ish splitter
+    (letter runs | digit runs | single punctuation) vs plain whitespace.
+    Pure regexp column expression; the count proxies LLM token budgets
+    without shipping a tokenizer model."""
+    d = load(spark, sf, "documents")
+    # pattern passed as a Column literal — an F.expr SQL string would
+    # swallow the backslash in \s
+    pat = F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), pat, F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+    )

@@ -180,3 +180,24 @@ class TestStartValidation:
         r = ConsumerRouter()
         r.add("t", lambda c, e: None)
         assert r.start() == []
+
+
+class TestTopicLimits:
+    def test_per_topic_caps(self):
+        set_config(
+            Config(
+                host="h",
+                only_testing=True,
+                consumer=ConsumerConfig(
+                    group_id="g",
+                    max_messages_per_topic=20,
+                    max_messages_per_specific_topic={
+                        "topic-a": "unlimited",
+                        "topic-b": 10,
+                    },
+                ),
+            )
+        )
+        r = ConsumerRouter()
+        r.add(["topic-a", "topic-b", "topic-c"], lambda c, e: None)
+        assert r.topic_limits() == {"topic-a": None, "topic-b": 10, "topic-c": 20}
