@@ -15,5 +15,6 @@ from event_streamer_spark.operators import text  # noqa: F401
 from event_streamer_spark.operators import similarity  # noqa: F401
 from event_streamer_spark.operators import multimodal  # noqa: F401
 from event_streamer_spark.operators import curation  # noqa: F401
+from event_streamer_spark.operators import clustering  # noqa: F401
 
 REGISTRY = registry.REGISTRY

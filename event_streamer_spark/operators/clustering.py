@@ -1,0 +1,185 @@
+"""Near-dup cluster resolution (D2 terminal step): connected components.
+
+Candidate pairs (from `d2_ngram_jaccard`, or MinHash-LSH at scale) are
+edges of an undirected graph; a "duplicate cluster" is a connected
+component, and the canonical representative is the component's minimum
+``doc_id``. The reference has no such operator (it has no joins at all,
+SURVEY §2 "Not-implemented"); this is a north-star D2 op per BASELINE.
+
+Spark design — iterative **min-label propagation with pointer jumping**:
+
+* each round, a vertex takes ``min(own label, neighbors' labels)``
+  (one shuffle join on the edge list), then follows its label one hop
+  (``label := label(label)``, one self-join) — the pointer-jumping step
+  makes convergence O(log diameter) rounds instead of O(diameter);
+* all state is DataFrames — no driver-side graph, no ``collect()``;
+  each round shuffles O(|E| + |V|), so 100 TB corpora are bounded by
+  the edge list (which LSH keeps ~O(docs)), never O(docs²);
+* deterministic: min() is order-insensitive, so partial-agg order and
+  AQE re-planning can't change the fixpoint.
+
+The DuckDB oracle computes the same fixpoint via a recursive CTE
+(min reachable vertex), so the iterative Spark loop is hash-checked
+against a closed-form transitive closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_streamer_spark.operators.dedup import d2_ngram_jaccard
+from event_streamer_spark.operators.registry import query
+from event_streamer_spark.tables import load
+
+_CLUSTER_THRESHOLD = 0.3
+
+# Jaccard-pair CTE chain shared by both oracles (same shingle/threshold
+# semantics as d2_ngram_jaccard's oracle, pinned at >= 0.3 on the
+# 6-decimal-rounded score so both engines cut at identical values).
+_PAIRS_CTES = f"""
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                   JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE ROUND(CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both), 6)
+            >= {_CLUSTER_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs),
+    reach(u, r) AS (
+      SELECT u, v AS r FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON r.u = e.v),
+    minreach AS (
+      SELECT u AS doc_id, MIN(r) AS min_r FROM reach GROUP BY u)
+"""
+
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_PAIRS_CTES}
+    SELECT d.doc_id,
+           CAST(COALESCE(LEAST(m.doc_id, m.min_r), d.doc_id) AS BIGINT)
+             AS cluster_id
+    FROM documents d LEFT JOIN minreach m USING (doc_id)
+"""
+
+_CORPUS_SQL = f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    labeled AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars,
+             COALESCE(LEAST(m.doc_id, m.min_r), d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN minreach m USING (doc_id))
+    SELECT doc_id, lang, source, n_chars
+    FROM labeled WHERE doc_id = cluster_id
+"""
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_rounds: int = 25
+) -> DataFrame:
+    """(id) × (u, v) → (id, label): label = min vertex id of the component.
+
+    Min-label propagation with pointer jumping. ``edges`` is consumed
+    many times — callers should persist it (this function persists the
+    evolving label table itself). Rounds are O(log diameter); each round
+    is two shuffle joins sized by |E| and |V| — no driver-side state.
+    For graphs deeper than ~2^25 hops raise ``max_rounds`` and insert
+    ``localCheckpoint()`` every ~10 rounds to cut lineage.
+    """
+    sym = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = vertices.select("id", F.col("id").alias("label")).persist()
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("label").alias("cand"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+            .select(
+                labels["id"].alias("id"),
+                F.least(
+                    labels["label"], F.coalesce(F.col("cand"), labels["label"])
+                ).alias("label"),
+            )
+        )
+        # pointer jumping: follow the label one hop (label of my label)
+        ptr = stepped.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
+        )
+        jumped = (
+            stepped.join(ptr, stepped["label"] == ptr["pid"], "left")
+            .select(
+                stepped["id"].alias("id"),
+                F.coalesce(F.col("plabel"), stepped["label"]).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            jumped.join(
+                labels.select("id", F.col("label").alias("old")), "id"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+@query("d2_dup_clusters", oracle=_CLUSTERS_SQL)
+def d2_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """D2 terminal step: resolve near-dup pairs into duplicate clusters.
+
+    Pairs = 3-gram Jaccard >= 0.3 (the exact pair semantics of
+    d2_ngram_jaccard; at 100 TB the pair source is d2_minhash_lsh's
+    candidates instead — same edge schema, same loop). Every document
+    gets a cluster_id = min doc_id of its component; singletons label
+    themselves.
+    """
+    # the pair join is the expensive stage and feeds every CC round:
+    # materialize it once
+    edges = (
+        d2_ngram_jaccard(spark, sf)
+        .filter(F.col("jaccard") >= _CLUSTER_THRESHOLD)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .persist()
+    )
+    vertices = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    labels = connected_components(vertices, edges)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+    )
+
+
+@query("d2_dedup_corpus", oracle=_CORPUS_SQL)
+def d2_dedup_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """D2 end-to-end: the deduplicated corpus — cluster representatives
+    only (doc_id == cluster_id), i.e. what a pretraining job would
+    actually keep. One broadcast-size join back to documents."""
+    clusters = d2_dup_clusters(spark, sf)
+    keep = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id"
+    )
+    docs = load(spark, sf, "documents")
+    return docs.join(keep, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

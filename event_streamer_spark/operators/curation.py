@@ -81,3 +81,72 @@ def d6_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("n_tokens") >= _MIN_TOKENS)
         & (F.col("stop_ratio") <= _MAX_STOPWORD_RATIO)
     )
+
+
+# -- deterministic stratified sampling ---------------------------------
+# Hash-based Bernoulli sampling: keep a row iff the first 8 hex chars of
+# md5(doc_id:lang) fall below the stratum's threshold. Fixed-width
+# lowercase hex compares lexicographically == numerically, and both
+# engines produce identical md5 hex — so the sample is reproducible
+# across engines, runs, partitionings, and cluster sizes (unlike
+# df.sample(), whose row set depends on partition layout). This is how a
+# 100 TB pipeline pins "the 10% English slice" forever.
+_EN_THRESHOLD = "1999999a"  # ~0.10 of 2^32
+_OTHER_THRESHOLD = "80000000"  # ~0.50
+
+
+@query(
+    "d7_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 8) <
+          CASE WHEN lang = 'en' THEN '{_EN_THRESHOLD}'
+               ELSE '{_OTHER_THRESHOLD}' END
+    """,
+)
+def d7_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """D7: deterministic per-stratum sampling (downsample 'en' to ~10%,
+    other languages to ~50%) via portable md5 hex-prefix thresholds.
+
+    Scale: a pure narrow filter — no shuffle, no RNG state, pushdown-
+    friendly; re-running on any cluster yields the identical row set.
+    """
+    d = load(spark, sf, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang"))),
+        1,
+        8,
+    )
+    thr = F.when(F.col("lang") == "en", _EN_THRESHOLD).otherwise(
+        _OTHER_THRESHOLD
+    )
+    return d.filter(key < thr).select("doc_id", "lang")
+
+
+@query(
+    "d7_pii_mask",
+    oracle="""
+    SELECT c_custkey,
+           sha256(c_name) AS name_hash,
+           CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_bucket,
+           c_nationkey,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def d7_pii_mask(spark: SparkSession, sf: str) -> DataFrame:
+    """D7: PII-safe projection — irreversibly hash direct identifiers
+    (sha256 name), generalize quasi-identifiers (account balance → $1k
+    bucket), keep analytic columns. Per-row scalar ops only: narrow,
+    codegen-fused, no shuffle."""
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.sha2("c_name", 256).alias("name_hash"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("bigint")
+        .alias("acctbal_bucket"),
+        "c_nationkey",
+        "c_mktsegment",
+    )

@@ -1,0 +1,62 @@
+"""connected_components: known-topology graphs → exact component labels.
+
+The DuckDB oracle covers the full d2_dup_clusters pipeline; these tests
+pin the CC kernel itself on adversarial shapes (chains that need
+multiple propagation rounds, singletons, dense cliques).
+"""
+
+from pyspark.sql import functions as F
+
+from event_streamer_spark.operators.clustering import connected_components
+
+
+def _cc(spark, n_vertices, edge_list):
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(n_vertices)], "id long"
+    )
+    edges = spark.createDataFrame(edge_list, "u long, v long")
+    rows = connected_components(vertices, edges).collect()
+    return {r["id"]: r["label"] for r in rows}
+
+
+def test_two_triangles_and_singleton(spark):
+    labels = _cc(spark, 7, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)])
+    assert labels == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 6}
+
+
+def test_long_chain_converges(spark):
+    # a 12-vertex path: worst case for plain propagation (diameter 11);
+    # pointer jumping must still reach the fixpoint within max_rounds
+    n = 12
+    labels = _cc(spark, n, [(i, i + 1) for i in range(n - 1)])
+    assert labels == {i: 0 for i in range(n)}
+
+
+def test_edges_direction_irrelevant(spark):
+    # same component regardless of (u, v) orientation
+    a = _cc(spark, 4, [(0, 1), (2, 1), (3, 2)])
+    b = _cc(spark, 4, [(1, 0), (1, 2), (2, 3)])
+    assert a == b == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_empty_edges_all_singletons(spark):
+    vertices = [(i,) for i in range(5)]
+    v = __import__("pyspark").sql.SparkSession.getActiveSession()
+    df = v.createDataFrame(vertices, "id long")
+    edges = v.createDataFrame([], "u long, v long")
+    rows = connected_components(df, edges).collect()
+    assert {r["id"]: r["label"] for r in rows} == {i: i for i in range(5)}
+
+
+def test_dup_cluster_sizes_at_sf0001(spark):
+    """End-to-end sanity at sf0.001: every cluster_id is the min doc_id
+    of its member set, and labels partition the corpus."""
+    from event_streamer_spark.operators.clustering import d2_dup_clusters
+
+    rows = d2_dup_clusters(spark, "/root/testdata/sf0.001").collect()
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    assert sum(len(v) for v in by_cluster.values()) == len(rows)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
