@@ -178,6 +178,28 @@ def b15_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "b15_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_orderkey) AS BIGINT) AS quartile
+    FROM orders
+    """,
+)
+def b15_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    """B15: ntile bucketing over a unique ordering key (deterministic —
+    o_orderkey is unique within each partition, so bucket boundaries are
+    identical in any engine). Reference has no windowing; declared per
+    SURVEY §2.B15."""
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@query(
     "b21_string_fns2",
     oracle="""
     SELECT p_partkey,
