@@ -165,6 +165,72 @@ def d3_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return _block_topk(e, "block", 3)
 
 
+_TILE_BLOCKS = 8  # block grid size; pick ≈ n·dim·8B / task-mem at scale
+
+
+def _tile_pairs(emb: DataFrame, n_blocks: int, threshold: float) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via a tiled block-pair GEMM.
+
+    Distributed matrix-tiling: each vector lands in block
+    ``pmod(vec_id, NB)``; a vector in block b is shipped to every tile
+    (b, j≥b) as the Left role and every tile (i≤b, b) as the Right role,
+    so every unordered pair meets in exactly one of the NB(NB+1)/2
+    tiles. One shuffle of n·(NB+1) rows, one numpy GEMM per tile,
+    per-task memory bounded by 2·(n/NB)·dim doubles — no driver
+    collect, no broadcast of the table, no O(n²) row materialization.
+    """
+    blk = emb.withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    left = blk.select(
+        "vec_id",
+        "v",
+        F.lit("L").alias("role"),
+        F.col("blk").alias("bi"),
+        F.explode(F.expr(f"sequence(blk, {n_blocks - 1})")).alias("bj"),
+    )
+    right = blk.select(
+        "vec_id",
+        "v",
+        F.lit("R").alias("role"),
+        F.explode(F.expr("sequence(0, blk)")).alias("bi"),
+        F.col("blk").alias("bj"),
+    )
+
+    def score_tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        lhs = pdf[pdf["role"] == "L"]
+        rhs = pdf[pdf["role"] == "R"]
+        if lhs.empty or rhs.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
+        A = np.array(lhs["v"].tolist(), dtype=np.float64)
+        B = np.array(rhs["v"].tolist(), dtype=np.float64)
+        A = A / np.linalg.norm(A, axis=1, keepdims=True)
+        B = B / np.linalg.norm(B, axis=1, keepdims=True)
+        S = A @ B.T  # one GEMM per tile
+        ida = lhs["vec_id"].to_numpy()
+        idb = rhs["vec_id"].to_numpy()
+        mask = S >= threshold
+        if bi == bj:
+            # diagonal tile holds each vector in both roles: keep the
+            # upper triangle so each unordered pair is emitted once
+            mask &= ida[:, None] < idb[None, :]
+        ii, jj = np.nonzero(mask)
+        va, vb = ida[ii], idb[jj]
+        if bi != bj:
+            # off-diagonal roles are disjoint blocks; order the pair ids
+            va, vb = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame(
+            {"vec_a": va, "vec_b": vb, "sim": np.round(S[ii, jj], 6)}
+        )
+
+    return (
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(score_tile, "vec_a long, vec_b long, sim double")
+    )
+
+
 @query(
     "d2_embedding_neardup",
     oracle="""
@@ -178,45 +244,99 @@ def d3_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 def d2_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """D2: embedding-cosine near-duplicate pairs (exact, cos ≥ 0.45).
 
-    Physical design: the comparison side is tiny relative to the scan
-    (n_vectors × dim doubles), so it is broadcast once as a dense numpy
-    matrix and each partition runs one GEMM against it — the classic
-    "broadcast the small side of an O(n²) compare" pattern. At 100 TB
-    n² is never viable; this operator is the exact verifier that runs
-    AFTER LSH/IVF candidate pruning (d3_ann_lsh / d3_ivf_topk), and
-    standalone it defines the semantics the oracle checks.
+    Physical design: tiled block-pair GEMM (:func:`_tile_pairs`) — fully
+    distributed, no driver collect, no broadcast of the table. Per-task
+    memory is bounded by two blocks (2·(n/NB)·dim doubles) regardless of
+    n; shuffle volume is n·(NB+1) rows. Exact all-pairs is inherently
+    O(n²) compute, so at 100 TB this operator is the exact verifier that
+    runs AFTER candidate pruning (see :func:`d2_neardup_lsh_pruned` for
+    the pruned path); standalone it defines the semantics the oracle
+    checks, and its dataflow — unlike a driver-side compare — spreads
+    that compute across the cluster.
     """
-    from typing import Iterator
-
     emb = load(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    rows = emb.collect()  # comparison matrix: tiny (n×64 doubles)
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    return _tile_pairs(emb, _TILE_BLOCKS, 0.45)
 
-    def score(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        import pandas as pd
 
-        all_ids, all_mat = b_ids.value, b_mat.value
+_PRUNE_BANDS = 16
+_PRUNE_ROWS = 4  # planes per band
+_PRUNE_SEED = 13
+
+
+@query("d2_neardup_lsh_pruned", oracle=None)  # approximate → rows-only
+def d2_neardup_lsh_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """D2 scale path: near-dup pairs from banded hyperplane-LSH candidates.
+
+    The 100 TB entry point: 16 bands × 4 hyperplanes — a vector's band
+    bucket is its 4-bit sign pattern; any shared (band, bucket) makes a
+    candidate pair. For plane-agreement p = 1 − θ/π, recall is
+    1 − (1 − p⁴)¹⁶ ≈ 0.96 at cos 0.46 (the fixture's near-dup range) and
+    → 1 at high thresholds. Candidates are scored with one vectorized
+    row-wise dot (mapInPandas) — no O(n²) stage, no driver state.
+    Geometry note: 4-row bands trade pruning power for recall because the
+    fixture's threshold (0.45, θ≈63°) is the hardest regime for sign LSH;
+    at the production near-dup regime (cos ≥ 0.9, θ≈26°) the same code
+    with 8-row bands prunes ~90% of pairs at recall ≈ 1. Approximate —
+    recall vs the exact op is asserted in tests/test_dedup_quality.py.
+    """
+    rng = np.random.RandomState(_PRUNE_SEED)
+    planes = rng.standard_normal((_PRUNE_BANDS * _PRUNE_ROWS, 64))
+    b_planes = spark.sparkContext.broadcast(planes)
+
+    @pandas_udf("array<int>")
+    def band_buckets(vs: pd.Series) -> pd.Series:
+        X = np.array(vs.tolist(), dtype=np.float64)
+        signs = ((X @ b_planes.value.T) > 0).astype(np.int64)
+        signs = signs.reshape(len(X), _PRUNE_BANDS, _PRUNE_ROWS)
+        weights = (1 << np.arange(_PRUNE_ROWS)).astype(np.int64)
+        return pd.Series((signs @ weights).astype("int32").tolist())
+
+    emb = (
+        load(spark, sf, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ).persist()
+    bands = emb.select(
+        "vec_id", F.posexplode(band_buckets("v")).alias("band", "bucket")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    pairs = cand.join(
+        emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a"
+    ).join(
+        emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b"
+    )
+
+    def score(batches):
         for pdf in batches:
-            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if pdf.empty:
+                continue
+            X = np.array(pdf["va"].tolist(), dtype=np.float64)
+            Y = np.array(pdf["vb"].tolist(), dtype=np.float64)
             X = X / np.linalg.norm(X, axis=1, keepdims=True)
-            S = X @ all_mat.T  # one GEMM per Arrow batch
-            src = pdf["vec_id"].to_numpy()
-            out_a, out_b, out_s = [], [], []
-            for i in range(S.shape[0]):
-                mask = (S[i] >= 0.45) & (all_ids > src[i])
-                for j in np.nonzero(mask)[0]:
-                    out_a.append(src[i])
-                    out_b.append(all_ids[j])
-                    out_s.append(round(float(S[i, j]), 6))
-            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "sim": out_s})
+            Y = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+            sims = np.einsum("ij,ij->i", X, Y)  # row-wise dot, one pass
+            keep = sims >= 0.45
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "sim": np.round(sims[keep], 6),
+                }
+            )
 
-    return emb.mapInPandas(score, "vec_a long, vec_b long, sim double")
+    return pairs.mapInPandas(score, "vec_a long, vec_b long, sim double")
 
 
 _IVF_CELLS = 8

@@ -64,3 +64,22 @@ def test_exact_dedup_counts(spark):
     out = REGISTRY["d1_exact_dedup"].fn(spark, SF)
     total = out.agg(F.sum("n_copies")).collect()[0][0]
     assert total == load(spark, SF, "documents").count()
+
+
+def test_neardup_lsh_pruned_recall(spark):
+    """D2 pruned path: banded-LSH candidates must recover ≥80% of the
+    exact cos≥0.45 pairs (16 bands × 4 planes → analytic recall ≈0.96
+    at the fixture's similarity range), with no false positives (every
+    emitted pair is re-scored exactly before the threshold)."""
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in REGISTRY["d2_embedding_neardup"].fn(spark, SF).collect()
+    }
+    pruned = {
+        (r["vec_a"], r["vec_b"])
+        for r in REGISTRY["d2_neardup_lsh_pruned"].fn(spark, SF).collect()
+    }
+    assert exact, "fixture has no exact near-dup pairs"
+    assert pruned <= exact, f"false positives: {pruned - exact}"
+    recall = len(pruned & exact) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.2f} over {len(exact)} pairs"

@@ -77,3 +77,23 @@ def test_range_join_is_equi_with_residual(spark):
     plan = plan_of(spark, "b09_range_join")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_neardup_no_driver_materialization(spark):
+    """d2_embedding_neardup must build lazily — no job (the old
+    driver-side collect() ran one during query construction) and no
+    CollectLimit in the plan; the compare runs as a grouped-pandas tile."""
+    from event_streamer_spark.tables import load
+
+    tracker = spark.sparkContext.statusTracker()
+    # baseline: a bare parquet load triggers a footer-read job; the
+    # query construction must not add jobs beyond that per-table cost
+    b0 = len(tracker.getJobIdsForGroup(None) or [])
+    load(spark, SF, "embeddings")
+    per_load = len(tracker.getJobIdsForGroup(None) or []) - b0
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    plan = plan_of(spark, "d2_embedding_neardup")
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before <= per_load, "query construction triggered extra jobs"
+    assert "CollectLimit" not in plan
+    assert "FlatMapGroupsInPandas" in plan
