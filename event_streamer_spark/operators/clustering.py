@@ -85,7 +85,10 @@ _CORPUS_SQL = f"""
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_rounds: int = 25
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 25,
+    checkpoint_every: int = 10,
 ) -> DataFrame:
     """(id) × (u, v) → (id, label): label = min vertex id of the component.
 
@@ -93,14 +96,16 @@ def connected_components(
     many times — callers should persist it (this function persists the
     evolving label table itself). Rounds are O(log diameter); each round
     is two shuffle joins sized by |E| and |V| — no driver-side state.
-    For graphs deeper than ~2^25 hops raise ``max_rounds`` and insert
-    ``localCheckpoint()`` every ~10 rounds to cut lineage.
+    Every ``checkpoint_every`` rounds the label table is
+    ``localCheckpoint()``-ed so lineage stays bounded on deep graphs
+    (without it, the plan grows two joins per round and Catalyst
+    re-analysis dominates after ~20 rounds).
     """
     sym = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     labels = vertices.select("id", F.col("id").alias("label")).persist()
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         nbr_min = (
             sym.join(labels, sym["v"] == labels["id"])
             .groupBy("u")
@@ -139,7 +144,27 @@ def connected_components(
         labels = jumped
         if changed == 0:
             break
+        if (rnd + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint()
     return labels
+
+
+def cluster_documents(
+    spark: SparkSession, sf: str, edges: DataFrame
+) -> DataFrame:
+    """Resolve an arbitrary (u, v) near-dup edge list into clusters:
+    every document gets cluster_id = min doc_id of its component,
+    singletons label themselves. The edge source is a parameter so the
+    same loop serves the exact pair join (oracle path) and MinHash-LSH
+    candidates (100 TB path)."""
+    vertices = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    labels = connected_components(vertices, edges.persist())
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+    )
 
 
 @query("d2_dup_clusters", oracle=_CLUSTERS_SQL)
@@ -147,27 +172,39 @@ def d2_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """D2 terminal step: resolve near-dup pairs into duplicate clusters.
 
     Pairs = 3-gram Jaccard >= 0.3 (the exact pair semantics of
-    d2_ngram_jaccard; at 100 TB the pair source is d2_minhash_lsh's
-    candidates instead — same edge schema, same loop). Every document
-    gets a cluster_id = min doc_id of its component; singletons label
-    themselves.
+    d2_ngram_jaccard); the edge source is pluggable via
+    :func:`cluster_documents` — see d2_dup_clusters_lsh for the LSH-
+    candidate-driven 100 TB path over the identical loop.
     """
     # the pair join is the expensive stage and feeds every CC round:
-    # materialize it once
+    # materialize it once (cluster_documents persists the edge list)
     edges = (
         d2_ngram_jaccard(spark, sf)
         .filter(F.col("jaccard") >= _CLUSTER_THRESHOLD)
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .persist()
     )
-    vertices = load(spark, sf, "documents").select(
-        F.col("doc_id").alias("id")
+    return cluster_documents(spark, sf, edges)
+
+
+@query("d2_dup_clusters_lsh", oracle=None)  # LSH candidates → rows-only
+def d2_dup_clusters_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """D2 scale path: duplicate clusters over MinHash-LSH candidate edges.
+
+    Identical CC loop as d2_dup_clusters, but the edge list comes from
+    d2_minhash_lsh's banded candidates (est_jaccard >= 0.3) — shuffle
+    volume O(docs × bands), never the O(docs²) shingle self-join, so
+    this is the entry point a 100 TB corpus dedup actually runs.
+    Deterministic (fixed permutations); cluster/edge consistency is
+    asserted against a union-find ground truth in tests/test_clustering.py.
+    """
+    from event_streamer_spark.operators.dedup import d2_minhash_lsh
+
+    edges = (
+        d2_minhash_lsh(spark, sf)
+        .filter(F.col("est_jaccard") >= _CLUSTER_THRESHOLD)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     )
-    labels = connected_components(vertices, edges)
-    return labels.select(
-        F.col("id").alias("doc_id"),
-        F.col("label").cast("bigint").alias("cluster_id"),
-    )
+    return cluster_documents(spark, sf, edges)
 
 
 @query("d2_dedup_corpus", oracle=_CORPUS_SQL)

@@ -60,3 +60,42 @@ def test_dup_cluster_sizes_at_sf0001(spark):
     assert sum(len(v) for v in by_cluster.values()) == len(rows)
     for cid, members in by_cluster.items():
         assert cid == min(members)
+
+
+def test_lsh_driven_clusters_match_union_find(spark):
+    """d2_dup_clusters_lsh must equal a union-find ground truth computed
+    from the same LSH edge list (est_jaccard >= 0.3) — proving the CC
+    loop is edge-source-agnostic, per the 100 TB path contract."""
+    from event_streamer_spark.operators.clustering import (
+        _CLUSTER_THRESHOLD,
+        d2_dup_clusters_lsh,
+    )
+    from event_streamer_spark.operators.dedup import d2_minhash_lsh
+
+    sf = "/root/testdata/sf0.001"
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in d2_minhash_lsh(spark, sf)
+        .filter(F.col("est_jaccard") >= _CLUSTER_THRESHOLD)
+        .collect()
+    ]
+    assert edges, "no LSH edges at the cluster threshold"
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in d2_dup_clusters_lsh(spark, sf).collect()
+    }
+
+    parent = {d: d for d in got}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {d: find(d) for d in got}
+    assert got == want
