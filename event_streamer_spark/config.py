@@ -35,8 +35,17 @@ class ProducerConfig:
     additional_hosts: list[str] = field(default_factory=list)
     compression_type: Optional[str] = DEFAULT_COMPRESSION  # e.g. "gzip"
     idempotent: bool = False
-    # Spark's Kafka sink honors an explicit key/partition column instead of a
-    # client-side partitioner object (SURVEY §4 "partitioner selection").
+    # Reference ``retryOptions`` (kafkajs RetryOptions passed to the
+    # client, ``legacy-producer.ts:100``) mapped onto the Java producer
+    # options Spark's Kafka sink forwards: retries → kafka.retries,
+    # initialRetryTime → kafka.retry.backoff.ms,
+    # maxRetryTime → kafka.retry.backoff.max.ms. Keys here use the
+    # reference's camelCase names.
+    retry_options: Optional[dict] = None
+    # Reference ``partitioners`` selects a kafkajs partitioner object;
+    # Spark's sink derives the partition from the message key instead, so
+    # the analog is a per-message key field: the named envelope key is
+    # written as the Kafka message key (hash-partitioned server-side).
     key_column: Optional[str] = None
 
 
@@ -46,6 +55,13 @@ class ConsumerConfig:
 
     group_id: str = ""
     strategy: Literal["topic", "one-by-one"] = DEFAULT_STRATEGY
+    # Where 'topic'-strategy callbacks execute (engine extension):
+    # 'auto' → executors when every callback cloudpickles (scales with
+    # the cluster; callbacks must not mutate driver-process state —
+    # side effects go through emit or external systems), falling back
+    # to the driver otherwise; 'driver'/'executor' force a mode
+    # ('executor' raises if a callback can't serialize).
+    dispatch: Literal["auto", "driver", "executor"] = "auto"
     max_messages_per_topic: Union[int, Literal["unlimited"]] = (
         DEFAULT_MAX_MESSAGES_PER_TOPIC
     )
@@ -62,7 +78,9 @@ class Config:
     app_name: Optional[str] = None
     producer: ProducerConfig = field(default_factory=ProducerConfig)
     consumer: ConsumerConfig = field(default_factory=ConsumerConfig)
-    debug: int = 0
+    # Reference numeric levels (Debug.TRACE=0 … NONE=6); unset or False →
+    # silent, matching ``config.debug?: false | Debug`` semantics.
+    debug: Union[int, bool, None] = None
     only_testing: bool = False
     # Reference parity: legacy-API deprecation warnings (the reference
     # warns on emit()/ConsumerRouter pointing at a schema-registry

@@ -46,14 +46,69 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from event_streamer_spark.config import get_config
+from event_streamer_spark.config import get_config, resolve_app_name
 from event_streamer_spark.helpers import get_parsed_json, to_array, to_upper_camel_case
-from event_streamer_spark.producer import emit
+from event_streamer_spark.producer import emit, kafka_writer_options
 
 logger = logging.getLogger(__name__)
 
 Handler = Callable[[dict, Callable], Any]
 Transform = Callable[[DataFrame], DataFrame]
+
+
+def make_partition_dispatcher(
+    route_specs: list[tuple],
+    app_name: str,
+    primary_host: str,
+    additional_hosts: list[str],
+) -> Callable:
+    """Executor-side dispatch kernel for the ``'topic'`` strategy.
+
+    Returns a picklable ``rows -> iter[(topic, value, hosts)]`` for
+    ``rdd.mapPartitions``: parses each message, applies the A5 predicate
+    against ``route_specs`` (``(topic, event_name, callback)`` tuples),
+    runs callbacks with an ``emit`` shim that buffers normalized
+    payloads instead of producing inline — the caller writes them to
+    Kafka as one distributed batch. Handler errors are swallowed (A16).
+    """
+
+    def dispatch_partition(rows):
+        from event_streamer_spark import producer as P
+        from event_streamer_spark.helpers import get_parsed_json as parse
+
+        emitted: list[tuple] = []
+
+        def local_emit(p1, p2=None, p3=None):
+            outputs, overwrite = P.parse_emit_args(p1, p2, p3)
+            P.validate_outputs(outputs)
+            hosts = P.get_hosts(
+                primary_host, additional_hosts or None, overwrite
+            )
+            for payload in P.normalize_payloads(outputs, app_name):
+                for msg in payload.messages:
+                    emitted.append(
+                        (payload.topic, msg["value"], ",".join(hosts))
+                    )
+            return []
+
+        for row in rows:
+            content = parse(row["value"])
+            if content is None:
+                continue
+            code = content.get("code") if isinstance(content, dict) else None
+            for topic, event_name, callback in route_specs:
+                if topic == row["topic"] and (
+                    event_name is None or event_name == code
+                ):
+                    try:
+                        callback(content, local_emit)
+                    except Exception:  # noqa: BLE001 — A16 swallow
+                        logging.getLogger(__name__).exception(
+                            "Handler error on topic %s", topic
+                        )
+        return iter(emitted)
+
+    return dispatch_partition
 
 
 @dataclass
@@ -184,20 +239,24 @@ class ConsumerRouter:
 
     # -- batch/driver-side dispatch (A5 + A7 + A16) --------------------
 
-    def dispatch_message(self, topic: str, content: Optional[dict]) -> int:
+    def dispatch_message(self, topic: str, content: Any) -> int:
         """Dispatch one parsed message to all matching routes.
 
-        Corrupt (``None``) content is silently dropped (A3). Handler
-        errors are logged and swallowed (A16 at-least-once parity).
-        Returns the number of matched routes.
+        Corrupt (``None``) content is silently dropped (A3). Non-dict
+        JSON (arrays, numbers, strings) has no ``code`` and therefore
+        matches only catch-all routes — the reference behaves the same
+        (``content.code`` is undefined). Handler errors are logged and
+        swallowed (A16 at-least-once parity). Returns the number of
+        matched routes.
         """
         if content is None:
             return 0
+        code = content.get("code") if isinstance(content, dict) else None
         matched = [
             r
             for r in self.routes
             if r.topic == topic
-            and (r.event_name is None or r.event_name == content.get("code"))
+            and (r.event_name is None or r.event_name == code)
         ]
         for route in matched:
             if route.callback is None:
@@ -255,6 +314,35 @@ class ConsumerRouter:
             out[topic] = None if cap == "unlimited" else int(cap)
         return out
 
+    def source_plan(
+        self, max_offsets_per_trigger: Optional[int] = None
+    ) -> list[tuple[list[str], Optional[int]]]:
+        """A14: the Kafka source layout — ``[(topics, maxOffsetsPerTrigger)]``.
+
+        Spark's admission limit is per-source, so topics that share the
+        default cap ride ONE source (limit = default × topic count,
+        matching the reference's per-topic queues each bounded by the
+        default, ``legacy-consumer.ts:169-181``), while every topic with
+        a ``maxMessagesPerSpecificTopic`` entry gets its OWN source with
+        its own limit — a specific cap then bounds that topic's batches
+        without throttling the rest (reference pause/resume per topic,
+        ``legacy-consumer.ts:175-199``). ``'unlimited'`` → no limit.
+        """
+        config = get_config()
+        limits = self.topic_limits()
+        specific = config.consumer.max_messages_per_specific_topic
+        shared = [t for t in self.topics() if t not in specific]
+        plan: list[tuple[list[str], Optional[int]]] = []
+        if shared:
+            limit = max_offsets_per_trigger
+            if limit is None and config.consumer.max_messages_per_topic != "unlimited":
+                limit = int(config.consumer.max_messages_per_topic) * len(shared)
+            plan.append((shared, limit))
+        for topic in self.topics():
+            if topic in specific:
+                plan.append(([topic], limits[topic]))
+        return plan
+
     def start(
         self,
         spark: Optional[SparkSession] = None,
@@ -290,58 +378,156 @@ class ConsumerRouter:
         if spark is None:
             raise RuntimeError("ConsumerRouter.start requires a SparkSession")
 
-        if source_df is None:
-            reader = (
-                spark.readStream.format("kafka")
-                .option("kafka.bootstrap.servers", config.host)
-                .option("subscribe", ",".join(self.topics()))
-                .option("kafka.group.id", config.consumer.group_id)
-                .option("startingOffsets", "latest")
-            )
-            limit = max_offsets_per_trigger
-            if limit is None and config.consumer.max_messages_per_topic != "unlimited":
-                # A14 analog: bound in-flight records per micro-batch.
-                limit = int(config.consumer.max_messages_per_topic) * max(
-                    1, len(self.topics())
-                )
-            if limit is not None:
-                reader = reader.option("maxOffsetsPerTrigger", str(limit))
-            source_df = reader.load()
-
-        cols = set(source_df.columns)
-        ordered = source_df
-        if {"partition", "offset"} <= cols:
-            select_cols = [
-                F.col("topic"),
-                F.col("value").cast("string").alias("value"),
-                F.col("partition"),
-                F.col("offset"),
-            ]
+        if source_df is not None:
+            sources: list[tuple[DataFrame, str]] = [(source_df, "")]
         else:
-            select_cols = [F.col("topic"), F.col("value").cast("string").alias("value")]
-        ordered = source_df.select(*select_cols)
+            sources = []
+            for i, (topics, limit) in enumerate(
+                self.source_plan(max_offsets_per_trigger)
+            ):
+                reader = (
+                    spark.readStream.format("kafka")
+                    .option("kafka.bootstrap.servers", config.host)
+                    .option("subscribe", ",".join(topics))
+                    .option("kafka.group.id", config.consumer.group_id)
+                    .option("startingOffsets", "latest")
+                )
+                if limit is not None:
+                    reader = reader.option("maxOffsetsPerTrigger", str(limit))
+                suffix = "shared" if len(topics) > 1 else topics[0]
+                sources.append((reader.load(), f"src-{i}-{suffix}"))
 
+        ckpt_root = checkpoint_dir or config.checkpoint_root
+        process_batch = self.batch_processor()
+        for src, suffix in sources:
+            cols = set(src.columns)
+            if {"partition", "offset"} <= cols:
+                select_cols = [
+                    F.col("topic"),
+                    F.col("value").cast("string").alias("value"),
+                    F.col("partition"),
+                    F.col("offset"),
+                ]
+            else:
+                select_cols = [
+                    F.col("topic"), F.col("value").cast("string").alias("value")
+                ]
+            writer = src.select(*select_cols).writeStream.foreachBatch(
+                process_batch
+            )
+            if ckpt_root:
+                # one checkpoint per source: each query tracks its own offsets
+                loc = f"{ckpt_root}/{suffix}" if suffix else ckpt_root
+                writer = writer.option("checkpointLocation", loc)
+            self._queries.append(writer.start())
+        return self._queries
+
+    def batch_processor(self) -> Callable[[DataFrame, int], None]:
+        """The ``foreachBatch`` body — dispatch mode chosen per contract.
+
+        * ``'one-by-one'`` (A15): total order is the contract
+          (reference ``legacy-consumer.ts:165-168``) → driver-side
+          serial dispatch over rows sorted by (partition, offset).
+        * ``'topic'`` (A14/A16): handlers are independent → dispatch on
+          EXECUTORS via ``mapPartitions`` when every callback pickles
+          (the driver never materializes the batch); handler ``emit``s
+          are collected per partition and written distributed to Kafka.
+          Unpicklable callbacks (closures over sockets etc.) fall back
+          to driver dispatch with a warning.
+
+        ``config.consumer.dispatch`` overrides: ``'driver'`` keeps the
+        single-process reference execution model (callbacks may mutate
+        driver state — the semantics closures-over-lists expect);
+        ``'executor'`` requires serializable callbacks and raises
+        otherwise. Executor-mode callbacks run in worker processes:
+        their side effects must flow through ``emit`` or external
+        systems, never driver memory.
+        """
+        config = get_config()
         strategy = config.consumer.strategy
+        dispatch_cfg = config.consumer.dispatch
         router = self
 
-        def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-            rows = batch_df.collect()
-            if strategy == "one-by-one" and {"partition", "offset"} <= set(
-                batch_df.columns
-            ):
-                rows = sorted(rows, key=lambda r: (r["partition"], r["offset"]))
-            for row in rows:
-                content = get_parsed_json(row["value"])
-                router.dispatch_message(row["topic"], content)
+        serializable = None
+        if strategy == "topic" and dispatch_cfg in ("auto", "executor"):
+            # probe with cloudpickle — what Spark ships closures with —
+            # so plain lambdas/closures still qualify for executor mode
+            from pyspark import cloudpickle
 
-        writer = ordered.writeStream.foreachBatch(process_batch)
-        if checkpoint_dir or config.checkpoint_root:
-            writer = writer.option(
-                "checkpointLocation", checkpoint_dir or config.checkpoint_root
+            route_specs = [
+                (r.topic, r.event_name, r.callback)
+                for r in self.routes
+                if r.callback is not None
+            ]
+            try:
+                cloudpickle.dumps(route_specs)
+                serializable = route_specs
+            except Exception:  # noqa: BLE001 — fall back to driver dispatch
+                if dispatch_cfg == "executor":
+                    raise ValueError(
+                        "consumer.dispatch='executor' but a callback is not "
+                        "serializable"
+                    )
+                logger.warning(
+                    "Callbacks not serializable; falling back to driver-side "
+                    "dispatch (throughput bounded by the driver)"
+                )
+                serializable = None
+
+        if serializable is not None:
+            dispatcher = make_partition_dispatcher(
+                serializable,
+                resolve_app_name(None, config),
+                config.host,
+                list(config.producer.additional_hosts),
             )
-        query = writer.start()
-        self._queries.append(query)
-        return self._queries
+            writer_opts = kafka_writer_options(config)
+
+            def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+                spark_b = batch_df.sparkSession
+                out_rdd = batch_df.rdd.mapPartitions(dispatcher)
+                emitted = spark_b.createDataFrame(
+                    out_rdd, schema="topic string, value string, hosts string"
+                ).persist()  # dispatch runs ONCE; writes reuse the cache
+                try:
+                    # handler emits flow out through ONE distributed Kafka
+                    # write per host set — only the tiny distinct host-set
+                    # list ever reaches the driver
+                    host_sets = [
+                        r["hosts"]
+                        for r in emitted.select("hosts").distinct().collect()
+                    ]
+                    for host_set in host_sets:
+                        part = emitted.filter(
+                            F.col("hosts") == host_set
+                        ).select("topic", "value")
+                        for host in host_set.split(","):
+                            w = part.write.format("kafka").option(
+                                "kafka.bootstrap.servers", host
+                            )
+                            for opt, val in writer_opts.items():
+                                w = w.option(opt, val)
+                            w.save()
+                finally:
+                    emitted.unpersist()
+
+            process_batch.mode = "executor"
+
+        else:
+
+            def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+                rows = batch_df.collect()
+                if strategy == "one-by-one" and {"partition", "offset"} <= set(
+                    batch_df.columns
+                ):
+                    rows = sorted(rows, key=lambda r: (r["partition"], r["offset"]))
+                for row in rows:
+                    content = get_parsed_json(row["value"])
+                    router.dispatch_message(row["topic"], content)
+
+            process_batch.mode = "driver"
+
+        return process_batch
 
     def stop(self) -> None:
         """Stop all streaming queries (reference ``legacy-consumer.ts:83-87``)."""

@@ -31,17 +31,48 @@ CREATED_AT_FORMAT = "yyyy-MM-dd HH:mm:ss'Z'"
 def upper_camel_col(col: Union[str, Column]) -> Column:
     """UpperCamelCase normalization (A12) as a JVM-side expression.
 
-    Splits on ``[-_ ]``, uppercases each fragment's first character, and
-    concatenates — identical semantics to
-    ``helpers.to_upper_camel_case`` (consecutive separators collapse,
-    non-initial characters pass through unchanged).
+    Exact mirror of the reference's
+    ``charAt(0).toUpperCase() + slice(1).replace(/[-_ ]./g,
+    x => x[1].toUpperCase())`` — identical to
+    ``helpers.to_upper_camel_case`` on every input, including separator
+    runs (``'a--b'`` → ``'A-b'``) and kept leading/trailing separators.
+    The non-overlapping regex scan is a left fold: a pending separator
+    consumes the next char (uppercased); implemented with
+    ``aggregate()`` over the char array — still a pure column
+    expression, no Python UDF.
     """
     c = F.col(col) if isinstance(col, str) else col
-    frags = F.filter(F.split(c, "[-_ ]"), lambda s: s != F.lit(""))
-    camel = F.transform(
-        frags, lambda s: F.concat(F.upper(F.substring(s, 1, 1)), F.substring(s, 2, 2147483646))
+    no_pend = F.lit(None).cast("string")
+    rest = F.split(F.substring(c, 2, 2147483647), "")
+    init = F.struct(F.lit("").alias("acc"), no_pend.alias("pend"))
+
+    def step(st: Column, ch: Column) -> Column:
+        return (
+            F.when(
+                st["pend"].isNotNull(),
+                F.struct(
+                    F.concat(st["acc"], F.upper(ch)).alias("acc"),
+                    no_pend.alias("pend"),
+                ),
+            )
+            .when(
+                ch.isin("-", "_", " "),
+                F.struct(st["acc"].alias("acc"), ch.alias("pend")),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(st["acc"], ch).alias("acc"), no_pend.alias("pend")
+                )
+            )
+        )
+
+    fold = F.aggregate(
+        rest,
+        init,
+        step,
+        lambda st: F.concat(st["acc"], F.coalesce(st["pend"], F.lit(""))),
     )
-    return F.array_join(camel, "")
+    return F.concat(F.upper(F.substring(c, 1, 1)), fold)
 
 
 def with_envelope(

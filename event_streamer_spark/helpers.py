@@ -7,55 +7,69 @@ Behavioral parity targets (SURVEY.md §2.A):
   character, uppercase any character following one of ``- _ `` (space),
   dropping the separator. ``event-code-c`` → ``EventCodeC``,
   ``my_event`` → ``MyEvent``, ``already Upper`` → ``AlreadyUpper``.
-* ``toArray`` (reference ``src/helpers/index.ts:4-6``): wrap a non-list
-  value in a single-element list; pass lists through.
+* ``toArray`` (reference ``src/helpers/index.ts:4-6``): ``null`` → empty
+  list, lists pass through, anything else wraps in a one-element list.
 * ``getParsedJson`` (reference ``src/helpers/index.ts:12-21``): parse a
-  JSON string; any failure (or non-object result, or null input) yields
-  ``None`` so the caller can silently drop the record (A3).
+  JSON string, returning **whatever** the parse yields (objects, arrays,
+  numbers, strings — reference returns ``JSON.parse``'s value); only
+  parse failures and null input yield ``None``, which callers drop
+  silently (A3). Non-dict content dispatches to catch-all routes like
+  the reference (``content.code`` is undefined → matches
+  ``eventName == null``). Note: the *declarative* Spark path
+  (``envelope.parse_stream`` via ``from_json``) only parses objects —
+  arrays/scalars land in the corrupt column there; that is an
+  engine-side difference of the scale path, not of this helper.
 """
 
 from __future__ import annotations
 
 import json
+import re
 from typing import Any, TypeVar
 
 T = TypeVar("T")
 
-_SEPARATORS = frozenset("-_ ")
+_SEP_THEN_CHAR = re.compile(r"[-_ ].")
 
 
 def to_upper_camel_case(value: str) -> str:
     """Normalize an event subject to UpperCamelCase (A12).
 
-    Uppercases the first character and any character that follows a
-    ``-``, ``_`` or space separator; separators themselves are removed.
-    Consecutive separators collapse. Other characters pass through
-    unchanged (so ``myEventName`` → ``MyEventName``).
+    Exact mirror of the reference
+    (``charAt(0).toUpperCase() + slice(1).replace(/[-_ ]./g,
+    x => x[1].toUpperCase())``), including its edge behavior: the
+    replacement uppercases the single character after a separator and
+    drops that separator, scanning non-overlapping matches — so
+    ``'a--b'`` → ``'A-b'`` (the second ``-`` is the "uppercased" char),
+    ``'-abc'`` → ``'-abc'`` (leading separator is position 0, kept),
+    and a trailing separator is kept (no following char to match).
     """
-    out: list[str] = []
-    upper_next = True
-    for ch in value:
-        if ch in _SEPARATORS:
-            upper_next = True
-            continue
-        out.append(ch.upper() if upper_next else ch)
-        upper_next = False
-    return "".join(out)
+    if not value:
+        return value
+    return value[0].upper() + _SEP_THEN_CHAR.sub(
+        lambda m: m.group(0)[1].upper(), value[1:]
+    )
 
 
-def to_array(value: T | list[T]) -> list[T]:
-    """Wrap a scalar in a list; pass lists through (``toArray``)."""
+def to_array(value: T | list[T] | None) -> list[T]:
+    """``null`` → ``[]``; lists pass through; scalars wrap (``toArray``)."""
+    if value is None:
+        return []
     if isinstance(value, list):
         return value
     return [value]
 
 
-def get_parsed_json(value: Any) -> dict | None:
-    """Parse a JSON message value; return ``None`` for anything invalid.
+def get_parsed_json(value: Any) -> Any:
+    """Parse a JSON message value; return ``None`` only when unparseable.
 
-    Mirrors the reference's drop-corrupt contract (A3): ``None`` input,
-    bytes that don't decode, strings that don't parse, and JSON that is
-    not an object all map to ``None``. Callers drop ``None`` silently.
+    Mirrors the reference exactly: the parsed value is returned whatever
+    its type (object, array, number, string, boolean) — the reference
+    returns ``JSON.parse``'s result and lets dispatch handle non-object
+    content via catch-all routes. ``None`` input, undecodable bytes, and
+    parse failures yield ``None`` (dropped silently, A3); JSON ``null``
+    also yields ``None`` and is likewise dropped, matching the
+    reference's ``content != null`` guard.
     """
     if value is None:
         return None
@@ -64,14 +78,11 @@ def get_parsed_json(value: Any) -> dict | None:
             value = value.decode("utf-8")
         except UnicodeDecodeError:
             return None
-    if isinstance(value, dict):
+    if isinstance(value, (dict, list)):
         return value
     if not isinstance(value, str):
         return None
     try:
-        parsed = json.loads(value)
+        return json.loads(value)
     except (json.JSONDecodeError, ValueError):
         return None
-    if not isinstance(parsed, dict):
-        return None
-    return parsed

@@ -92,11 +92,20 @@ def normalize_payloads(payloads: Sequence[Output], app_name: str) -> list[Payloa
     for output in payloads:
         messages = []
         for message in to_array(output.data):
+            # nullish (??) semantics like the reference: a present-but-
+            # falsy createdAt/appName (e.g. "") is preserved; only
+            # None/absent values take the default
+            created = message.get("createdAt")
+            app = message.get("appName")
             envelope = {
                 **message,
-                "createdAt": message.get("createdAt") or _now_created_at(),
-                "appName": message.get("appName") or app_name,
-                "code": to_upper_camel_case(output.event_name or output.topic),
+                "createdAt": created if created is not None else _now_created_at(),
+                "appName": app if app is not None else app_name,
+                "code": to_upper_camel_case(
+                    output.event_name
+                    if output.event_name is not None
+                    else output.topic
+                ),
             }
             messages.append({"value": json.dumps(envelope, separators=(",", ":"))})
         out.append(Payload(topic=output.topic, messages=messages))
@@ -132,6 +141,35 @@ def _coerce_outputs(value: Any) -> list[Output]:
     return outs
 
 
+def parse_emit_args(
+    param1: Union[str, Output, dict, list], param2: Any = None, param3: Any = None
+) -> tuple[list[Output], Any]:
+    """Resolve emit()'s reference overloads → (outputs, overwrite_hosts)."""
+    if isinstance(param1, str):
+        if isinstance(param2, str):
+            return [Output(topic=param1, event_name=param2, data=param3)], None
+        return [Output(topic=param1, data=param2)], None
+    return _coerce_outputs(param1), param2
+
+
+def validate_outputs(outputs: Sequence[Output]) -> None:
+    """Validation (A13) — eager, before any Spark work (reference
+    ``legacy-producer.ts:175-188``)."""
+    for output in outputs:
+        data = output.data
+        if not isinstance(data, (dict, list)) or data is None:
+            raise ValueError("Data must be an object or non empty array")
+        if isinstance(data, list) and len(data) == 0:
+            raise ValueError("Data array can't be empty")
+        for message in to_array(data):
+            if not isinstance(message, dict):
+                raise ValueError("Data must be an object or non empty array")
+            if "code" in message:
+                raise ValueError('Reserved object keyword "code" inside data')
+        if output.event_name is not None and output.event_name.strip() == "":
+            raise ValueError("Invalid message code")
+
+
 def emit(
     param1: Union[str, Output, dict, list],
     param2: Any = None,
@@ -159,31 +197,8 @@ def emit(
     config = get_config()
     app_name = resolve_app_name(None, config)
 
-    if isinstance(param1, str):
-        if isinstance(param2, str):
-            outputs = [Output(topic=param1, event_name=param2, data=param3)]
-        else:
-            outputs = [Output(topic=param1, data=param2)]
-        overwrite_hosts = None
-    else:
-        outputs = _coerce_outputs(param1)
-        overwrite_hosts = param2
-
-    # Validation (A13) — eager, before any Spark work.
-    for output in outputs:
-        data = output.data
-        if not isinstance(data, (dict, list)) or data is None:
-            raise ValueError("Data must be an object or non empty array")
-        if isinstance(data, list) and len(data) == 0:
-            raise ValueError("Data array can't be empty")
-        for message in to_array(data):
-            if not isinstance(message, dict):
-                raise ValueError("Data must be an object or non empty array")
-            if "code" in message:
-                raise ValueError('Reserved object keyword "code" inside data')
-        if output.event_name is not None and output.event_name.strip() == "":
-            raise ValueError("Invalid message code")
-
+    outputs, overwrite_hosts = parse_emit_args(param1, param2, param3)
+    validate_outputs(outputs)
     payloads = normalize_payloads(outputs, app_name)
 
     if config.only_testing:
@@ -196,12 +211,57 @@ def emit(
     return _send_to_kafka(payloads, hosts, config)
 
 
+# kafkajs RetryOptions (reference ``legacy-producer.ts:100``) → Java
+# producer options Spark's Kafka sink forwards verbatim.
+_RETRY_OPTION_MAP = {
+    "retries": "kafka.retries",
+    "initialRetryTime": "kafka.retry.backoff.ms",
+    "maxRetryTime": "kafka.retry.backoff.max.ms",
+}
+
+
+def kafka_writer_options(config: Config) -> dict[str, str]:
+    """Kafka sink options implied by the producer config (A2 parity):
+    compression, idempotence, and the ``retryOptions`` mapping."""
+    opts: dict[str, str] = {}
+    if config.producer.compression_type:
+        opts["kafka.compression.type"] = config.producer.compression_type
+    if config.producer.idempotent:
+        opts["kafka.enable.idempotence"] = "true"
+    for ref_key, kafka_key in _RETRY_OPTION_MAP.items():
+        if config.producer.retry_options and ref_key in config.producer.retry_options:
+            opts[kafka_key] = str(config.producer.retry_options[ref_key])
+    return opts
+
+
+def payload_rows(
+    payloads: list[Payload], key_column: Optional[str]
+) -> list[tuple]:
+    """Flatten payloads to Kafka sink rows. With ``key_column`` set, the
+    named envelope field becomes the Kafka message key (partitioner
+    analog — the broker hash-partitions on key); rows are
+    ``(topic, value, key)``, else ``(topic, value)``."""
+    rows = []
+    for p in payloads:
+        for m in p.messages:
+            if key_column is None:
+                rows.append((p.topic, m["value"]))
+            else:
+                key = json.loads(m["value"]).get(key_column)
+                rows.append(
+                    (p.topic, m["value"], None if key is None else str(key))
+                )
+    return rows
+
+
 def _send_to_kafka(payloads: list[Payload], hosts: list[str], config: Config) -> list:
     """Batch Kafka write of normalized payloads, one write per cluster (A10).
 
     Uses the per-row ``topic`` column so one write covers all topics
-    (SURVEY §2.A A9). Requires an active SparkSession and the Kafka
-    connector on the classpath.
+    (SURVEY §2.A A9); an optional per-row ``key`` column gives partition
+    placement control (reference partitioner selection,
+    ``legacy-producer.ts:106``). Requires an active SparkSession and the
+    Kafka connector on the classpath.
     """
     from pyspark.sql import SparkSession
 
@@ -209,10 +269,12 @@ def _send_to_kafka(payloads: list[Payload], hosts: list[str], config: Config) ->
     if spark is None:
         raise RuntimeError("emit() outside only_testing requires an active SparkSession")
 
-    rows = [
-        (p.topic, m["value"]) for p in payloads for m in p.messages
-    ]
-    df = spark.createDataFrame(rows, schema="topic string, value string")
+    key_column = config.producer.key_column
+    rows = payload_rows(payloads, key_column)
+    schema = "topic string, value string" + (
+        ", key string" if key_column is not None else ""
+    )
+    df = spark.createDataFrame(rows, schema=schema)
     if len(hosts) > 1:
         df = df.persist()
     results = []
@@ -222,12 +284,8 @@ def _send_to_kafka(payloads: list[Payload], hosts: list[str], config: Config) ->
                 df.write.format("kafka")
                 .option("kafka.bootstrap.servers", host)
             )
-            if config.producer.compression_type:
-                writer = writer.option(
-                    "kafka.compression.type", config.producer.compression_type
-                )
-            if config.producer.idempotent:
-                writer = writer.option("kafka.enable.idempotence", "true")
+            for opt, val in kafka_writer_options(config).items():
+                writer = writer.option(opt, val)
             writer.save()
             results.append({"host": host, "messages": len(rows)})
     finally:

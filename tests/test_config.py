@@ -61,3 +61,46 @@ def test_hosts_with_additional():
     cfg = Config(host="a:9092")
     cfg.producer.additional_hosts = ["b:9092"]
     assert cfg.hosts() == ["a:9092", "b:9092"]
+
+
+class TestDebugLevels:
+    """A20: reference numeric values and gate direction
+    (``interfaces/index.ts:3-11``, ``helpers/index.ts:24-43``) — raw
+    integers from a reference config select the same verbosity."""
+
+    def test_reference_numeric_values(self):
+        from event_streamer_spark.debug import Debug
+
+        assert [Debug.TRACE, Debug.DEBUG, Debug.INFO, Debug.WARN,
+                Debug.ERROR, Debug.FATAL, Debug.NONE] == [0, 1, 2, 3, 4, 5, 6]
+
+    def test_gate_direction(self, caplog):
+        import logging
+
+        from event_streamer_spark.config import Config, set_config
+        from event_streamer_spark.debug import Debug, debug
+
+        set_config(Config(host="h", debug=Debug.WARN))  # 3
+        with caplog.at_level(logging.DEBUG, logger="event_streamer_spark"):
+            debug(Debug.INFO, "hidden")   # 2 < 3 → silent
+            debug(Debug.ERROR, "shown")   # 4 >= 3 → logged
+        assert "hidden" not in caplog.text and "shown" in caplog.text
+
+    def test_unset_false_and_none_level_silent(self, caplog):
+        import logging
+
+        from event_streamer_spark.config import Config, set_config
+        from event_streamer_spark.debug import Debug, debug
+
+        set_config(Config(host="h"))  # debug unset → silent
+        with caplog.at_level(logging.DEBUG, logger="event_streamer_spark"):
+            debug(Debug.FATAL, "a")
+        set_config(Config(host="h", debug=False))
+        with caplog.at_level(logging.DEBUG, logger="event_streamer_spark"):
+            debug(Debug.FATAL, "b")
+        set_config(Config(host="h", debug=Debug.TRACE))
+        with caplog.at_level(logging.DEBUG, logger="event_streamer_spark"):
+            debug(Debug.NONE, "c")
+        assert caplog.text.strip() == "" or not any(
+            m in caplog.text for m in ("a", "b", "c")
+        )

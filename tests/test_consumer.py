@@ -201,3 +201,155 @@ class TestTopicLimits:
         r = ConsumerRouter()
         r.add(["topic-a", "topic-b", "topic-c"], lambda c, e: None)
         assert r.topic_limits() == {"topic-a": None, "topic-b": 10, "topic-c": 20}
+
+
+def _double_handler(content, emit_fn):
+    """Module-level (picklable) handler: re-emits with doubled value."""
+    emit_fn("out-topic", {"v": content["v"] * 2})
+
+
+class TestSourcePlan:
+    """A14: per-topic caps get their own source (reference pause/resume
+    per topic, ``legacy-consumer.ts:117-124,169-199``)."""
+
+    def _router(self):
+        r = ConsumerRouter.__new__(ConsumerRouter)  # skip deprecation warn
+        r.routes, r._queries = [], []
+        r.add("a", _double_handler)
+        r.add("hot", _double_handler)
+        r.add("b", _double_handler)
+        return r
+
+    def test_specific_cap_gets_own_source(self):
+        set_config(
+            Config(
+                host="h:9092",
+                consumer=ConsumerConfig(
+                    group_id="g",
+                    max_messages_per_topic=20,
+                    max_messages_per_specific_topic={"hot": 5},
+                ),
+            )
+        )
+        plan = self._router().source_plan()
+        assert plan == [(["a", "b"], 40), (["hot"], 5)]
+
+    def test_unlimited_specific_cap(self):
+        set_config(
+            Config(
+                host="h:9092",
+                consumer=ConsumerConfig(
+                    group_id="g",
+                    max_messages_per_specific_topic={"hot": "unlimited"},
+                ),
+            )
+        )
+        plan = self._router().source_plan()
+        assert plan == [(["a", "b"], 40), (["hot"], None)]
+
+    def test_no_specific_caps_single_source(self):
+        set_config(
+            Config(host="h:9092", consumer=ConsumerConfig(group_id="g"))
+        )
+        assert self._router().source_plan() == [(["a", "hot", "b"], 60)]
+
+    def test_explicit_trigger_limit_overrides_default(self):
+        set_config(
+            Config(host="h:9092", consumer=ConsumerConfig(group_id="g"))
+        )
+        assert self._router().source_plan(7) == [(["a", "hot", "b"], 7)]
+
+
+class TestDispatchMode:
+    """A14/A15: 'topic' strategy dispatches on executors when callbacks
+    pickle; 'one-by-one' keeps its driver-serial total-order contract."""
+
+    def test_topic_strategy_executor_mode(self):
+        set_config(
+            Config(
+                host="h:9092",
+                consumer=ConsumerConfig(group_id="g", strategy="topic"),
+            )
+        )
+        r = ConsumerRouter()
+        r.add("t1", _double_handler)
+        assert r.batch_processor().mode == "executor"
+
+    def test_one_by_one_stays_driver(self):
+        set_config(
+            Config(
+                host="h:9092",
+                consumer=ConsumerConfig(group_id="g", strategy="one-by-one"),
+            )
+        )
+        r = ConsumerRouter()
+        r.add("t1", _double_handler)
+        assert r.batch_processor().mode == "driver"
+
+    def test_unpicklable_callback_falls_back(self):
+        set_config(
+            Config(
+                host="h:9092",
+                consumer=ConsumerConfig(group_id="g", strategy="topic"),
+            )
+        )
+        r = ConsumerRouter()
+        sock = __import__("threading").Lock()  # unpicklable closure state
+        r.add("t1", lambda c, e: sock)
+        assert r.batch_processor().mode == "driver"
+
+
+class TestExecutorDispatch:
+    """The mapPartitions kernel runs handlers + buffers emits on
+    executors; emitted rows carry (topic, value, hosts)."""
+
+    def test_dispatch_and_emit_on_executors(self, spark):
+        import json
+
+        from event_streamer_spark.consumer import make_partition_dispatcher
+
+        # local closure: cloudpickle ships it by value to workers (a
+        # module-level function in a test file is not importable there)
+        def double_handler(content, emit_fn):
+            emit_fn("out-topic", {"v": content["v"] * 2})
+
+        batch = spark.createDataFrame(
+            [
+                ("t1", json.dumps({"v": 3, "code": "T1"})),
+                ("t1", json.dumps({"v": 5, "code": "T1"})),
+                ("other", json.dumps({"v": 9, "code": "Other"})),
+                ("t1", "{corrupt"),
+            ],
+            "topic string, value string",
+        ).repartition(4)
+        dispatcher = make_partition_dispatcher(
+            [("t1", None, double_handler)], "app", "h:9092", []
+        )
+        rows = batch.rdd.mapPartitions(dispatcher).collect()
+        assert len(rows) == 2  # 'other' topic + corrupt row not dispatched
+        vals = sorted(json.loads(v)["v"] for _, v, _ in rows)
+        assert vals == [6, 10]
+        for topic, value, hosts in rows:
+            assert topic == "out-topic" and hosts == "h:9092"
+            env = json.loads(value)
+            assert env["appName"] == "app" and env["code"] == "OutTopic"
+
+    def test_non_dict_content_hits_catch_all_only(self, spark):
+        import json
+
+        from event_streamer_spark.consumer import make_partition_dispatcher
+
+        def relay(content, emit_fn):
+            emit_fn("out-topic", {"got": content})
+
+        batch = spark.createDataFrame(
+            [("t1", "[1,2]"), ("t1", "7")], "topic string, value string"
+        )
+        catch_all = make_partition_dispatcher(
+            [("t1", None, relay)], "app", "h:9092", []
+        )
+        named = make_partition_dispatcher(
+            [("t1", "SomeEvent", relay)], "app", "h:9092", []
+        )
+        assert len(batch.rdd.mapPartitions(catch_all).collect()) == 2
+        assert len(batch.rdd.mapPartitions(named).collect()) == 0

@@ -28,7 +28,18 @@ class TestUpperCamelCase:
         assert to_upper_camel_case("topic") == "Topic"
 
     def test_consecutive_separators(self):
-        assert to_upper_camel_case("a--b__c  d") == "ABCD"
+        # reference regex /[-_ ]./ consumes sep+next-char pairs
+        # non-overlappingly: the second separator of a run IS the
+        # "uppercased" char, so runs survive by one
+        assert to_upper_camel_case("a--b__c  d") == "A-b_c d"
+
+    def test_leading_separator_kept(self):
+        # charAt(0) is the separator itself; slice(1) has no sep pair
+        assert to_upper_camel_case("-abc") == "-abc"
+
+    def test_trailing_separator_kept(self):
+        # a trailing separator has no following char to match
+        assert to_upper_camel_case("abc-") == "Abc-"
 
     def test_mixed_separators(self):
         assert to_upper_camel_case("foo-bar_baz qux") == "FooBarBazQux"
@@ -61,10 +72,16 @@ class TestGetParsedJson:
     def test_none(self):
         assert get_parsed_json(None) is None
 
-    def test_non_object_json(self):
-        assert get_parsed_json("[1,2]") is None
-        assert get_parsed_json('"str"') is None
-        assert get_parsed_json("5") is None
+    def test_non_object_json_returned_like_reference(self):
+        # reference returns whatever JSON.parse yields; dispatch then
+        # matches such content only against catch-all routes
+        assert get_parsed_json("[1,2]") == [1, 2]
+        assert get_parsed_json('"str"') == "str"
+        assert get_parsed_json("5") == 5
+        assert get_parsed_json("null") is None  # dropped like corrupt
+
+    def test_null_wraps_to_empty_array(self):
+        assert to_array(None) == []
 
     def test_bad_bytes(self):
         assert get_parsed_json(b"\xff\xfe") is None

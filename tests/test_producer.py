@@ -148,3 +148,93 @@ class TestTestingSink:
         set_config(Config(host="h", only_testing=False))
         with pytest.raises(RuntimeError, match="only_testing"):
             get_emitted_events()
+
+
+class TestWriterOptions:
+    """A2 parity: retryOptions → Java producer options; key column →
+    partitioner analog (reference ``legacy-producer.ts:100,106``)."""
+
+    def test_retry_options_mapping(self):
+        from event_streamer_spark.config import ProducerConfig
+        from event_streamer_spark.producer import kafka_writer_options
+
+        cfg = Config(
+            host="h:9092",
+            producer=ProducerConfig(
+                compression_type="gzip",
+                idempotent=True,
+                retry_options={
+                    "retries": 5,
+                    "initialRetryTime": 300,
+                    "maxRetryTime": 30000,
+                },
+            ),
+        )
+        assert kafka_writer_options(cfg) == {
+            "kafka.compression.type": "gzip",
+            "kafka.enable.idempotence": "true",
+            "kafka.retries": "5",
+            "kafka.retry.backoff.ms": "300",
+            "kafka.retry.backoff.max.ms": "30000",
+        }
+
+    def test_no_retry_options_no_kafka_keys(self):
+        from event_streamer_spark.producer import kafka_writer_options
+
+        assert kafka_writer_options(Config(host="h:9092")) == {}
+
+    def test_partial_retry_options(self):
+        from event_streamer_spark.config import ProducerConfig
+        from event_streamer_spark.producer import kafka_writer_options
+
+        cfg = Config(
+            host="h", producer=ProducerConfig(retry_options={"retries": 2})
+        )
+        assert kafka_writer_options(cfg) == {"kafka.retries": "2"}
+
+    def test_key_column_rows(self):
+        import json
+
+        from event_streamer_spark.producer import (
+            Output,
+            normalize_payloads,
+            payload_rows,
+        )
+
+        payloads = normalize_payloads(
+            [Output(topic="t", data=[{"id": 7, "x": 1}, {"x": 2}])], "app"
+        )
+        with_key = payload_rows(payloads, "id")
+        assert [r[0] for r in with_key] == ["t", "t"]
+        assert with_key[0][2] == "7"  # envelope field → Kafka message key
+        assert with_key[1][2] is None  # absent key field → null key
+        without = payload_rows(payloads, None)
+        assert all(len(r) == 2 for r in without)
+        assert json.loads(without[0][1])["x"] == 1
+
+
+class TestNullishEnvelope:
+    """Reference ?? semantics: present-but-falsy createdAt/appName are
+    preserved verbatim (``legacy-producer.ts:36-48``)."""
+
+    def test_empty_string_created_at_preserved(self):
+        import json
+
+        from event_streamer_spark.producer import Output, normalize_payloads
+
+        p = normalize_payloads(
+            [Output(topic="t", data={"createdAt": "", "appName": ""})], "app"
+        )
+        env = json.loads(p[0].messages[0]["value"])
+        assert env["createdAt"] == "" and env["appName"] == ""
+
+    def test_none_created_at_gets_default(self):
+        import json
+
+        from event_streamer_spark.producer import Output, normalize_payloads
+
+        p = normalize_payloads(
+            [Output(topic="t", data={"createdAt": None})], "app"
+        )
+        env = json.loads(p[0].messages[0]["value"])
+        assert env["createdAt"] and env["appName"] == "app"

@@ -149,7 +149,9 @@ def test_router_start_with_file_source(spark, tmp_path):
             host="unused:9092",
             app_name="t",
             only_testing=False,
-            consumer=ConsumerConfig(group_id="g"),
+            # the closure mutates driver-local `hits`: that is exactly
+            # what dispatch='driver' (reference execution model) is for
+            consumer=ConsumerConfig(group_id="g", dispatch="driver"),
         )
     )
     rows = [
