@@ -138,36 +138,48 @@ def d2_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _minhash_signatures(df: DataFrame) -> DataFrame:
-    """doc_id → MinHash signature (array<long>, 64 permutations).
+    """doc_id → (sig array<long>, bands array<long>) in ONE Arrow pass.
 
-    Arrow-batched pandas UDF: CRC32 shingle hashes, then
-    min((a·x + b) mod p) per permutation — vectorized in numpy over the
-    whole batch.
+    CRC32 shingle hashes, then min((a·x + b) mod p) per permutation —
+    vectorized in numpy over the whole batch. The 16 per-band bucket
+    hashes are folded from the signature inside the same UDF (a
+    polynomial combine over each band's rows), saving the separate
+    explode + hash(slice(...)) stage a two-pass design needs.
     """
 
-    @pandas_udf("array<long>")
-    def minhash(texts: pd.Series) -> pd.Series:
-        out = []
-        for text in texts:
-            toks = text.split(" ")
-            shingle_hashes = np.unique(
-                np.fromiter(
-                    (
-                        zlib.crc32(" ".join(toks[i : i + 3]).encode()) % _MERSENNE
-                        for i in range(max(len(toks) - 2, 1))
-                    ),
-                    dtype=np.int64,
+    @pandas_udf("sig array<long>, bands array<long>")
+    def minhash(texts: pd.Series) -> pd.DataFrame:
+        sigs, bands = [], []
+        with np.errstate(over="ignore"):
+            for text in texts:
+                toks = text.split(" ")
+                shingle_hashes = np.unique(
+                    np.fromiter(
+                        (
+                            zlib.crc32(" ".join(toks[i : i + 3]).encode()) % _MERSENNE
+                            for i in range(max(len(toks) - 2, 1))
+                        ),
+                        dtype=np.int64,
+                    )
                 )
-            )
-            # (n_perm, n_shingles) broadcast — stays < 2^62, pure int64
-            sig = (
-                (shingle_hashes[None, :] * _PERM_A[:, None] + _PERM_B[:, None])
-                % _MERSENNE
-            ).min(axis=1)
-            out.append(sig.tolist())
-        return pd.Series(out)
+                # (n_perm, n_shingles) broadcast — stays < 2^62, pure int64
+                sig = (
+                    (shingle_hashes[None, :] * _PERM_A[:, None] + _PERM_B[:, None])
+                    % _MERSENNE
+                ).min(axis=1)
+                # band bucket hash: polynomial fold of each band's rows
+                # (int64 wraparound is deterministic)
+                chunk = sig.reshape(_LSH_BANDS, _LSH_ROWS)
+                bh = chunk[:, 0].copy()
+                for r in range(1, _LSH_ROWS):
+                    bh = bh * np.int64(1_000_003) + chunk[:, r]
+                sigs.append(sig.tolist())
+                bands.append(bh.tolist())
+        return pd.DataFrame({"sig": sigs, "bands": bands})
 
-    return df.select("doc_id", minhash("text").alias("sig"))
+    return df.select("doc_id", minhash("text").alias("m")).select(
+        "doc_id", "m.sig", "m.bands"
+    )
 
 
 @query("d2_minhash_lsh", oracle=None)  # not SQL-expressible → rows-only check
@@ -189,14 +201,8 @@ def d2_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     sigs = _minhash_signatures(docs).persist()
 
     bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {_LSH_BANDS - 1}),"
-                f" b -> struct(b AS band, hash(slice(sig, b*{_LSH_ROWS}+1, {_LSH_ROWS})) AS bh))"
-            )
-        ).alias("e"),
-    ).select("doc_id", "e.band", "e.bh")
+        "doc_id", F.posexplode("bands").alias("band", "bh")
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")
