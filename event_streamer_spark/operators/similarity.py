@@ -28,7 +28,6 @@ from event_streamer_spark.tables import load
 
 _QUERY_VEC_ID = 0  # fixed query vector for the top-k baseline
 
-_N_PLANES = 12
 _PLANE_SEED = 7
 
 
@@ -135,34 +134,105 @@ def d3_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     return _block_topk(e, "block", 3)
 
 
+_ANN_TABLES = 8  # L independent hash tables
+_ANN_PLANES = 6  # planes (bits) per table
+
+
 @query("d3_ann_lsh", oracle=None)  # approximate → rows-only check
 def d3_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """D3 scale path: random-hyperplane LSH bucketing + within-bucket top-k.
+    """D3 scale path: multi-table, multi-probe hyperplane LSH top-3.
 
-    Sign pattern over fixed seeded hyperplanes → bucket id; candidate
-    search touches only same-bucket vectors. Shuffle volume O(n), bucket
-    sizes ~n/2^planes — skew-safe for random planes. Deterministic:
-    planes are seeded constants.
+    L=8 independent tables of 6 hyperplanes each; every vector RESIDES
+    in its sign-pattern bucket per table and PROBES that bucket plus the
+    6 one-bit-flip neighbors (multi-probe). Per (table, bucket): one
+    numpy GEMM scores queriers against residents; per-bucket top-3s are
+    re-ranked globally per source (provably equal to top-3 over the
+    candidate union). Recall@3 ≈ 0.9 on the fixture — measured against
+    brute force in tests/test_dedup_quality.py; the fixture's neighbors
+    sit at cos 0.3-0.45 (near-random), the hardest regime for sign LSH,
+    which is what forces L·(planes+1) probes. Shuffle volume
+    O(n·L·(planes+2)) — linear in n, no O(n²) stage, no driver state.
+    Deterministic: seeded planes, 6-decimal rounding, (sim, nbr) ties.
     """
     rng = np.random.RandomState(_PLANE_SEED)
-    planes = rng.standard_normal((_N_PLANES, 64))
+    planes = rng.standard_normal((_ANN_TABLES, _ANN_PLANES, 64))
     b_planes = spark.sparkContext.broadcast(planes)
+    n_buckets = 1 << _ANN_PLANES
 
-    @pandas_udf("int")
-    def bucket_of(vs: pd.Series) -> pd.Series:
+    @pandas_udf("homes array<int>, probes array<int>")
+    def bucket_keys(vs: pd.Series) -> pd.DataFrame:
         X = np.array(vs.tolist(), dtype=np.float64)
-        signs = (X @ b_planes.value.T) > 0  # one GEMM per Arrow batch
-        weights = (1 << np.arange(_N_PLANES)).astype(np.int64)
-        return pd.Series((signs @ weights).astype("int32"))
+        weights = (1 << np.arange(_ANN_PLANES)).astype(np.int64)
+        homes = np.empty((len(X), _ANN_TABLES), dtype=np.int64)
+        for t in range(_ANN_TABLES):
+            signs = (X @ b_planes.value[t].T) > 0
+            homes[:, t] = t * n_buckets + signs @ weights
+        flips = np.stack(
+            [homes ^ (1 << j) for j in range(_ANN_PLANES)], axis=2
+        )  # flipping low bits never crosses the per-table offset
+        probes = np.concatenate([homes[:, :, None], flips], axis=2)
+        return pd.DataFrame(
+            {
+                "homes": homes.astype("int32").tolist(),
+                "probes": probes.reshape(len(X), -1).astype("int32").tolist(),
+            }
+        )
 
     e = (
         load(spark, sf, "embeddings")
         # single-file parquet → one split; spread the UDF work
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .withColumn("block", bucket_of("v"))
+        .withColumn("k", bucket_keys("v"))
+        .persist()
     )
-    return _block_topk(e, "block", 3)
+    residents = e.select(
+        "vec_id", "v", F.explode("k.homes").alias("bucket"), F.lit("R").alias("role")
+    )
+    queriers = e.select(
+        "vec_id", "v", F.explode("k.probes").alias("bucket"), F.lit("Q").alias("role")
+    )
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        res = pdf[pdf["role"] == "R"]
+        qry = pdf[pdf["role"] == "Q"].drop_duplicates("vec_id")
+        if res.empty or qry.empty:
+            return pd.DataFrame({"src": [], "nbr": [], "sim": []})
+        R = np.array(res["v"].tolist(), dtype=np.float64)
+        Q = np.array(qry["v"].tolist(), dtype=np.float64)
+        R = R / np.linalg.norm(R, axis=1, keepdims=True)
+        Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        S = np.round(Q @ R.T, 6)
+        rid = res["vec_id"].to_numpy()
+        qid = qry["vec_id"].to_numpy()
+        out = {"src": [], "nbr": [], "sim": []}
+        kk = min(3, len(rid))
+        for i in range(len(qid)):
+            sims = S[i].copy()
+            sims[rid == qid[i]] = -2.0  # never self
+            order = np.lexsort((rid, -sims))[:kk]
+            for j in order:
+                if sims[j] <= -2.0:
+                    continue
+                out["src"].append(qid[i])
+                out["nbr"].append(rid[j])
+                out["sim"].append(float(sims[j]))
+        return pd.DataFrame(out)
+
+    per_bucket = (
+        residents.unionByName(queriers)
+        .groupBy("bucket")
+        .applyInPandas(bucket_topk, "src long, nbr long, sim double")
+    )
+    # same (src, nbr) may surface from several tables: dedup, then global
+    # top-3 re-rank (bucket-local top-3 ⊇ global top-3 of the union)
+    dedup = per_bucket.groupBy("src", "nbr").agg(F.max("sim").alias("sim"))
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), "nbr")
+    return (
+        dedup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("src", "nbr", "sim")
+    )
 
 
 _TILE_BLOCKS = 8  # block grid size; pick ≈ n·dim·8B / task-mem at scale
@@ -341,21 +411,18 @@ def d2_neardup_lsh_pruned(spark: SparkSession, sf: str) -> DataFrame:
 
 _IVF_CELLS = 8
 _IVF_SEED = 11
+_IVF_KMEANS_ITERS = 3
 
 
-@query("d3_ivf_topk", oracle=None)  # approximate (cell-local) → rows-only
-def d3_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """D3 scale path #2: IVF-flat — coarse quantize to the nearest of K
-    seeded random centroids, then exact top-3 within each cell.
-
-    The per-cell search is an applyInPandas numpy GEMM — cells shuffle
-    once on cell_id and never exceed ~n/K vectors, so memory per task is
-    bounded. A trained k-means coarse quantizer drops in by replacing
-    the centroid constants; the dataflow is identical.
-    """
+def random_ivf_centroids(dim: int = 64) -> np.ndarray:
+    """Seeded random unit centroids — the untrained baseline."""
     rng = np.random.RandomState(_IVF_SEED)
-    cents = rng.standard_normal((_IVF_CELLS, 64))
-    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = rng.standard_normal((_IVF_CELLS, dim))
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
+def _cell_assigner(spark: SparkSession, cents: np.ndarray):
+    """argmax-cosine cell assignment as an Arrow-batched UDF."""
     b_cents = spark.sparkContext.broadcast(cents)
 
     @pandas_udf("int")
@@ -364,10 +431,64 @@ def d3_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         X = X / np.linalg.norm(X, axis=1, keepdims=True)
         return pd.Series(np.argmax(X @ b_cents.value.T, axis=1).astype("int32"))
 
+    return cell_of
+
+
+def train_ivf_centroids(
+    spark: SparkSession, emb: DataFrame, iters: int = _IVF_KMEANS_ITERS
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained DataFrame-side.
+
+    Each iteration: assign cells (Arrow UDF GEMM), then per-(cell, dim)
+    sums via posexplode + groupBy — only the K×dim aggregate (model
+    state, independent of n) ever reaches the driver. Deterministic:
+    seeded init and centroids rounded to 6 decimals each round, so
+    partial-aggregation order noise (~1e-13) cannot flip assignments.
+    Empty cells keep their previous centroid.
+    """
+    cents = np.round(random_ivf_centroids(), 6)
+    norm = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(v, x -> x / sqrt(aggregate(v, 0D, (s, y) -> s + y * y)))"
+        ).alias("nv"),
+    ).persist()
+    for _ in range(iters):
+        assigned = norm.withColumn(
+            "cell", _cell_assigner(spark, cents)(F.col("nv"))
+        )
+        agg = (
+            assigned.select("cell", F.posexplode("nv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # K×dim rows of model state — bounded by K, not n
+        )
+        new = cents.copy()
+        dim = cents.shape[1]
+        sums = np.zeros((_IVF_CELLS, dim))
+        counts = np.zeros(_IVF_CELLS)
+        for r in agg:
+            sums[r["cell"], r["pos"]] += r["s"]
+            counts[r["cell"]] = r["n"]
+        for k in range(_IVF_CELLS):
+            if counts[k] > 0:
+                mean = sums[k] / counts[k]
+                new[k] = mean / np.linalg.norm(mean)
+        cents = np.round(new, 6)
+    norm.unpersist()
+    return cents
+
+
+def _ivf_topk_impl(
+    spark: SparkSession, sf: str, cents: np.ndarray
+) -> DataFrame:
+    """IVF-flat top-3 given a coarse quantizer: assign cells, then one
+    exact numpy GEMM per cell (single shuffle on cell_id, per-task
+    memory bounded by the largest cell)."""
     emb = load(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cells = emb.withColumn("cell", cell_of("v"))
+    cells = emb.withColumn("cell", _cell_assigner(spark, cents)(F.col("v")))
 
     def topk_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         X = np.array(pdf["v"].tolist(), dtype=np.float64)
@@ -389,3 +510,22 @@ def d3_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return cells.groupBy("cell").applyInPandas(
         topk_in_cell, "src long, nbr long, sim double"
     )
+
+
+@query("d3_ivf_topk", oracle=None)  # approximate (cell-local) → rows-only
+def d3_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """D3 scale path #2: IVF-flat with a TRAINED coarse quantizer —
+    3 rounds of DataFrame-side spherical k-means pick the centroids,
+    then exact top-3 within each cell.
+
+    Training cost is iters × (one narrow UDF pass + one K×dim
+    aggregate); search is one shuffle on cell_id + per-cell GEMM.
+    Trained cells are denser than random ones (recall improvement is
+    asserted in tests/test_dedup_quality.py). Deterministic end-to-end:
+    seeded init, rounded centroids, (sim, nbr) tie-breaks.
+    """
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = train_ivf_centroids(spark, emb)
+    return _ivf_topk_impl(spark, sf, cents)
