@@ -1,0 +1,65 @@
+"""D5 media decode: exact-value tests for the REAL stdlib parsers
+(PNG/GIF/BMP/JPEG header decode, WAV via the wave module) on generated
+fixtures, plus corrupt-input hardening."""
+
+import struct
+
+from event_streamer_spark.operators.multimodal import (
+    decode_media,
+    make_png,
+    make_wav,
+)
+
+
+class TestImageDecode:
+    def test_png_round_trip(self):
+        d = decode_media(make_png(5, 3))
+        assert (d["format"], d["width"], d["height"], d["channels"]) == (
+            "png", 5, 3, 3,
+        )
+
+    def test_png_dims_exact(self):
+        for w, h in [(1, 1), (64, 48), (640, 480)]:
+            d = decode_media(make_png(w, h))
+            assert (d["width"], d["height"]) == (w, h)
+
+    def test_gif_header(self):
+        gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
+        d = decode_media(gif)
+        assert (d["format"], d["width"], d["height"]) == ("gif", 320, 200)
+
+    def test_bmp_header_negative_height(self):
+        # top-down BMPs store negative height; decode reports magnitude
+        bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 8
+        d = decode_media(bmp)
+        assert (d["format"], d["width"], d["height"]) == ("bmp", 640, 480)
+
+    def test_jpeg_sof_scan(self):
+        jpeg = (
+            b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"  # APP0
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"      # SOF0
+            + struct.pack(">HH", 240, 360) + b"\x03" + b"\x00" * 6
+        )
+        d = decode_media(jpeg)
+        assert (d["format"], d["width"], d["height"], d["channels"]) == (
+            "jpeg", 360, 240, 3,
+        )
+
+
+class TestAudioDecode:
+    def test_wav_round_trip(self):
+        d = decode_media(make_wav(1234, sample_rate=16000))
+        assert (d["format"], d["channels"], d["sample_rate"], d["n_frames"]) == (
+            "wav", 1, 16000, 1234,
+        )
+
+
+class TestHardening:
+    def test_corrupt_and_unknown_inputs(self):
+        for payload in (
+            b"", None, b"hello world", b"\x89PNG\r\n\x1a\nXXXX",
+            b"RIFFxxxxWAVEbroken", b"\xff\xd8\x00garbage",
+        ):
+            d = decode_media(payload)
+            assert d["format"] == "unknown" and d["width"] is None
