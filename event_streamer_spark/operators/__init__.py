@@ -16,5 +16,8 @@ from event_streamer_spark.operators import similarity  # noqa: F401
 from event_streamer_spark.operators import multimodal  # noqa: F401
 from event_streamer_spark.operators import curation  # noqa: F401
 from event_streamer_spark.operators import clustering  # noqa: F401
+from event_streamer_spark.operators import text2  # noqa: F401
+from event_streamer_spark.operators import temporal  # noqa: F401
+from event_streamer_spark.operators import pipeline  # noqa: F401
 
 REGISTRY = registry.REGISTRY

@@ -1,0 +1,200 @@
+"""Pretraining-pipeline operators (SURVEY §2.C D7/D8 extensions):
+benchmark decontamination, mixture rebalancing, unicode normalization.
+
+These are the corpus-construction steps published pipeline reports run
+at scale (n-gram decontamination as in the GPT-3/Llama appendices;
+source-mixture rebalancing; NFC normalization before tokenization).
+The reference has none of them — they are north-star D-surface ops.
+
+Scale posture: decontamination shuffles on the n-gram hash (uniform);
+mixture sampling is one tiny aggregate broadcast into a narrow filter;
+normalization is a narrow Arrow-batched map. No driver state anywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from event_streamer_spark.operators.registry import query
+from event_streamer_spark.tables import load
+
+_DECON_GRAM = 5  # tokens per overlap gram
+_EVAL_MOD = 97  # doc_id % mod == 0 → held-out "benchmark" doc
+
+
+@query(
+    "d8_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, i, i + {_DECON_GRAM} - 1), ' ')
+               AS g
+      FROM t, UNNEST(range(1, len(toks) - {_DECON_GRAM} + 2)) AS u(i)
+      WHERE len(toks) >= {_DECON_GRAM}),
+    eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {_EVAL_MOD} = 0),
+    train AS (
+      SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % {_EVAL_MOD} <> 0)
+    SELECT train.doc_id,
+           COUNT(*) AS n_shared_grams
+    FROM train JOIN eval_grams ON train.g = eval_grams.g
+    GROUP BY train.doc_id
+    """,
+)
+def d8_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """D8: benchmark decontamination — flag training docs sharing any
+    overlapping {5}-token gram with the held-out eval slice
+    (doc_id % 97 == 0), reporting how many distinct grams leak.
+
+    The published recipe (exact n-gram collision against benchmarks,
+    GPT-3 appx C / Llama 2 appx A.6) as one dataflow: explode
+    overlapping grams, split eval/train by the deterministic holdout
+    predicate, distinct, and join on the gram. The join shuffles on the
+    gram string (uniform hash, skew-free); eval grams are benchmark-
+    sized, so AQE broadcasts them at real scale.
+    """
+    t = (
+        load(spark, sf, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= _DECON_GRAM)
+    )
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_DECON_GRAM} + 1),"
+                f" i -> concat_ws(' ', slice(toks, i, {_DECON_GRAM})))"
+            )
+        ).alias("g"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % _EVAL_MOD == 0).select("g").distinct()
+    )
+    train = (
+        grams.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .select("doc_id", "g")
+        .distinct()
+    )
+    return (
+        train.join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+@query(
+    "d7_mixture_sample",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS k FROM counts),
+    rates AS (
+      SELECT source,
+             LEAST(1.0, (CAST(n AS DOUBLE) / k) / c) AS rate
+      FROM counts CROSS JOIN tot),
+    thr AS (
+      SELECT source, rate,
+             CASE WHEN rate >= 1.0 THEN 'g'
+                  ELSE lpad(lower(to_hex(CAST(FLOOR(rate * 4294967296.0)
+                                              AS BIGINT))), 8, '0') END AS h
+      FROM rates)
+    SELECT d.doc_id, d.source, ROUND(thr.rate, 6) AS rate
+    FROM documents d JOIN thr ON d.source = thr.source
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || d.source), 1, 8)
+          < thr.h
+    """,
+)
+def d7_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """D7: source-mixture rebalancing — deterministic downsampling so
+    every source contributes ~equally (rate_s = min(1, (N/k)/count_s)).
+
+    One tiny per-source aggregate (k rows) computes the rates, is
+    broadcast back, and the sample itself is a narrow md5-threshold
+    filter — identical row set on any cluster, no RNG state, no second
+    pass over the data. The same dataflow takes arbitrary target
+    weights in place of the uniform 1/k.
+    """
+    d = load(spark, sf, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0), (F.col("n").cast("double") / F.col("k")) / F.col("c")
+        ).alias("rate"),
+    )
+    thr = rates.select(
+        "source",
+        "rate",
+        F.when(F.col("rate") >= 1.0, F.lit("g"))
+        .otherwise(
+            F.lpad(
+                F.lower(
+                    F.hex(F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint"))
+                ),
+                8,
+                "0",
+            )
+        )
+        .alias("h"),
+    )
+    key = F.substring(
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit("#"), F.col("source"))
+        ),
+        1,
+        8,
+    )
+    return (
+        d.join(F.broadcast(thr), "source")
+        .filter(key < F.col("h"))
+        .select("doc_id", "source", F.round("rate", 6).alias("rate"))
+    )
+
+
+@query(
+    "d4_unicode_normalize",
+    oracle="""
+    SELECT doc_id,
+           nfc_normalize(replace(substr(text, 1, 40), 'e', 'e' || chr(769)))
+             AS norm_prefix,
+           CAST(length(nfc_normalize(replace(substr(text, 1, 40),
+                                             'e', 'e' || chr(769)))) AS BIGINT)
+             AS n_norm_chars
+    FROM documents
+    """,
+)
+def d4_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: unicode NFC normalization (pre-tokenization hygiene).
+
+    The fixture text is ASCII, so the query first decomposes it
+    (every 'e' gains a combining acute, U+0301) and then normalizes —
+    proving real NFC composition ('e'+U+0301 → U+00E9) against DuckDB's
+    ``nfc_normalize``. Spark has no built-in normalizer, so this is an
+    Arrow-batched ``unicodedata`` UDF over a 40-char prefix — a narrow
+    map stage; at scale the UDF cost is the tokenizer's input pass.
+    """
+
+    @pandas_udf("string")
+    def nfc(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return texts.map(lambda s: unicodedata.normalize("NFC", s))
+
+    d = load(spark, sf, "documents").withColumn(
+        "decomposed",
+        # the replacement is DECOMPOSED: 'e' + combining acute U+0301
+        F.regexp_replace(F.substring("text", 1, 40), "e", "é"),
+    )
+    return d.select(
+        "doc_id",
+        nfc("decomposed").alias("norm_prefix"),
+        F.length(nfc("decomposed")).cast("bigint").alias("n_norm_chars"),
+    )

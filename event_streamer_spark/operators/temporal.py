@@ -1,0 +1,89 @@
+"""Temporal joins (SURVEY §2.B extension): as-of join over event streams.
+
+The reference has no joins at all; an as-of join is table stakes for
+event analytics (the "most recent dimension row at event time" lookup).
+Spark lacks a native ASOF JOIN, so it is composed from a union + window
+forward-fill — the standard O(n log n) formulation (one shuffle on the
+join key, one sort within partitions) rather than an O(n·m) range
+self-join. DuckDB's native ``ASOF JOIN`` is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from event_streamer_spark.operators.registry import fmt_ts, query
+from event_streamer_spark.tables import load
+
+
+@query(
+    "b31_asof_join",
+    oracle="""
+    WITH s AS (
+      SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup'),
+    p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+           p.value AS value
+    FROM p ASOF JOIN s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def b31_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B31: as-of join — each purchase matched to the user's most recent
+    signup at-or-before the purchase time (inner semantics: purchases
+    with no prior signup drop).
+
+    Plan: union both sides tagged, one shuffle + sort on
+    (user_id, ts, side), then ``last(signup_ts, ignorenulls=True)``
+    forward-fills the running signup time — at equal timestamps the
+    signup sorts first so ``ts >= s.ts`` includes exact ties, matching
+    DuckDB ASOF semantics. O(n log n) per key, no range self-join, no
+    driver state; skew is bounded by events-per-user.
+    """
+    e = load(spark, sf, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts")
+        .distinct()
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            F.col("ts").alias("s_ts"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        "value",
+        F.lit(None).cast("timestamp").alias("s_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        signups.unionByName(purchases)
+        .withColumn("last_signup", F.last("s_ts", ignorenulls=True).over(w))
+    )
+    return (
+        filled.filter((F.col("side") == 1) & F.col("last_signup").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            fmt_ts("ts", "purchase_ts"),
+            fmt_ts("last_signup", "signup_ts"),
+            "value",
+        )
+    )

@@ -1,0 +1,212 @@
+"""Corpus-quality operators a pretraining pipeline needs (SURVEY §2.C D4
+extensions): repetition filters, TF-IDF, span-level exact dedup.
+
+The reference has no text pipeline at all (it is a Kafka microservice
+wrapper); these follow the published web-corpus curation recipes —
+repetition fractions as in the Gopher/MassiveText quality filters
+(Rae et al. 2021, §A1.1) and span dedup in the spirit of C4's
+three-sentence dedup (Raffel et al. 2020, §2.2) adapted to the
+fixture's single-line word-stream documents.
+
+Scale posture: everything is explode → keyed aggregation — shuffles
+partition on (doc_id) or (doc_id, gram), both high-cardinality and
+skew-free; no driver state, no O(n²) stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from event_streamer_spark.operators.registry import query
+from event_streamer_spark.tables import load
+
+
+@query(
+    "d4_repetition_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    uni AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM t, UNNEST(toks) AS u(w) GROUP BY doc_id, w),
+    us AS (
+      SELECT doc_id, MAX(c) AS topc, SUM(c) AS n,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+      FROM uni GROUP BY doc_id),
+    bg AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+      FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+    bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+    bs AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS n FROM bgc GROUP BY doc_id)
+    SELECT us.doc_id,
+           ROUND(CAST(us.topc AS DOUBLE) / us.n, 6) AS top_unigram_frac,
+           ROUND(CAST(us.dup AS DOUBLE) / us.n, 6) AS dup_word_frac,
+           ROUND(CAST(bs.topc AS DOUBLE) / bs.n, 6) AS top_bigram_frac
+    FROM us JOIN bs ON us.doc_id = bs.doc_id
+    """,
+)
+def d4_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: Gopher-style repetition fractions per document — the share of
+    tokens taken by the most frequent unigram, by all repeated unigrams,
+    and of bigram slots taken by the most frequent bigram. High values
+    flag boilerplate/spam for corpus filtering.
+
+    Two keyed aggregations per granularity (count per gram, then max/sum
+    per doc) — all shuffles are on (doc_id[, gram]), skew-free; integer
+    counts make the rounded ratios bit-stable on both engines.
+    """
+    t = load(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    uni = (
+        t.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    us = uni.groupBy("doc_id").agg(
+        F.max("c").alias("topc"),
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
+    )
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat_ws(' ', toks[i-1], toks[i]))"
+            )
+        ).alias("g"),
+    )
+    bs = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("topc"), F.sum("c").alias("n"))
+    )
+    return (
+        us.alias("us")
+        .join(bs.alias("bs"), "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("us.topc").cast("double") / F.col("us.n"), 6).alias(
+                "top_unigram_frac"
+            ),
+            F.round(F.col("us.dup").cast("double") / F.col("us.n"), 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(F.col("bs.topc").cast("double") / F.col("bs.n"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+@query(
+    "d4_tfidf_topk",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf
+      FROM t, UNNEST(toks) AS u(w) GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+             ROUND(tf.tf * ln(CAST(n_docs.n AS DOUBLE) / df.df), 6) AS score
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n_docs),
+    ranked AS (
+      SELECT doc_id, w, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, w) AS rn
+      FROM scored)
+    SELECT doc_id, w AS term, score FROM ranked WHERE rn <= 3
+    """,
+)
+def d4_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: top-3 TF-IDF terms per document (tf × ln(N/df)).
+
+    The document-frequency table is tiny (vocabulary-sized) relative to
+    the corpus, so Catalyst/AQE broadcasts it into the term-count join;
+    the only big shuffles are the two keyed counts. N comes from a
+    1-row aggregate (crossJoin of a literal-sized side). Ties broken by
+    (score desc, term) for a stable row set.
+    """
+    t = load(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = t.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "score")
+    )
+
+
+_SPAN_TOKENS = 5
+
+
+@query(
+    "d1_span_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    spans AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, {_SPAN_TOKENS}*j + 1,
+                                        {_SPAN_TOKENS}*j + {_SPAN_TOKENS}), ' ')
+               AS span
+      FROM t, UNNEST(range(0, len(toks) // {_SPAN_TOKENS})) AS u(j)
+      WHERE len(toks) >= {_SPAN_TOKENS})
+    SELECT sha256(span) AS span_hash,
+           COUNT(*) AS n_occurrences,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc
+    FROM spans
+    GROUP BY sha256(span)
+    HAVING COUNT(*) > 1
+    """,
+)
+def d1_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """D1/C4-style span dedup: non-overlapping {5}-token spans hashed
+    corpus-wide; spans occurring in more than one place are reported
+    with their canonical keeper (min doc_id) — the drop-list a C4-style
+    "remove repeated three-sentence spans" pass consumes.
+
+    One explode (bounded: tokens/span per doc) + one groupBy on the
+    span hash — uniform 256-bit keys, skew-free, no driver state.
+    """
+    t = (
+        load(spark, sf, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= _SPAN_TOKENS)
+    )
+    spans = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, int(size(toks) / {_SPAN_TOKENS}) - 1),"
+                f" j -> concat_ws(' ', slice(toks, {_SPAN_TOKENS}*j + 1,"
+                f" {_SPAN_TOKENS})))"
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy(F.sha2("span", 256).alias("span_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )

@@ -97,3 +97,18 @@ def test_neardup_no_driver_materialization(spark):
     assert after - before <= per_load, "query construction triggered extra jobs"
     assert "CollectLimit" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_asof_join_no_range_explosion(spark):
+    """b31 must stay union + window (one hash exchange on user_id) —
+    never a BroadcastNestedLoopJoin/cartesian range self-join."""
+    plan = plan_of(spark, "b31_asof_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_tfidf_partial_aggregation(spark):
+    """Term counts must partial-aggregate map-side before the exchange."""
+    plan = plan_of(spark, "d4_tfidf_topk")
+    assert plan.count("HashAggregate") >= 2
