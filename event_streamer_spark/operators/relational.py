@@ -90,6 +90,18 @@ def b02_json_scan(spark: SparkSession, sf: str) -> DataFrame:
     ).select("n_nationkey", "n_name", "n_regionkey")
 
 
+@query("b02_orc_scan", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def b02_orc_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """B2: ORC source round-trip (columnar alternative to parquet;
+    Spark's ORC reader supports the same pushdown/pruning as parquet —
+    predicate and column pruning reach the scan)."""
+    path = _roundtrip_dir(sf, "orc")
+    nation = load(spark, sf, "nation")
+    if not os.path.exists(path):
+        nation.coalesce(1).write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")
+
+
 # ---------------------------------------------------------------------
 # B3 / B4 — projection expressions, filters
 # ---------------------------------------------------------------------

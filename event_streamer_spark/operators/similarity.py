@@ -529,3 +529,61 @@ def d3_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     cents = train_ivf_centroids(spark, emb)
     return _ivf_topk_impl(spark, sf, cents)
+
+
+@query("d3_quantized_topk", oracle=None)  # approximate → rows-only
+def d3_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """D3 scale path #3: int8 scalar-quantized brute-force top-10.
+
+    Per-dimension affine int8 quantization (global min/max per dim from
+    one 64×2 aggregate, broadcast back) shrinks the vector column 4-8×
+    — at 100 TB the brute-force scan is memory-bandwidth-bound, so the
+    quantized scan is the cheap first pass and the float re-rank runs
+    only on its survivors. Here the full quantize → dequantize → score
+    loop runs so the quantization error is what the accuracy test
+    measures (top-10 overlap vs the exact d3_topk_cosine ≥ 8/10).
+    Deterministic: min/max are exact, rounding is fixed.
+    """
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # per-dimension min/max: one aggregate of dim-sized model state
+    stats = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    dim = len(stats)
+    lo = np.empty(dim)
+    hi = np.empty(dim)
+    for r in stats:
+        lo[r["pos"]], hi[r["pos"]] = r["lo"], r["hi"]
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+    b_q = spark.sparkContext.broadcast((lo, scale))
+
+    qrow = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head()
+    qv = np.array(qrow["v"], dtype=np.float64)
+
+    def score(batches):
+        lo_b, scale_b = b_q.value
+        # quantize the query identically, then score dequantized int8
+        qq = np.clip(np.round((qv - lo_b) / scale_b), 0, 255)
+        qd = lo_b + qq * scale_b
+        qd = qd / np.linalg.norm(qd)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Q = np.clip(np.round((X - lo_b) / scale_b), 0, 255)  # int8 domain
+            D = lo_b + Q * scale_b
+            D = D / np.linalg.norm(D, axis=1, keepdims=True)
+            sims = np.round(D @ qd, 6)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "sim": sims})
+
+    scored = (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(score, "vec_id long, sim double")
+    )
+    return scored.orderBy(F.desc("sim"), "vec_id").limit(10)

@@ -151,3 +151,13 @@ def test_ivf_trained_beats_random_centroids(spark):
     )
     assert r_trained > r_random, (r_trained, r_random)
     assert r_trained >= 0.25, f"trained ivf recall {r_trained:.3f}"
+
+
+def test_quantized_topk_overlap_with_exact(spark):
+    """D3: int8-quantized top-10 must overlap the exact float top-10 in
+    ≥8 of 10 positions (quantization error budget), deterministically."""
+    exact = [r["vec_id"] for r in REGISTRY["d3_topk_cosine"].fn(spark, SF).collect()]
+    quant = [r["vec_id"] for r in REGISTRY["d3_quantized_topk"].fn(spark, SF).collect()]
+    quant2 = [r["vec_id"] for r in REGISTRY["d3_quantized_topk"].fn(spark, SF).collect()]
+    assert quant == quant2, "quantized search not deterministic"
+    assert len(set(exact) & set(quant)) >= 8, (exact, quant)
