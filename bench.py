@@ -64,7 +64,7 @@ def main() -> None:
     # steady-state, not first-run-variance (observed 13.5↔20 s swings
     # without this)
     warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+    if os.path.isdir(warm_dir) and not os.path.samefile(warm_dir, sf_dir):
         for name in HEADLINE:
             try:
                 REGISTRY[name].fn(spark, warm_dir).count()

@@ -61,6 +61,7 @@ def make_partition_dispatcher(
     app_name: str,
     primary_host: str,
     additional_hosts: list[str],
+    key_column: Optional[str] = None,
 ) -> Callable:
     """Executor-side dispatch kernel for the ``'topic'`` strategy.
 
@@ -84,10 +85,16 @@ def make_partition_dispatcher(
             hosts = P.get_hosts(
                 primary_host, additional_hosts or None, overwrite
             )
-            for payload in P.normalize_payloads(outputs, app_name):
+            payloads = P.normalize_payloads(outputs, app_name, key_column)
+            for payload in payloads:
                 for msg in payload.messages:
                     emitted.append(
-                        (payload.topic, msg["value"], ",".join(hosts))
+                        (
+                            payload.topic,
+                            msg["value"],
+                            msg.get("key"),
+                            ",".join(hosts),
+                        )
                     )
             return []
 
@@ -327,20 +334,41 @@ class ConsumerRouter:
         its own limit — a specific cap then bounds that topic's batches
         without throttling the rest (reference pause/resume per topic,
         ``legacy-consumer.ts:175-199``). ``'unlimited'`` → no limit.
+
+        Contract interactions:
+
+        * strategy ``'one-by-one'`` (A15) forces a SINGLE source — its
+          total-order guarantee cannot survive concurrent per-source
+          queries, and the reference's one-by-one path likewise ignores
+          the per-topic queue caps (``legacy-consumer.ts:165-168``).
+        * an explicit ``max_offsets_per_trigger`` is a global throttle:
+          it caps the shared source directly and clamps every
+          specific-cap source to ``min(specific, explicit)``.
         """
         config = get_config()
         limits = self.topic_limits()
         specific = config.consumer.max_messages_per_specific_topic
+        explicit = max_offsets_per_trigger
+        if config.consumer.strategy == "one-by-one":
+            limit = explicit
+            if limit is None and config.consumer.max_messages_per_topic != "unlimited":
+                limit = int(config.consumer.max_messages_per_topic) * max(
+                    1, len(self.topics())
+                )
+            return [(self.topics(), limit)]
         shared = [t for t in self.topics() if t not in specific]
         plan: list[tuple[list[str], Optional[int]]] = []
         if shared:
-            limit = max_offsets_per_trigger
+            limit = explicit
             if limit is None and config.consumer.max_messages_per_topic != "unlimited":
                 limit = int(config.consumer.max_messages_per_topic) * len(shared)
             plan.append((shared, limit))
         for topic in self.topics():
             if topic in specific:
-                plan.append(([topic], limits[topic]))
+                cap = limits[topic]
+                if explicit is not None:
+                    cap = explicit if cap is None else min(cap, explicit)
+                plan.append(([topic], cap))
         return plan
 
     def start(
@@ -381,10 +409,10 @@ class ConsumerRouter:
         if source_df is not None:
             sources: list[tuple[DataFrame, str]] = [(source_df, "")]
         else:
+            plan = self.source_plan(max_offsets_per_trigger)
+            specific = config.consumer.max_messages_per_specific_topic
             sources = []
-            for i, (topics, limit) in enumerate(
-                self.source_plan(max_offsets_per_trigger)
-            ):
+            for topics, limit in plan:
                 reader = (
                     spark.readStream.format("kafka")
                     .option("kafka.bootstrap.servers", config.host)
@@ -394,8 +422,17 @@ class ConsumerRouter:
                 )
                 if limit is not None:
                     reader = reader.option("maxOffsetsPerTrigger", str(limit))
-                suffix = "shared" if len(topics) > 1 else topics[0]
-                sources.append((reader.load(), f"src-{i}-{suffix}"))
+                # stable checkpoint names: the shared source is always
+                # "shared" (even with one member) and a specific-cap
+                # source is named by its topic — adding/removing OTHER
+                # routes or caps never moves this source's checkpoint.
+                # A single-source plan uses ckpt_root itself, preserving
+                # the pre-multi-source layout on upgrade.
+                suffix = (
+                    "" if len(plan) == 1
+                    else (f"topic-{topics[0]}" if topics[0] in specific else "shared")
+                )
+                sources.append((reader.load(), suffix))
 
         ckpt_root = checkpoint_dir or config.checkpoint_root
         process_batch = self.batch_processor()
@@ -480,6 +517,7 @@ class ConsumerRouter:
                 resolve_app_name(None, config),
                 config.host,
                 list(config.producer.additional_hosts),
+                config.producer.key_column,
             )
             writer_opts = kafka_writer_options(config)
 
@@ -487,7 +525,8 @@ class ConsumerRouter:
                 spark_b = batch_df.sparkSession
                 out_rdd = batch_df.rdd.mapPartitions(dispatcher)
                 emitted = spark_b.createDataFrame(
-                    out_rdd, schema="topic string, value string, hosts string"
+                    out_rdd,
+                    schema="topic string, value string, key string, hosts string",
                 ).persist()  # dispatch runs ONCE; writes reuse the cache
                 try:
                     # handler emits flow out through ONE distributed Kafka
@@ -500,7 +539,7 @@ class ConsumerRouter:
                     for host_set in host_sets:
                         part = emitted.filter(
                             F.col("hosts") == host_set
-                        ).select("topic", "value")
+                        ).select("topic", "value", "key")
                         for host in host_set.split(","):
                             w = part.write.format("kafka").option(
                                 "kafka.bootstrap.servers", host

@@ -145,7 +145,9 @@ def connected_components(
         if changed == 0:
             break
         if (rnd + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint()
+            ckpt = labels.localCheckpoint()  # eager: materializes first
+            labels.unpersist()  # release the pre-checkpoint cached frame
+            labels = ckpt
     return labels
 
 

@@ -98,10 +98,13 @@ def d8_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
              LEAST(1.0, (CAST(n AS DOUBLE) / k) / c) AS rate
       FROM counts CROSS JOIN tot),
     thr AS (
+      -- clamp to 2^32-1: a rate a few ulps under 1.0 can round up to
+      -- exactly 2^32, whose 9-hex-digit form lpad would truncate
       SELECT source, rate,
              CASE WHEN rate >= 1.0 THEN 'g'
-                  ELSE lpad(lower(to_hex(CAST(FLOOR(rate * 4294967296.0)
-                                              AS BIGINT))), 8, '0') END AS h
+                  ELSE lpad(lower(to_hex(LEAST(CAST(FLOOR(rate * 4294967296.0)
+                                               AS BIGINT),
+                                          4294967295))), 8, '0') END AS h
       FROM rates)
     SELECT d.doc_id, d.source, ROUND(thr.rate, 6) AS rate
     FROM documents d JOIN thr ON d.source = thr.source
@@ -137,7 +140,15 @@ def d7_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(
             F.lpad(
                 F.lower(
-                    F.hex(F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint"))
+                    F.hex(
+                        # clamp to 2^32-1 so the hex form stays 8 digits
+                        F.least(
+                            F.floor(
+                                F.col("rate") * F.lit(4294967296.0)
+                            ).cast("bigint"),
+                            F.lit(4294967295),
+                        )
+                    )
                 ),
                 8,
                 "0",
@@ -193,8 +204,11 @@ def d4_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
         # the replacement is DECOMPOSED: 'e' + combining acute U+0301
         F.regexp_replace(F.substring("text", 1, 40), "e", "é"),
     )
-    return d.select(
+    # one UDF invocation; the length derives from the aliased result so
+    # the batch crosses the Arrow boundary once
+    out = d.select("doc_id", nfc("decomposed").alias("norm_prefix"))
+    return out.select(
         "doc_id",
-        nfc("decomposed").alias("norm_prefix"),
-        F.length(nfc("decomposed")).cast("bigint").alias("n_norm_chars"),
+        "norm_prefix",
+        F.length("norm_prefix").cast("bigint").alias("n_norm_chars"),
     )

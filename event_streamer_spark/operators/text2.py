@@ -66,7 +66,10 @@ def d4_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("c").alias("n"),
         F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
     )
-    bg = t.select(
+    # guard: sequence(1, 0) on a 1-token doc would yield the DESCENDING
+    # [1, 0] and fabricate phantom bigrams via concat_ws null-skipping;
+    # docs without bigrams must drop from the inner join like the oracle
+    bg = t.filter(F.size("toks") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(

@@ -80,13 +80,19 @@ def _validate_testing(config: Config) -> None:
         )
 
 
-def normalize_payloads(payloads: Sequence[Output], app_name: str) -> list[Payload]:
+def normalize_payloads(
+    payloads: Sequence[Output],
+    app_name: str,
+    key_column: Optional[str] = None,
+) -> list[Payload]:
     """Envelope-enrich and serialize (reference ``legacy-producer.ts:36-48``).
 
     Key order matters for byte parity: payload keys in insertion order,
     then ``createdAt`` / ``appName`` / ``code`` appended (an existing
     ``createdAt``/``appName`` key keeps its original position and value,
-    matching JS spread semantics).
+    matching JS spread semantics). With ``key_column`` set, the named
+    envelope field is captured alongside the serialized value (as
+    ``"key"``) so downstream Kafka writes don't re-parse the JSON.
     """
     out = []
     for output in payloads:
@@ -107,7 +113,11 @@ def normalize_payloads(payloads: Sequence[Output], app_name: str) -> list[Payloa
                     else output.topic
                 ),
             }
-            messages.append({"value": json.dumps(envelope, separators=(",", ":"))})
+            msg = {"value": json.dumps(envelope, separators=(",", ":"))}
+            if key_column is not None:
+                kv = envelope.get(key_column)
+                msg["key"] = None if kv is None else str(kv)
+            messages.append(msg)
         out.append(Payload(topic=output.topic, messages=messages))
     return out
 
@@ -199,7 +209,9 @@ def emit(
 
     outputs, overwrite_hosts = parse_emit_args(param1, param2, param3)
     validate_outputs(outputs)
-    payloads = normalize_payloads(outputs, app_name)
+    payloads = normalize_payloads(
+        outputs, app_name, config.producer.key_column
+    )
 
     if config.only_testing:
         _emitted_events.extend(payloads)
@@ -246,6 +258,8 @@ def payload_rows(
         for m in p.messages:
             if key_column is None:
                 rows.append((p.topic, m["value"]))
+            elif "key" in m:  # captured at normalize time — no re-parse
+                rows.append((p.topic, m["value"], m["key"]))
             else:
                 key = json.loads(m["value"]).get(key_column)
                 rows.append(

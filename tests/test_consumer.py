@@ -259,6 +259,38 @@ class TestSourcePlan:
         )
         assert self._router().source_plan(7) == [(["a", "hot", "b"], 7)]
 
+    def test_one_by_one_forces_single_source(self):
+        # A15 total order cannot survive concurrent per-source queries
+        set_config(
+            Config(
+                host="h:9092",
+                consumer=ConsumerConfig(
+                    group_id="g",
+                    strategy="one-by-one",
+                    max_messages_per_specific_topic={"hot": 5},
+                ),
+            )
+        )
+        plan = self._router().source_plan()
+        assert plan == [(["a", "hot", "b"], 60)]
+
+    def test_explicit_limit_clamps_specific_sources(self):
+        # an explicit throttle is global: min(specific, explicit), and
+        # 'unlimited' specific caps become the explicit value
+        set_config(
+            Config(
+                host="h:9092",
+                consumer=ConsumerConfig(
+                    group_id="g",
+                    max_messages_per_specific_topic={
+                        "hot": "unlimited", "b": 50,
+                    },
+                ),
+            )
+        )
+        plan = self._router().source_plan(7)
+        assert plan == [(["a"], 7), (["hot"], 7), (["b"], 7)]
+
 
 class TestDispatchMode:
     """A14/A15: 'topic' strategy dispatches on executors when callbacks
@@ -327,10 +359,11 @@ class TestExecutorDispatch:
         )
         rows = batch.rdd.mapPartitions(dispatcher).collect()
         assert len(rows) == 2  # 'other' topic + corrupt row not dispatched
-        vals = sorted(json.loads(v)["v"] for _, v, _ in rows)
+        vals = sorted(json.loads(v)["v"] for _, v, _, _ in rows)
         assert vals == [6, 10]
-        for topic, value, hosts in rows:
+        for topic, value, key, hosts in rows:
             assert topic == "out-topic" and hosts == "h:9092"
+            assert key is None  # no key_column configured
             env = json.loads(value)
             assert env["appName"] == "app" and env["code"] == "OutTopic"
 
