@@ -449,6 +449,12 @@ class ConsumerRouter:
                 select_cols = [
                     F.col("topic"), F.col("value").cast("string").alias("value")
                 ]
+            if schema is not None:
+                # A3 at the source: with a declared schema, corrupt rows
+                # drop JVM-side before dispatch ever sees them
+                from event_streamer_spark.envelope import drop_corrupt
+
+                src = drop_corrupt(src, schema)
             writer = src.select(*select_cols).writeStream.foreachBatch(
                 process_batch
             )

@@ -112,6 +112,36 @@ def serialize(df: DataFrame, value_col: str = "value") -> DataFrame:
     return df.select(F.to_json(F.struct(*df.columns)).alias(value_col))
 
 
+def drop_corrupt(
+    df: DataFrame, schema: Union[StructType, str], value_col: str = "value"
+) -> DataFrame:
+    """Filter out rows whose ``value`` doesn't parse under ``schema``,
+    keeping the ORIGINAL columns (A3 for dispatch paths that re-parse
+    row-side). Same PERMISSIVE + corrupt-column trick as
+    :func:`parse_stream` — ``from_json`` alone maps non-object JSON to
+    an all-null struct instead of NULL, which a bare isNotNull misses.
+    """
+    if isinstance(schema, StructType):
+        schema_ddl = schema.simpleString()[len("struct<") : -1].replace(":", " ")
+    else:
+        schema_ddl = schema
+    full_schema = f"{schema_ddl}, __corrupt string"
+    return (
+        df.withColumn(
+            "__parsed",
+            F.from_json(
+                F.col(value_col).cast("string"),
+                full_schema,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "__corrupt"},
+            ),
+        )
+        .filter(
+            F.col("__parsed").isNotNull() & F.col("__parsed.__corrupt").isNull()
+        )
+        .drop("__parsed")
+    )
+
+
 def parse_stream(
     df: DataFrame,
     schema: Union[StructType, str],

@@ -1,0 +1,134 @@
+"""Event analytics (SURVEY §2 extension): funnels and retention cohorts.
+
+The workloads an event-streaming consumer feeds downstream — conversion
+funnels (did the user purchase within N days of signup?) and cohort
+retention (of the users who signed up in week W, how many were active
+in week W+k?). Both are pure relational compositions: window functions
+and keyed joins, no UDFs, no driver state.
+
+Scale posture: everything shuffles on ``user_id`` or the cohort bucket —
+high-cardinality, skew bounded by events-per-user; aggregations are
+partial before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_streamer_spark.operators.registry import fmt_ts, query
+from event_streamer_spark.tables import load
+
+_FUNNEL_WINDOW_DAYS = 7
+
+
+@query(
+    "b32_funnel",
+    oracle=f"""
+    WITH first_signup AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    first_purchase AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN first_signup s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id)
+    SELECT s.user_id,
+           strftime(s.signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+           strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') AS first_purchase_ts,
+           CAST(p.purchase_ts IS NOT NULL
+                AND p.purchase_ts <= s.signup_ts
+                    + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+                AS BOOLEAN) AS converted
+    FROM first_signup s LEFT JOIN first_purchase p ON s.user_id = p.user_id
+    """,
+)
+def b32_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """B32: two-step conversion funnel — per signed-up user, the first
+    purchase at-or-after signup and whether it lands inside the 7-day
+    conversion window.
+
+    Two keyed aggregations (first signup, first qualifying purchase) and
+    one left join, all partitioned on user_id; min() makes the result
+    order-insensitive, and the window predicate is a plain column
+    expression. The purchase aggregation joins the signup side first so
+    pre-signup purchases never count — same semantics as the oracle's
+    correlated MIN.
+    """
+    e = load(spark, sf, "events")
+    first_signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    first_purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_signup, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    joined = first_signup.join(first_purchase, "user_id", "left")
+    converted = F.col("purchase_ts").isNotNull() & (
+        F.col("purchase_ts")
+        <= F.col("signup_ts") + F.expr(f"INTERVAL {_FUNNEL_WINDOW_DAYS} DAYS")
+    )
+    return joined.select(
+        "user_id",
+        fmt_ts("signup_ts", "signup_ts"),
+        fmt_ts("purchase_ts", "first_purchase_ts"),
+        converted.alias("converted"),
+    )
+
+
+@query(
+    "b33_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week,
+                                  date_trunc('week', e.ts)) / 7) AS BIGINT)
+               AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           COUNT(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def b33_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """B33: weekly retention cohorts — users bucketed by first-seen week;
+    for each (cohort, week-offset) the count of users active that week.
+
+    first-seen is one keyed aggregation; the activity join is on
+    user_id (broadcast-eligible cohort side at real scale since it is
+    one row per user); the final count groups on the low-cardinality
+    (cohort_week, week_offset) pair AFTER a distinct that still carries
+    user_id — partial aggregation keeps the exchange small.
+    """
+    e = load(spark, sf, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))

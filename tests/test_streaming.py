@@ -312,3 +312,42 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == ev.count() == n_first
     assert final.select("event_id").distinct().count() == ev.count()
+
+
+def test_router_start_schema_drops_corrupt_jvm_side(spark, tmp_path):
+    """A3: with a declared schema, corrupt AND non-object values drop in
+    the JVM filter before dispatch (the all-null-struct from_json trap
+    is covered by the PERMISSIVE corrupt column)."""
+    import json as _json
+
+    from event_streamer_spark.config import Config, ConsumerConfig, set_config
+    from event_streamer_spark.consumer import ConsumerRouter
+
+    set_config(
+        Config(
+            host="h",
+            app_name="t",
+            only_testing=False,
+            consumer=ConsumerConfig(group_id="g", dispatch="driver"),
+        )
+    )
+    rows = (
+        [("topic-a", _json.dumps({"code": "EvA", "v": i})) for i in range(3)]
+        + [("topic-a", "{corrupt"), ("topic-a", "[1,2]"), ("topic-a", "7")]
+    )
+    src_dir = str(tmp_path / "msgs2")
+    spark.createDataFrame(rows, "topic string, value string").write.parquet(src_dir)
+
+    hits = []
+    router = ConsumerRouter()
+    router.add("topic-a", lambda c, e: hits.append(c))  # catch-all route
+
+    stream = read_file_stream(spark, src_dir)
+    queries = router.start(spark, source_df=stream, schema="code string, v int")
+    for q in queries:
+        q.processAllAvailable()
+    router.stop()
+    # only the 3 schema-valid objects reach dispatch — the non-object
+    # JSON values ([1,2], 7) that get_parsed_json would forward are
+    # already gone at the source filter
+    assert sorted(h["v"] for h in hits) == [0, 1, 2]
