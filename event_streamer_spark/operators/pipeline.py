@@ -212,3 +212,72 @@ def d4_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
         "norm_prefix",
         F.length("norm_prefix").cast("bigint").alias("n_norm_chars"),
     )
+
+
+_PACK_BUDGET = 512  # tokens per packed training sequence
+_PACK_RANGE = 1000  # doc_ids per prefix-sum range (bounds window size)
+
+
+@query(
+    "d9_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS prefix
+      FROM t)
+    SELECT doc_id, n_tokens,
+           CAST(prefix // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+           CAST(prefix % {_PACK_BUDGET} AS BIGINT) AS bin_offset
+    FROM c
+    """,
+)
+def d9_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """D9: sequence packing — concatenate the doc stream in doc_id order
+    and chunk it into {512}-token training sequences; each doc gets the
+    bin it starts in and its token offset within that bin (concat-and-
+    chunk packing, the standard pretraining batch-prep step).
+
+    The exclusive prefix sum is computed as a DISTRIBUTED two-level
+    scan, not a single-partition global window: docs cumsum within
+    bounded ranges (window over doc_id ÷ {1000}), range totals form a
+    tiny table whose own cumsum is the per-range base offset, joined
+    back broadcast. Every big stage partitions on the range key; the
+    only ordered window over the full corpus runs on the ranges table
+    (n/{1000} rows — model-state-sized). Integer arithmetic end-to-end,
+    so the two-level decomposition is exactly the oracle's global scan.
+    """
+    from pyspark.sql import Window
+
+    t = load(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") / _PACK_RANGE).cast("bigint").alias("rng"),
+    )
+    in_range = Window.partitionBy("rng").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    within = t.withColumn(
+        "local_prefix", F.sum("n_tokens").over(in_range) - F.col("n_tokens")
+    )
+    range_totals = t.groupBy("rng").agg(F.sum("n_tokens").alias("rt"))
+    over_ranges = Window.orderBy("rng").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bases = range_totals.withColumn(
+        "base", F.sum("rt").over(over_ranges) - F.col("rt")
+    ).select("rng", "base")
+    packed = within.join(F.broadcast(bases), "rng").withColumn(
+        "prefix", F.col("base") + F.col("local_prefix")
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("prefix") / _PACK_BUDGET).cast("bigint").alias("bin_id"),
+        (F.col("prefix") % _PACK_BUDGET).cast("bigint").alias("bin_offset"),
+    )
