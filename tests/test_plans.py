@@ -112,3 +112,34 @@ def test_tfidf_partial_aggregation(spark):
     """Term counts must partial-aggregate map-side before the exchange."""
     plan = plan_of(spark, "d4_tfidf_topk")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_sequence_pack_distributed_prefix_sum(spark):
+    """d9's big-table window must be partitioned (rng) and the range-base
+    join broadcast — the global ordered window runs only on the tiny
+    ranges table, never the corpus."""
+    plan = plan_of(spark, "d9_sequence_pack")
+    assert "BroadcastHashJoin" in plan
+    # the corpus-side window's spec partitions on rng: its
+    # windowspecdefinition lists (rng, doc_id ASC); the unpartitioned
+    # global cumsum spec — windowspecdefinition(rng ASC ...) with no
+    # partition column — may appear ONLY on the tiny ranges aggregate
+    assert "windowspecdefinition(rng#" in plan.replace("\n", " ")
+    corpus_window = [
+        l for l in plan.splitlines()
+        if "windowspecdefinition" in l and "doc_id" in l
+    ]
+    assert corpus_window and all(", doc_id#" in l for l in corpus_window)
+
+
+def test_funnel_no_cartesian(spark):
+    plan = plan_of(spark, "b32_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial aggs
+
+
+def test_decontaminate_partial_aggregation(spark):
+    plan = plan_of(spark, "d8_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
