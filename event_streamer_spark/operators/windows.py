@@ -128,3 +128,60 @@ def c5_dedup_first(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", F.col("event_id").alias("first_event"))
     )
+
+
+@query(
+    "c3_dynamic_session",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             ts + CASE WHEN event_type = 'purchase'
+                       THEN INTERVAL 10 MINUTE
+                       ELSE INTERVAL 5 MINUTE END AS ev_end
+      FROM events),
+    m AS (
+      SELECT user_id, ts, event_id, ev_end,
+             MAX(ev_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_end
+      FROM g),
+    s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END
+               AS new_s
+      FROM m),
+    i AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS cnt
+    FROM i GROUP BY user_id, sid
+    """,
+)
+def c3_dynamic_session(spark: SparkSession, sf: str) -> DataFrame:
+    """C3+: session windows with a DYNAMIC per-event gap — purchases hold
+    the session open 10 minutes, everything else 5. Spark's
+    ``session_window(ts, gap_expr)`` merges overlapping [ts, ts+gap)
+    windows; the oracle is the running-max gaps-and-islands rewrite
+    (new session when ts >= max of all previous event-ends). Same
+    expression works unchanged under Structured Streaming
+    (``streaming.ops.session_agg`` accepts the same gap expression).
+    """
+    e = load(spark, sf, "events")
+    # session_window wants CalendarIntervalType — interval literals parse
+    # as DayTimeIntervalType, so route through string interval values
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("10 minutes")
+    ).otherwise(F.lit("5 minutes"))
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "cnt",
+        )
+    )

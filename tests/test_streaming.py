@@ -351,3 +351,46 @@ def test_router_start_schema_drops_corrupt_jvm_side(spark, tmp_path):
     # JSON values ([1,2], 7) that get_parsed_json would forward are
     # already gone at the source filter
     assert sorted(h["v"] for h in hits) == [0, 1, 2]
+
+
+def test_streaming_dynamic_gap_session(spark, tmp_path):
+    """C3+: the dynamic-gap session expression runs unchanged under
+    Structured Streaming and matches the batch result."""
+    from event_streamer_spark.operators.windows import c3_dynamic_session
+    from event_streamer_spark.streaming.ops import session_agg
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r["user_id"], r["session_start"]): r["cnt"]
+        for r in c3_dynamic_session(spark, sf).collect()
+    }
+
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("10 minutes")
+    ).otherwise(F.lit("5 minutes"))
+    stream = _events_stream(spark)  # micros copy (raw file is nanos)
+    sessions = session_agg(
+        stream, "ts", gap, [F.count(F.lit(1)).alias("cnt")], keys=["user_id"]
+    )
+    out = str(tmp_path / "dyn_sessions")
+    q = (
+        sessions.select(
+            "user_id",
+            F.date_format("session.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "cnt",
+        )
+        .writeStream.format("memory")
+        .queryName("dyn_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM dyn_sessions").collect()
+    }
+    assert got == batch
