@@ -489,3 +489,73 @@ def b21_regexp_extract(spark: SparkSession, sf: str) -> DataFrame:
             "novowel_len"
         ),
     )
+
+
+@query(
+    "b17_range_frame",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, value,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+      FROM events)
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_30m,
+           ROUND(SUM(value) OVER w, 4) AS sum_30m
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+    """,
+)
+def b17_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """B17+: RANGE (time-interval) window frame — per user, the trailing
+    30-minute event count and value sum at each event. RANGE frames
+    include every tied order value, so the result is order-insensitive
+    without a tiebreaker; epoch seconds are floored identically on both
+    engines. One shuffle on user_id + an in-partition sort — the moving
+    aggregate itself is O(n) via Spark's sliding frame machinery.
+    """
+    e = load(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_30m"),
+        F.round(F.sum("value").over(w), 4).alias("sum_30m"),
+    )
+
+
+@query(
+    "b34_histogram",
+    oracle="""
+    SELECT CAST(LEAST(GREATEST(FLOOR(value / 20), 0), 9) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 4) AS lo,
+           ROUND(MAX(value), 4) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def b34_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """B34: fixed-width histogram of the event value distribution —
+    10 clamped 20-unit buckets with per-bucket count and min/max.
+    Pure keyed aggregation: partial map-side combine, 10-row result."""
+    e = load(spark, sf, "events")
+    bucket = (
+        F.least(F.greatest(F.floor(F.col("value") / 20), F.lit(0)), F.lit(9))
+        .cast("bigint")
+        .alias("bucket")
+    )
+    return e.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
