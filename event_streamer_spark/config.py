@@ -81,6 +81,12 @@ class Config:
     # Reference numeric levels (Debug.TRACE=0 … NONE=6); unset or False →
     # silent, matching ``config.debug?: false | Debug`` semantics.
     debug: Union[int, bool, None] = None
+    # Reference ``kafkaJSLogs`` (``interfaces/index.ts:42``; default
+    # logLevel.NOTHING, ``constants/index.ts:20``): verbosity of the
+    # Kafka CLIENT's own logs. kafkajs numerics (NOTHING=0, ERROR=1,
+    # WARN=2, INFO=4, DEBUG=5); applied to the JVM ``org.apache.kafka``
+    # loggers when a Kafka source/sink starts (debug.apply_kafka_log_level).
+    kafka_js_logs: int = 0
     only_testing: bool = False
     # Reference parity: legacy-API deprecation warnings (the reference
     # warns on emit()/ConsumerRouter pointing at a schema-registry

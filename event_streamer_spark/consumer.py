@@ -409,6 +409,9 @@ class ConsumerRouter:
         if source_df is not None:
             sources: list[tuple[DataFrame, str]] = [(source_df, "")]
         else:
+            from event_streamer_spark.debug import apply_kafka_log_level
+
+            apply_kafka_log_level(spark, config.kafka_js_logs)
             plan = self.source_plan(max_offsets_per_trigger)
             specific = config.consumer.max_messages_per_specific_topic
             sources = []

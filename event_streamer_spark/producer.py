@@ -283,6 +283,9 @@ def _send_to_kafka(payloads: list[Payload], hosts: list[str], config: Config) ->
     if spark is None:
         raise RuntimeError("emit() outside only_testing requires an active SparkSession")
 
+    from event_streamer_spark.debug import apply_kafka_log_level
+
+    apply_kafka_log_level(spark, config.kafka_js_logs)
     key_column = config.producer.key_column
     rows = payload_rows(payloads, key_column)
     schema = "topic string, value string" + (

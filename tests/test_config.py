@@ -104,3 +104,40 @@ class TestDebugLevels:
         assert caplog.text.strip() == "" or not any(
             m in caplog.text for m in ("a", "b", "c")
         )
+
+
+class TestKafkaJSLogs:
+    """Reference ``kafkaJSLogs`` parity (``interfaces/index.ts:42``,
+    default logLevel.NOTHING ``constants/index.ts:20``; passed to the
+    client at ``legacy-producer.ts:101`` / ``legacy-consumer.ts:145``)."""
+
+    def test_default_is_nothing(self):
+        from event_streamer_spark.config import Config
+
+        assert Config(host="h").kafka_js_logs == 0
+
+    def test_kafkajs_numeric_mapping(self):
+        from event_streamer_spark.debug import kafka_log4j_level
+
+        assert kafka_log4j_level(0) == "OFF"
+        assert kafka_log4j_level(1) == "ERROR"
+        assert kafka_log4j_level(2) == "WARN"
+        assert kafka_log4j_level(4) == "INFO"
+        assert kafka_log4j_level(5) == "DEBUG"
+
+    def test_unknown_level_raises(self):
+        import pytest
+
+        from event_streamer_spark.debug import kafka_log4j_level
+
+        with pytest.raises(ValueError):
+            kafka_log4j_level(3)  # kafkajs has no level 3
+
+    def test_apply_sets_jvm_logger(self, spark):
+        from event_streamer_spark.debug import apply_kafka_log_level
+
+        # Best-effort contract: True when the log4j2 Configurator is
+        # reachable (it is in this container's Spark 4 JVM), and the
+        # call never raises regardless.
+        assert apply_kafka_log_level(spark, 1) is True
+        assert apply_kafka_log_level(spark, 0) is True
