@@ -213,3 +213,87 @@ def d1_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+@query(
+    "d4_bm25_search",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    d AS (
+      SELECT doc_id, len(toks) AS dl,
+             len(list_filter(toks, x -> x = 'spark'))  AS tf1,
+             len(list_filter(toks, x -> x = 'merge'))  AS tf2,
+             len(list_filter(toks, x -> x = 'window')) AS tf3
+      FROM t),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+             SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+      FROM d)
+    SELECT doc_id,
+           ROUND(
+             (ln(((n - df1 + 0.5) / (df1 + 0.5)) + 1) * (tf1 * 2.2))
+               / (tf1 + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+           + (ln(((n - df2 + 0.5) / (df2 + 0.5)) + 1) * (tf2 * 2.2))
+               / (tf2 + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+           + (ln(((n - df3 + 0.5) / (df3 + 0.5)) + 1) * (tf3 * 2.2))
+               / (tf3 + 1.2 * (0.25 + 0.75 * (dl / avgdl))), 6) AS bm25
+    FROM d CROSS JOIN stats
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def d4_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: BM25 keyword retrieval (Robertson/Sparck Jones; k1=1.2, b=0.75)
+    for a fixed 3-term query over the corpus, top-20 by score.
+
+    Scale: per-doc term frequencies are pure array expressions (no
+    explode — the per-term `filter(toks, ...)` runs inside codegen);
+    corpus statistics (N, avgdl, per-term df) are ONE 1-row partial
+    aggregate broadcast back, so the whole query is scan → 1-row agg →
+    broadcast join → TakeOrderedAndProject. No vocabulary-sized shuffle
+    at all — this is the cheap keyword-search path next to d4_tfidf_topk.
+
+    Determinism: tf/df/dl/N are exact integers; the float expression is
+    written with identical association on both engines, and ln() on the
+    same libm — bit-stable, so ROUND(...,6) matches the oracle.
+    """
+    terms = ["spark", "merge", "window"]
+    t = load(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+
+    def tf(trm: str) -> F.Column:
+        # single-param lambda: a 2-param one is read as (element, index)
+        return F.size(F.filter("toks", lambda x: x == F.lit(trm)))
+
+    d = t.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[tf(trm).alias(f"tf{i+1}") for i, trm in enumerate(terms)],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i+1}") > 0).cast("int")).alias(f"df{i+1}")
+            for i in range(len(terms))
+        ],
+    )
+
+    def contrib(i: int) -> F.Column:
+        tf = F.col(f"tf{i}")
+        df = F.col(f"df{i}")
+        idf = F.log(((F.col("n") - df + 0.5) / (df + 0.5)) + 1)
+        denom = tf + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl")))
+        return (idf * (tf * 2.2)) / denom
+
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(contrib(1) + contrib(2) + contrib(3), 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
