@@ -27,17 +27,23 @@ TABLES = (
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) — illegal for Spark's parquet reader.
-        # Read nanos as long, then floor-truncate to microseconds (identical
-        # to DuckDB's nanos→micros truncation).
+        # events.ts encoding varies by generator version: TIMESTAMP(NANOS)
+        # (illegal for Spark's parquet reader — read as long and truncate to
+        # micros, matching DuckDB's nanos→micros truncation) or
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ —
+        # cast to TIMESTAMP; session TZ is UTC so values are identical and
+        # event-time ops like withWatermark accept the column).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
             )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
