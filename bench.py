@@ -71,23 +71,40 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — warm-up must not gate
                 print(f"# warm-up {name} failed: {exc}", file=sys.stderr)
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
+    # cold/warm split: pass 1 at the target SF is "cold" (first at-scale
+    # run: real scan + codegen for these plan shapes); the min over the
+    # remaining passes is "warm" (steady-state, and min is robust to
+    # ambient sandbox load — the r3 bench swung 3× on load alone).
+    repeats = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    for rep in range(repeats):
+        for name in HEADLINE:
+            fn = REGISTRY[name].fn
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = round(time.time() - t0, 3)
+            if rep == 0:
+                cold[name] = dt
+            else:
+                warm[name] = min(warm.get(name, dt), dt)
+            print(
+                f"# pass{rep} {name}: {dt:.2f}s ({n} rows)", file=sys.stderr
+            )
 
-    total = round(sum(times.values()), 3)
+    warm_total = round(sum(warm.values()), 3)
+    cold_total = round(sum(cold.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": total,
+                "value": warm_total,
                 "unit": "sec",
-                "queries": times,
+                "queries": warm,
+                "cold": {"total_sec": cold_total, "queries": cold},
+                "warm": {"total_sec": warm_total, "queries": warm},
+                "repeats": repeats,
                 "sf": sf,
             }
         )

@@ -55,13 +55,16 @@ class ConsumerConfig:
 
     group_id: str = ""
     strategy: Literal["topic", "one-by-one"] = DEFAULT_STRATEGY
-    # Where 'topic'-strategy callbacks execute (engine extension):
-    # 'auto' → executors when every callback cloudpickles (scales with
-    # the cluster; callbacks must not mutate driver-process state —
-    # side effects go through emit or external systems), falling back
-    # to the driver otherwise; 'driver'/'executor' force a mode
-    # ('executor' raises if a callback can't serialize).
-    dispatch: Literal["auto", "driver", "executor"] = "auto"
+    # Where 'topic'-strategy callbacks execute (engine extension).
+    # Default 'driver' preserves the reference's single-process handler
+    # semantics (``legacy-consumer.ts:89-115``): callbacks may close over
+    # and mutate driver-side state and their side effects are observed.
+    # Opt-in 'executor' ships serializable callbacks to workers (scales
+    # with the cluster; side effects MUST flow through emit or external
+    # systems — driver-memory mutations are silently lost) and raises if
+    # a callback can't cloudpickle; 'auto' picks executor when every
+    # callback serializes, warning loudly, else falls back to driver.
+    dispatch: Literal["auto", "driver", "executor"] = "driver"
     max_messages_per_topic: Union[int, Literal["unlimited"]] = (
         DEFAULT_MAX_MESSAGES_PER_TOPIC
     )

@@ -371,6 +371,55 @@ class ConsumerRouter:
                 plan.append(([topic], cap))
         return plan
 
+    def kafka_sources_spec(
+        self, max_offsets_per_trigger: Optional[int] = None
+    ) -> list[tuple[dict, str]]:
+        """Resolve :meth:`source_plan` into concrete Kafka reader options.
+
+        Returns ``[(options, suffix)]`` — one entry per streaming source.
+        Durability contract (at-least-once, reference
+        ``legacy-consumer.ts:110-113``):
+
+        * **Distinct consumer groups.** Each source sets its own
+          ``kafka.group.id``: the shared source uses the configured
+          ``group_id`` verbatim; every specific-cap source appends its
+          suffix (``g-topic-hot``). Concurrent queries never join one
+          group, so they never trigger mutual rebalances.
+        * **Stable checkpoint identity.** ``suffix`` names the source's
+          checkpoint subdirectory and is a pure function of the source's
+          ROLE, never of plan shape: the shared source is always
+          ``"shared"`` (even when it is the only source) and a
+          specific-cap source is always ``"topic-<name>"``. Adding or
+          removing other routes/caps therefore never relocates an
+          existing source's checkpoint — no silent offset loss under
+          ``startingOffsets=latest``.
+        """
+        config = get_config()
+        plan = self.source_plan(max_offsets_per_trigger)
+        specific = config.consumer.max_messages_per_specific_topic
+        one_by_one = config.consumer.strategy == "one-by-one"
+        specs: list[tuple[dict, str]] = []
+        for topics, limit in plan:
+            is_specific = (
+                not one_by_one and len(topics) == 1 and topics[0] in specific
+            )
+            suffix = f"topic-{topics[0]}" if is_specific else "shared"
+            group_id = (
+                f"{config.consumer.group_id}-{suffix}"
+                if is_specific
+                else config.consumer.group_id
+            )
+            options = {
+                "kafka.bootstrap.servers": config.host,
+                "subscribe": ",".join(topics),
+                "kafka.group.id": group_id,
+                "startingOffsets": "latest",
+            }
+            if limit is not None:
+                options["maxOffsetsPerTrigger"] = str(limit)
+            specs.append((options, suffix))
+        return specs
+
     def start(
         self,
         spark: Optional[SparkSession] = None,
@@ -412,29 +461,11 @@ class ConsumerRouter:
             from event_streamer_spark.debug import apply_kafka_log_level
 
             apply_kafka_log_level(spark, config.kafka_js_logs)
-            plan = self.source_plan(max_offsets_per_trigger)
-            specific = config.consumer.max_messages_per_specific_topic
             sources = []
-            for topics, limit in plan:
-                reader = (
-                    spark.readStream.format("kafka")
-                    .option("kafka.bootstrap.servers", config.host)
-                    .option("subscribe", ",".join(topics))
-                    .option("kafka.group.id", config.consumer.group_id)
-                    .option("startingOffsets", "latest")
-                )
-                if limit is not None:
-                    reader = reader.option("maxOffsetsPerTrigger", str(limit))
-                # stable checkpoint names: the shared source is always
-                # "shared" (even with one member) and a specific-cap
-                # source is named by its topic — adding/removing OTHER
-                # routes or caps never moves this source's checkpoint.
-                # A single-source plan uses ckpt_root itself, preserving
-                # the pre-multi-source layout on upgrade.
-                suffix = (
-                    "" if len(plan) == 1
-                    else (f"topic-{topics[0]}" if topics[0] in specific else "shared")
-                )
+            for options, suffix in self.kafka_sources_spec(max_offsets_per_trigger):
+                reader = spark.readStream.format("kafka")
+                for opt, val in options.items():
+                    reader = reader.option(opt, val)
                 sources.append((reader.load(), suffix))
 
         ckpt_root = checkpoint_dir or config.checkpoint_root
@@ -481,13 +512,15 @@ class ConsumerRouter:
           Unpicklable callbacks (closures over sockets etc.) fall back
           to driver dispatch with a warning.
 
-        ``config.consumer.dispatch`` overrides: ``'driver'`` keeps the
-        single-process reference execution model (callbacks may mutate
-        driver state — the semantics closures-over-lists expect);
-        ``'executor'`` requires serializable callbacks and raises
-        otherwise. Executor-mode callbacks run in worker processes:
-        their side effects must flow through ``emit`` or external
-        systems, never driver memory.
+        ``config.consumer.dispatch`` selects the mode: the default
+        ``'driver'`` keeps the single-process reference execution model
+        (callbacks may mutate driver state — the semantics
+        closures-over-lists expect); opt-in ``'executor'`` requires
+        serializable callbacks and raises otherwise; ``'auto'`` picks
+        executor mode when every callback pickles, warning loudly that
+        driver-memory side effects will be lost there. Executor-mode
+        callbacks run in worker processes: their side effects must flow
+        through ``emit`` or external systems, never driver memory.
         """
         config = get_config()
         strategy = config.consumer.strategy
@@ -508,6 +541,13 @@ class ConsumerRouter:
             try:
                 cloudpickle.dumps(route_specs)
                 serializable = route_specs
+                if dispatch_cfg == "auto":
+                    logger.warning(
+                        "consumer.dispatch='auto' selected EXECUTOR dispatch: "
+                        "callbacks run in worker processes; mutations of "
+                        "driver-side state will be lost. Set "
+                        "dispatch='driver' for single-process semantics."
+                    )
             except Exception:  # noqa: BLE001 — fall back to driver dispatch
                 if dispatch_cfg == "executor":
                     raise ValueError(

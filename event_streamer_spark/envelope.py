@@ -112,6 +112,25 @@ def serialize(df: DataFrame, value_col: str = "value") -> DataFrame:
     return df.select(F.to_json(F.struct(*df.columns)).alias(value_col))
 
 
+def _with_corrupt_field(
+    schema: Union[StructType, str]
+) -> Union[StructType, str]:
+    """Append the PERMISSIVE corrupt-record column to a user schema.
+
+    A ``StructType`` is extended STRUCTURALLY — no DDL round-trip, so
+    field names containing ``:`` (or anything else ``simpleString()``
+    can't re-parse) survive intact. A DDL string gets the column
+    appended textually.
+    """
+    from pyspark.sql.types import StringType, StructField
+
+    if isinstance(schema, StructType):
+        return StructType(
+            list(schema.fields) + [StructField("__corrupt", StringType())]
+        )
+    return f"{schema}, __corrupt string"
+
+
 def drop_corrupt(
     df: DataFrame, schema: Union[StructType, str], value_col: str = "value"
 ) -> DataFrame:
@@ -121,11 +140,7 @@ def drop_corrupt(
     :func:`parse_stream` — ``from_json`` alone maps non-object JSON to
     an all-null struct instead of NULL, which a bare isNotNull misses.
     """
-    if isinstance(schema, StructType):
-        schema_ddl = schema.simpleString()[len("struct<") : -1].replace(":", " ")
-    else:
-        schema_ddl = schema
-    full_schema = f"{schema_ddl}, __corrupt string"
+    full_schema = _with_corrupt_field(schema)
     return (
         df.withColumn(
             "__parsed",
@@ -155,14 +170,10 @@ def parse_stream(
     ``getParsedJson() == null`` skip. Kept narrow: no shuffle, fully
     codegen'd, pushdown-friendly.
     """
-    if isinstance(schema, StructType):
-        schema_ddl = schema.simpleString()[len("struct<") : -1].replace(":", " ")
-    else:
-        schema_ddl = schema
     # PERMISSIVE mode routes malformed input (including non-object JSON,
     # which from_json otherwise maps to an all-null struct) into the
     # corrupt-record column, which we then require to be NULL.
-    full_schema = f"{schema_ddl}, __corrupt string"
+    full_schema = _with_corrupt_field(schema)
     parsed = df.withColumn(
         "__parsed",
         F.from_json(

@@ -132,3 +132,72 @@ def b33_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         "week_offset",
     ).agg(F.count(F.lit(1)).alias("n_active_users"))
+
+
+@query(
+    "b33_retention_cohorts_salted",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week,
+                                  date_trunc('week', e.ts)) / 7) AS BIGINT)
+               AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           COUNT(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def b33_retention_cohorts_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """B33 (skew-hardened variant): identical semantics and oracle as
+    ``b33_retention_cohorts`` — the hash-gate IS the equivalence proof —
+    but every skew-prone stage is salted for hot keys:
+
+    * the events⨝first_seen join goes through ``skew.salted_join`` (a
+      celebrity user's rows split across 8 salt buckets instead of one
+      hot join partition);
+    * the final count groups on low-cardinality (cohort_week,
+      week_offset) — hot by definition — so it runs as a two-phase
+      aggregate: per-(key, salt) partials from a deterministic
+      ``crc32(user_id) % 16`` salt, then the tiny re-aggregate.
+
+    This is the plan shape a 100 TB event log with power-law users
+    actually needs; the unsalted variant relies on AQE skew handling.
+    """
+    from event_streamer_spark.skew import salted_join
+
+    e = load(spark, sf, "events").select("user_id", "ts")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        salted_join(e, first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    partials = (
+        activity.withColumn("__salt", F.crc32(F.col("user_id").cast("string")) % 16)
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "__salt",
+        )
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return partials.groupBy("cohort_week", "week_offset").agg(
+        F.sum("__partial").alias("n_active_users")
+    )

@@ -28,21 +28,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from event_streamer_spark.operators.dedup import d2_ngram_jaccard
+from event_streamer_spark.operators.dedup import d2_ngram_jaccard, shingle_ctes
 from event_streamer_spark.operators.registry import query
 from event_streamer_spark.tables import load
 
 _CLUSTER_THRESHOLD = 0.3
 
-# Jaccard-pair CTE chain shared by both oracles (same shingle/threshold
-# semantics as d2_ngram_jaccard's oracle, pinned at >= 0.3 on the
-# 6-decimal-rounded score so both engines cut at identical values).
+# Jaccard-pair CTE chain shared by both oracles (same DF-capped shingle
+# and threshold semantics as d2_ngram_jaccard's oracle, pinned at >= 0.3
+# on the 6-decimal-rounded score so both engines cut at identical values).
 _PAIRS_CTES = f"""
-    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-      FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i)),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    {shingle_ctes()},
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

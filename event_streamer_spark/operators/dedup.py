@@ -72,14 +72,66 @@ def d1_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "d2_ngram_jaccard",
-    oracle="""
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
+# Shingle document-frequency cap (standard MinHash practice): a shingle
+# appearing in more than this many documents is boilerplate, carries no
+# dedup signal, and — crucially — is a quadratic hot key in the shingle
+# self-join (one shingle in K docs → K² candidate pairs on ONE join
+# key). Dropping it from the representation (sizes AND intersection, so
+# Jaccard stays internally consistent) bounds every join key to
+# ≤ _MAX_SHINGLE_DF rows. Applied identically in the DuckDB oracles.
+_MAX_SHINGLE_DF = 256
+
+
+def shingle_ctes(max_df: int = _MAX_SHINGLE_DF) -> str:
+    """DuckDB CTE chain producing the capped shingle set ``sh(doc_id, s)``
+    plus per-doc sizes — shared by the Jaccard and clustering oracles so
+    both engines cut hot shingles at the identical threshold."""
+    return f"""
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh_all AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i)),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    hot AS (SELECT s FROM sh_all GROUP BY s HAVING COUNT(*) > {max_df}),
+    sh AS (
+      SELECT a.doc_id, a.s FROM sh_all a
+      WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.s = a.s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
+
+
+def shingle_sets(docs: DataFrame, max_df: int = _MAX_SHINGLE_DF) -> DataFrame:
+    """Distinct 3-gram shingles per document with the DF cap applied.
+
+    ``docs(doc_id, text)`` → ``(doc_id, s)``. The hot-shingle list is
+    tiny (only shingles with df > max_df) so the anti-join broadcasts;
+    after it, no shingle key carries more than ``max_df`` rows into any
+    downstream self-join.
+    """
+    d = docs.withColumn("t", F.split("text", " "))
+    shingles = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    hot = (
+        shingles.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("s")
+    )
+    return shingles.join(F.broadcast(hot), "s", "left_anti")
+
+
+@query(
+    "d2_ngram_jaccard",
+    oracle=f"""
+    WITH {shingle_ctes()},
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -93,26 +145,16 @@ def d1_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def d2_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """D2 (exact path): 3-gram shingle Jaccard similarity ≥ 0.1.
+    """D2 (exact path): 3-gram shingle Jaccard similarity ≥ 0.1, over the
+    DF-capped shingle representation (see :data:`_MAX_SHINGLE_DF`).
 
     Pure DataFrame composition: shingle (sequence+transform), explode,
-    self-join on shingle, pair-count aggregation. At 100 TB this exact
-    join runs only on LSH candidate pairs (see d2_minhash_lsh); standalone
-    it is the semantic oracle.
+    DF cap (broadcast anti-join), self-join on shingle, pair-count
+    aggregation. The cap bounds every self-join key to ≤ 256 rows, so
+    no boilerplate trigram can go quadratic; at 100 TB this exact join
+    additionally runs only on LSH candidate pairs (see d2_minhash_lsh).
     """
-    d = load(spark, sf, "documents").withColumn("t", F.split("text", " "))
-    shingles = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 2),"
-                    " i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
-                )
-            ).alias("s"),
-        )
-        .distinct()
-    )
+    shingles = shingle_sets(load(spark, sf, "documents"))
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")

@@ -524,24 +524,49 @@ def b14_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def b15_window_rank(spark: SparkSession, sf: str) -> DataFrame:
-    """B15: ranking windows; rank/dense_rank over a tied ordering are
-    deterministic, row_number/ntile get a unique tiebreak ordering."""
-    li = load(spark, sf, "lineitem")
-    w_unique = Window.partitionBy("l_returnflag").orderBy(
-        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    """B15: ranking windows, all computed DISTRIBUTED (no 3-partition
+    global sort — ``l_returnflag`` has 3 values, so naive windows sort
+    n/3 rows on one task):
+
+    * ``row_number`` over the unique DESC ordering → two-level
+      decomposition (``distrank.two_level_row_number``; bucket on the
+      negated leading key).
+    * ``rank``/``dense_rank`` over the tied ``l_quantity`` ordering →
+      ``distrank.tied_ranks``: the rank structure lives in the tiny
+      per-(flag, quantity) count table, broadcast back.
+    * ``ntile(4)`` over the unique ordering → arithmetic on the global
+      row number (``distrank.ntile_expr``).
+    """
+    from event_streamer_spark.operators.distrank import (
+        ntile_expr,
+        tied_ranks,
+        two_level_row_number,
     )
-    w_tied = Window.partitionBy("l_returnflag").orderBy(F.desc("l_quantity"))
+
+    li = load(spark, sf, "lineitem")
+    ranked = two_level_row_number(
+        li,
+        ["l_returnflag"],
+        [F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"],
+        bucket_value=-F.col("l_extendedprice"),
+        out_col="rn",
+        count_col="__n",
+    )
+    ranked = tied_ranks(
+        ranked, ["l_returnflag"], "l_quantity", descending=True,
+        rank_col="rnk", dense_rank_col="drnk",
+    )
     return (
-        li.select(
+        ranked.filter(F.col("rn") <= 100)
+        .select(
             "l_returnflag",
             "l_orderkey",
             "l_linenumber",
-            F.row_number().over(w_unique).alias("rn"),
-            F.rank().over(w_tied).alias("rnk"),
-            F.dense_rank().over(w_tied).alias("drnk"),
-            F.ntile(4).over(w_unique).alias("tile"),
+            "rn",
+            "rnk",
+            "drnk",
+            ntile_expr(F.col("rn"), F.col("__n"), 4).alias("tile"),
         )
-        .filter(F.col("rn") <= 100)
     )
 
 

@@ -164,16 +164,29 @@ def b11_max_by(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def b15_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
-    """B15: percent_rank / cume_dist over a unique total ordering."""
+    """B15: percent_rank / cume_dist over a unique total ordering —
+    computed DISTRIBUTED via the two-level row_number decomposition
+    (``distrank.two_level_row_number``), not a 3-partition global sort:
+    ``l_returnflag`` has 3 values, so the naive window sorts n/3 rows on
+    one task. With a unique ordering, ``percent_rank = (rn-1)/(n-1)``
+    and ``cume_dist = rn/n`` exactly."""
+    from event_streamer_spark.operators.distrank import two_level_row_number
+
     li = load(spark, sf, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ranked = two_level_row_number(
+        li,
+        ["l_returnflag"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        bucket_value="l_extendedprice",
+        out_col="__rn",
+        count_col="__n",
     )
-    return li.select(
+    rn, n = F.col("__rn"), F.col("__n")
+    return ranked.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round((rn - 1).cast("double") / (n - 1), 6).alias("pr"),
+        F.round(rn.cast("double") / n, 6).alias("cd"),
     )
 
 
@@ -495,12 +508,13 @@ def b21_regexp_extract(spark: SparkSession, sf: str) -> DataFrame:
     "b17_range_frame",
     oracle="""
     WITH t AS (
-      SELECT event_id, user_id, value,
+      SELECT event_id, user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
              CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
       FROM events)
     SELECT event_id, user_id,
            COUNT(*) OVER w AS n_30m,
-           ROUND(SUM(value) OVER w, 4) AS sum_30m
+           SUM(cents) OVER w AS sum_30m_cents
     FROM t
     WINDOW w AS (PARTITION BY user_id ORDER BY sec
                  RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
@@ -511,13 +525,16 @@ def b17_range_frame(spark: SparkSession, sf: str) -> DataFrame:
     30-minute event count and value sum at each event. RANGE frames
     include every tied order value, so the result is order-insensitive
     without a tiebreaker; epoch seconds are floored identically on both
-    engines. One shuffle on user_id + an in-partition sort — the moving
+    engines. Money determinism via the integer-cents protocol (match
+    ``tpch.py``): each value becomes BIGINT cents BEFORE the moving sum,
+    so the oracle compare is exact regardless of float association.
+    One shuffle on user_id + an in-partition sort — the moving
     aggregate itself is O(n) via Spark's sliding frame machinery.
     """
     e = load(spark, sf, "events").select(
         "event_id",
         "user_id",
-        "value",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
         F.floor(F.col("ts").cast("double")).cast("long").alias("sec"),
     )
     w = (
@@ -529,7 +546,7 @@ def b17_range_frame(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_30m"),
-        F.round(F.sum("value").over(w), 4).alias("sum_30m"),
+        F.sum("cents").over(w).alias("sum_30m_cents"),
     )
 
 

@@ -132,6 +132,108 @@ def b36_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "b38_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def b38_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted to the testdata
+    schema: the generator has no ``l_commitdate``/``l_receiptdate``, so
+    the "late line" EXISTS predicate becomes ``l_shipdate >
+    o_orderdate`` (shipped after the order date) — same correlated
+    EXISTS shape as the spec (reference has no joins; SURVEY §2.B B28).
+
+    Scale: the quarter filter pushes to the orders scan; the correlated
+    EXISTS compiles to a LEFT SEMI join on the uniform orderkey with the
+    date comparison as the join residual — no row widening, no distinct
+    needed; the 5-row priority rollup partial-aggregates map-side.
+    """
+    o = (
+        load(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "b39_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 7, 14, 23, 36, 45, 49, 50)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 2000)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def b39_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: the generator
+    has no ``partsupp``, so the part-supplier pairs come from lineitem's
+    ``(l_partkey, l_suppkey)``, and the excluded-supplier predicate is
+    ``s_acctbal < 2000`` (no ``s_comment`` column). Exercises NOT IN
+    (anti-join) + COUNT(DISTINCT) per SURVEY §2.B B12/B28.
+
+    Scale: part's brand/size filters push to its scan and AQE
+    broadcast-joins the pruned dimension; the excluded-supplier list is
+    a tiny broadcast anti-join (supplier keys are NOT NULL, so NOT IN ≡
+    anti-join); COUNT(DISTINCT suppkey) expands to a two-level
+    aggregate on the uniform (brand, type, size, suppkey) key — partial
+    map-side, no hot reducer. The final sort is a few thousand rows.
+    """
+    li = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load(spark, sf, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 7, 14, 23, 36, 45, 49, 50)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excl = (
+        load(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 2000)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(excl, "l_suppkey", "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
     "b37_tpch_q18",
     oracle="""
     SELECT c_name, c_custkey, o_orderkey,

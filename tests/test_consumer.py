@@ -292,15 +292,162 @@ class TestSourcePlan:
         assert plan == [(["a"], 7), (["hot"], 7), (["b"], 7)]
 
 
-class TestDispatchMode:
-    """A14/A15: 'topic' strategy dispatches on executors when callbacks
-    pickle; 'one-by-one' keeps its driver-serial total-order contract."""
+class TestKafkaSourcesSpec:
+    """Streaming durability: distinct consumer groups per source and
+    checkpoint identity that is stable across plan-shape changes."""
 
-    def test_topic_strategy_executor_mode(self):
+    def _router(self):
+        r = ConsumerRouter.__new__(ConsumerRouter)  # skip deprecation warn
+        r.routes, r._queries = [], []
+        r.add("a", _double_handler)
+        r.add("hot", _double_handler)
+        r.add("b", _double_handler)
+        return r
+
+    def test_distinct_group_ids_per_source(self):
+        set_config(
+            Config(
+                host="h:9092",
+                consumer=ConsumerConfig(
+                    group_id="g",
+                    max_messages_per_specific_topic={"hot": 5},
+                ),
+            )
+        )
+        specs = self._router().kafka_sources_spec()
+        group_ids = [opts["kafka.group.id"] for opts, _ in specs]
+        assert len(group_ids) == len(set(group_ids)) == 2
+        assert group_ids == ["g", "g-topic-hot"]
+
+    def test_checkpoint_suffix_stable_when_first_cap_added(self):
+        # the shared source must checkpoint at "shared" BOTH before and
+        # after the first per-topic cap appears — a relocated checkpoint
+        # with startingOffsets=latest silently drops in-flight messages
+        set_config(
+            Config(host="h:9092", consumer=ConsumerConfig(group_id="g"))
+        )
+        before = self._router().kafka_sources_spec()
+        assert [s for _, s in before] == ["shared"]
+
+        set_config(
+            Config(
+                host="h:9092",
+                consumer=ConsumerConfig(
+                    group_id="g",
+                    max_messages_per_specific_topic={"hot": 5},
+                ),
+            )
+        )
+        after = self._router().kafka_sources_spec()
+        assert [s for _, s in after] == ["shared", "topic-hot"]
+        # the shared source's options are unchanged apart from its
+        # subscription losing the capped topic
+        shared_before = dict(before[0][0])
+        shared_after = dict(after[0][0])
+        assert shared_before["kafka.group.id"] == shared_after["kafka.group.id"]
+
+    def test_one_by_one_single_source_uses_shared_identity(self):
+        set_config(
+            Config(
+                host="h:9092",
+                consumer=ConsumerConfig(
+                    group_id="g",
+                    strategy="one-by-one",
+                    max_messages_per_specific_topic={"hot": 5},
+                ),
+            )
+        )
+        specs = self._router().kafka_sources_spec()
+        assert len(specs) == 1
+        opts, suffix = specs[0]
+        assert suffix == "shared" and opts["kafka.group.id"] == "g"
+
+    def test_limits_flow_into_options(self):
+        set_config(
+            Config(
+                host="h:9092",
+                consumer=ConsumerConfig(
+                    group_id="g",
+                    max_messages_per_topic=20,
+                    max_messages_per_specific_topic={"hot": "unlimited"},
+                ),
+            )
+        )
+        specs = self._router().kafka_sources_spec()
+        by_suffix = {s: o for o, s in specs}
+        assert by_suffix["shared"]["maxOffsetsPerTrigger"] == "40"
+        assert "maxOffsetsPerTrigger" not in by_suffix["topic-hot"]
+        assert by_suffix["shared"]["subscribe"] == "a,b"
+        assert by_suffix["topic-hot"]["subscribe"] == "hot"
+        assert by_suffix["shared"]["startingOffsets"] == "latest"
+
+
+class TestDispatchMode:
+    """Dispatch-mode selection: the DEFAULT is driver (reference
+    single-process semantics); executor dispatch is opt-in via
+    dispatch='auto'/'executor' and warns when auto picks it."""
+
+    def test_default_is_driver_mode(self):
+        # default config (no dispatch override) → driver dispatch, even
+        # though the callback is perfectly serializable
         set_config(
             Config(
                 host="h:9092",
                 consumer=ConsumerConfig(group_id="g", strategy="topic"),
+            )
+        )
+        r = ConsumerRouter()
+        r.add("t1", _double_handler)
+        assert r.batch_processor().mode == "driver"
+
+    def test_driver_default_preserves_handler_side_effects(self, spark):
+        # the reference contract: a handler closing over driver state
+        # observes its own mutations (legacy-consumer.ts:89-115)
+        import json
+
+        set_config(
+            Config(
+                host="h:9092",
+                consumer=ConsumerConfig(group_id="g", strategy="topic"),
+            )
+        )
+        seen: list = []
+        r = ConsumerRouter()
+        r.add("t1", lambda content, emit_fn: seen.append(content["v"]))
+        process = r.batch_processor()
+        assert process.mode == "driver"
+        batch = spark.createDataFrame(
+            [("t1", json.dumps({"v": 3, "code": "T1"})),
+             ("t1", json.dumps({"v": 5, "code": "T1"}))],
+            "topic string, value string",
+        )
+        process(batch, 0)
+        assert sorted(seen) == [3, 5]
+
+    def test_auto_opt_in_selects_executor_with_warning(self, caplog):
+        import logging
+
+        set_config(
+            Config(
+                host="h:9092",
+                consumer=ConsumerConfig(
+                    group_id="g", strategy="topic", dispatch="auto"
+                ),
+            )
+        )
+        r = ConsumerRouter()
+        r.add("t1", _double_handler)
+        with caplog.at_level(logging.WARNING, "event_streamer_spark.consumer"):
+            assert r.batch_processor().mode == "executor"
+        assert any("EXECUTOR dispatch" in m for m in caplog.messages)
+
+    def test_executor_opt_in(self):
+        set_config(
+            Config(
+                host="h:9092",
+                consumer=ConsumerConfig(
+                    group_id="g", strategy="topic", dispatch="executor"
+                ),
             )
         )
         r = ConsumerRouter()
@@ -322,7 +469,9 @@ class TestDispatchMode:
         set_config(
             Config(
                 host="h:9092",
-                consumer=ConsumerConfig(group_id="g", strategy="topic"),
+                consumer=ConsumerConfig(
+                    group_id="g", strategy="topic", dispatch="auto"
+                ),
             )
         )
         r = ConsumerRouter()

@@ -44,6 +44,36 @@ def test_minhash_estimates_track_exact_jaccard(spark):
         assert abs(e - true_j) <= 0.25, (pair, e, true_j)
 
 
+def test_shingle_df_cap_bounds_hot_key(spark):
+    """D2 de-skew: a boilerplate shingle present in EVERY document must be
+    dropped by the DF cap, bounding every self-join key to <= max_df rows
+    while doc-specific shingles survive untouched."""
+    from event_streamer_spark.operators.dedup import shingle_sets
+
+    n_docs = 50
+    boiler = "all rights reserved"  # one trigram shared by every doc
+    rows = [
+        (i, f"{boiler} unique{i} body{i} tail{i} end{i}") for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    capped = shingle_sets(docs, max_df=10)
+    per_key = {
+        r["s"]: r["c"]
+        for r in capped.groupBy("s").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert per_key, "cap dropped everything"
+    assert max(per_key.values()) <= 10  # no quadratic hot key survives
+    assert boiler not in per_key  # the hot shingle itself is gone
+    # doc-specific shingles survive: every doc still has a representation
+    assert capped.select("doc_id").distinct().count() == n_docs
+
+    # uncapped control: the hot key is exactly n_docs deep
+    uncapped = shingle_sets(docs, max_df=n_docs + 1)
+    hot_count = uncapped.filter(F.col("s") == boiler).count()
+    assert hot_count == n_docs
+
+
 def test_simhash_deterministic(spark):
     a = {r["doc_id"]: r["fingerprint"] for r in REGISTRY["d2_simhash"].fn(spark, SF).collect()}
     b = {r["doc_id"]: r["fingerprint"] for r in REGISTRY["d2_simhash"].fn(spark, SF).collect()}

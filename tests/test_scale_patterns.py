@@ -41,6 +41,132 @@ def test_salted_count_matches_plain_count(spark):
     assert plain == salted
 
 
+def test_salted_join_splits_deliberate_hot_key(spark):
+    """A power-law fixture: one user owns 80% of the rows. The salted
+    join must (a) return exactly the plain join's rows and (b) actually
+    split the hot key across multiple salt buckets."""
+    hot = [(0, i) for i in range(4000)]
+    cold = [(u, i) for u in range(1, 101) for i in range(10)]
+    left = spark.createDataFrame(hot + cold, "k bigint, v bigint").repartition(8)
+    right = spark.createDataFrame(
+        [(u, f"dim{u}") for u in range(0, 101)], "k bigint, name string"
+    )
+
+    plain = left.join(right, "k")
+    salted = salted_join(left, right, "k", salt_factor=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    # evidence the hot key splits: the same salt expression spreads the
+    # hot key's 4000 rows over (nearly) all 8 buckets
+    n_salts = (
+        left.filter(F.col("k") == 0)
+        .withColumn("__salt", (F.rand(seed=42) * 8).cast("int"))
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts >= 6, n_salts
+
+
+def test_salted_retention_cohorts_matches_plain(spark):
+    from event_streamer_spark.operators import REGISTRY
+
+    plain = REGISTRY["b33_retention_cohorts"].fn(spark, SF)
+    salted = REGISTRY["b33_retention_cohorts_salted"].fn(spark, SF)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_two_level_row_number_matches_naive(spark):
+    """The distributed two-level rank must reproduce the global
+    row_number exactly, while its fact-table sort is bucketed (no
+    single-task sort of a whole 3-value partition key)."""
+    import re
+
+    from pyspark.sql import Window
+
+    from event_streamer_spark.operators.distrank import two_level_row_number
+
+    li = load(spark, SF, "lineitem")
+    order = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    ranked = two_level_row_number(
+        li, ["l_returnflag"], order, bucket_value="l_extendedprice",
+        out_col="rn", count_col="n", n_buckets=8,
+    )
+    naive = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number()
+        .over(Window.partitionBy("l_returnflag").orderBy(*order))
+        .alias("rn"),
+    )
+    got = {
+        (r["l_orderkey"], r["l_linenumber"]): r["rn"]
+        for r in ranked.select("l_orderkey", "l_linenumber", "rn").collect()
+    }
+    exp = {
+        (r["l_orderkey"], r["l_linenumber"]): r["rn"] for r in naive.collect()
+    }
+    assert got == exp
+
+    # plan: every row_number window over the fact table is partitioned by
+    # the composite (flag, bucket) key — never the 3-value flag alone
+    plan = explain_str(ranked, "simple")
+    rn_windows = [
+        line for line in plan.splitlines()
+        if "windowspecdefinition" in line and "row_number" in line
+    ]
+    assert rn_windows, plan
+    assert all("__bucket" in w for w in rn_windows), "\n".join(rn_windows)
+
+
+def test_tied_ranks_matches_naive(spark):
+    from pyspark.sql import Window
+
+    from event_streamer_spark.operators.distrank import tied_ranks
+
+    li = load(spark, SF, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("l_quantity"))
+    naive = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+    got_df = tied_ranks(
+        li, ["l_returnflag"], "l_quantity", descending=True
+    ).select("l_orderkey", "l_linenumber", "rnk", "drnk")
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data —
+    # compare as multisets of full tuples
+    got = sorted(map(tuple, got_df.collect()))
+    exp = sorted(map(tuple, naive.collect()))
+    assert got == exp
+
+
+def test_ntile_expr_matches_native(spark):
+    from pyspark.sql import Window
+
+    from event_streamer_spark.operators.distrank import ntile_expr
+
+    # sizes that exercise n % k == 0, != 0, and n < k
+    for n, k in [(97, 4), (100, 4), (3, 7)]:
+        df = spark.range(1, n + 1).select(F.col("id"))
+        w = Window.orderBy("id")
+        native = df.select(
+            "id", F.ntile(k).over(w).alias("t")
+        )
+        arith = df.select(
+            "id",
+            F.row_number().over(w).alias("rn"),
+        ).select("id", ntile_expr(F.col("rn"), F.lit(n), k).alias("t"))
+        exp = {r["id"]: r["t"] for r in native.collect()}
+        got = {r["id"]: r["t"] for r in arith.collect()}
+        assert got == exp, (n, k)
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Bucketing both sides on the join key co-locates matching rows:
     the join plan must contain no Exchange (the 100 TB repeated-join

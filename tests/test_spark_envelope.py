@@ -71,6 +71,54 @@ def test_parse_stream_drops_corrupt(spark):
     assert all(r["topic"] == "t" for r in out)
 
 
+def test_drop_corrupt_structtype_with_colon_field(spark):
+    """Regression: a StructType with ``:`` in a field name must survive —
+    the old simpleString→DDL round-trip corrupted such names."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from event_streamer_spark.envelope import drop_corrupt
+
+    schema = StructType(
+        [
+            StructField("ns:code", StringType()),
+            StructField("v", LongType()),
+        ]
+    )
+    rows = [
+        ("t", json.dumps({"ns:code": "Ok", "v": 1})),
+        ("t", "{nope"),
+        ("t", json.dumps({"ns:code": "Ok2", "v": 2})),
+    ]
+    df = spark.createDataFrame(rows, "topic string, value string")
+    out = drop_corrupt(df, schema).collect()
+    # corrupt row dropped, original columns kept
+    assert len(out) == 2
+    assert sorted(json.loads(r["value"])["v"] for r in out) == [1, 2]
+
+
+def test_parse_stream_structtype_with_colon_field(spark):
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("ns:code", StringType()),
+            StructField("v", LongType()),
+        ]
+    )
+    rows = [
+        ("t", json.dumps({"ns:code": "Ok", "v": 1})),
+        ("t", "[1,2]"),
+    ]
+    df = spark.createDataFrame(rows, "topic string, value string")
+    out = parse_stream(df, schema).collect()
+    assert len(out) == 1
+    assert out[0]["ns:code"] == "Ok" and out[0]["v"] == 1
+
+
 def test_compile_routes_batch_dispatch(spark):
     """A5 predicate as DataFrame branches over a batch frame."""
     router = ConsumerRouter()
