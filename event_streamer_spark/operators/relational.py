@@ -539,7 +539,7 @@ def b15_window_rank(spark: SparkSession, sf: str) -> DataFrame:
     """
     from event_streamer_spark.operators.distrank import (
         ntile_expr,
-        tied_ranks,
+        tied_rank_table,
         two_level_row_number,
     )
 
@@ -551,13 +551,17 @@ def b15_window_rank(spark: SparkSession, sf: str) -> DataFrame:
         bucket_value=-F.col("l_extendedprice"),
         out_col="rn",
         count_col="__n",
+        rn_limit=100,  # bucket-pruned top-k: the sort sees ~1/32 of rows
     )
-    ranked = tied_ranks(
-        ranked, ["l_returnflag"], "l_quantity", descending=True,
+    # tied rank lookup computed from the RAW table (one cheap aggregate),
+    # broadcast onto the 300 surviving rows — running the two-level
+    # pipeline through the rank aggregate would recompute it entirely
+    ranks = tied_rank_table(
+        li, ["l_returnflag"], "l_quantity", descending=True,
         rank_col="rnk", dense_rank_col="drnk",
     )
     return (
-        ranked.filter(F.col("rn") <= 100)
+        ranked.join(F.broadcast(ranks), ["l_returnflag", "l_quantity"])
         .select(
             "l_returnflag",
             "l_orderkey",

@@ -234,6 +234,182 @@ def b39_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "b40_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def b40_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): per-nation revenue where the
+    customer and supplier share a nation inside one region, over an
+    order-date year. The deepest join chain in the suite (6 tables).
+
+    Scale: region→nation prunes to a handful of nationkeys broadcast
+    down the whole chain; customer and supplier are dimensions (AQE
+    broadcasts); the only fact-fact shuffle is orders⨝lineitem on the
+    uniform orderkey. The co-nation predicate rides the supplier join
+    as a residual. Revenue uses integer cents (exact, associative).
+    """
+    cutoff_lo = F.lit("1997-01-01").cast("timestamp")
+    cutoff_hi = F.lit("1998-01-01").cast("timestamp")
+    region = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf, "nation").join(
+        region, F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supplier = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    customer = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= cutoff_lo)
+            & (F.col("o_orderdate") < cutoff_hi)
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "b41_tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def b41_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): top-20 customers by lost
+    revenue on returned lines in a quarter.
+
+    Scale: the quarter filter pushes to the orders scan, the returnflag
+    filter to the lineitem scan (row-group pruning on both); nation is
+    a broadcast dim; the rollup groups on the high-cardinality custkey
+    (uniform, partial-agg); top-20 is TakeOrderedAndProject with a
+    deterministic (revenue, custkey) tiebreak.
+    """
+    orders = (
+        load(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cust = load(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "b42_tpch_q14",
+    oracle="""
+    SELECT CAST(100 * SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                   ELSE 0 END) AS DOUBLE)
+           / SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+             AS promo_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def b42_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect), adapted: the generator's ``p_type``
+    is a plain category, so the spec's ``LIKE 'PROMO%'`` becomes
+    equality with 'PROMO'.
+
+    Scale: the ship-month filter prunes lineitem row groups; part is a
+    broadcast dim keyed on the uniform partkey; the conditional revenue
+    ratio is one partial-aggregated global fold. Both numerator and
+    denominator stay in exact integer cents until the final division,
+    so the ratio is bit-stable across partitionings.
+    """
+    li = (
+        load(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load(spark, sf, "part").select("p_partkey", "p_type")
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100) * F.sum(promo).cast("double") / F.sum(rev)).alias(
+                "promo_revenue_pct"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
     "b37_tpch_q18",
     oracle="""
     SELECT c_name, c_custkey, o_orderkey,

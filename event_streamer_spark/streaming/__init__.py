@@ -6,6 +6,8 @@ from event_streamer_spark.streaming.ops import (
     session_agg,
     with_watermark,
     stream_dedup,
+    stream_exact_dedup,
+    stream_decontaminate,
     stream_static_join,
     stream_stream_join,
 )
@@ -17,6 +19,8 @@ __all__ = [
     "session_agg",
     "with_watermark",
     "stream_dedup",
+    "stream_exact_dedup",
+    "stream_decontaminate",
     "stream_static_join",
     "stream_stream_join",
     "sessionize_with_state",

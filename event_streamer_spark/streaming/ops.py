@@ -86,6 +86,61 @@ def stream_dedup(
     return df.dropDuplicates(list(keys))
 
 
+def stream_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: Optional[str] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """D1 streaming leg: exact content dedup on a document stream.
+
+    Same semantics as the batch ``d1_exact_dedup`` keeper-selection:
+    hash the content (`sha2`, uniform 256-bit key) and keep the first
+    row seen per hash. With a watermark the per-key state is evicted
+    once the key is older than the delay (the at-scale configuration —
+    an unbounded-state dedup is a memory leak at 100 TB/day); without
+    one, state is global exact dedup over the whole stream.
+    """
+    hashed = docs.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+    return stream_dedup(hashed, ["content_hash"], ts_col, watermark)
+
+
+def stream_decontaminate(
+    docs: DataFrame,
+    eval_grams: DataFrame,
+    gram: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """D8 streaming leg: flag arriving training docs that share any
+    overlapping ``gram``-token n-gram with a STATIC holdout set.
+
+    ``eval_grams`` is the benchmark gram table (column ``g``) computed
+    batch-side — benchmark-sized, so it broadcast-joins into every
+    micro-batch with zero stream shuffle. The per-doc distinct +
+    leak count mirror the batch ``d8_decontaminate`` exactly; the
+    aggregation keys on the arriving ``doc_id`` (run the sink in
+    update/complete mode).
+    """
+    toks = docs.withColumn("toks", F.split(text_col, " ")).filter(
+        F.size("toks") >= gram
+    )
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {gram} + 1),"
+                f" i -> concat_ws(' ', slice(toks, i, {gram})))"
+            )
+        ).alias("g"),
+    ).dropDuplicates([id_col, "g"])
+    return (
+        grams.join(F.broadcast(eval_grams.select("g")), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 def stream_static_join(
     stream: DataFrame, static: DataFrame, on, how: str = "inner", broadcast: bool = True
 ) -> DataFrame:

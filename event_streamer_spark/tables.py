@@ -43,7 +43,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
             )
         elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # TZ-independent: a bare cast is value-preserving only under
+            # a UTC session timezone, and it is LAZY — a caller executing
+            # the plan under another session TZ would silently shift
+            # every event time. to_utc_timestamp pins the interpretation
+            # to the wall-clock values regardless of execution-time TZ.
+            df = df.withColumn(
+                "ts",
+                F.to_utc_timestamp(
+                    F.col("ts").cast("timestamp"),
+                    spark.conf.get("spark.sql.session.timeZone"),
+                ),
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

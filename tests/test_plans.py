@@ -143,3 +143,53 @@ def test_decontaminate_partial_aggregation(spark):
     plan = plan_of(spark, "d8_decontaminate")
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q4_semi_join_no_widening(spark):
+    """Q4's correlated EXISTS must compile to a semi join (no row
+    widening, no distinct) with the quarter filter pushed to the scan."""
+    plan = plan_of(spark, "b38_tpch_q4")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_tpch_q16_anti_join_and_pruned_part(spark):
+    """Q16: NOT IN compiles to an anti join; part's brand/size filters
+    reach its scan."""
+    plan = plan_of(spark, "b39_tpch_q16")
+    assert "LeftAnti" in plan
+    assert "Not(EqualTo(p_brand" in plan
+
+
+def test_tpch_q5_broadcasts_dimensions(spark):
+    """Q5's 6-table chain: region/nation prune early and the dimension
+    joins broadcast — no sort-merge anywhere in the chain at this SF."""
+    plan = plan_of(spark, "b40_tpch_q5")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(r_name,ASIA)" in plan.replace(" ", "")
+
+
+def test_tpch_q10_pushes_both_fact_filters(spark):
+    plan = plan_of(spark, "b41_tpch_q10")
+    assert "EqualTo(l_returnflag,R)" in plan.replace(" ", "")
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_window_rank_bucket_pruned_topk(spark):
+    """The distributed top-100 must not sort whole partition keys: its
+    row_number window partitions on the composite bucket key."""
+    import re
+
+    from event_streamer_spark.plans import explain_str
+
+    df = REGISTRY["b15_window_rank"].fn(spark, SF)
+    plan = explain_str(df, "simple")
+    rn_windows = [
+        line for line in plan.splitlines()
+        if "windowspecdefinition" in line and "row_number" in line
+        and "__bucket" not in line
+    ]
+    # the ONLY windows without a bucket key run over the tiny tied-rank
+    # count table (their spec orders by l_quantity), never the fact sort
+    for w in rn_windows:
+        assert "l_quantity" in w, w

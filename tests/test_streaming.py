@@ -353,6 +353,91 @@ def test_router_start_schema_drops_corrupt_jvm_side(spark, tmp_path):
     assert sorted(h["v"] for h in hits) == [0, 1, 2]
 
 
+def _documents_stream(spark):
+    path = tempfile.mkdtemp(prefix="es_docs_stream_")
+    load(spark, SF, "documents").write.mode("overwrite").parquet(path)
+    return read_file_stream(spark, path)
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """D1 streaming leg: replaying the documents table through the
+    streaming content-hash dedup keeps exactly the batch-side distinct
+    hash set (one survivor per hash)."""
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.streaming import stream_exact_dedup
+
+    batch_hashes = {
+        r["content_hash"]
+        for r in REGISTRY["d1_exact_dedup"].fn(spark, SF).collect()
+    }
+
+    deduped = stream_exact_dedup(_documents_stream(spark))
+    q = (
+        deduped.select("content_hash", "doc_id")
+        .writeStream.format("memory")
+        .queryName("stream_d1")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "d1"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stream_d1").collect()
+    got_hashes = [r["content_hash"] for r in rows]
+    assert len(got_hashes) == len(set(got_hashes))  # one survivor per hash
+    assert set(got_hashes) == batch_hashes
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """D8 streaming leg: the stream-static gram-flag over replayed
+    training docs equals the batch d8_decontaminate result."""
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.operators.pipeline import _EVAL_MOD
+    from event_streamer_spark.streaming import stream_decontaminate
+
+    batch = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in REGISTRY["d8_decontaminate"].fn(spark, SF).collect()
+    }
+
+    # the static holdout gram set, computed batch-side (benchmark-sized)
+    docs = load(spark, SF, "documents")
+    toks = docs.withColumn("toks", F.split("text", " ")).filter(
+        F.size("toks") >= 5
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 4),"
+                " i -> concat_ws(' ', slice(toks, i, 5)))"
+            )
+        ).alias("g"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % _EVAL_MOD == 0).select("g").distinct()
+    )
+
+    train_stream = _documents_stream(spark).filter(
+        F.col("doc_id") % _EVAL_MOD != 0
+    )
+    flagged = stream_decontaminate(train_stream, eval_grams)
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("stream_d8")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "d8"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in spark.sql("SELECT * FROM stream_d8").collect()
+    }
+    assert got == batch
+
+
 def test_streaming_dynamic_gap_session(spark, tmp_path):
     """C3+: the dynamic-gap session expression runs unchanged under
     Structured Streaming and matches the batch result."""
