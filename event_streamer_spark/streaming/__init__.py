@@ -11,6 +11,7 @@ from event_streamer_spark.streaming.ops import (
     stream_static_join,
     stream_stream_join,
 )
+from event_streamer_spark.streaming.dedup import minhash_neardup_batch
 from event_streamer_spark.streaming.state import sessionize_with_state
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "stream_static_join",
     "stream_stream_join",
     "sessionize_with_state",
+    "minhash_neardup_batch",
 ]

@@ -1,0 +1,138 @@
+"""Incremental (streaming-ingest) MinHash-LSH near-dedup — D2 streaming leg.
+
+The batch ``d2_minhash_lsh`` answers "which docs in this corpus are
+near-dups"; an ingest pipeline needs the ONLINE form: as documents
+arrive, find near-dup candidates against everything already ingested,
+then fold the arrivals into the index. This module implements that as a
+``foreachBatch`` body over a parquet-backed LSH index:
+
+* **state** is two append-only parquet tables under ``state_dir``:
+  ``bands/`` (doc_id, band, bh) — the LSH index — and ``sigs/``
+  (doc_id, sig) for candidate verification. Parquet-append keeps the
+  state a plain distributed table: no driver memory, no single-machine
+  index, compactable offline like any other table.
+* each micro-batch: one Arrow pass for signatures (the SAME fixed
+  permutations as batch — ``operators.dedup._minhash_signatures`` — so
+  estimates are bit-identical), a band-bucket join against the prior
+  index (cross-batch candidates) plus a within-batch self-join, then
+  signature verification at the same 0.25 threshold.
+* every pair involves at least one arriving doc, so no pair is emitted
+  twice across batches; within a batch, ``doc_a < doc_b`` dedups.
+
+Shuffle volume per batch: O(batch × bands) for the self-join plus a
+join against the index pruned to the batch's band hashes — never
+O(corpus²). Replaying a corpus through this in one batch reproduces the
+batch operator exactly (asserted in ``tests/test_streaming.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from event_streamer_spark.operators.dedup import _N_PERM, _minhash_signatures
+
+def _est_jaccard() -> F.Column:
+    """Signature-agreement estimate over (sig_a, sig_b) columns —
+    identical expression to the batch d2_minhash_lsh verifier."""
+    return (
+        F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+        .cast("double")
+        / F.lit(float(_N_PERM))
+    )
+
+
+def minhash_neardup_batch(
+    state_dir: str,
+    pairs_dir: str,
+    threshold: float = 0.25,
+) -> Callable[[DataFrame, int], None]:
+    """Build the ``foreachBatch`` body for incremental near-dedup.
+
+    Usage::
+
+        docs_stream.writeStream.foreachBatch(
+            minhash_neardup_batch(state, pairs)
+        ).trigger(availableNow=True).start()
+
+    Each batch appends its candidate pairs (doc_a, doc_b, est_jaccard)
+    to ``pairs_dir`` and its band/signature rows to ``state_dir``.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs = _minhash_signatures(
+            batch_df.select("doc_id", "text").repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        ).persist()
+        bands = sigs.select(
+            "doc_id", F.posexplode("bands").alias("band", "bh")
+        )
+
+        def _read(sub: str) -> Optional[DataFrame]:
+            try:
+                return spark.read.parquet(f"{state_dir}/{sub}")
+            except Exception:  # noqa: BLE001 — first batch: no state yet
+                return None
+
+        prior_bands = _read("bands")
+        prior_sigs = _read("sigs")
+
+        a = bands.alias("a")
+        within = (
+            a.join(
+                bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+        )
+        cands = within
+        if prior_bands is not None:
+            cross = (
+                a.join(
+                    prior_bands.alias("p"),
+                    (F.col("a.band") == F.col("p.band"))
+                    & (F.col("a.bh") == F.col("p.bh")),
+                )
+                .select(
+                    F.least(F.col("a.doc_id"), F.col("p.doc_id")).alias("doc_a"),
+                    F.greatest(F.col("a.doc_id"), F.col("p.doc_id")).alias(
+                        "doc_b"
+                    ),
+                )
+                .filter(F.col("doc_a") != F.col("doc_b"))
+            )
+            cands = cands.unionAll(cross)
+        cands = cands.distinct()
+
+        all_sigs = sigs.select("doc_id", "sig")
+        if prior_sigs is not None:
+            all_sigs = all_sigs.unionAll(prior_sigs).dropDuplicates(["doc_id"])
+        sa = all_sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+        sb = all_sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+        pairs = (
+            cands.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                "doc_a", "doc_b", F.round(_est_jaccard(), 6).alias("est_jaccard")
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+        )
+        pairs.write.mode("append").parquet(pairs_dir)
+
+        # fold the arrivals into the index AFTER candidate generation
+        bands.write.mode("append").parquet(f"{state_dir}/bands")
+        sigs.select("doc_id", "sig").write.mode("append").parquet(
+            f"{state_dir}/sigs"
+        )
+        sigs.unpersist()
+
+    return process

@@ -438,6 +438,57 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+def test_incremental_minhash_neardup_matches_batch(spark, tmp_path):
+    """D2 streaming leg: replaying the corpus in TWO micro-batches
+    through the incremental LSH index yields exactly the batch
+    operator's candidate pairs (cross-batch pairs come from the index
+    join, within-batch pairs from the self-join; no pair twice)."""
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.streaming import minhash_neardup_batch
+
+    batch_pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in REGISTRY["d2_minhash_lsh"].fn(spark, SF).collect()
+    }
+    assert batch_pairs, "no candidate pairs at sf0.001"
+
+    # two files → two micro-batches with maxFilesPerTrigger=1
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "lsh_state")
+    pairs_dir = str(tmp_path / "pairs")
+    q = (
+        stream.writeStream.foreachBatch(
+            minhash_neardup_batch(state, pairs_dir)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert got == batch_pairs
+    # no duplicate pair rows across batches
+    n_rows = spark.read.parquet(pairs_dir).count()
+    assert n_rows == len(got)
+
+
 def test_streaming_dynamic_gap_session(spark, tmp_path):
     """C3+: the dynamic-gap session expression runs unchanged under
     Structured Streaming and matches the batch result."""
