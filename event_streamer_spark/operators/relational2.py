@@ -213,6 +213,65 @@ def b15_ntile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "b16_ignore_nulls",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_totalprice END AS val
+      FROM orders)
+    SELECT o_orderkey,
+           FIRST_VALUE(val IGNORE NULLS) OVER w AS first_nn,
+           LAST_VALUE(val IGNORE NULLS)  OVER w AS last_nn
+    FROM t
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def b16_ignore_nulls(spark: SparkSession, sf: str) -> DataFrame:
+    """B16+: IGNORE NULLS analytics — running first/last NON-NULL value
+    (gap-filling / last-observation-carried-forward, the time-series
+    staple). Nulls synthesized deterministically (orderkey % 7). One
+    shuffle on the partition key; the frame is a running scan."""
+    o = load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("val"),
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.first("val", ignorenulls=True).over(w).alias("first_nn"),
+        F.last("val", ignorenulls=True).over(w).alias("last_nn"),
+    )
+
+
+@query(
+    "b24_posexplode",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+    FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+    """,
+)
+def b24_posexplode(spark: SparkSession, sf: str) -> DataFrame:
+    """B24+: positional explode (LATERAL VIEW posexplode) — the
+    tokenize-with-position primitive every sequence op builds on.
+    Narrow generate stage, no shuffle; output is bounded by token count
+    (row-group-sized batches at 100 TB)."""
+    d = load(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    return d.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+
+
+@query(
     "b21_string_fns2",
     oracle="""
     SELECT p_partkey,

@@ -54,6 +54,44 @@ def d4_token_count(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "d4_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
+             AS n_punct_tokens
+    FROM documents
+    """,
+)
+def d4_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: BPE-style pre-tokenizer count — the GPT-2-family pre-tokenizer
+    splits runs of letters, runs of digits, and individual punctuation
+    into separate tokens before merges; counting those units estimates
+    the post-BPE token budget far better than whitespace counting
+    (numbers and punctuation dominate the difference).
+
+    One regexp per row, JVM-side (``regexp_extract_all``), zero shuffle
+    — a token-budget pass over 100 TB is scan-bound.
+    """
+    d = load(spark, sf, "documents")
+    pat_all = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat_all), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0))
+        .cast("bigint")
+        .alias("n_numbers"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9 ]"), 0))
+        .cast("bigint")
+        .alias("n_punct_tokens"),
+    )
+
+
+@query(
     "d4_quality_score",
     oracle=f"""
     WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)

@@ -123,6 +123,57 @@ def test_two_level_row_number_matches_naive(spark):
     assert all("__bucket" in w for w in rn_windows), "\n".join(rn_windows)
 
 
+def test_two_level_row_number_randomized_equivalence(spark):
+    """Randomized adversarial shapes: heavy ties on the bucket value
+    (ties must never straddle buckets), skewed part keys, a singleton
+    key, and rn_limit pruning — all must equal the naive row_number."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from event_streamer_spark.operators.distrank import two_level_row_number
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    rows = [
+        (
+            ["p", "q", "q", "r"][int(rng.randint(4))],  # skewed part keys
+            int(rng.randint(50)),  # heavily tied bucket value
+            int(i),  # unique tiebreaker
+        )
+        for i in range(n)
+    ] + [("solo", 1, n + 1)]  # singleton partition key
+    df = spark.createDataFrame(rows, "pk string, v bigint, uid bigint")
+
+    naive_w = Window.partitionBy("pk").orderBy("v", "uid")
+    exp = {
+        r["uid"]: r["rn"]
+        for r in df.select(
+            "uid", F.row_number().over(naive_w).alias("rn")
+        ).collect()
+    }
+    for limit in (None, 37):
+        got_df = two_level_row_number(
+            df, ["pk"], ["v", "uid"], bucket_value="v",
+            n_buckets=8, out_col="rn", count_col="cnt", rn_limit=limit,
+        )
+        got = {r["uid"]: r["rn"] for r in got_df.select("uid", "rn").collect()}
+        if limit is None:
+            assert got == exp
+            # count_col equals the true partition sizes everywhere
+            sizes = {
+                r["pk"]: r["cnt"]
+                for r in got_df.select("pk", "cnt").distinct().collect()
+            }
+            true_sizes = {
+                r["pk"]: r["n"]
+                for r in df.groupBy("pk").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            assert sizes == true_sizes
+        else:
+            assert got == {u: r for u, r in exp.items() if r <= limit}
+
+
 def test_tied_ranks_matches_naive(spark):
     from pyspark.sql import Window
 
