@@ -64,6 +64,34 @@ def test_tumbling_agg_stream_matches_batch(spark):
     assert got == batch and len(got) > 0
 
 
+def test_sliding_agg_stream_matches_batch(spark):
+    """C2: the sliding-window aggregation replayed as a stream equals
+    its batch evaluation (every event in exactly 2 windows)."""
+    from event_streamer_spark.streaming import sliding_agg
+
+    stream = _events_stream(spark)
+    agg = sliding_agg(
+        stream,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        [F.count(F.lit(1)).alias("cnt")],
+    )
+    _run_available_now(agg, "t_sliding")
+    got = {
+        r["window"]["start"]: r["cnt"]
+        for r in spark.sql("SELECT * FROM t_sliding").collect()
+    }
+    batch = {
+        r["w"]["start"]: r["cnt"]
+        for r in load(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == batch and len(got) > 0
+
+
 def test_watermark_append_mode(spark):
     """C4: watermark + append output — closed windows are emitted."""
     # append-mode emission needs the trailing no-data batch to advance
