@@ -276,6 +276,63 @@ def d2_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("d2_lsh_verified", oracle=None)  # LSH pruning → rows-only check
+def d2_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """D2 (the composed 100 TB pipeline): EXACT n-gram Jaccard computed
+    ONLY on MinHash-LSH candidate pairs.
+
+    This is the shape a petabyte dedup actually runs: LSH banding
+    prunes the O(n²) pair space to O(docs × bands) candidates, then the
+    exact shingle-intersection verification — the same semantics as
+    ``d2_ngram_jaccard`` — runs per candidate pair instead of through
+    an all-pairs self-join. Joins: candidates ⨝ doc_a's shingles keyed
+    on doc id, then keyed on (doc_b, shingle) to count the
+    intersection; every key is either a doc id (uniform) or a
+    (doc, shingle) pair (DF-capped) — no hot keys, no quadratic stage.
+    Exactness on the surviving pairs is asserted against
+    ``d2_ngram_jaccard`` in ``tests/test_dedup_quality.py``.
+    """
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sigs = _minhash_signatures(docs).persist()
+    bands = sigs.select("doc_id", F.posexplode("bands").alias("band", "bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    shingles = shingle_sets(docs.select("doc_id", "text")).persist()
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh_a = shingles.select(F.col("doc_id").alias("doc_a"), "s")
+    sh_b = shingles.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jacc = F.col("both").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("both")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jacc >= 0.1)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
 @query("d2_simhash", oracle=None)  # bit manipulation → rows-only check
 def d2_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """D2: 64-bit SimHash fingerprints + 16-bit chunk buckets.

@@ -74,6 +74,28 @@ def test_shingle_df_cap_bounds_hot_key(spark):
     assert hot_count == n_docs
 
 
+def test_lsh_verified_is_exact_on_candidates(spark):
+    """D2 composed pipeline: every pair it emits must carry the EXACT
+    all-pairs Jaccard value (identical to d2_ngram_jaccard), and its
+    pair set must be the subset of exact pairs that LSH recalled."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in REGISTRY["d2_ngram_jaccard"].fn(spark, SF).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in REGISTRY["d2_lsh_verified"].fn(spark, SF).collect()
+    }
+    assert verified, "LSH recalled no exact pairs at sf0.001"
+    for pair, j in verified.items():
+        assert exact.get(pair) == j, (pair, j, exact.get(pair))
+    # high-similarity pairs must not be lost by the pruning (16×4 bands
+    # give P(recall) ≈ 1-(1-j^4)^16 ≈ 0.97 at j=0.5; require j>=0.5 kept)
+    strong = {p for p, j in exact.items() if j >= 0.5}
+    missed = strong - set(verified)
+    assert not missed, missed
+
+
 def test_simhash_deterministic(spark):
     a = {r["doc_id"]: r["fingerprint"] for r in REGISTRY["d2_simhash"].fn(spark, SF).collect()}
     b = {r["doc_id"]: r["fingerprint"] for r in REGISTRY["d2_simhash"].fn(spark, SF).collect()}
