@@ -86,8 +86,13 @@ def make_png(width: int, height: int, gray: int = 127) -> bytes:
     )
 
 
-def make_wav(n_frames: int, sample_rate: int = 8000) -> bytes:
-    """Minimal mono 16-bit PCM WAV (stdlib ``wave``) — fixture maker."""
+def make_wav(
+    n_frames: int, sample_rate: int = 8000, pattern: bool = False
+) -> bytes:
+    """Minimal mono 16-bit PCM WAV (stdlib ``wave``) — fixture maker.
+
+    ``pattern=True`` writes frame j = ``(j*31) % 4096`` instead of
+    silence, so sample-level reads are verifiable."""
     import io
     import wave
 
@@ -96,7 +101,14 @@ def make_wav(n_frames: int, sample_rate: int = 8000) -> bytes:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(b"\x00\x00" * n_frames)
+        if pattern:
+            w.writeframes(
+                b"".join(
+                    struct.pack("<h", (j * 31) % 4096) for j in range(n_frames)
+                )
+            )
+        else:
+            w.writeframes(b"\x00\x00" * n_frames)
     return buf.getvalue()
 
 
@@ -216,6 +228,191 @@ def d5_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select("doc_id", "n_chars")
     return d.mapInPandas(
         extract, "doc_id long, fmt string, width int, height int, channels int"
+    )
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """REAL pixel decode for filter-0 8-bit RGB PNGs (the class
+    :func:`make_png` emits): zlib-inflate IDAT, strip the per-scanline
+    filter byte, return (width, height, rows of RGB bytes). Raises
+    ``NotImplementedError`` for any PNG using other filters/bit depths —
+    those need a codec library not in this container."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG")
+    pos, idat = 8, b""
+    width = height = None
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if typ == b"IHDR":
+            width, height, depth, color = struct.unpack(">IIBB", data[:10])
+            if (depth, color) != (8, 2):
+                raise NotImplementedError("only 8-bit RGB supported")
+        elif typ == b"IDAT":
+            idat += data
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = 1 + width * 3
+    rows = []
+    for y in range(height):
+        line = raw[y * stride : (y + 1) * stride]
+        if line[0] != 0:
+            raise NotImplementedError("only filter 0 supported")
+        rows.append(list(line[1:]))
+    return width, height, rows
+
+
+def resize_nearest(rows: list[list[int]], w: int, h: int, ow: int, oh: int):
+    """Nearest-neighbor RGB resize on decoded scanlines (pure python)."""
+    out = []
+    for oy in range(oh):
+        sy = min(h - 1, (oy * h) // oh)
+        line = []
+        for ox in range(ow):
+            sx = min(w - 1, (ox * w) // ow)
+            line.extend(rows[sy][sx * 3 : sx * 3 + 3])
+        out.append(line)
+    return out
+
+
+@query(
+    "d5_image_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST((1 + n_chars % 64 + 1) // 2 AS INT) AS out_width,
+           CAST((1 + doc_id % 48 + 1) // 2 AS INT) AS out_height,
+           CAST(10 + doc_id % 200 AS BIGINT) AS mean_pixel
+    FROM documents
+    """,
+)
+def d5_image_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """D5: REAL image resize via mapInPandas — decode the PNG payload's
+    PIXELS (zlib inflate + filter strip), nearest-neighbor downsample to
+    half dimensions, re-encode as PNG, then re-decode the result to
+    report its dims and mean pixel value. The fixture is a uniform-gray
+    image, so a correct resize preserves the mean exactly (gray =
+    10 + doc_id % 200, recomputed by the oracle); any pixel-path bug
+    breaks the hash. Compressed-format payloads raise
+    ``NotImplementedError`` in :func:`decode_png_pixels` — the plumbing
+    (schema, Arrow batching, partitioning) is identical either way.
+    Narrow map stage, no shuffle — resize at 100 TB is scan-bound.
+    """
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_w_l, out_h_l, mean_l, ids = [], [], [], []
+        for pdf in batches:
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                w, h = 1 + int(nc) % 64, 1 + int(did) % 48
+                gray = 10 + int(did) % 200
+                payload = make_png(w, h, gray)
+                dw, dh, rows = decode_png_pixels(payload)
+                ow, oh = (dw + 1) // 2, (dh + 1) // 2
+                resized = resize_nearest(rows, dw, dh, ow, oh)
+                # re-encode and re-decode: proves the round trip
+                reenc = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + _png_chunk(
+                        b"IHDR", struct.pack(">IIBBBBB", ow, oh, 8, 2, 0, 0, 0)
+                    )
+                    + _png_chunk(
+                        b"IDAT",
+                        zlib.compress(
+                            b"".join(b"\x00" + bytes(r) for r in resized)
+                        ),
+                    )
+                    + _png_chunk(b"IEND", b"")
+                )
+                rw, rh, rrows = decode_png_pixels(reenc)
+                flat = [v for r in rrows for v in r]
+                ids.append(int(did))
+                out_w_l.append(rw)
+                out_h_l.append(rh)
+                mean_l.append(sum(flat) // len(flat))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "out_width": out_w_l,
+                    "out_height": out_h_l,
+                    "mean_pixel": mean_l,
+                }
+            )
+            out_w_l, out_h_l, mean_l, ids = [], [], [], []
+
+    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    return d.mapInPandas(
+        do_resize,
+        "doc_id long, out_width int, out_height int, mean_pixel long",
+    )
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+@query(
+    "d5_frame_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, 1 + n_chars % 1000 AS n FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_frames,
+           list_transform(range(0, LEAST(n, 8)),
+                          i -> CAST(i * n // 8 AS BIGINT)) AS offsets,
+           list_transform(range(0, LEAST(n, 8)),
+                          i -> CAST((i * n // 8 * 31) % 4096 AS BIGINT))
+             AS samples
+    FROM t
+    """,
+)
+def d5_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """D5: REAL frame sampling — the video-keyframe pattern on the
+    format the stdlib can actually decode (PCM WAV): seek to 8 evenly
+    spaced frame offsets and read each frame's sample value with
+    ``wave``. The fixture writes frame j = (j·31) % 4096, so the oracle
+    recomputes every sampled value from first principles — a seek or
+    endianness bug breaks the hash. For codec-bound media (video), the
+    same mapInPandas plumbing applies with a codec-backed reader.
+    """
+    import io
+    import wave
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfr, offs, vals = [], [], [], []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = 1 + int(nc) % 1000
+                payload = make_wav(n, pattern=True)
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    k = min(n, 8)
+                    o = [i * n // 8 for i in range(k)]
+                    v = []
+                    for off in o:
+                        w.setpos(off)
+                        (s,) = struct.unpack("<h", w.readframes(1))
+                        v.append(s)
+                ids.append(int(did))
+                nfr.append(n)
+                offs.append(o)
+                vals.append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nfr,
+                    "offsets": offs,
+                    "samples": vals,
+                }
+            )
+
+    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    return d.mapInPandas(
+        sample,
+        "doc_id long, n_frames long, offsets array<long>, samples array<long>",
     )
 
 

@@ -63,3 +63,62 @@ class TestHardening:
         ):
             d = decode_media(payload)
             assert d["format"] == "unknown" and d["width"] is None
+
+
+class TestPixelPath:
+    """Real pixel decode / resize on a NON-uniform image — the uniform
+    fixture in d5_image_resize can't catch row/column transposition."""
+
+    def _gradient_png(self, w, h):
+        import struct
+        import zlib
+
+        from event_streamer_spark.operators.multimodal import _png_chunk
+
+        rows = [
+            b"\x00"
+            + b"".join(
+                bytes((x * 10 % 256, y * 20 % 256, (x + y) % 256))
+                for x in range(w)
+            )
+            for y in range(h)
+        ]
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    def test_decode_matches_generator(self):
+        from event_streamer_spark.operators.multimodal import decode_png_pixels
+
+        w, h = 7, 5
+        dw, dh, rows = decode_png_pixels(self._gradient_png(w, h))
+        assert (dw, dh) == (w, h)
+        # spot pixels: (x=3, y=2) → (30, 40, 5)
+        assert rows[2][9:12] == [30, 40, 5]
+        assert rows[4][18:21] == [60, 80, 10]  # (x=6, y=4)
+
+    def test_nearest_resize_picks_expected_sources(self):
+        from event_streamer_spark.operators.multimodal import (
+            decode_png_pixels,
+            resize_nearest,
+        )
+
+        w, h = 8, 4
+        _, _, rows = decode_png_pixels(self._gradient_png(w, h))
+        out = resize_nearest(rows, w, h, 4, 2)
+        # output (ox, oy) samples source (ox*w//4, oy*h//2)
+        for oy in range(2):
+            for ox in range(4):
+                sx, sy = ox * w // 4, oy * h // 2
+                assert out[oy][ox * 3 : ox * 3 + 3] == rows[sy][sx * 3 : sx * 3 + 3]
+
+    def test_unsupported_formats_raise(self):
+        import pytest as _pytest
+
+        from event_streamer_spark.operators.multimodal import decode_png_pixels
+
+        with _pytest.raises(NotImplementedError):
+            decode_png_pixels(b"\xff\xd8jpeg-ish")
