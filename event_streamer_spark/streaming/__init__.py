@@ -12,7 +12,10 @@ from event_streamer_spark.streaming.ops import (
     stream_stream_join,
 )
 from event_streamer_spark.streaming.dedup import minhash_neardup_batch
-from event_streamer_spark.streaming.state import sessionize_with_state
+from event_streamer_spark.streaming.state import (
+    running_stats_with_state,
+    sessionize_with_state,
+)
 
 __all__ = [
     "tumbling_agg",
@@ -25,5 +28,6 @@ __all__ = [
     "stream_static_join",
     "stream_stream_join",
     "sessionize_with_state",
+    "running_stats_with_state",
     "minhash_neardup_batch",
 ]

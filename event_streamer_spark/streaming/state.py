@@ -14,6 +14,7 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -78,6 +79,65 @@ def _sessionize(
                 "n_events": [c[2] for c in closed],
             }
         )
+
+
+STATS_OUTPUT_SCHEMA = (
+    "user_id bigint, n bigint, total double, vmin double, vmax double,"
+    " mean double"
+)
+STATS_STATE_SCHEMA = "n bigint, total double, vmin double, vmax double"
+
+
+def _running_stats(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold the batch into (n, total, min, max) state; emit the updated
+    running aggregate once per batch."""
+    (user_id,) = key
+    vals = pd.concat(list(pdfs))["value"].astype(float)
+    if state.exists:
+        n, total, vmin, vmax = state.get
+    else:
+        n, total, vmin, vmax = 0, 0.0, float("inf"), float("-inf")
+    n += int(len(vals))
+    total += float(vals.sum())
+    vmin = min(vmin, float(vals.min()))
+    vmax = max(vmax, float(vals.max()))
+    state.update((int(n), float(total), float(vmin), float(vmax)))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n": [n],
+            "total": [total],
+            "vmin": [vmin],
+            "vmax": [vmax],
+            "mean": [total / n],
+        }
+    )
+
+
+def running_stats_with_state(
+    events: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """C8 (second shape): per-key RUNNING aggregate with a custom state
+    tuple — the online-metrics pattern (count/sum/min/max/mean updated
+    per micro-batch, emitted in update mode). Plain streaming
+    aggregations can express sum/count, but not a custom state layout
+    shared with richer logic (quantile sketches, CUSUM detectors slot
+    into the same fold); this pins the plumbing. State is per-key in
+    Spark's state store — horizontally partitioned, no driver state.
+    """
+    return events.select(
+        F.col(key_col).alias("user_id"), F.col(value_col).alias("value")
+    ).groupBy("user_id").applyInPandasWithState(
+        _running_stats,
+        outputStructType=STATS_OUTPUT_SCHEMA,
+        stateStructType=STATS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def sessionize_with_state(events: DataFrame, ts_col: str = "ts") -> DataFrame:

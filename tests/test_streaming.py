@@ -466,6 +466,62 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+def test_running_stats_with_state_matches_batch(spark, tmp_path):
+    """C8 (update-mode custom state): replaying events in TWO
+    micro-batches, the final per-user running aggregate equals the
+    batch groupBy — state correctly folds across batches."""
+    from event_streamer_spark.streaming import running_stats_with_state
+
+    ev = load(spark, SF, "events").select("user_id", "value")
+    src = str(tmp_path / "ev_src")
+    ev.limit(2000).coalesce(1).write.parquet(src, mode="append")
+    ev.subtract(ev.limit(2000)).coalesce(1).write.parquet(src, mode="append")
+
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        running_stats_with_state(stream)
+        .writeStream.format("memory")
+        .queryName("run_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_stats"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # update mode emits one row per touched key per batch: the row with
+    # the max n per key is the final state
+    rows = spark.sql("SELECT * FROM run_stats").collect()
+    final = {}
+    for r in rows:
+        if r["user_id"] not in final or r["n"] > final[r["user_id"]]["n"]:
+            final[r["user_id"]] = r
+    got = {
+        u: (r["n"], round(r["total"], 4), r["vmin"], r["vmax"])
+        for u, r in final.items()
+    }
+
+    batch_src = spark.read.parquet(src)  # exactly what was replayed
+    exp = {
+        r["user_id"]: (
+            r["n"], round(r["total"], 4), r["vmin"], r["vmax"]
+        )
+        for r in batch_src.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
 def test_incremental_minhash_neardup_matches_batch(spark, tmp_path):
     """D2 streaming leg: replaying the corpus in TWO micro-batches
     through the incremental LSH index yields exactly the batch
