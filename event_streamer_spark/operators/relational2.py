@@ -272,6 +272,68 @@ def b24_posexplode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "b30_grouped_map",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           ROUND(o_totalprice
+                 - AVG(o_totalprice) OVER (PARTITION BY o_orderstatus), 4)
+             AS centered
+    FROM orders
+    """,
+)
+def b30_grouped_map(spark: SparkSession, sf: str) -> DataFrame:
+    """B30+ (§2.D): grouped-map ``applyInPandas`` — whole-group pandas
+    transform (per-status mean-centering), the split-apply-combine UDF
+    shape. One shuffle on the group key, Arrow both ways. The oracle is
+    the equivalent window expression.
+    """
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["o_orderkey", "o_orderstatus"]].copy()
+        out["centered"] = (
+            pdf["o_totalprice"] - pdf["o_totalprice"].mean()
+        ).round(4)
+        return out
+
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return o.groupBy("o_orderstatus").applyInPandas(
+        center, "o_orderkey bigint, o_orderstatus string, centered double"
+    )
+
+
+@query(
+    "b30_udtf",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+    FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+    """,
+)
+def b30_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    """B30+ (§2.D): Python UDTF (table function) via LATERAL join — the
+    one-row-to-many-rows UDF shape (Spark 4's ``@udtf``). The tokenizer
+    UDTF reproduces ``posexplode`` semantics so the oracle is exact;
+    UDTF rows stream through Arrow batches — per-partition, no shuffle.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, tok: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split(" ")):
+                yield (i, t)
+
+    spark.udtf.register("es_tokenize", Tokenize)
+    register_views(spark, sf)
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.tok FROM documents, LATERAL es_tokenize(text) t"
+    )
+
+
+@query(
     "b21_string_fns2",
     oracle="""
     SELECT p_partkey,
