@@ -410,6 +410,142 @@ def b42_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "b43_tpch_q19",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def b43_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), adapted: no ``p_container``, so
+    each disjunct pairs a brand with size and quantity ranges.
+
+    Scale: the OR-of-ANDs predicate spans both tables, but Catalyst
+    derives the single-table implications — a brand/size disjunction
+    pushes to the part scan and a quantity disjunction to the lineitem
+    scan — before the broadcast hash join on the uniform partkey; the
+    residual evaluates post-join. One-row integer-cents rollup.
+    """
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            (F.sum(rev).cast("double") / 10000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "b44_tpch_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def b44_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by ship year.
+
+    Scale: both nation filters prune their (25-row) dimension before
+    broadcasting down the chain; supplier/customer broadcast too; the
+    only fact-fact shuffle is lineitem⨝orders on the uniform orderkey.
+    The symmetric nation-pair disjunction is a residual on the joined
+    row. Integer-cents revenue; deterministic 3-column sort.
+    """
+    ship_lo = F.lit("1996-01-01").cast("timestamp")
+    ship_hi = F.lit("1998-01-01").cast("timestamp")
+    pair = ("NATION_3", "NATION_7")
+    nations = load(spark, sf, "nation").filter(
+        F.col("n_name").isin(*pair)
+    )
+    n1 = nations.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nations.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load(spark, sf, "lineitem")
+        .filter((F.col("l_shipdate") >= ship_lo) & (F.col("l_shipdate") < ship_hi))
+        .select(
+            "l_suppkey", "l_orderkey", "l_shipdate",
+            "l_extendedprice", "l_discount",
+        )
+    )
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
     "b37_tpch_q18",
     oracle="""
     SELECT c_name, c_custkey, o_orderkey,
