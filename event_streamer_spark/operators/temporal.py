@@ -87,3 +87,69 @@ def b31_asof_join(spark: SparkSession, sf: str) -> DataFrame:
             "value",
         )
     )
+
+
+@query(
+    "b45_latest_per_key",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT event_id, user_id, event_type, ROUND(value, 4) AS value
+    FROM r WHERE rn = 1
+    """,
+)
+def b45_latest_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    """B45: latest-record-per-key (CDC upsert compaction / QUALIFY
+    pattern) — each user's most recent event, ties broken by event_id.
+
+    Scale: one shuffle on the HIGH-cardinality user_id; every partition
+    sorts only that user's events, so there is no low-cardinality
+    straggler (the case needing ``distrank``). At 100 TB this is the
+    standard changelog→snapshot compaction.
+    """
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id", "user_id", "event_type",
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+@query(
+    "b46_scd2",
+    oracle="""
+    SELECT user_id,
+           event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL AS BOOLEAN) AS is_current
+    FROM events
+    """,
+)
+def b46_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """B46: SCD type-2 interval construction — each change record gets a
+    ``[valid_from, valid_to)`` interval from its successor's timestamp;
+    the open-ended latest row is flagged current. LEAD over the
+    high-cardinality user key; deterministic (ts, event_id) ordering.
+    """
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_type",
+        fmt_ts("ts", "valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
