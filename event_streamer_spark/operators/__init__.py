@@ -21,5 +21,6 @@ from event_streamer_spark.operators import temporal  # noqa: F401
 from event_streamer_spark.operators import pipeline  # noqa: F401
 from event_streamer_spark.operators import analytics  # noqa: F401
 from event_streamer_spark.operators import tpch  # noqa: F401
+from event_streamer_spark.operators import sketches  # noqa: F401
 
 REGISTRY = registry.REGISTRY

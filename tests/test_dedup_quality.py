@@ -96,6 +96,25 @@ def test_lsh_verified_is_exact_on_candidates(spark):
     assert not missed, missed
 
 
+def test_count_min_overestimates_within_bound(spark):
+    """D10: CMS guarantees — estimate >= exact always, and the excess is
+    within eps*N (eps ~ e/width) for the heavy hitters; deterministic."""
+    import math
+
+    from event_streamer_spark.operators.sketches import _CMS_WIDTH, _tokens
+
+    rows = REGISTRY["d10_count_min"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    n_total = _tokens(spark, SF).count()
+    eps = math.e / _CMS_WIDTH
+    for r in rows:
+        assert r["est_cnt"] >= r["exact_cnt"], r
+        assert r["est_cnt"] - r["exact_cnt"] <= eps * n_total, (r, n_total)
+
+    again = REGISTRY["d10_count_min"].fn(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_simhash_deterministic(spark):
     a = {r["doc_id"]: r["fingerprint"] for r in REGISTRY["d2_simhash"].fn(spark, SF).collect()}
     b = {r["doc_id"]: r["fingerprint"] for r in REGISTRY["d2_simhash"].fn(spark, SF).collect()}
