@@ -11,7 +11,11 @@ from event_streamer_spark.streaming.ops import (
     stream_static_join,
     stream_stream_join,
 )
-from event_streamer_spark.streaming.dedup import minhash_neardup_batch
+from event_streamer_spark.streaming.dedup import (
+    count_min_batch,
+    minhash_neardup_batch,
+    read_count_min,
+)
 from event_streamer_spark.streaming.state import (
     running_stats_with_state,
     sessionize_with_state,
@@ -30,4 +34,6 @@ __all__ = [
     "sessionize_with_state",
     "running_stats_with_state",
     "minhash_neardup_batch",
+    "count_min_batch",
+    "read_count_min",
 ]

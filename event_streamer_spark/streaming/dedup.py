@@ -44,6 +44,31 @@ def _est_jaccard() -> F.Column:
     )
 
 
+def count_min_batch(state_dir: str) -> Callable[[DataFrame, int], None]:
+    """Incremental count-min sketch over a token stream (D10 streaming
+    leg): each micro-batch aggregates its own (row, bucket, cnt) cells
+    and appends them to the parquet sketch table; the merged sketch is
+    just ``SUM(cnt) GROUP BY row, bucket`` at read time — count-min
+    merge IS addition, so replaying in any batch split yields exactly
+    the batch sketch. State is d·w rows per batch, compactable offline.
+    """
+    from event_streamer_spark.operators.sketches import count_min_sketch
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        count_min_sketch(batch_df).write.mode("append").parquet(state_dir)
+
+    return process
+
+
+def read_count_min(spark, state_dir: str) -> DataFrame:
+    """Merge the appended per-batch sketch shards into THE sketch."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell_cnt").alias("cell_cnt"))
+    )
+
+
 def minhash_neardup_batch(
     state_dir: str,
     pairs_dir: str,

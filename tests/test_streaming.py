@@ -522,6 +522,58 @@ def test_running_stats_with_state_matches_batch(spark, tmp_path):
     assert got == exp
 
 
+def test_incremental_count_min_equals_batch_sketch(spark, tmp_path):
+    """D10 streaming leg: count-min merge is addition, so the sketch
+    accumulated over two micro-batches must equal the batch-built
+    sketch EXACTLY (not just within bound)."""
+    from event_streamer_spark.operators.sketches import (
+        _tokens,
+        count_min_sketch,
+    )
+    from event_streamer_spark.streaming import count_min_batch, read_count_min
+
+    toks = _tokens(spark, SF)
+    exact = {
+        (r["row"], r["bucket"]): r["cell_cnt"]
+        for r in count_min_sketch(toks).collect()
+    }
+
+    # materialize ids first, then split — a lazy monotonically_increasing_id
+    # recomputed per write job would not be a stable partition of the rows
+    ids_path = str(tmp_path / "tok_ids")
+    toks.withColumn("rid", F.monotonically_increasing_id()).write.parquet(
+        ids_path
+    )
+    toks_id = spark.read.parquet(ids_path)
+    src = str(tmp_path / "tok_src")
+    toks_id.filter(F.col("rid") % 2 == 0).select("tok").coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    toks_id.filter(F.col("rid") % 2 == 1).select("tok").coalesce(1).write.parquet(
+        src, mode="append"
+    )
+
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "cms_state")
+    q = (
+        stream.writeStream.foreachBatch(count_min_batch(state))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    merged = {
+        (r["row"], r["bucket"]): r["cell_cnt"]
+        for r in read_count_min(spark, state).collect()
+    }
+    assert merged == exact
+
+
 def test_incremental_minhash_neardup_matches_batch(spark, tmp_path):
     """D2 streaming leg: replaying the corpus in TWO micro-batches
     through the incremental LSH index yields exactly the batch
