@@ -96,6 +96,19 @@ def test_lsh_verified_is_exact_on_candidates(spark):
     assert not missed, missed
 
 
+def test_hll_estimate_within_5pct(spark):
+    """D11: the from-scratch relational HLL must estimate the exact
+    distinct token count within 5% (m=1024 → σ≈3.3%); deterministic."""
+    from event_streamer_spark.operators.sketches import _tokens
+
+    [row] = REGISTRY["d11_hll_distinct"].fn(spark, SF).collect()
+    exact = _tokens(spark, SF).distinct().count()
+    assert abs(row["estimate"] - exact) / exact <= 0.05, (row, exact)
+
+    [again] = REGISTRY["d11_hll_distinct"].fn(spark, SF).collect()
+    assert row["estimate"] == again["estimate"]
+
+
 def test_count_min_overestimates_within_bound(spark):
     """D10: CMS guarantees — estimate >= exact always, and the excess is
     within eps*N (eps ~ e/width) for the heavy hitters; deterministic."""
