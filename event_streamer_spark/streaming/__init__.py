@@ -13,8 +13,10 @@ from event_streamer_spark.streaming.ops import (
 )
 from event_streamer_spark.streaming.dedup import (
     count_min_batch,
+    hll_batch,
     minhash_neardup_batch,
     read_count_min,
+    read_hll,
 )
 from event_streamer_spark.streaming.state import (
     running_stats_with_state,
@@ -36,4 +38,6 @@ __all__ = [
     "minhash_neardup_batch",
     "count_min_batch",
     "read_count_min",
+    "hll_batch",
+    "read_hll",
 ]

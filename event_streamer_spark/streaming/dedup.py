@@ -69,6 +69,28 @@ def read_count_min(spark, state_dir: str) -> DataFrame:
     )
 
 
+def hll_batch(state_dir: str) -> Callable[[DataFrame, int], None]:
+    """Incremental HyperLogLog over a token stream (D11 streaming leg):
+    append each micro-batch's register shard; the merged sketch is
+    ``MAX(max_rho) GROUP BY bucket`` at read — HLL merge is max, so any
+    batch split reproduces the batch registers exactly."""
+    from event_streamer_spark.operators.sketches import hll_registers
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        hll_registers(batch_df).write.mode("append").parquet(state_dir)
+
+    return process
+
+
+def read_hll(spark, state_dir: str) -> DataFrame:
+    """Merge appended HLL register shards into THE register table."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
 def minhash_neardup_batch(
     state_dir: str,
     pairs_dir: str,

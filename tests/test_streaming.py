@@ -574,6 +574,52 @@ def test_incremental_count_min_equals_batch_sketch(spark, tmp_path):
     assert merged == exact
 
 
+def test_incremental_hll_equals_batch_registers(spark, tmp_path):
+    """D11 streaming leg: HLL merge is max, so the register table
+    accumulated over two micro-batches equals the batch registers
+    exactly (hence the identical estimate)."""
+    from event_streamer_spark.operators.sketches import (
+        _tokens,
+        hll_registers,
+    )
+    from event_streamer_spark.streaming import hll_batch, read_hll
+
+    toks = _tokens(spark, SF)
+    exact = {
+        r["bucket"]: r["max_rho"] for r in hll_registers(toks).collect()
+    }
+
+    ids_path = str(tmp_path / "hll_tok_ids")
+    toks.withColumn("rid", F.monotonically_increasing_id()).write.parquet(
+        ids_path
+    )
+    toks_id = spark.read.parquet(ids_path)
+    src = str(tmp_path / "hll_tok_src")
+    for parity in (0, 1):
+        toks_id.filter(F.col("rid") % 2 == parity).select("tok").coalesce(
+            1
+        ).write.parquet(src, mode="append")
+
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "hll_state")
+    q = (
+        stream.writeStream.foreachBatch(hll_batch(state))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    merged = {
+        r["bucket"]: r["max_rho"] for r in read_hll(spark, state).collect()
+    }
+    assert merged == exact
+
+
 def test_incremental_minhash_neardup_matches_batch(spark, tmp_path):
     """D2 streaming leg: replaying the corpus in TWO micro-batches
     through the incremental LSH index yields exactly the batch
