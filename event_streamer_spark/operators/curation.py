@@ -150,3 +150,59 @@ def d7_pii_mask(spark: SparkSession, sf: str) -> DataFrame:
         "c_nationkey",
         "c_mktsegment",
     )
+
+
+_SHUFFLE_SEED = "epoch0"
+
+
+@query(
+    "d12_corpus_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('{_SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents)
+    SELECT doc_id, hk,
+           ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS shuffle_pos
+    FROM h
+    """,
+)
+def d12_corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """D12: deterministic corpus shuffle — the training-order
+    permutation every pretraining epoch needs. Each doc's shuffle key is
+    ``md5(seed | doc_id)`` (seeded, reproducible, engine-agnostic) and
+    its position is the GLOBAL rank of that key.
+
+    The global rank is the hard part at 100 TB: a naive
+    ``row_number() OVER (ORDER BY hk)`` sorts the corpus on ONE task.
+    Here it runs through ``distrank.two_level_row_number`` with a
+    constant partition key — range-bucket on the key's numeric prefix,
+    rank within buckets in parallel, add broadcast bucket offsets —
+    i.e. a TeraSort-shaped distributed permutation. The md5 prefix is
+    uniform, so the ~32 range buckets are balanced by construction.
+    """
+    from event_streamer_spark.operators.distrank import two_level_row_number
+
+    d = (
+        load(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat(
+                    F.lit(f"{_SHUFFLE_SEED}|"),
+                    F.col("doc_id").cast("string"),
+                )
+            ).alias("hk"),
+        )
+        .withColumn("__g", F.lit(0))
+    )
+    ranked = two_level_row_number(
+        d,
+        ["__g"],
+        ["hk", "doc_id"],
+        bucket_value=F.conv(F.substring("hk", 1, 8), 16, 10).cast("long"),
+        out_col="shuffle_pos",
+    )
+    return ranked.select(
+        "doc_id", "hk", F.col("shuffle_pos").cast("long").alias("shuffle_pos")
+    )
