@@ -218,3 +218,43 @@ def d2_dedup_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return docs.join(keep, "doc_id").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+_VAL_FRACTION_HEX = "1999999a"  # ~0.10 of 2^32
+
+
+@query(
+    "d13_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    labeled AS (
+      SELECT d.doc_id,
+             COALESCE(LEAST(m.doc_id, m.min_r), d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN minreach m USING (doc_id))
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                     < '{_VAL_FRACTION_HEX}'
+                THEN 'val' ELSE 'train' END AS split
+    FROM labeled
+    """,
+)
+def d13_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """D13: leakage-safe train/validation split — the assignment is a
+    deterministic hash of the near-dup CLUSTER id, not the document id,
+    so a document and its near-duplicates always land in the SAME
+    split (random per-doc splits leak paraphrases of validation text
+    into training — the classic eval-contamination bug).
+
+    ~10% val via an md5 hex-prefix threshold (engine-agnostic, seedless
+    reproducibility — same device-independent trick as
+    ``d7_stratified_sample``). Cost on top of clustering: one narrow
+    map. Scale: inherits the CC loop's O(|E|+|V|) rounds; the split
+    itself never shuffles.
+    """
+    clusters = d2_dup_clusters(spark, sf)
+    split = F.when(
+        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8)
+        < _VAL_FRACTION_HEX,
+        F.lit("val"),
+    ).otherwise(F.lit("train"))
+    return clusters.select("doc_id", "cluster_id", split.alias("split"))

@@ -99,3 +99,21 @@ def test_lsh_driven_clusters_match_union_find(spark):
             parent[max(ru, rv)] = min(ru, rv)
     want = {d: find(d) for d in got}
     assert got == want
+
+
+def test_leakage_safe_split_is_cluster_consistent(spark):
+    """D13: every document in a near-dup cluster carries the SAME split
+    label, and both splits are non-trivially populated."""
+    from event_streamer_spark.operators import REGISTRY
+
+    rows = REGISTRY["d13_leakage_safe_split"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "val"}
+    val_frac = sum(r["split"] == "val" for r in rows) / len(rows)
+    assert 0.02 <= val_frac <= 0.25, val_frac
