@@ -671,6 +671,66 @@ def test_incremental_minhash_neardup_matches_batch(spark, tmp_path):
     assert n_rows == len(got)
 
 
+def test_multimodal_decode_streams(spark, tmp_path):
+    """D5 streaming leg: the mapInPandas decode plumbing runs unchanged
+    over a streaming source and matches the batch decode exactly (the
+    decode is stateless, so streaming = batch row-for-row)."""
+    from event_streamer_spark.operators import REGISTRY
+
+    batch = {
+        r["doc_id"]: (r["fmt"], r["width"], r["height"], r["channels"])
+        for r in REGISTRY["d5_decode_features"].fn(spark, SF).collect()
+    }
+
+    src = str(tmp_path / "docs_mm")
+    load(spark, SF, "documents").select("doc_id", "n_chars").write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, n_chars bigint").parquet(
+        src
+    )
+
+    import pandas as _pd
+
+    from event_streamer_spark.operators.multimodal import (
+        decode_media,
+        make_png,
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            payloads = [
+                make_png(1 + int(nc) % 64, 1 + int(did) % 48)
+                for did, nc in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            meta = [decode_media(p) for p in payloads]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [m["format"] for m in meta],
+                    "width": [m["width"] for m in meta],
+                    "height": [m["height"] for m in meta],
+                    "channels": [m["channels"] for m in meta],
+                }
+            )
+
+    out = stream.mapInPandas(
+        extract, "doc_id long, fmt string, width int, height int, channels int"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mm_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "mm_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["fmt"], r["width"], r["height"], r["channels"])
+        for r in spark.sql("SELECT * FROM mm_stream").collect()
+    }
+    assert got == batch
+
+
 def test_streaming_dynamic_gap_session(spark, tmp_path):
     """C3+: the dynamic-gap session expression runs unchanged under
     Structured Streaming and matches the batch result."""
