@@ -272,6 +272,49 @@ def b24_posexplode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "b47_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-08-01')
+    SELECT strftime(months.m, '%Y-%m') AS month,
+           COUNT(o_orderkey) AS n_orders
+    FROM months
+    LEFT JOIN orders ON date_trunc('month', o_orderdate) = months.m
+    GROUP BY months.m
+    ORDER BY month
+    """,
+)
+def b47_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    """B47: recursive CTE (Spark 4 WITH RECURSIVE) — generate the full
+    1995–2001 month calendar recursively and LEFT JOIN order counts, so
+    months with zero orders appear (calendar gap-filling, the reporting
+    staple that a plain GROUP BY silently drops).
+
+    Scale: the recursion materializes 80 rows (driver-trivial); the
+    fill join broadcasts them against the aggregated per-month counts.
+    """
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months
+          WHERE m < TIMESTAMP '2001-08-01')
+        SELECT date_format(months.m, 'yyyy-MM') AS month,
+               COUNT(o_orderkey) AS n_orders
+        FROM months
+        LEFT JOIN orders ON date_trunc('month', o_orderdate) = months.m
+        GROUP BY months.m
+        ORDER BY month
+        """
+    )
+
+
+@query(
     "b30_grouped_map",
     oracle="""
     SELECT o_orderkey,
