@@ -193,3 +193,27 @@ def test_window_rank_bucket_pruned_topk(spark):
     # count table (their spec orders by l_quantity), never the fact sort
     for w in rn_windows:
         assert "l_quantity" in w, w
+
+
+def test_tpch_q14_pushes_month_filter_and_broadcasts_part(spark):
+    plan = plan_of(spark, "b42_tpch_q14")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q19_derives_single_table_disjunctions(spark):
+    """The OR-of-ANDs must reach BOTH scans as derived single-table
+    disjunctions (brand/size on part, quantity on lineitem)."""
+    plan = plan_of(spark, "b43_tpch_q19").replace(" ", "")
+    assert "Or(And(EqualTo(p_brand,Brand#12)" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1].split("\n")[0] or (
+        "GreaterThanOrEqual(l_quantity" in plan
+    )
+
+
+def test_tpch_q7_no_fact_fact_broadcast_misuse(spark):
+    """Q7's chain: pruned nations broadcast; the lineitem-orders join is
+    the only big-big join (hash/SMJ, not a cartesian)."""
+    plan = plan_of(spark, "b44_tpch_q7")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
