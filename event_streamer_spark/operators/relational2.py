@@ -272,6 +272,49 @@ def b24_posexplode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "b48_exact_median",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(median(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) AS median_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def b48_exact_median(spark: SparkSession, sf: str) -> DataFrame:
+    """B48: EXACT per-group median as a distributed order statistic —
+    rank every row with the two-level decomposition, keep the middle
+    rank(s), average them (even-n rule matches DuckDB's ``median``).
+    ``percentile_approx`` (B11) is the sketch answer; this is the exact
+    one WITHOUT sorting a whole 3-value partition key on one task.
+    Integer cents so the even-n midpoint average is float-exact.
+    """
+    from event_streamer_spark.operators.distrank import two_level_row_number
+
+    li = load(spark, sf, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    ranked = two_level_row_number(
+        li,
+        ["l_returnflag"],
+        ["cents", "l_orderkey", "l_linenumber"],
+        bucket_value="cents",
+        out_col="rn",
+        count_col="n",
+    )
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.ceil((F.col("n") + 1) / 2)
+    return (
+        ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        .groupBy("l_returnflag")
+        .agg(F.avg("cents").alias("median_cents"))
+    )
+
+
+@query(
     "b47_recursive_cte",
     oracle="""
     WITH RECURSIVE months(m) AS (
