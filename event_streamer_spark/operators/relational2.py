@@ -272,6 +272,51 @@ def b24_posexplode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "b20_set_ops_all",
+    oracle="""
+    WITH a AS (SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q
+               FROM lineitem WHERE l_orderkey % 3 = 0),
+    b AS (SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q
+          FROM lineitem WHERE l_orderkey % 2 = 0),
+    i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+    e AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    SELECT 'intersect_all' AS op, f, q, COUNT(*) AS n FROM i GROUP BY f, q
+    UNION ALL
+    SELECT 'except_all' AS op, f, q, COUNT(*) AS n FROM e GROUP BY f, q
+    """,
+)
+def b20_set_ops_all(spark: SparkSession, sf: str) -> DataFrame:
+    """B20+: bag-semantics set operations — INTERSECT ALL keeps
+    min(multiplicity), EXCEPT ALL subtracts multiplicities (vs the
+    distinct variants in b20). Result rolled up per (flag, quantity) so
+    the output contract is order-free. Both compile to aggregation +
+    join on the row value — shuffle on the uniform composite key.
+    """
+    li = load(spark, sf, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 3 == 0).select(
+        F.col("l_returnflag").alias("f"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    b = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        F.col("l_returnflag").alias("f"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    i = (
+        a.intersectAll(b)
+        .groupBy("f", "q")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "f", "q", "n")
+    )
+    e = (
+        a.exceptAll(b)
+        .groupBy("f", "q")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "f", "q", "n")
+    )
+    return i.unionAll(e)
+
+
+@query(
     "b48_exact_median",
     oracle="""
     SELECT l_returnflag,
