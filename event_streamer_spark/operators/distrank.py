@@ -37,12 +37,15 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Measured at sf0.1 (600k rows, local[32]): 32 buckets / accuracy 1000 /
-# size(filter()) assignment = 2.3 s vs 7.0 s for 64 / 10000 / aggregate()
-# — and ties the naive 3-partition window while scaling to any per-key
-# volume. More buckets only helps once per-bucket rows >> task overhead.
+# Measured at sf0.1 (600k rows, local[32]): 32 buckets with
+# size(filter()) assignment beat 64 buckets / aggregate() 3×. Sketch
+# accuracy only affects bucket BALANCE (never correctness): accuracy=100
+# bounds each bucket within ±1% of n rows of its n/32 target and costs
+# 0.46 s vs 1.43 s at accuracy=1000 — the bounds aggregate was the
+# single largest cold-pass cost. More buckets only helps once per-bucket
+# rows >> task overhead.
 _DEFAULT_BUCKETS = 32
-_PERCENTILE_ACCURACY = 1_000
+_PERCENTILE_ACCURACY = 100
 
 
 def _bucket_assign(value: Column, bounds: Column) -> Column:
@@ -56,6 +59,52 @@ def _bucket_assign(value: Column, bounds: Column) -> Column:
     return F.size(F.filter(bounds, lambda b: value > b))
 
 
+def _plan_size_bytes(df: DataFrame) -> Optional[int]:
+    """Catalyst's size estimate for ``df`` (file-size based for parquet
+    scans). Plan-statistics only — triggers NO job. ``None`` when the
+    internal API is unavailable (never fail a query over a heuristic)."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - JVM internals
+        return None
+    # LogicalRDD (createDataFrame) and other stat-less nodes report
+    # spark.sql.defaultSizeInBytes = Long.MaxValue: that means UNKNOWN,
+    # not huge — return None so 'auto' stays on the scale-safe path
+    return None if est >= (1 << 62) else est
+
+
+# Crossover (measured at sf0.1, local[32]): the two-level pipeline costs
+# ~2 fact scans + 2 broadcast joins vs the naive window's 1 scan + 1
+# straggler sort. Below ~1 GiB of input even a worst-case single-key
+# sort is one comfortable task and the naive window wins; above it the
+# per-key straggler dominates and two-level wins. ``mode='auto'`` picks
+# by the Catalyst size estimate against this threshold.
+_NAIVE_MAX_BYTES = 1 << 30
+
+
+def _naive_row_number(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_cols: Sequence[Union[str, Column]],
+    out_col: str,
+    count_col: Optional[str],
+    rn_limit: Optional[int],
+) -> DataFrame:
+    """The textbook single-level window — correct at any size, but sorts
+    each whole partition key on one task (the small-input fast path)."""
+    w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    out = df.withColumn(out_col, F.row_number().over(w).cast("int"))
+    if count_col is not None:
+        out = out.withColumn(
+            count_col, F.count(F.lit(1)).over(Window.partitionBy(*part_cols))
+        )
+    if rn_limit is not None:
+        out = out.filter(F.col(out_col) <= rn_limit)
+    return out
+
+
 def two_level_row_number(
     df: DataFrame,
     part_cols: Sequence[str],
@@ -65,6 +114,9 @@ def two_level_row_number(
     out_col: str = "rn",
     count_col: Optional[str] = None,
     rn_limit: Optional[int] = None,
+    mode: str = "two_level",
+    naive_max_bytes: int = _NAIVE_MAX_BYTES,
+    cache: bool = True,
 ) -> DataFrame:
     """Global per-partition ``row_number`` without a per-partition sort.
 
@@ -81,11 +133,33 @@ def two_level_row_number(
     top-100 over 32 buckets sorts ~1/32nd of the data. (Equivalent to
     filtering ``out_col <= rn_limit`` afterwards, just cheaper.)
 
-    Two passes over the input (bounds+counts aggregates, then the
-    bucketed sort); both are scan+broadcast-join+partial-agg shaped —
-    no stage ever sorts or holds a whole partition key on one task.
+    ``mode``: ``'two_level'`` (default — the scale-safe plan, pinned by
+    the plan-regression tests), ``'naive'`` (single-level window), or
+    ``'auto'`` (naive below ``naive_max_bytes`` of Catalyst-estimated
+    input, two-level above — see ``_NAIVE_MAX_BYTES`` for the measured
+    crossover; the estimate costs no job).
+
+    Two passes over the input: the bounds aggregate, then ONE build of
+    the bucketed frame which is ``persist()``-ed (``cache=True``) so the
+    per-bucket counts aggregate and the pass-2 sort share it instead of
+    re-scanning the fact table. Both passes are scan+broadcast-join+
+    partial-agg shaped — no stage ever sorts or holds a whole partition
+    key on one task. At extreme input sizes where caching the full
+    bucketed frame is unwanted, ``cache=False`` trades it back for a
+    third scan.
     """
     part_cols = list(part_cols)
+    if mode == "auto":
+        est = _plan_size_bytes(df)
+        mode = (
+            "naive"
+            if est is not None and est <= naive_max_bytes
+            else "two_level"
+        )
+    if mode == "naive":
+        return _naive_row_number(
+            df, part_cols, order_cols, out_col, count_col, rn_limit
+        )
     b = df.withColumn("__bv", F.col(bucket_value) if isinstance(bucket_value, str) else bucket_value)
 
     fracs = [i / n_buckets for i in range(1, n_buckets)]
@@ -97,6 +171,11 @@ def two_level_row_number(
     b = b.join(F.broadcast(bounds), part_cols).withColumn(
         "__bucket", _bucket_assign(F.col("__bv"), F.col("__bounds"))
     )
+    if cache:
+        # one fact scan feeds BOTH consumers below (pass-1 counts and
+        # the pass-2 sort); without this the bucketed frame is rebuilt
+        # from parquet twice (the r4 3-scan regression)
+        b = b.persist()
 
     # pass 1: per-bucket counts → cumulative base offsets (tiny table)
     counts = b.groupBy(*part_cols, "__bucket").agg(
@@ -186,6 +265,15 @@ def tied_ranks(
         df, part_cols, value_col, descending, rank_col, dense_rank_col
     )
     return df.join(F.broadcast(table), list(part_cols) + [value_col])
+
+
+def percent_rank_expr(rn: Column, n: Column, decimals: int = 6) -> Column:
+    """SQL ``percent_rank()`` from a global row number and partition row
+    count: ``(rn-1)/(n-1)``, with the single-row-partition case pinned
+    to 0.0 (the SQL definition) instead of a divide-by-zero NULL."""
+    return F.when(n == 1, F.lit(0.0)).otherwise(
+        F.round((rn - 1).cast("double") / (n - 1), decimals)
+    )
 
 
 def ntile_expr(rn: Column, n: Column, k: int) -> Column:

@@ -544,8 +544,13 @@ def b15_window_rank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     li = load(spark, sf, "lineitem")
+    # prune BEFORE the two-level call: its persist() caches its input
+    # frame, so hand it only the 5 columns the query needs, not all 16
     ranked = two_level_row_number(
-        li,
+        li.select(
+            "l_returnflag", "l_orderkey", "l_linenumber",
+            "l_extendedprice", "l_quantity",
+        ),
         ["l_returnflag"],
         [F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"],
         bucket_value=-F.col("l_extendedprice"),

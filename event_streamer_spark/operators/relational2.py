@@ -173,19 +173,25 @@ def b15_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
     from event_streamer_spark.operators.distrank import two_level_row_number
 
     li = load(spark, sf, "lineitem")
+    # prune before the call — two_level persists its input frame
     ranked = two_level_row_number(
-        li,
+        li.select(
+            "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+        ),
         ["l_returnflag"],
         ["l_extendedprice", "l_orderkey", "l_linenumber"],
         bucket_value="l_extendedprice",
         out_col="__rn",
         count_col="__n",
     )
+    from event_streamer_spark.operators.distrank import percent_rank_expr
+
     rn, n = F.col("__rn"), F.col("__n")
     return ranked.select(
         "l_orderkey",
         "l_linenumber",
-        F.round((rn - 1).cast("double") / (n - 1), 6).alias("pr"),
+        # single-row partitions yield 0.0, not a div-by-zero NULL
+        percent_rank_expr(rn, n).alias("pr"),
         F.round(rn.cast("double") / n, 6).alias("cd"),
     )
 

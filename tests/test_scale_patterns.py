@@ -174,6 +174,92 @@ def test_two_level_row_number_randomized_equivalence(spark):
             assert got == {u: r for u, r in exp.items() if r <= limit}
 
 
+def test_two_level_auto_mode_picks_by_size(spark):
+    """``mode='auto'``: below the byte threshold the plan is the plain
+    single-level window (no ``__bucket``); forcing the threshold to 0
+    re-enables the two-level plan. Results identical either way."""
+    from pyspark.sql import Window
+
+    from event_streamer_spark.operators.distrank import two_level_row_number
+
+    # parquet-backed frame: Catalyst's size estimate is real there
+    # (createDataFrame yields a LogicalRDD whose stats are "unknown",
+    # which auto treats as large — the conservative scale-safe choice)
+    df = load(spark, SF, "lineitem").select(
+        F.col("l_returnflag").alias("pk"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    naive_w = Window.partitionBy("pk").orderBy("v", "uid")
+    exp = {
+        r["uid"]: r["rn"]
+        for r in df.select("uid", F.row_number().over(naive_w).alias("rn")).collect()
+    }
+
+    small = two_level_row_number(
+        df, ["pk"], ["v", "uid"], bucket_value="v", out_col="rn", mode="auto"
+    )
+    assert "__bucket" not in explain_str(small, "simple")
+    assert {r["uid"]: r["rn"] for r in small.select("uid", "rn").collect()} == exp
+
+    big = two_level_row_number(
+        df, ["pk"], ["v", "uid"], bucket_value="v", out_col="rn",
+        mode="auto", naive_max_bytes=0, n_buckets=8,
+    )
+    assert "__bucket" in explain_str(big, "simple")
+    assert {r["uid"]: r["rn"] for r in big.select("uid", "rn").collect()} == exp
+
+
+def test_two_level_naive_mode_count_and_limit(spark):
+    """The naive fallback honors count_col and rn_limit exactly like
+    the two-level path."""
+    from event_streamer_spark.operators.distrank import two_level_row_number
+
+    df = spark.createDataFrame(
+        [(k % 2, k) for k in range(40)], "pk bigint, uid bigint"
+    )
+    out = two_level_row_number(
+        df, ["pk"], ["uid"], bucket_value="uid", out_col="rn",
+        count_col="n", rn_limit=5, mode="naive",
+    )
+    rows = out.collect()
+    assert len(rows) == 10  # 5 per partition key
+    assert all(r["n"] == 20 for r in rows)
+    assert all(1 <= r["rn"] <= 5 for r in rows)
+
+
+def test_percent_rank_expr_single_row_partition(spark):
+    """percent_rank() of a 1-row partition is 0.0 by SQL definition —
+    the (rn-1)/(n-1) arithmetic must not NULL out (ADVICE r4)."""
+    from pyspark.sql import Window
+
+    from event_streamer_spark.operators.distrank import percent_rank_expr
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("solo", 9)], "pk string, v bigint"
+    )
+    w = Window.partitionBy("pk").orderBy("v")
+    wp = Window.partitionBy("pk")
+    got = {
+        (r["pk"], r["v"]): r["pr"]
+        for r in df.select(
+            "pk",
+            "v",
+            percent_rank_expr(
+                F.row_number().over(w), F.count(F.lit(1)).over(wp)
+            ).alias("pr"),
+        ).collect()
+    }
+    native = {
+        (r["pk"], r["v"]): r["pr"]
+        for r in df.select(
+            "pk", "v", F.round(F.percent_rank().over(w), 6).alias("pr")
+        ).collect()
+    }
+    assert got == native
+    assert got[("solo", 9)] == 0.0
+
+
 def test_tied_ranks_matches_naive(spark):
     from pyspark.sql import Window
 
