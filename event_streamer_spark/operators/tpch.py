@@ -603,3 +603,766 @@ def b37_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "b49_tpch_q17",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+             / 700.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND p_type  = 'SMALL'
+      AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = part.p_partkey)
+    """,
+)
+def b49_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted: the generator
+    has no ``p_container``, so the part predicate is brand + ``p_type =
+    'SMALL'``. The defining shape is the CORRELATED SCALAR-AVG subquery
+    (``l_quantity < 0.2 * avg(qty) per part``) — the decorrelation
+    pattern nothing else in the suite covers (spec Q17; reference has no
+    subqueries, SURVEY §2.B B28).
+
+    Spark-first decorrelation: the per-part average is an explicit
+    groupBy on the uniform partkey, broadcast-joined back onto the
+    filtered fact — one fact shuffle total, no per-row subquery. The
+    average compares exactly on both engines: quantities are
+    integer-valued doubles, so sum/count is the same IEEE division.
+    Revenue sums integer cents; /700.0 (cents→dollars, /7 yearly) is a
+    single deterministic double division.
+    """
+    p = (
+        load(spark, sf, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    # correlated scalar avg, decorrelated: avg(qty) per part, restricted
+    # to the filtered parts, broadcast back onto the fact — the join
+    # enforces the part predicate AND delivers the threshold in one hop
+    avg_small = (
+        li.groupBy("l_partkey")
+        .agg(F.avg("l_quantity").alias("__avg_qty"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_partkey", "__avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_small), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg(
+            (
+                F.sum(_cents("l_extendedprice")).cast("double") / 700.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "b50_tpch_q21",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders    ON o_orderkey = l1.l_orderkey
+    JOIN nation    ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND n_name = 'NATION_3'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def b50_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: no
+    ``l_receiptdate``/``l_commitdate`` in the generator, so a line is
+    "late" when it ships >30 days after its order date (same adaptation
+    family as Q4). The defining shape is the EXISTS + NOT-EXISTS pair of
+    correlated self-joins on lineitem — the only multi-self-join
+    decorrelation in the suite (spec Q21).
+
+    Spark-first decorrelation: EXISTS(other supplier in same order) is a
+    LEFT SEMI self-join on the uniform orderkey with the supplier
+    inequality as residual; NOT EXISTS(other supplier ALSO late) is a
+    LEFT ANTI self-join against the pre-filtered late-line set (the
+    lateness predicate is evaluated once per line on the orders-joined
+    frame, not per candidate pair). The nation filter prunes supplier to
+    1/25 BEFORE its broadcast join, so the fact flow is filtered early;
+    both self-joins shuffle on the same orderkey partitioning and AQE
+    reuses it. Top-100 on the deterministic (numwait DESC, s_name) pair
+    is TakeOrderedAndProject.
+    """
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    nat = (
+        load(spark, sf, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    supp = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    orders_f = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    # every F-order line, tagged with its order date (lateness computable once)
+    lined = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+    l1 = (
+        lined.filter(late)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late_other = lined.filter(late).select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    waited = l1.join(
+        other,
+        (F.col("o2_orderkey") == F.col("l_orderkey"))
+        & (F.col("o2_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    ).join(
+        late_other,
+        (F.col("o3_orderkey") == F.col("l_orderkey"))
+        & (F.col("o3_suppkey") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "b51_tpch_q2",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS cost_c
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    euro AS (
+      SELECT o.l_partkey, o.l_suppkey, o.cost_c,
+             s_acctbal, s_name, n_name
+      FROM offers o
+      JOIN supplier ON s_suppkey = o.l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+    FROM part JOIN euro ON p_partkey = euro.l_partkey
+    WHERE p_size = 15 AND p_type = 'LARGE'
+      AND cost_c = (SELECT MIN(e2.cost_c) FROM euro e2
+                    WHERE e2.l_partkey = part.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def b51_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: the generator has no
+    ``partsupp``, so the part-supplier offer relation derives from
+    lineitem's distinct ``(l_partkey, l_suppkey)`` pairs with supply
+    cost = MIN(integer-cents extendedprice) — an exact, deterministic
+    stand-in for ``ps_supplycost``. The defining shape survives: a
+    correlated MIN subquery over a 4-way dimension join, decorrelated
+    into a per-part MIN aggregate joined back on (partkey, cost).
+
+    Scale: the offers aggregate shuffles once on the uniform (part,
+    supp) key; the European supplier side is dimension-sized and
+    broadcasts; the per-part MIN is a second small aggregate of the
+    already-reduced offers; part's size/type filter prunes its scan.
+    Deterministic top-100: (s_acctbal DESC, n_name, s_name, p_partkey)
+    is a total order because s_name is unique per supplier row.
+    """
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_cents("l_extendedprice")).alias("cost_c")
+    )
+    nat = (
+        load(spark, sf, "nation")
+        .join(
+            F.broadcast(
+                load(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    euro = offers.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    best = euro.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("cost_c").alias("min_c")
+    )
+    p = (
+        load(spark, sf, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        euro.join(
+            F.broadcast(best),
+            (F.col("m_partkey") == F.col("l_partkey"))
+            & (F.col("cost_c") == F.col("min_c")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "b52_tpch_q8",
+    oracle="""
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_8'
+                               THEN vol_c ELSE 0 END) AS DOUBLE)
+                 / SUM(vol_c), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(ROUND(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS vol_c,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01')
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def b52_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the share of one supplier
+    nation in a region's customer volume, by order year. Adapted only
+    in constants (generator nation/type names); the 8-table join and
+    conditional-aggregate share arithmetic are the spec's.
+
+    Scale: every dimension chain (part type filter, American customers
+    via nation→region, supplier nation) prunes before broadcasting; the
+    only fact-fact shuffle is lineitem⨝orders on the uniform orderkey.
+    Volume is integer cents×(100−disc) so both SUMs are exact BIGINTs;
+    the share is one double division rounded to 6 — deterministic on
+    both engines.
+    """
+    p = (
+        load(spark, sf, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    region = load(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = (
+        load(spark, sf, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    cust = (
+        load(spark, sf, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .select("c_custkey")
+    )
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    supp = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .withColumn("vol_c", vol)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_8", F.col("vol_c"))
+                    .otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("vol_c"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "b53_tpch_q9",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                    - CAST(ROUND(p_retailprice*100) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT) * 10) AS BIGINT)
+             / 10000.0 AS sum_profit
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def b53_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: no ``partsupp``, so the
+    cost leg ``ps_supplycost * l_quantity`` becomes ``10% of
+    p_retailprice * l_quantity`` (the generator's only cost-like part
+    attribute). The spec shape survives: 5-way join, LIKE filter on
+    p_name, profit grouped by supplier nation × order year.
+
+    Scale: the p_name LIKE filter prunes part before broadcast (a
+    substring filter can't push to parquet stats but runs in the scan);
+    supplier+nation broadcast; lineitem⨝orders is the one fact shuffle.
+    Profit is exact BIGINT cent×percent arithmetic (retail leg scaled
+    ×10 to the same 1/10000-dollar unit), divided once at the end.
+    """
+    p = (
+        load(spark, sf, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    s = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    profit = _cents("l_extendedprice") * (
+        F.lit(100) - _cents("l_discount")
+    ) - _cents("p_retailprice") * F.col("l_quantity").cast("bigint") * 10
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg((F.sum(profit).cast("double") / 10000).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "b54_tpch_q11",
+    oracle="""
+    WITH nat_value AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS val_c
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_5'
+      GROUP BY l_partkey)
+    SELECT l_partkey AS p_partkey,
+           CAST(val_c AS BIGINT) / 10000.0 AS value
+    FROM nat_value
+    WHERE CAST(val_c AS DOUBLE) >
+          (SELECT CAST(SUM(val_c) AS DOUBLE) * 0.001 FROM nat_value)
+    ORDER BY value DESC, p_partkey
+    """,
+)
+def b54_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: no
+    ``partsupp``, so a nation's "stock value" per part is the lineitem
+    revenue its suppliers shipped (exact integer cents). The defining
+    shape survives: an aggregate filtered by a SCALAR SUBQUERY over the
+    SAME aggregate (parts holding >0.1% of the nation's total).
+
+    Scale: the nation filter prunes supplier to 1/25 before its
+    broadcast; one fact shuffle on partkey for the per-part aggregate;
+    the global total re-aggregates the ALREADY-REDUCED per-part frame
+    (2000 rows, not 60k facts) into a 1-row broadcast cross-join —
+    the per-part frame is computed once per consumer, both map-side
+    partial. Threshold compare is BIGINT→double on both engines.
+    """
+    nat = (
+        load(spark, sf, "nation")
+        .filter(F.col("n_name") == "NATION_5")
+        .select("n_nationkey")
+    )
+    supp = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    val = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    per_part = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("val_c"))
+    )
+    total = per_part.agg(
+        (F.sum("val_c").cast("double") * 0.001).alias("__thresh")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("val_c").cast("double") > F.col("__thresh"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("val_c").cast("double") / 10000).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+@query(
+    "b55_tpch_q12",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def b55_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority), adapted: no
+    ``l_shipmode``/``l_commitdate``/``l_receiptdate`` in the generator,
+    so the mode group becomes ``l_linestatus`` and "late" is the Q4/Q21
+    convention (shipped >30 days after order date). The spec's defining
+    shape survives: a fact-fact join whose aggregate splits counts by a
+    CASE over the joined dimension attribute.
+
+    Scale: the ship-year range pushes to the lineitem scan; the join
+    shuffles both facts on the uniform orderkey; the lateness predicate
+    is a join residual (needs both sides); the 2-group conditional
+    aggregate partial-aggregates map-side. BIGINT counts — exact.
+    """
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        load(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "b56_tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def b56_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution), adapted: no
+    ``o_comment`` in the generator, so the excluded-order predicate is
+    ``o_orderpriority <> '1-URGENT'``. The spec shape survives: LEFT
+    join with the filter INSIDE the join condition (zero-order
+    customers must survive with count 0), then a histogram of counts.
+
+    Scale: the priority filter prunes orders before the join; the join
+    shuffles on the uniform custkey (or broadcasts customer at small
+    SF); COUNT(o_orderkey) ignores the NULLs the LEFT join produces;
+    the second aggregate runs on the already-reduced 1-row-per-customer
+    frame. BIGINT counts; deterministic (custdist, c_count) sort.
+    """
+    c = load(spark, sf, "customer").select("c_custkey")
+    o = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "b57_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS total_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           CAST(total_c AS BIGINT) / 10000.0 AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_c = (SELECT MAX(total_c) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def b57_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose quarterly
+    revenue equals the global maximum — the spec's view + scalar-MAX
+    shape, constants adapted to the generator's date range.
+
+    Scale: the quarter filter pushes to the scan; per-supplier revenue
+    is one partial-aggregated shuffle on the uniform suppkey; the MAX
+    re-aggregates the already-reduced 100-row frame into a 1-row
+    broadcast; integer-cents revenue makes the MAX-equality exact (the
+    float-revenue version of this query is nondeterministic by
+    construction — ties on doubles; cents sidestep it).
+    """
+    li = (
+        load(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    revenue = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_c"))
+    best = revenue.agg(F.max("total_c").alias("__max_c"))
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_c") == F.col("__max_c"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_c").cast("double") / 10000).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "b58_tpch_q20",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 100)
+    ORDER BY s_name
+    """,
+)
+def b58_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: no ``partsupp``
+    availqty, so "has excess stock to promote" becomes "shipped more
+    than 100 units of red parts in the year" — the spec's nested
+    IN-subquery-with-aggregate-threshold shape survives (IN over a
+    GROUP BY + HAVING derived table, itself filtered by a part
+    subquery).
+
+    Scale: the p_name prefix LIKE prunes part before broadcast; the
+    ship-year range pushes to the lineitem scan; the HAVING aggregate
+    partial-aggregates on the uniform suppkey into a tiny keeper set
+    that LEFT SEMI joins (broadcast) against the nation-pruned
+    supplier dimension. BIGINT quantity sum — exact threshold.
+    """
+    nat = (
+        load(spark, sf, "nation")
+        .filter(F.col("n_name") == "NATION_2")
+        .select("n_nationkey")
+    )
+    s = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    p = (
+        load(spark, sf, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = (
+        load(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    keepers = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+        .filter(F.col("q") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(
+            F.broadcast(keepers),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "b59_tpch_q22",
+    oracle="""
+    WITH eligible AS (
+      SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+             CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c,
+             c_custkey
+      FROM customer
+      WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9))
+    SELECT cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(bal_c) AS BIGINT) / 100.0 AS totacctbal
+    FROM eligible
+    WHERE CAST(bal_c AS DOUBLE) >
+          (SELECT AVG(CAST(bal_c AS DOUBLE)) FROM eligible WHERE bal_c > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-06-01')
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def b59_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: no ``c_phone`` in
+    the generator, so the country code is ``c_nationkey % 10`` and the
+    code list is the odd digits. The spec's defining shape survives:
+    scalar-AVG threshold subquery + NOT EXISTS anti-join on orders for
+    lapsed customers (no order in the trailing window — the generator's
+    customers nearly all have SOME order, so the spec's never-purchased
+    predicate would select zero rows; the windowed form keeps the
+    anti-join non-trivial: 63 rows at sf0.01).
+
+    Scale: the code filter prunes customer at the scan; the AVG
+    threshold re-aggregates the pruned frame into a 1-row broadcast;
+    NOT EXISTS is a LEFT ANTI join on the uniform custkey (orders
+    projected to the single join column). Balances are integer cents:
+    the AVG is an exact BIGINT sum divided once, so the threshold
+    compare is the same IEEE double on both engines — a raw float AVG
+    would be order-dependent and could flip boundary rows.
+    """
+    eligible = (
+        load(spark, sf, "customer")
+        .filter((F.col("c_nationkey") % 10).isin(1, 3, 5, 7, 9))
+        .select(
+            (F.col("c_nationkey") % 10).cast("bigint").alias("cntrycode"),
+            _cents("c_acctbal").alias("bal_c"),
+            "c_custkey",
+        )
+    )
+    thresh = eligible.filter(F.col("bal_c") > 0).agg(
+        F.avg(F.col("bal_c").cast("double")).alias("__avg_c")
+    )
+    o = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        eligible.crossJoin(F.broadcast(thresh))
+        .filter(F.col("bal_c").cast("double") > F.col("__avg_c"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_c").cast("double") / 100).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

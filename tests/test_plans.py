@@ -217,3 +217,31 @@ def test_tpch_q7_no_fact_fact_broadcast_misuse(spark):
     plan = plan_of(spark, "b44_tpch_q7")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q17_decorrelates_without_cartesian(spark):
+    """Q17's correlated scalar-avg must become an aggregate + broadcast
+    join — never a per-row subquery or a cartesian product."""
+    plan = plan_of(spark, "b49_tpch_q17")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the per-part average is a real partial aggregate
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q21_exists_pair_compiles_to_semi_and_anti(spark):
+    """Q21's EXISTS / NOT-EXISTS self-join pair must compile to one
+    LEFT SEMI and one LEFT ANTI join (no row-widening inner joins for
+    the existence checks) with the supplier-inequality as residual."""
+    plan = plan_of(spark, "b50_tpch_q21")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q2_min_cost_broadcasts_keeper_set(spark):
+    """Q2's per-part MIN keeper set and the filtered part dimension must
+    broadcast — the offers aggregate is the only fact-sized shuffle."""
+    plan = plan_of(spark, "b51_tpch_q2")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
