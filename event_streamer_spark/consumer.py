@@ -420,6 +420,41 @@ class ConsumerRouter:
             specs.append((options, suffix))
         return specs
 
+    @staticmethod
+    def resolve_checkpoint(
+        spark: SparkSession,
+        ckpt_root: str,
+        suffix: str,
+        single_source: bool,
+    ) -> str:
+        """Checkpoint location for one source, with a pre-multi-source
+        migration fallback.
+
+        Layout: ``ckpt_root/<suffix>`` (``shared`` / ``topic-<name>``,
+        see :meth:`kafka_sources_spec`). Deployments that created their
+        checkpoint BEFORE the multi-source layout committed offsets at
+        ``ckpt_root`` itself; relocating them to ``ckpt_root/shared``
+        would restart a ``startingOffsets=latest`` stream from scratch
+        and silently skip everything produced while the consumer was
+        down. So: a SINGLE-source plan whose legacy root checkpoint
+        exists (``ckpt_root/offsets``) keeps using ``ckpt_root`` unless
+        the new location already has offsets of its own. Multi-source
+        plans can't inherit the root checkpoint (which source would own
+        it?) — upgrading one is a documented one-time move:
+        ``ckpt_root -> ckpt_root/shared`` before restart.
+        """
+        if not suffix:
+            return ckpt_root
+        loc = f"{ckpt_root}/{suffix}"
+        if suffix == "shared" and single_source:
+            from event_streamer_spark.helpers import hadoop_path_exists
+
+            legacy = hadoop_path_exists(spark, f"{ckpt_root}/offsets")
+            migrated = hadoop_path_exists(spark, f"{loc}/offsets")
+            if legacy and not migrated:
+                return ckpt_root
+        return loc
+
     def start(
         self,
         spark: Optional[SparkSession] = None,
@@ -494,7 +529,9 @@ class ConsumerRouter:
             )
             if ckpt_root:
                 # one checkpoint per source: each query tracks its own offsets
-                loc = f"{ckpt_root}/{suffix}" if suffix else ckpt_root
+                loc = self.resolve_checkpoint(
+                    spark, ckpt_root, suffix, single_source=len(sources) == 1
+                )
                 writer = writer.option("checkpointLocation", loc)
             self._queries.append(writer.start())
         return self._queries

@@ -86,3 +86,19 @@ def get_parsed_json(value: Any) -> Any:
         return json.loads(value)
     except (json.JSONDecodeError, ValueError):
         return None
+
+
+def hadoop_path_exists(spark, path: str) -> bool:
+    """True iff ``path`` exists on whatever filesystem Spark resolves it
+    to (local, HDFS, S3A, ...) — the Hadoop FS API, not ``os.path``, so
+    checkpoint/state paths behave identically on a real cluster.
+
+    Used to distinguish "state not created yet" from real IO errors:
+    callers check existence FIRST and then let genuine read failures
+    (corrupt files, permission errors) propagate instead of swallowing
+    them as empty state.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))

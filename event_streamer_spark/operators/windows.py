@@ -185,3 +185,97 @@ def c3_dynamic_session(spark: SparkSession, sf: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+@query(
+    "c6_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 4) AS total
+    FROM events
+    JOIN customer ON c_custkey = user_id
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def c6_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """C6 oracle leg: stream⋈static enrichment, evaluated batch-side.
+
+    Runs the IDENTICAL ``streaming.ops.stream_static_join`` helper the
+    streaming tests drive (broadcast of the static customer dim — each
+    micro-batch joins map-side with zero stream shuffle); the DuckDB
+    oracle hash-checks the join+rollup semantics shared by both paths.
+    """
+    from event_streamer_spark.streaming.ops import stream_static_join
+
+    e = load(spark, sf, "events")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream_static_join(
+        e, cust, F.col("c_custkey") == F.col("user_id")
+    )
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )
+
+
+@query(
+    "c7_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS secs_after
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <  c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def c7_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """C7 oracle leg: stream⋈stream interval join (click→purchase by
+    the same user within 30 minutes), evaluated batch-side.
+
+    Runs the IDENTICAL ``streaming.ops.stream_stream_join`` helper the
+    streaming tests drive — equi-join on user_id with the event-time
+    range as residual, both sides watermarked (a no-op in batch, the
+    state-eviction bound in streaming). The oracle hash-checks the
+    interval-join semantics shared by both paths. At scale the shuffle
+    keys on the uniform user_id; the time-range residual never widens
+    the join beyond the watermark horizon.
+    """
+    from event_streamer_spark.streaming.ops import stream_stream_join
+
+    e = load(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        )
+    )
+    joined = stream_stream_join(
+        clicks, purchases, cond, "click_ts", "purchase_ts", "30 minutes"
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).cast("bigint").alias("secs_after"),
+    )

@@ -18,6 +18,14 @@ then fold the arrivals into the index. This module implements that as a
   signature verification at the same 0.25 threshold.
 * every pair involves at least one arriving doc, so no pair is emitted
   twice across batches; within a batch, ``doc_a < doc_b`` dedups.
+* **retry-idempotent**: every write is partitioned by ``batch_id`` with
+  dynamic partition overwrite, so a re-executed micro-batch (standard
+  at-least-once ``foreachBatch`` redelivery) REPLACES its own prior
+  partial output instead of appending a duplicate; reads exclude the
+  current batch's partition, so a retry sees exactly the pre-batch
+  index. Missing state paths mean "first batch"; real read errors
+  propagate so the streaming query retries instead of silently losing
+  cross-batch pairs.
 
 Shuffle volume per batch: O(batch × bands) for the self-join plus a
 join against the index pruned to the batch's band hashes — never
@@ -32,7 +40,23 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from event_streamer_spark.helpers import hadoop_path_exists
 from event_streamer_spark.operators.dedup import _N_PERM, _minhash_signatures
+
+
+def _write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
+    """Idempotent per-batch write: the rows land in partition
+    ``batch_id=<n>``; dynamic partition overwrite replaces ONLY that
+    partition on a foreachBatch retry (other batches' output is
+    untouched), so at-least-once re-execution cannot double-insert."""
+    (
+        df.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
 
 def _est_jaccard() -> F.Column:
     """Signature-agreement estimate over (sig_a, sig_b) columns —
@@ -55,7 +79,7 @@ def count_min_batch(state_dir: str) -> Callable[[DataFrame, int], None]:
     from event_streamer_spark.operators.sketches import count_min_sketch
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        count_min_sketch(batch_df).write.mode("append").parquet(state_dir)
+        _write_batch_partition(count_min_sketch(batch_df), batch_id, state_dir)
 
     return process
 
@@ -77,7 +101,7 @@ def hll_batch(state_dir: str) -> Callable[[DataFrame, int], None]:
     from event_streamer_spark.operators.sketches import hll_registers
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        hll_registers(batch_df).write.mode("append").parquet(state_dir)
+        _write_batch_partition(hll_registers(batch_df), batch_id, state_dir)
 
     return process
 
@@ -120,10 +144,18 @@ def minhash_neardup_batch(
         )
 
         def _read(sub: str) -> Optional[DataFrame]:
-            try:
-                return spark.read.parquet(f"{state_dir}/{sub}")
-            except Exception:  # noqa: BLE001 — first batch: no state yet
+            # ONLY a missing path means "first batch, no state yet" —
+            # a real read failure (corrupt file, IO error) must raise so
+            # the streaming query retries instead of silently treating
+            # the whole index as empty and losing cross-batch pairs
+            path = f"{state_dir}/{sub}"
+            if not hadoop_path_exists(spark, path):
                 return None
+            # a retried batch already wrote its own partition: exclude
+            # it so the retry sees exactly the pre-batch index
+            return spark.read.parquet(path).filter(
+                F.col("batch_id") != int(batch_id)
+            )
 
         prior_bands = _read("bands")
         prior_sigs = _read("sigs")
@@ -162,7 +194,9 @@ def minhash_neardup_batch(
 
         all_sigs = sigs.select("doc_id", "sig")
         if prior_sigs is not None:
-            all_sigs = all_sigs.unionAll(prior_sigs).dropDuplicates(["doc_id"])
+            all_sigs = all_sigs.unionAll(
+                prior_sigs.select("doc_id", "sig")
+            ).dropDuplicates(["doc_id"])
         sa = all_sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
         sb = all_sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
         pairs = (
@@ -173,12 +207,13 @@ def minhash_neardup_batch(
             )
             .filter(F.col("est_jaccard") >= threshold)
         )
-        pairs.write.mode("append").parquet(pairs_dir)
+        _write_batch_partition(pairs, batch_id, pairs_dir)
 
-        # fold the arrivals into the index AFTER candidate generation
-        bands.write.mode("append").parquet(f"{state_dir}/bands")
-        sigs.select("doc_id", "sig").write.mode("append").parquet(
-            f"{state_dir}/sigs"
+        # fold the arrivals into the index AFTER candidate generation;
+        # batch-partitioned overwrite keeps a retry from double-inserting
+        _write_batch_partition(bands, batch_id, f"{state_dir}/bands")
+        _write_batch_partition(
+            sigs.select("doc_id", "sig"), batch_id, f"{state_dir}/sigs"
         )
         sigs.unpersist()
 

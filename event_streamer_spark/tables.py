@@ -43,17 +43,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
             )
         elif ts_type == "timestamp_ntz":
-            # TZ-independent: a bare cast is value-preserving only under
-            # a UTC session timezone, and it is LAZY — a caller executing
-            # the plan under another session TZ would silently shift
-            # every event time. to_utc_timestamp pins the interpretation
-            # to the wall-clock values regardless of execution-time TZ.
+            # The stored wall clock is a UTC event time. The ntz→
+            # timestamp cast's zone is pinned at ANALYSIS time (i.e.
+            # right here, when load() builds the plan) — NOT at
+            # execution — so pairing it with the SAME load-time zone in
+            # from_utc_timestamp cancels the interpretation exactly:
+            # cast yields W@tz, from_utc_timestamp(·, tz) subtracts the
+            # tz offset back out, leaving the W@UTC instant no matter
+            # what session TZ is active when the plan later EXECUTES.
+            # (current_timezone() would NOT work: it resolves at first-
+            # action optimization, a different phase than the cast.
+            # Verified by tests under NY-build/Tokyo-execute.)
+            # Known limit: wall clocks inside tz's DST transition hour
+            # are ambiguous to the cast; UTC sessions (every session
+            # this repo creates) have no transitions.
+            tz = spark.conf.get("spark.sql.session.timeZone")
             df = df.withColumn(
                 "ts",
-                F.to_utc_timestamp(
-                    F.col("ts").cast("timestamp"),
-                    spark.conf.get("spark.sql.session.timeZone"),
-                ),
+                F.from_utc_timestamp(F.col("ts").cast("timestamp"), tz),
             )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -535,3 +535,46 @@ class TestExecutorDispatch:
         )
         assert len(batch.rdd.mapPartitions(catch_all).collect()) == 2
         assert len(batch.rdd.mapPartitions(named).collect()) == 0
+
+
+class TestCheckpointMigration:
+    """Single-source plans created before the multi-source layout keep
+    their root checkpoint (ADVICE r4: relocating it would silently skip
+    every message produced while the consumer was down)."""
+
+    def test_legacy_root_checkpoint_is_kept(self, spark, tmp_path):
+        root = tmp_path / "ckpt"
+        (root / "offsets").mkdir(parents=True)
+        loc = ConsumerRouter.resolve_checkpoint(
+            spark, str(root), "shared", single_source=True
+        )
+        assert loc == str(root)
+
+    def test_migrated_layout_wins_over_legacy(self, spark, tmp_path):
+        root = tmp_path / "ckpt"
+        (root / "offsets").mkdir(parents=True)
+        (root / "shared" / "offsets").mkdir(parents=True)
+        loc = ConsumerRouter.resolve_checkpoint(
+            spark, str(root), "shared", single_source=True
+        )
+        assert loc == str(root) + "/shared"
+
+    def test_fresh_deploy_uses_new_layout(self, spark, tmp_path):
+        loc = ConsumerRouter.resolve_checkpoint(
+            spark, str(tmp_path / "ckpt"), "shared", single_source=True
+        )
+        assert loc.endswith("/shared")
+
+    def test_multi_source_never_inherits_root(self, spark, tmp_path):
+        root = tmp_path / "ckpt"
+        (root / "offsets").mkdir(parents=True)
+        loc = ConsumerRouter.resolve_checkpoint(
+            spark, str(root), "shared", single_source=False
+        )
+        assert loc == str(root) + "/shared"
+
+    def test_injected_source_uses_root_directly(self, spark, tmp_path):
+        loc = ConsumerRouter.resolve_checkpoint(
+            spark, str(tmp_path / "ckpt"), "", single_source=True
+        )
+        assert loc == str(tmp_path / "ckpt")

@@ -772,3 +772,71 @@ def test_streaming_dynamic_gap_session(spark, tmp_path):
         for r in spark.sql("SELECT * FROM dyn_sessions").collect()
     }
     assert got == batch
+
+
+def test_minhash_neardup_retry_is_idempotent(spark, tmp_path):
+    """At-least-once foreachBatch redelivery: re-executing a micro-batch
+    must REPLACE its prior partial output (dynamic partition overwrite
+    on batch_id), not append duplicates — pairs, bands, and sigs all
+    stay single-copy, and later batches still see the full index."""
+    from event_streamer_spark.streaming import minhash_neardup_batch
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "lsh_state")
+    pairs_dir = str(tmp_path / "pairs")
+    process = minhash_neardup_batch(state, pairs_dir)
+
+    process(first, 0)
+    snapshot = {
+        tuple(r)
+        for r in spark.read.parquet(pairs_dir)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .collect()
+    }
+    process(first, 0)  # the retry
+    process(second, 1)
+
+    pairs = spark.read.parquet(pairs_dir)
+    assert pairs.count() == pairs.select("doc_a", "doc_b").distinct().count()
+    batch0 = {
+        tuple(r)
+        for r in pairs.filter(F.col("batch_id") == 0)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .collect()
+    }
+    assert batch0 == snapshot
+    bands = spark.read.parquet(f"{state}/bands")
+    assert (
+        bands.count()
+        == bands.select("doc_id", "band", "bh").distinct().count()
+    )
+    sigs = spark.read.parquet(f"{state}/sigs")
+    assert sigs.count() == sigs.select("doc_id").distinct().count()
+
+    # full replay equivalence: batch operator == retried streaming run
+    from event_streamer_spark.operators import REGISTRY
+
+    batch_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["d2_minhash_lsh"].fn(spark, SF).collect()
+    }
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == batch_pairs
+
+
+def test_minhash_state_read_failure_propagates(spark, tmp_path):
+    """A corrupt state table must raise (so the streaming query
+    retries), never be silently treated as an empty first-batch index."""
+    import pytest as _pytest
+
+    from event_streamer_spark.streaming import minhash_neardup_batch
+
+    docs = load(spark, SF, "documents").select("doc_id", "text").limit(10)
+    state = tmp_path / "lsh_state"
+    (state / "bands").mkdir(parents=True)
+    (state / "bands" / "part-00000.parquet").write_text("not parquet at all")
+    process = minhash_neardup_batch(str(state), str(tmp_path / "pairs"))
+    with _pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        process(docs, 1)
