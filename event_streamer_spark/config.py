@@ -65,6 +65,10 @@ class ConsumerConfig:
     # a callback can't cloudpickle; 'auto' picks executor when every
     # callback serializes, warning loudly, else falls back to driver.
     dispatch: Literal["auto", "driver", "executor"] = "driver"
+    # Driver dispatch collects every micro-batch row to the driver (the
+    # reference's single-process model). Above this many rows per batch a
+    # one-time warning points at dispatch='executor'; None disables.
+    driver_dispatch_warn_rows: Optional[int] = 100_000
     max_messages_per_topic: Union[int, Literal["unlimited"]] = (
         DEFAULT_MAX_MESSAGES_PER_TOPIC
     )

@@ -639,9 +639,27 @@ class ConsumerRouter:
             process_batch.mode = "executor"
 
         else:
+            warn_rows = config.consumer.driver_dispatch_warn_rows
+            warned = [False]  # once per router, not per micro-batch
 
             def process_batch(batch_df: DataFrame, batch_id: int) -> None:
                 rows = batch_df.collect()
+                if (
+                    warn_rows is not None
+                    and not warned[0]
+                    and len(rows) > warn_rows
+                ):
+                    warned[0] = True
+                    logger.warning(
+                        "Driver-mode dispatch collected %d rows in one "
+                        "micro-batch (threshold %d): the driver is the "
+                        "throughput bottleneck at this volume. Set "
+                        "consumer.dispatch='executor' (serializable "
+                        "callbacks) to dispatch on workers, or cap batches "
+                        "with max_messages_per_topic/maxOffsetsPerTrigger.",
+                        len(rows),
+                        warn_rows,
+                    )
                 if strategy == "one-by-one" and {"partition", "offset"} <= set(
                     batch_df.columns
                 ):

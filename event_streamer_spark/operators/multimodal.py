@@ -8,9 +8,10 @@ PNG / GIF / BMP / JPEG header decode (``struct`` + byte scanning) and
 WAV via the ``wave`` module; :func:`decode_media` sniffs the magic
 bytes and dispatches. Pixel-level decode of compressed formats (and all
 video) still needs PIL/opencv/ffmpeg, which aren't in this container —
-those payloads come back ``format='unknown'`` with null dims, and a
-production deployment swaps :func:`decode_media` for a codec-backed
-version without touching the Spark plumbing.
+those payloads come back ``format='unknown'`` with null dims. A
+production deployment injects codec-backed decoders via the pluggable
+codec hooks (``codecs=[...]`` argument or :func:`register_media_codec`
+/ :func:`register_pixel_codec`) without touching the Spark plumbing.
 
 Scale: binary payloads ride in parquet alongside metadata; decode is a
 narrow map stage (no shuffle), and metadata-only queries never touch
@@ -21,7 +22,7 @@ from __future__ import annotations
 
 import struct
 import zlib
-from typing import Iterator, Optional
+from typing import Callable, Iterator, Optional
 
 import pandas as pd
 
@@ -56,6 +57,44 @@ def d5_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("text/plain").alias("mime"),
         F.sha2("text", 256).alias("content_hash"),
     )
+
+
+# -- pluggable codecs --------------------------------------------------
+#
+# A MediaCodec maps raw bytes → the decode_media metadata dict (or None
+# to decline the payload); a PixelCodec maps raw bytes → (width, height,
+# RGB scanlines) (or None to decline). Injected codecs are tried FIRST,
+# in registration/argument order, so a PIL/ffmpeg-backed deployment
+# extends coverage to JPEG/Opus/video without touching the Spark
+# plumbing; the stdlib PNG/GIF/BMP/JPEG-header/WAV paths stay as the
+# fallback. Cluster note: pass ``codecs=[...]`` explicitly at the call
+# site inside your mapInPandas closure so the callable pickles to
+# executors; the module-level registry mutated via
+# :func:`register_media_codec` lives in the driver process and only
+# reaches workers that import a module performing the registration
+# (ship it with --py-files) or in local mode.
+
+MediaCodec = Callable[[bytes], Optional[dict]]
+PixelCodec = Callable[[bytes], "Optional[tuple[int, int, list[list[int]]]]"]
+
+_MEDIA_CODECS: list[MediaCodec] = []
+_PIXEL_CODECS: list[PixelCodec] = []
+
+
+def register_media_codec(codec: MediaCodec) -> None:
+    """Register a metadata codec tried before the stdlib sniffers."""
+    _MEDIA_CODECS.append(codec)
+
+
+def register_pixel_codec(codec: PixelCodec) -> None:
+    """Register a pixel codec tried before the stdlib PNG inflater."""
+    _PIXEL_CODECS.append(codec)
+
+
+def clear_registered_codecs() -> None:
+    """Remove all registered codecs (test/teardown helper)."""
+    _MEDIA_CODECS.clear()
+    _PIXEL_CODECS.clear()
 
 
 # -- real stdlib decoders ---------------------------------------------
@@ -112,14 +151,20 @@ def make_wav(
     return buf.getvalue()
 
 
-def decode_media(payload: Optional[bytes]) -> dict:
-    """Sniff + header-decode a media payload (REAL parse, stdlib only).
+def decode_media(
+    payload: Optional[bytes], codecs: Optional[list[MediaCodec]] = None
+) -> dict:
+    """Sniff + header-decode a media payload (REAL stdlib parse, plus
+    injectable codecs).
 
-    PNG (IHDR), GIF (logical screen), BMP (BITMAPINFOHEADER), JPEG
-    (SOF0/1/2 scan) → width/height/channels; RIFF-WAVE (``wave``) →
+    Injected ``codecs`` (argument, else the module registry) are tried
+    first — the first one returning a non-None dict wins, with its keys
+    merged over the null template — so JPEG-pixel/Opus/video decoders
+    plug in where the libraries exist. Stdlib fallback: PNG (IHDR), GIF
+    (logical screen), BMP (BITMAPINFOHEADER), JPEG (SOF0/1/2 scan) →
+    width/height/channels; RIFF-WAVE (``wave``) →
     channels/sample_rate/n_frames. Anything else → ``format='unknown'``
-    with null fields (full pixel decode needs codecs not in this
-    container; swap this function in production).
+    with null fields.
     """
     out = {
         "format": "unknown",
@@ -131,6 +176,14 @@ def decode_media(payload: Optional[bytes]) -> dict:
     }
     if not payload:
         return out
+    for codec in _MEDIA_CODECS if codecs is None else codecs:
+        try:
+            decoded = codec(payload)
+        except Exception:  # noqa: BLE001 — a codec declining ≠ corrupt
+            decoded = None
+        if decoded is not None:
+            out.update(decoded)
+            return out
     try:
         if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
             w, h = struct.unpack(">II", payload[16:24])
@@ -231,12 +284,25 @@ def d5_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def decode_png_pixels(payload: bytes) -> tuple[int, int, list[list[int]]]:
+def decode_png_pixels(
+    payload: bytes, codecs: Optional[list[PixelCodec]] = None
+) -> tuple[int, int, list[list[int]]]:
     """REAL pixel decode for filter-0 8-bit RGB PNGs (the class
     :func:`make_png` emits): zlib-inflate IDAT, strip the per-scanline
-    filter byte, return (width, height, rows of RGB bytes). Raises
-    ``NotImplementedError`` for any PNG using other filters/bit depths —
-    those need a codec library not in this container."""
+    filter byte, return (width, height, rows of RGB bytes).
+
+    Injected ``codecs`` (argument, else the module registry) are tried
+    first; the first non-None (width, height, rows) wins — this is how
+    JPEG/filtered-PNG pixel paths work where PIL/opencv exist. With no
+    codec claiming the payload, raises ``NotImplementedError`` for
+    non-PNG input or PNGs using other filters/bit depths."""
+    for codec in _PIXEL_CODECS if codecs is None else codecs:
+        try:
+            decoded = codec(payload)
+        except Exception:  # noqa: BLE001 — a codec declining ≠ corrupt
+            decoded = None
+        if decoded is not None:
+            return decoded
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise NotImplementedError("not a PNG")
     pos, idat = 8, b""

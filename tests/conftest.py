@@ -6,6 +6,14 @@ from event_streamer_spark.config import reset_config
 from event_streamer_spark.producer import _emitted_events
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "kafka: real-broker Kafka integration tests — gated on "
+        "EVENT_STREAMER_KAFKA_BROKER (skip cleanly without a broker)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from event_streamer_spark.session import get_spark

@@ -537,6 +537,143 @@ class TestExecutorDispatch:
         assert len(batch.rdd.mapPartitions(named).collect()) == 0
 
 
+class TestDriverVolumeGuard:
+    """Driver dispatch collects whole micro-batches; above the
+    configured row threshold a ONE-TIME warning points at
+    dispatch='executor' (VERDICT r4 item 6)."""
+
+    def _batch(self, spark, n):
+        import json
+
+        return spark.createDataFrame(
+            [("t1", json.dumps({"v": i, "code": "T1"})) for i in range(n)],
+            "topic string, value string",
+        )
+
+    def test_warning_fires_once_above_threshold(self, spark, caplog):
+        import logging
+
+        set_config(
+            Config(
+                host="h:9092",
+                consumer=ConsumerConfig(
+                    group_id="g", strategy="topic",
+                    driver_dispatch_warn_rows=3,
+                ),
+            )
+        )
+        seen: list = []
+        r = ConsumerRouter()
+        r.add("t1", lambda c, e: seen.append(c["v"]))
+        process = r.batch_processor()
+        with caplog.at_level(logging.WARNING, "event_streamer_spark.consumer"):
+            process(self._batch(spark, 5), 0)
+            process(self._batch(spark, 5), 1)  # second batch: no repeat
+        warnings = [m for m in caplog.messages if "dispatch='executor'" in m]
+        assert len(warnings) == 1
+        assert len(seen) == 10  # dispatch itself unaffected
+
+    def test_silent_below_threshold_and_when_disabled(self, spark, caplog):
+        import logging
+
+        for threshold in (100, None):
+            set_config(
+                Config(
+                    host="h:9092",
+                    consumer=ConsumerConfig(
+                        group_id="g", strategy="topic",
+                        driver_dispatch_warn_rows=threshold,
+                    ),
+                )
+            )
+            r = ConsumerRouter()
+            r.add("t1", lambda c, e: None)
+            with caplog.at_level(
+                logging.WARNING, "event_streamer_spark.consumer"
+            ):
+                r.batch_processor()(self._batch(spark, 5), 0)
+        assert not any("dispatch='executor'" in m for m in caplog.messages)
+
+
+class TestExecutorDriverParity:
+    """End-to-end proof (VERDICT r4 item 7): the executor-side
+    mapPartitions dispatcher, driven through a FILE sink, emits exactly
+    the events driver-mode dispatch emits on the same input."""
+
+    def _input_batch(self, spark):
+        import json
+
+        rows = [
+            ("t1", json.dumps({"v": i, "code": "T1"})) for i in range(6)
+        ] + [
+            ("t1", json.dumps({"v": 99, "code": "Other"})),  # code mismatch
+            ("untracked", json.dumps({"v": 7, "code": "T1"})),  # topic miss
+            ("t1", "{corrupt json"),  # A3 drop
+        ]
+        return spark.createDataFrame(rows, "topic string, value string")
+
+    @staticmethod
+    def _stable(env: dict) -> tuple:
+        # createdAt is wall-clock; compare the deterministic envelope
+        return (env["code"], env["appName"], env["v2"])
+
+    def test_file_sink_parity_with_driver_mode(self, spark, tmp_path):
+        import json
+
+        from event_streamer_spark.consumer import make_partition_dispatcher
+        from event_streamer_spark.producer import (
+            clear_emitted_events,
+            get_emitted_events,
+        )
+
+        def handler(content, emit_fn):
+            emit_fn("out-topic", {"v2": content["v"] * 2})
+
+        # -- driver mode: testing sink captures the emits
+        set_config(
+            Config(
+                host="h:9092",
+                app_name="app",
+                only_testing=True,
+                consumer=ConsumerConfig(group_id="g", strategy="topic"),
+            )
+        )
+        clear_emitted_events()
+        r = ConsumerRouter()
+        r.add("t1", "T1", handler)
+        process = r.batch_processor()
+        assert process.mode == "driver"
+        process(self._input_batch(spark), 0)
+        driver_envs = sorted(
+            self._stable(json.loads(msg["value"]))
+            for payload in get_emitted_events()
+            for msg in payload.messages
+        )
+        driver_topics = {p.topic for p in get_emitted_events()}
+        clear_emitted_events()
+
+        # -- executor mode: same input through the mapPartitions kernel,
+        # materialized via a file sink (stand-in for the Kafka write)
+        dispatcher = make_partition_dispatcher(
+            [("t1", "T1", handler)], "app", "h:9092", []
+        )
+        out = spark.createDataFrame(
+            self._input_batch(spark).repartition(4).rdd.mapPartitions(dispatcher),
+            schema="topic string, value string, key string, hosts string",
+        )
+        sink = str(tmp_path / "emitted")
+        out.write.mode("overwrite").parquet(sink)
+        persisted = spark.read.parquet(sink).collect()
+
+        exec_envs = sorted(
+            self._stable(json.loads(row["value"])) for row in persisted
+        )
+        assert exec_envs == driver_envs
+        assert {row["topic"] for row in persisted} == driver_topics
+        assert all(row["hosts"] == "h:9092" for row in persisted)
+        assert [e[2] for e in exec_envs] == [0, 2, 4, 6, 8, 10]
+
+
 class TestCheckpointMigration:
     """Single-source plans created before the multi-source layout keep
     their root checkpoint (ADVICE r4: relocating it would silently skip

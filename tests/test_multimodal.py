@@ -122,3 +122,87 @@ class TestPixelPath:
 
         with _pytest.raises(NotImplementedError):
             decode_png_pixels(b"\xff\xd8jpeg-ish")
+
+
+def _fake_opus_codec(payload):
+    """Pretend Opus decoder: claims Ogg payloads only."""
+    if payload[:4] != b"OggS":
+        return None
+    return {"format": "opus", "channels": 2, "sample_rate": 48000, "n_frames": 960}
+
+
+def _fake_jpeg_pixel_codec(payload):
+    """Pretend JPEG pixel decoder: claims JPEG magic only."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    return (2, 1, [[1, 2, 3, 4, 5, 6]])
+
+
+class TestPluggableCodecs:
+    """Injectable decoder callables extend decode coverage where codec
+    libraries exist, leaving stdlib PNG/WAV paths as the default."""
+
+    def teardown_method(self):
+        from event_streamer_spark.operators.multimodal import (
+            clear_registered_codecs,
+        )
+
+        clear_registered_codecs()
+
+    def test_media_codec_argument(self):
+        d = decode_media(b"OggS....", codecs=[_fake_opus_codec])
+        assert (d["format"], d["channels"], d["sample_rate"]) == (
+            "opus", 2, 48000,
+        )
+        assert d["width"] is None  # unclaimed keys stay null
+
+    def test_media_codec_declines_falls_through_to_stdlib(self):
+        d = decode_media(make_png(5, 3), codecs=[_fake_opus_codec])
+        assert (d["format"], d["width"], d["height"]) == ("png", 5, 3)
+
+    def test_media_codec_registry(self):
+        from event_streamer_spark.operators.multimodal import (
+            register_media_codec,
+        )
+
+        register_media_codec(_fake_opus_codec)
+        assert decode_media(b"OggS....")["format"] == "opus"
+        # stdlib path unaffected for payloads the codec declines
+        assert decode_media(make_wav(10))["format"] == "wav"
+
+    def test_media_codec_exception_treated_as_decline(self):
+        def exploding(payload):
+            raise RuntimeError("boom")
+
+        d = decode_media(make_png(4, 4), codecs=[exploding])
+        assert (d["format"], d["width"]) == ("png", 4)
+
+    def test_pixel_codec_argument_claims_jpeg(self):
+        from event_streamer_spark.operators.multimodal import decode_png_pixels
+
+        w, h, rows = decode_png_pixels(
+            b"\xff\xd8jpeg-ish", codecs=[_fake_jpeg_pixel_codec]
+        )
+        assert (w, h, rows) == (2, 1, [[1, 2, 3, 4, 5, 6]])
+
+    def test_pixel_codec_declines_keeps_stdlib_png_path(self):
+        from event_streamer_spark.operators.multimodal import decode_png_pixels
+
+        w, h, rows = decode_png_pixels(
+            make_png(3, 2, gray=9), codecs=[_fake_jpeg_pixel_codec]
+        )
+        assert (w, h) == (3, 2)
+        assert rows[0][:3] == [9, 9, 9]
+
+    def test_pixel_codec_registry_and_unclaimed_raise(self):
+        import pytest as _pytest
+
+        from event_streamer_spark.operators.multimodal import (
+            decode_png_pixels,
+            register_pixel_codec,
+        )
+
+        register_pixel_codec(_fake_jpeg_pixel_codec)
+        assert decode_png_pixels(b"\xff\xd8x")[0] == 2
+        with _pytest.raises(NotImplementedError):
+            decode_png_pixels(b"not-any-known-format")
