@@ -245,3 +245,77 @@ def test_tpch_q2_min_cost_broadcasts_keeper_set(spark):
     plan = plan_of(spark, "b51_tpch_q2")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q8_single_fact_fact_shuffle(spark):
+    """Q8's 8-table chain: every dimension leg broadcasts; the only
+    big-big join is lineitem⨝orders, and the order-date range reaches
+    the orders scan."""
+    plan = plan_of(spark, "b52_tpch_q8")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_tpch_q9_like_filter_prunes_part_before_broadcast(spark):
+    """Q9: the p_name LIKE filter must reach part's scan (as a contains
+    pushdown) so the broadcast ships only red parts."""
+    plan = plan_of(spark, "b53_tpch_q9")
+    assert "StringContains(p_name,red)" in plan.replace(" ", "")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q11_threshold_joins_reduced_frame(spark):
+    """Q11's 0.1% threshold is a 1-row broadcast over the per-part
+    aggregate — the nation filter reaches the scans, and both
+    aggregates are map-side partial."""
+    plan = plan_of(spark, "b54_tpch_q11")
+    assert "EqualTo(n_name,NATION_5)" in plan.replace(" ", "")
+    assert plan.count("HashAggregate") >= 4  # per-part + total, partial each
+
+
+def test_tpch_q12_ship_range_pushed_lateness_residual(spark):
+    """Q12: the ship-year range pushes to lineitem's scan; the lateness
+    predicate (needs both sides) stays a join-level condition without
+    degrading the join to a cartesian."""
+    plan = plan_of(spark, "b55_tpch_q12")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q13_left_join_keeps_zero_order_customers(spark):
+    """Q13: the priority filter prunes orders BEFORE the left join (it
+    lives in the join condition, semantically), and both aggregation
+    levels are partial."""
+    plan = plan_of(spark, "b56_tpch_q13")
+    assert "LeftOuter" in plan or "BuildRight" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan.replace(" ", "")
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_tpch_q15_quarter_filter_pushed(spark):
+    """Q15: the quarter range reaches lineitem's scan; the scalar MAX is
+    a 1-row broadcast over the already-reduced revenue frame."""
+    plan = plan_of(spark, "b57_tpch_q15")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_tpch_q20_semi_join_with_pushed_prefix(spark):
+    """Q20: IN-subquery compiles to LEFT SEMI; the p_name prefix pushes
+    as StringStartsWith; the ship-year range reaches lineitem."""
+    plan = plan_of(spark, "b58_tpch_q20")
+    assert "LeftSemi" in plan
+    assert "StringStartsWith(p_name,red)" in plan.replace(" ", "")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_tpch_q22_anti_join_for_lapsed_customers(spark):
+    """Q22: NOT EXISTS compiles to LEFT ANTI on custkey; the order-date
+    window reaches the orders scan; no cartesian beyond the 1-row
+    threshold broadcast."""
+    plan = plan_of(spark, "b59_tpch_q22")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
