@@ -587,3 +587,64 @@ def d3_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
         .mapInPandas(score, "vec_id long, sim double")
     )
     return scored.orderBy(F.desc("sim"), "vec_id").limit(10)
+
+
+# Matches the fixture's near-dup regime (see d2_embedding_neardup:
+# max pairwise cosine in the synthetic embeddings is ~0.48, so the
+# production-typical 0.9+ threshold would be vacuous here).
+_SEMDEDUP_THRESHOLD = 0.45
+
+
+@query("d2_semantic_dedup", oracle=None)  # clustering → rows-only + tests
+def d2_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """D2: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public): cluster embeddings with the trained
+    spherical k-means coarse quantizer, then within each cluster
+    greedily keep a representative set whose pairwise cosine stays
+    below the threshold; everything else is a semantic duplicate of an
+    earlier (lower vec_id) keeper.
+
+    Scale: clustering reuses :func:`train_ivf_centroids` (only K×dim
+    model state on the driver); dedup is ONE shuffle on cell id plus a
+    per-cell GEMM — per-task memory is bounded by the largest cluster,
+    the SemDeDup paper's own working set. Deterministic end-to-end:
+    seeded centroid init, 6-decimal rounding, ascending-id greedy scan.
+    Output: every vector with its cell, kept flag, and (for drops) the
+    keeper it duplicates.
+    """
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = train_ivf_centroids(spark, emb)
+    cells = emb.withColumn("cell", _cell_assigner(spark, cents)(F.col("v")))
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = np.round(X @ X.T, 6)
+        ids = pdf["vec_id"].to_numpy()
+        kept_idx: list[int] = []
+        kept_flag = np.zeros(len(ids), dtype=bool)
+        dup_of = np.full(len(ids), -1, dtype=np.int64)
+        for i in range(len(ids)):
+            dup = next(
+                (j for j in kept_idx if S[i, j] >= _SEMDEDUP_THRESHOLD), None
+            )
+            if dup is None:
+                kept_idx.append(i)
+                kept_flag[i] = True
+            else:
+                dup_of[i] = ids[dup]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"],
+                "kept": kept_flag,
+                "dup_of": [None if d < 0 else int(d) for d in dup_of],
+            }
+        )
+
+    return cells.groupBy("cell").applyInPandas(
+        dedup_cell, "vec_id long, cell int, kept boolean, dup_of long"
+    )

@@ -245,3 +245,50 @@ def test_quantized_topk_overlap_with_exact(spark):
     quant2 = [r["vec_id"] for r in REGISTRY["d3_quantized_topk"].fn(spark, SF).collect()]
     assert quant == quant2, "quantized search not deterministic"
     assert len(set(exact) & set(quant)) >= 8, (exact, quant)
+
+
+def test_semantic_dedup_invariants(spark):
+    """D2 SemDeDup: every vector accounted for exactly once; keepers
+    within a cell stay pairwise below the threshold; every drop is
+    ≥ threshold-similar to its recorded keeper (same cell, lower id);
+    and the whole thing is deterministic across runs."""
+    import numpy as np
+
+    from event_streamer_spark.operators.similarity import (
+        _SEMDEDUP_THRESHOLD,
+    )
+
+    rows = REGISTRY["d2_semantic_dedup"].fn(spark, SF).collect()
+    rows2 = REGISTRY["d2_semantic_dedup"].fn(spark, SF).collect()
+    key = lambda r: (r["vec_id"], r["cell"], r["kept"], r["dup_of"])
+    assert sorted(map(key, rows)) == sorted(map(key, rows2))
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load(spark, SF, "embeddings").collect()
+    }
+    for v in emb:
+        emb[v] = emb[v] / np.linalg.norm(emb[v])
+    assert sorted(r["vec_id"] for r in rows) == sorted(emb)  # total, once
+
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    n_dropped = 0
+    for cell, members in by_cell.items():
+        kept = [r["vec_id"] for r in members if r["kept"]]
+        kept_set = set(kept)
+        for r in members:
+            if r["kept"]:
+                assert r["dup_of"] is None
+            else:
+                n_dropped += 1
+                assert r["dup_of"] in kept_set, r  # keeper in same cell
+                assert r["dup_of"] < r["vec_id"]  # greedy keeps first id
+                sim = round(float(emb[r["vec_id"]] @ emb[r["dup_of"]]), 6)
+                assert sim >= _SEMDEDUP_THRESHOLD, (r, sim)
+        for i, a in enumerate(kept):
+            for b in kept[i + 1 :]:
+                sim = round(float(emb[a] @ emb[b]), 6)
+                assert sim < _SEMDEDUP_THRESHOLD, (a, b, sim)
+    assert n_dropped > 0, "fixture produced no semantic duplicates"
