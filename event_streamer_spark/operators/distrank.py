@@ -47,6 +47,29 @@ from pyspark.sql import functions as F
 _DEFAULT_BUCKETS = 32
 _PERCENTILE_ACCURACY = 100
 
+# The bucketed frame is persist()-ed so pass-1 counts and the pass-2
+# sort share one build. Spark's CacheManager holds persisted frames
+# until an explicit unpersist — in a long-lived session every call would
+# leak one cached frame. We keep ONE live at a time: each new persist
+# evicts the previous call's frame (non-blocking). A concurrent caller
+# whose frame gets evicted mid-job recomputes from lineage — slower,
+# never wrong. ``clear_cache()`` releases the last one eagerly.
+_live_persists: list = []
+
+
+def _persist_evicting_previous(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    while _live_persists:
+        _live_persists.pop().unpersist(False)
+    _live_persists.append(df)
+    return df
+
+
+def clear_cache() -> None:
+    """Release the most recent two-level bucketed frame from the cache."""
+    while _live_persists:
+        _live_persists.pop().unpersist(False)
+
 
 def _bucket_assign(value: Column, bounds: Column) -> Column:
     """Order-aligned bucket id: #boundaries strictly below ``value``.
@@ -168,14 +191,19 @@ def two_level_row_number(
             "__bounds"
         )
     )
-    b = b.join(F.broadcast(bounds), part_cols).withColumn(
-        "__bucket", _bucket_assign(F.col("__bv"), F.col("__bounds"))
+    b = (
+        b.join(F.broadcast(bounds), part_cols)
+        .withColumn("__bucket", _bucket_assign(F.col("__bv"), F.col("__bounds")))
+        # __bv/__bounds exist only to compute __bucket; dropping them HERE
+        # keeps the (n_buckets-1)-double boundary array off every cached
+        # row — at 32 buckets that is ~250 B/row of dead weight otherwise
+        .drop("__bv", "__bounds")
     )
     if cache:
         # one fact scan feeds BOTH consumers below (pass-1 counts and
         # the pass-2 sort); without this the bucketed frame is rebuilt
         # from parquet twice (the r4 3-scan regression)
-        b = b.persist()
+        b = _persist_evicting_previous(b)
 
     # pass 1: per-bucket counts → cumulative base offsets (tiny table)
     counts = b.groupBy(*part_cols, "__bucket").agg(
