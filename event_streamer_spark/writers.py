@@ -9,6 +9,9 @@ The write side determines whether the NEXT job over the data is fast:
   ``tests/test_scale_patterns.py::test_bucketed_join_has_no_shuffle``).
 * ``compact`` — rewrite a directory of many small files into
   target-sized files (the small-files problem kills 100 TB metadata).
+* ``merge_upsert`` — keyed MERGE into a hive-partitioned directory
+  without a table format: only the partitions the updates touch are
+  rewritten (dynamic partition overwrite).
 """
 
 from __future__ import annotations
@@ -16,6 +19,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -79,3 +83,98 @@ def _dir_size(path: str) -> int:
         for f in files:
             total += os.path.getsize(os.path.join(root, f))
     return total
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_cols: Sequence[str],
+    order_col: Optional[str] = None,
+    fmt: str = "parquet",
+) -> dict:
+    """Keyed MERGE (upsert) into a hive-partitioned directory — the CDC
+    compaction pattern without Delta/Iceberg.
+
+    Plan, at any scale:
+
+    1. The distinct ``partition_cols`` tuples of ``updates`` are
+       collected — bounded by the touched-partition COUNT, never by row
+       count (an update batch touching every partition of a 100 TB
+       table is a full rewrite no matter the engine).
+    2. Only those partitions are read back from the target (the filter
+       is on partition columns, so the scan prunes at planning time).
+    3. Surviving target rows (``LEFT ANTI`` on ``key_cols``) union the
+       updates; when ``order_col`` is given, duplicate keys inside
+       ``updates`` resolve to the highest ``order_col`` first
+       (latest-wins, the B45 compaction rule).
+    4. The combined rows are written with **dynamic partition
+       overwrite**: untouched partitions keep their files byte-for-byte
+       (asserted in ``tests/test_writers.py``), so readers of other
+       partitions never see a partial state.
+
+    Returns ``{"touched_partitions": n}``.
+    """
+    import os
+
+    key_cols = list(key_cols)
+    partition_cols = list(partition_cols)
+    if order_col is not None:
+        # latest-per-key within the update batch itself: one map-side
+        # combinable struct-MAX per key (order_col leads the comparison,
+        # the full row rides along) — no window, no per-key sort
+        updates = (
+            updates.groupBy(*key_cols)
+            .agg(
+                F.max(
+                    F.struct(F.col(order_col).alias("__ord"),
+                             F.struct("*").alias("__row"))
+                ).alias("__m")
+            )
+            .select("__m.__row.*")
+        )
+
+    target_exists = os.path.isdir(path) and any(
+        not f.startswith((".", "_")) for f in os.listdir(path)
+    )
+    touched = [
+        tuple(r[c] for c in partition_cols)
+        for r in updates.select(*partition_cols).distinct().collect()
+    ]
+    if target_exists:
+        target = spark.read.format(fmt).load(path)
+        if set(target.columns) != set(updates.columns):
+            raise ValueError(
+                "merge_upsert: updates schema must match target — "
+                f"target has {sorted(target.columns)}, "
+                f"updates have {sorted(updates.columns)}"
+            )
+        pred = None
+        for values in touched:
+            clause = None
+            for col, val in zip(partition_cols, values):
+                c = F.col(col) == F.lit(val)
+                clause = c if clause is None else (clause & c)
+            pred = clause if pred is None else (pred | clause)
+        kept = (
+            target.filter(pred).join(updates, key_cols, "left_anti")
+            if pred is not None
+            else target.limit(0)
+        )
+        combined = kept.select(updates.columns).unionByName(updates)
+    else:
+        combined = updates
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            combined.write.format(fmt)
+            .mode("overwrite")
+            .partitionBy(*partition_cols)
+            .save(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"touched_partitions": len(touched)}

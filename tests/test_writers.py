@@ -67,3 +67,100 @@ def test_deprecation_warnings_toggle():
         ConsumerRouter()
         emit("t", {"x": 1})
     assert not [w for w in caught if w.category is DeprecationWarning]
+
+
+class TestMergeUpsert:
+    """Keyed MERGE into a hive-partitioned directory: updates win,
+    inserts land, untouched partitions keep their files byte-for-byte."""
+
+    def _seed(self, spark, path):
+        from event_streamer_spark.writers import write_partitioned
+
+        base = spark.createDataFrame(
+            [(1, "a", "p1", 10), (2, "b", "p1", 20),
+             (3, "c", "p2", 30), (4, "d", "p3", 40)],
+            "id int, name string, part string, v int",
+        )
+        write_partitioned(base, path, ["part"])
+
+    def test_upsert_touches_only_affected_partitions(self, spark, tmp_path):
+        import os
+
+        from event_streamer_spark.writers import merge_upsert
+
+        out = str(tmp_path / "target")
+        self._seed(spark, out)
+        p3_files = {
+            f: os.path.getmtime(os.path.join(out, "part=p3", f))
+            for f in os.listdir(out + "/part=p3")
+            if f.endswith(".parquet")
+        }
+        updates = spark.createDataFrame(
+            [(2, "B2", "p1", 21),   # update existing key in p1
+             (5, "e", "p2", 50)],   # insert new key into p2
+            "id int, name string, part string, v int",
+        )
+        stats = merge_upsert(spark, out, updates, ["id"], ["part"])
+        assert stats == {"touched_partitions": 2}
+
+        rows = {
+            r["id"]: (r["name"], r["part"], r["v"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert rows == {
+            1: ("a", "p1", 10), 2: ("B2", "p1", 21), 3: ("c", "p2", 30),
+            4: ("d", "p3", 40), 5: ("e", "p2", 50),
+        }
+        # p3 untouched: identical file names AND mtimes
+        p3_after = {
+            f: os.path.getmtime(os.path.join(out, "part=p3", f))
+            for f in os.listdir(out + "/part=p3")
+            if f.endswith(".parquet")
+        }
+        assert p3_after == p3_files
+
+    def test_latest_wins_within_update_batch(self, spark, tmp_path):
+        from event_streamer_spark.writers import merge_upsert, write_partitioned
+
+        out = str(tmp_path / "target2")
+        base = spark.createDataFrame(
+            [(1, "a", "p1", 10, 0), (2, "b", "p1", 20, 0)],
+            "id int, name string, part string, v int, seq int",
+        )
+        write_partitioned(base, out, ["part"])
+        updates = spark.createDataFrame(
+            [(2, "old", "p1", 100, 1), (2, "new", "p1", 200, 2)],
+            "id int, name string, part string, v int, seq int",
+        )
+        merge_upsert(spark, out, updates, ["id"], ["part"], order_col="seq")
+        merged = spark.read.parquet(out).filter("id = 2").collect()
+        assert len(merged) == 1
+        assert (merged[0]["name"], merged[0]["v"]) == ("new", 200)
+        assert spark.read.parquet(out).filter("id = 1").count() == 1
+
+    def test_creates_target_when_missing(self, spark, tmp_path):
+        from event_streamer_spark.writers import merge_upsert
+
+        out = str(tmp_path / "fresh")
+        updates = spark.createDataFrame(
+            [(1, "a", "p1", 10)], "id int, name string, part string, v int"
+        )
+        stats = merge_upsert(spark, out, updates, ["id"], ["part"])
+        assert stats == {"touched_partitions": 1}
+        assert spark.read.parquet(out).count() == 1
+
+    def test_partition_overwrite_mode_restored(self, spark, tmp_path):
+        from event_streamer_spark.writers import merge_upsert
+
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        out = str(tmp_path / "target3")
+        self._seed(spark, out)
+        updates = spark.createDataFrame(
+            [(1, "z", "p1", 99)], "id int, name string, part string, v int"
+        )
+        merge_upsert(spark, out, updates, ["id"], ["part"])
+        assert spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        ) == prev
