@@ -154,7 +154,9 @@ def merge_upsert(
         for values in touched:
             clause = None
             for col, val in zip(partition_cols, values):
-                c = F.col(col) == F.lit(val)
+                # null-safe: a null partition value must still match its
+                # own partition (hive's __HIVE_DEFAULT_PARTITION__)
+                c = F.col(col).eqNullSafe(F.lit(val))
                 clause = c if clause is None else (clause & c)
             pred = clause if pred is None else (pred | clause)
         kept = (
