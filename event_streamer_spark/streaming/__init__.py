@@ -19,6 +19,7 @@ from event_streamer_spark.streaming.dedup import (
     read_hll,
 )
 from event_streamer_spark.streaming.state import (
+    running_stats_tws,
     running_stats_with_state,
     sessionize_with_state,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "stream_stream_join",
     "sessionize_with_state",
     "running_stats_with_state",
+    "running_stats_tws",
     "minhash_neardup_batch",
     "count_min_batch",
     "read_count_min",

@@ -140,6 +140,71 @@ def running_stats_with_state(
     )
 
 
+def running_stats_tws(
+    events: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """C8 (third shape): the SAME running-aggregate semantics as
+    :func:`running_stats_with_state`, on Spark 4's arbitrary-state v2
+    API (``transformWithStateInPandas`` + ``ValueState``). v2 is the
+    forward path at scale: RocksDB-backed state with changelog
+    checkpointing, typed state variables (value/list/map) with per-state
+    TTL, and timers decoupled from the output iterator. The test suite
+    pins v2 output == v1 output == the batch aggregate on the same
+    input.
+
+    Requires the RocksDB state store provider::
+
+        spark.sql.streaming.stateStore.providerClass =
+          org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+
+    and the ``protobuf`` package (the v2 Python worker protocol);
+    environments without it keep the v1 operator — the execution test
+    gates on the import and the plan-construction test runs anywhere.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", STATS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+            (user_id,) = key
+            if self._stats.exists():
+                n, total, vmin, vmax = self._stats.get()
+            else:
+                n, total, vmin, vmax = 0, 0.0, float("inf"), float("-inf")
+            for pdf in rows:
+                vals = pdf["value"].astype(float)
+                if len(vals):
+                    n += int(len(vals))
+                    total += float(vals.sum())
+                    vmin = min(vmin, float(vals.min()))
+                    vmax = max(vmax, float(vals.max()))
+            self._stats.update((int(n), float(total), float(vmin), float(vmax)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n": [n],
+                    "total": [total],
+                    "vmin": [vmin],
+                    "vmax": [vmax],
+                    "mean": [total / n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.select(
+        F.col(key_col).alias("user_id"), F.col(value_col).alias("value")
+    ).groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningStats(),
+        outputStructType=STATS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def sessionize_with_state(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """C8: custom per-user sessionization via applyInPandasWithState.
 

@@ -840,3 +840,94 @@ def test_minhash_state_read_failure_propagates(spark, tmp_path):
     process = minhash_neardup_batch(str(state), str(tmp_path / "pairs"))
     with _pytest.raises(Exception, match="(?i)parquet|footer|magic"):
         process(docs, 1)
+
+
+def test_running_stats_tws_builds_plan_and_schema(spark, tmp_path):
+    """C8 v2 (transformWithStateInPandas): the operator must compile to
+    a streaming plan with the declared output schema. Execution needs
+    the protobuf package (gated test below); plan construction doesn't."""
+    from event_streamer_spark.streaming import running_stats_tws
+
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .parquet(str(tmp_path))
+    )
+    out = running_stats_tws(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "n", "total", "vmin", "vmax", "mean",
+    ]
+
+
+def test_running_stats_tws_matches_v1_and_batch(spark, tmp_path):
+    """C8 on the arbitrary-state v2 API: transformWithStateInPandas
+    (RocksDB state store, ValueState) replaying the same two
+    micro-batches must produce the exact final per-user aggregates as
+    the v1 applyInPandasWithState operator and the batch groupBy.
+
+    The v2 Python worker protocol needs the protobuf package — absent
+    in this container, so this execution leg skips here and runs in any
+    environment that has it (pip install protobuf).
+    """
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's Python worker requires protobuf",
+    )
+    from event_streamer_spark.streaming import running_stats_tws
+
+    ev = load(spark, SF, "events").select("user_id", "value")
+    src = str(tmp_path / "ev_src_tws")
+    ev.limit(2000).coalesce(1).write.parquet(src, mode="append")
+    ev.subtract(ev.limit(2000)).coalesce(1).write.parquet(src, mode="append")
+
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            running_stats_tws(stream)
+            .writeStream.format("memory")
+            .queryName("run_stats_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    rows = spark.sql("SELECT * FROM run_stats_tws").collect()
+    final = {}
+    for r in rows:
+        if r["user_id"] not in final or r["n"] > final[r["user_id"]]["n"]:
+            final[r["user_id"]] = r
+    got = {
+        u: (r["n"], round(r["total"], 4), r["vmin"], r["vmax"])
+        for u, r in final.items()
+    }
+    exp = {
+        r["user_id"]: (r["n"], round(r["total"], 4), r["vmin"], r["vmax"])
+        for r in spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert got == exp
