@@ -18,6 +18,11 @@ from event_streamer_spark.streaming.dedup import (
     read_count_min,
     read_hll,
 )
+from event_streamer_spark.streaming.ann import (
+    ivf_ingest_batch,
+    ivf_probe_cells,
+    ivf_query,
+)
 from event_streamer_spark.streaming.state import (
     running_stats_tws,
     running_stats_with_state,
@@ -42,4 +47,7 @@ __all__ = [
     "read_count_min",
     "hll_batch",
     "read_hll",
+    "ivf_ingest_batch",
+    "ivf_probe_cells",
+    "ivf_query",
 ]

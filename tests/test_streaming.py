@@ -931,3 +931,84 @@ def test_running_stats_tws_matches_v1_and_batch(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_ivf_streaming_ingest_matches_batch_and_prunes(spark, tmp_path):
+    """D3 streaming leg: vectors ingested over two micro-batches land in
+    the SAME cells as the batch assigner; the query probes nprobe cells
+    via partition pruning (pinned in the plan) and returns exactly the
+    batch-computed top-k over those cells."""
+    import numpy as np
+
+    from event_streamer_spark.operators.similarity import (
+        _cell_assigner,
+        _cosine,
+        random_ivf_centroids,
+    )
+    from event_streamer_spark.streaming import (
+        ivf_ingest_batch,
+        ivf_probe_cells,
+        ivf_query,
+    )
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    src = str(tmp_path / "vec_src")
+    emb.filter("vec_id < 250").coalesce(1).write.parquet(src, mode="append")
+    emb.filter("vec_id >= 250").coalesce(1).write.parquet(src, mode="append")
+
+    index_dir = str(tmp_path / "ivf_index")
+    cents = random_ivf_centroids()
+    stream = (
+        spark.readStream.schema("vec_id bigint, v array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ivf_ingest_batch(index_dir, cents))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivf"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # (a) ingested assignment == batch assignment, every vector once
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(index_dir).collect()
+    }
+    exp = {
+        r["vec_id"]: r["cell"]
+        for r in emb.withColumn(
+            "cell", _cell_assigner(spark, cents)(F.col("v"))
+        ).collect()
+    }
+    assert got == exp and len(got) == 500
+
+    # (b) query: partition pruning reaches the scan, results equal the
+    # batch-computed top-k over the probed cells
+    qrow = emb.filter("vec_id = 0").head()
+    probed = ivf_probe_cells(cents, qrow["v"], nprobe=2)
+    res = ivf_query(spark, index_dir, cents, qrow["v"], k=3, nprobe=2)
+
+    from event_streamer_spark.plans import explain_str
+
+    plan = explain_str(res).replace("#", "").replace("\n", " ")
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    rows = [(r["vec_id"], r["sim"]) for r in res.collect()]
+    qlit = F.array(*[F.lit(float(x)) for x in qrow["v"]])
+    exp_rows = [
+        (r["vec_id"], r["sim"])
+        for r in emb.withColumn(
+            "cell", _cell_assigner(spark, cents)(F.col("v"))
+        )
+        .filter(F.col("cell").isin(probed))
+        .withColumn("q", qlit)
+        .select("vec_id", F.round(_cosine("v", "q"), 6).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(3)
+        .collect()
+    ]
+    assert rows == exp_rows
