@@ -125,6 +125,57 @@ def d7_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "d7_weighted_sample",
+    oracle="""
+    SELECT doc_id, n_chars, sample_key
+    FROM (
+      SELECT doc_id, n_chars,
+             ROUND(POW(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                 || ':ws'), 1, 8) AS UBIGINT)
+                            AS DOUBLE) / 4294967296.0,
+                       1.0 / n_chars), 6) AS sample_key
+      FROM documents)
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def d7_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """D7: deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each doc gets priority u^(1/w) with
+    u = md5-derived uniform and w = its weight (n_chars here — longer
+    docs proportionally likelier); the global top-k by priority IS a
+    weighted sample without replacement.
+
+    Scale: one narrow pass computing the priority (no RNG state — the
+    md5 uniform is a pure function of the row, so the sample is
+    identical across runs, partitionings, and engines) +
+    TakeOrderedAndProject for the top-k: no shuffle of the table, no
+    driver state. The 6-decimal rounded priority is the sort key on
+    BOTH engines, so cross-engine libm differences (≤1 ulp in pow)
+    cannot flip the ordering; ties break on doc_id.
+    """
+    d = load(spark, sf, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    key = F.round(F.pow(u, 1.0 / F.col("n_chars")), 6)
+    return (
+        d.select("doc_id", "n_chars", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(100)
+    )
+
+
+@query(
     "d7_pii_mask",
     oracle="""
     SELECT c_custkey,
