@@ -95,6 +95,26 @@ _EN_THRESHOLD = "1999999a"  # ~0.10 of 2^32
 _OTHER_THRESHOLD = "80000000"  # ~0.50
 
 
+def weighted_sample_key(id_col: str, weight_col: str) -> F.Column:
+    """The A-ES priority u^(1/w), 6-decimal rounded: u is an md5-derived
+    uniform (pure row function — no RNG state), w the weight column.
+    Shared by the batch operator and the streaming incremental leg so
+    their samples are bit-identical."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":ws"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return F.round(F.pow(u, 1.0 / F.col(weight_col)), 6)
+
+
 @query(
     "d7_stratified_sample",
     oracle=f"""
@@ -155,19 +175,7 @@ def d7_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     cannot flip the ordering; ties break on doc_id.
     """
     d = load(spark, sf, "documents")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(4294967296.0)
-    )
-    key = F.round(F.pow(u, 1.0 / F.col("n_chars")), 6)
+    key = weighted_sample_key("doc_id", "n_chars")
     return (
         d.select("doc_id", "n_chars", key.alias("sample_key"))
         .orderBy(F.desc("sample_key"), "doc_id")

@@ -23,6 +23,10 @@ from event_streamer_spark.streaming.ann import (
     ivf_probe_cells,
     ivf_query,
 )
+from event_streamer_spark.streaming.sampling import (
+    read_weighted_sample,
+    weighted_sample_batch,
+)
 from event_streamer_spark.streaming.state import (
     running_stats_tws,
     running_stats_with_state,
@@ -50,4 +54,6 @@ __all__ = [
     "ivf_ingest_batch",
     "ivf_probe_cells",
     "ivf_query",
+    "weighted_sample_batch",
+    "read_weighted_sample",
 ]

@@ -1012,3 +1012,44 @@ def test_ivf_streaming_ingest_matches_batch_and_prunes(spark, tmp_path):
         .collect()
     ]
     assert rows == exp_rows
+
+
+def test_weighted_sample_streaming_equals_batch(spark, tmp_path):
+    """D7 streaming leg: the A-ES priority is a pure row function, so
+    replaying the corpus in two micro-batches and merging each batch's
+    top-k candidates yields the BIT-IDENTICAL sample to the batch
+    d7_weighted_sample operator — exact, not approximate."""
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.streaming import (
+        read_weighted_sample,
+        weighted_sample_batch,
+    )
+
+    docs = load(spark, SF, "documents").select("doc_id", "n_chars")
+    src = str(tmp_path / "doc_src")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src, mode="append")
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(src, mode="append")
+
+    state = str(tmp_path / "ws_state")
+    stream = (
+        spark.readStream.schema("doc_id bigint, n_chars bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(weighted_sample_batch(state, k=100))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ws"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = [
+        (r["doc_id"], r["sample_key"])
+        for r in read_weighted_sample(spark, state, k=100).collect()
+    ]
+    exp = [
+        (r["doc_id"], r["sample_key"])
+        for r in REGISTRY["d7_weighted_sample"].fn(spark, SF).collect()
+    ]
+    assert got == exp and len(got) == 100
