@@ -184,6 +184,55 @@ def d7_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "d7_grouped_weighted_sample",
+    oracle="""
+    SELECT lang, doc_id, sample_key, rn
+    FROM (
+      SELECT lang, doc_id, sample_key,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY sample_key DESC, doc_id) AS rn
+      FROM (
+        SELECT lang, doc_id,
+               ROUND(POW(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                   || ':ws'), 1, 8) AS UBIGINT)
+                              AS DOUBLE) / 4294967296.0,
+                         1.0 / n_chars), 6) AS sample_key
+        FROM documents))
+    WHERE rn <= 5
+    ORDER BY lang, rn
+    """,
+)
+def d7_grouped_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """D7: per-stratum weighted sampling — top-5 A-ES priorities within
+    each language. The per-group top-k runs through the DISTRIBUTED
+    two-level decomposition (``distrank.two_level_row_number`` bucketed
+    on the negated priority with ``rn_limit``), not a naive
+    per-language window: ``lang`` is low-cardinality, so the naive plan
+    sorts n/|langs| rows on one task at scale. Exercises the two-level
+    machinery on a computed DESC ordering (b15 covers the fact-table
+    case) under a full SQL oracle.
+    """
+    from event_streamer_spark.operators.distrank import two_level_row_number
+
+    d = load(spark, sf, "documents").select(
+        "lang",
+        "doc_id",
+        weighted_sample_key("doc_id", "n_chars").alias("sample_key"),
+    )
+    ranked = two_level_row_number(
+        d,
+        ["lang"],
+        [F.desc("sample_key"), "doc_id"],
+        bucket_value=-F.col("sample_key"),
+        out_col="rn",
+        rn_limit=5,
+    )
+    return ranked.select("lang", "doc_id", "sample_key", "rn").orderBy(
+        "lang", "rn"
+    )
+
+
+@query(
     "d7_pii_mask",
     oracle="""
     SELECT c_custkey,
