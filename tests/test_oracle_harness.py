@@ -1,0 +1,70 @@
+"""Meta-tests for the correctness harness itself: the canonical hash in
+scripts/check_oracles.py must be insensitive to row/column ORDER (Spark
+and DuckDB return rows in arbitrary order) yet sensitive to any VALUE,
+row-count, or null difference — otherwise a green sweep proves nothing."""
+
+import sys
+
+sys.path.insert(0, "scripts")
+
+from check_oracles import canon_hash, canon_value  # noqa: E402
+
+
+class TestCanonValue:
+    def test_null_bool_float_formats(self):
+        assert canon_value(None) == "NULL"
+        assert canon_value(True) == "true"
+        assert canon_value(False) == "false"
+        assert canon_value(1.5) == "1.500000"
+        assert canon_value(float("nan")) == "NaN"
+
+    def test_float_grain_is_6_decimals(self):
+        # differences below the 5e-7 grain canonicalize identically;
+        # differences above it do not
+        assert canon_value(0.1234567) == canon_value(0.12345674)
+        assert canon_value(0.123456) != canon_value(0.123466)
+
+    def test_nested_lists(self):
+        assert canon_value([1, [2.0, None]]) == "[1,[2.000000,NULL]]"
+
+
+class TestCanonHash:
+    COLS = ["b", "a"]
+    ROWS = [(1, "x"), (2, "y"), (3, None)]
+
+    def test_row_order_insensitive(self):
+        assert canon_hash(self.COLS, self.ROWS) == canon_hash(
+            self.COLS, list(reversed(self.ROWS))
+        )
+
+    def test_column_order_insensitive(self):
+        # (b, a) columns vs (a, b) columns with values swapped per row
+        swapped = [(r[1], r[0]) for r in self.ROWS]
+        assert canon_hash(["b", "a"], self.ROWS) == canon_hash(
+            ["a", "b"], swapped
+        )
+
+    def test_value_change_detected(self):
+        tampered = [(1, "x"), (2, "y"), (4, None)]
+        assert canon_hash(self.COLS, self.ROWS) != canon_hash(
+            self.COLS, tampered
+        )
+
+    def test_null_vs_string_null_detected(self):
+        assert canon_hash(["a"], [(None,)]) != canon_hash(["a"], [("NULL2",)])
+
+    def test_missing_row_detected(self):
+        assert canon_hash(self.COLS, self.ROWS) != canon_hash(
+            self.COLS, self.ROWS[:-1]
+        )
+
+    def test_duplicate_multiplicity_detected(self):
+        # bag semantics: a duplicated row must change the hash
+        assert canon_hash(["a"], [(1,), (2,)]) != canon_hash(
+            ["a"], [(1,), (1,), (2,)]
+        )
+
+    def test_float_below_grain_matches(self):
+        assert canon_hash(["a"], [(0.1234567,)]) == canon_hash(
+            ["a"], [(0.12345674,)]
+        )
