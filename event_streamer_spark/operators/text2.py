@@ -297,3 +297,50 @@ def d4_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "d4_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           ROUND(AVG(LN(CAST(c AS DOUBLE) / n)), 6) AS avg_logprob
+    FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def d4_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: corpus-trained unigram log-probability quality score — the
+    KenLM-style perplexity filter's shape with the corpus itself as the
+    language model: score(doc) = mean over tokens of ln(count(tok)/N).
+    Low scores flag documents full of corpus-rare tokens (gibberish,
+    boilerplate explosions); the standard pretraining-data quality
+    signal when a real LM isn't shipped.
+
+    Scale: the unigram table is vocab-sized (model state, not
+    data-sized) and broadcasts; the total-token count is a 1-row
+    broadcast; scoring is one narrow join + per-doc aggregate on the
+    uniform doc_id. ln() runs on the same libm both engines use and the
+    mean is rounded to the repo's 6-decimal grain.
+    """
+    toks = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(cnt), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("n"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
