@@ -1053,3 +1053,61 @@ def test_weighted_sample_streaming_equals_batch(spark, tmp_path):
         for r in REGISTRY["d7_weighted_sample"].fn(spark, SF).collect()
     ]
     assert got == exp and len(got) == 100
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """C5 (bounded state): dropDuplicatesWithinWatermark drops a
+    duplicate key arriving within the watermark delay but emits the key
+    again when it recurs far outside it — the state-bounded dedup
+    contract a plain dropDuplicates(keys) can't express."""
+    import datetime as dt
+
+    schema = "user_id bigint, event_type string, ts timestamp"
+    batches = [
+        # batch 1: duplicate 30 s apart → one survivor
+        [(1, "click", dt.datetime(2024, 1, 1, 10, 0, 0)),
+         (1, "click", dt.datetime(2024, 1, 1, 10, 0, 30))],
+        # batch 2: other key at 13:00 → end-of-batch watermark 12:50
+        [(2, "view", dt.datetime(2024, 1, 1, 13, 0, 0))],
+        # batch 3: runs WITH watermark 12:50 > key 1's expiry (10:10),
+        # so key 1's state is evicted this batch (the 13:30 event is
+        # itself a within-delay dup of nothing — key 2's state at 13:00
+        # is still live, so it is dropped)
+        [(2, "view", dt.datetime(2024, 1, 1, 13, 30, 0))],
+        # batch 4: key 1 recurs far outside the delay → re-emitted
+        [(1, "click", dt.datetime(2024, 1, 1, 14, 0, 0))],
+    ]
+    src = str(tmp_path / "dedup_src")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stream_dedup(
+        stream, ["user_id", "event_type"], ts_col="ts", watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dwm"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["event_type"], r["ts"])
+        for r in spark.sql("SELECT * FROM t_dedup_wm").collect()
+    )
+    # within-delay duplicate dropped; the recurrence after state
+    # eviction survives — 3 rows total, key 1 twice
+    assert got == [
+        (1, "click", dt.datetime(2024, 1, 1, 10, 0, 0)),
+        (1, "click", dt.datetime(2024, 1, 1, 14, 0, 0)),
+        (2, "view", dt.datetime(2024, 1, 1, 13, 0, 0)),
+    ]
