@@ -120,6 +120,16 @@ def merge_upsert(
 
     key_cols = list(key_cols)
     partition_cols = list(partition_cols)
+    if not partition_cols:
+        # with no partition columns, "the touched partitions" would be
+        # the whole table — a full rewrite; require an explicit layout
+        # rather than silently doing one (and the pred-building below
+        # would otherwise keep NO target rows)
+        raise ValueError(
+            "merge_upsert requires at least one partition column; for an "
+            "unpartitioned full-table upsert, anti-join + unionByName + "
+            "overwrite explicitly"
+        )
     if order_col is not None:
         # latest-per-key within the update batch itself: one map-side
         # combinable struct-MAX per key (order_col leads the comparison,

@@ -164,3 +164,14 @@ class TestMergeUpsert:
         assert spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
         ) == prev
+
+    def test_requires_partition_columns(self, spark, tmp_path):
+        from event_streamer_spark.writers import merge_upsert
+
+        out = str(tmp_path / "target4")
+        self._seed(spark, out)
+        updates = spark.createDataFrame(
+            [(1, "z", "p1", 99)], "id int, name string, part string, v int"
+        )
+        with pytest.raises(ValueError, match="partition column"):
+            merge_upsert(spark, out, updates, ["id"], [])
