@@ -332,7 +332,9 @@ def d4_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     )
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    # total tokens from the ALREADY-REDUCED vocab table, not a second
+    # corpus pass: N = Σ count(tok)
+    tot = cnt.agg(F.sum("c").alias("n"))
     return (
         toks.join(F.broadcast(cnt), "tok")
         .crossJoin(F.broadcast(tot))

@@ -775,7 +775,7 @@ def b50_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
       WHERE r_name = 'EUROPE')
     SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
     FROM part JOIN euro ON p_partkey = euro.l_partkey
-    WHERE p_size = 15 AND p_type = 'LARGE'
+    WHERE p_size < 20 AND p_type = 'LARGE'
       AND cost_c = (SELECT MIN(e2.cost_c) FROM euro e2
                     WHERE e2.l_partkey = part.p_partkey)
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
@@ -827,7 +827,7 @@ def b51_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
     )
     p = (
         load(spark, sf, "part")
-        .filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+        .filter((F.col("p_size") < 20) & (F.col("p_type") == "LARGE"))
         .select("p_partkey", "p_brand")
     )
     return (
@@ -1012,7 +1012,7 @@ def b53_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
       FROM lineitem
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
-      WHERE n_name = 'NATION_5'
+      WHERE n_name = 'NATION_3'
       GROUP BY l_partkey)
     SELECT l_partkey AS p_partkey,
            CAST(val_c AS BIGINT) / 10000.0 AS value
@@ -1038,7 +1038,7 @@ def b54_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
     """
     nat = (
         load(spark, sf, "nation")
-        .filter(F.col("n_name") == "NATION_5")
+        .filter(F.col("n_name") == "NATION_3")
         .select("n_nationkey")
     )
     supp = (
@@ -1231,7 +1231,7 @@ def b57_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
     SELECT s_name, s_acctbal
     FROM supplier
     JOIN nation ON s_nationkey = n_nationkey
-    WHERE n_name = 'NATION_2'
+    WHERE n_name = 'NATION_8'
       AND s_suppkey IN (
         SELECT l_suppkey
         FROM lineitem
@@ -1260,7 +1260,7 @@ def b58_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
     """
     nat = (
         load(spark, sf, "nation")
-        .filter(F.col("n_name") == "NATION_2")
+        .filter(F.col("n_name") == "NATION_8")
         .select("n_nationkey")
     )
     s = (

@@ -44,6 +44,35 @@ from event_streamer_spark.helpers import hadoop_path_exists
 from event_streamer_spark.operators.dedup import _N_PERM, _minhash_signatures
 
 
+def _migrate_legacy_state(spark, path: str) -> None:
+    """One-time layout upgrade for state written by the pre-``batch_id``
+    release (flat ``part-*.parquet`` at the state root). The partitioned
+    layout cannot coexist with those files — parquet partition discovery
+    rejects mixed structures, and the ``batch_id`` filter column would
+    not resolve — so without this an upgraded deployment crash-loops
+    until its state (the index) is wiped. Legacy files move into a
+    ``batch_id=-1`` partition (-1 never collides with a real micro-batch
+    id, so retry-exclusion reads keep every legacy row). No-op when the
+    path is absent or already partitioned. Hadoop FS API throughout —
+    works on HDFS/S3A, not just the local filesystem."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return
+    legacy = [
+        s.getPath()
+        for s in fs.listStatus(jpath)
+        if s.isFile() and not s.getPath().getName().startswith(("_", "."))
+    ]
+    if not legacy:
+        return
+    dest = jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id=-1")
+    fs.mkdirs(dest)
+    for p in legacy:
+        fs.rename(p, jvm.org.apache.hadoop.fs.Path(dest, p.getName()))
+
+
 def _write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
     """Idempotent per-batch write: the rows land in partition
     ``batch_id=<n>``; dynamic partition overwrite replaces ONLY that
@@ -79,6 +108,7 @@ def count_min_batch(state_dir: str) -> Callable[[DataFrame, int], None]:
     from event_streamer_spark.operators.sketches import count_min_sketch
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        _migrate_legacy_state(batch_df.sparkSession, state_dir)
         _write_batch_partition(count_min_sketch(batch_df), batch_id, state_dir)
 
     return process
@@ -101,6 +131,7 @@ def hll_batch(state_dir: str) -> Callable[[DataFrame, int], None]:
     from event_streamer_spark.operators.sketches import hll_registers
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        _migrate_legacy_state(batch_df.sparkSession, state_dir)
         _write_batch_partition(hll_registers(batch_df), batch_id, state_dir)
 
     return process
@@ -134,6 +165,8 @@ def minhash_neardup_batch(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        for sub in (f"{state_dir}/bands", f"{state_dir}/sigs", pairs_dir):
+            _migrate_legacy_state(spark, sub)
         sigs = _minhash_signatures(
             batch_df.select("doc_id", "text").repartition(
                 spark.sparkContext.defaultParallelism

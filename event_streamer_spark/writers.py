@@ -114,9 +114,17 @@ def merge_upsert(
        (asserted in ``tests/test_writers.py``), so readers of other
        partitions never see a partial state.
 
+    **Precondition — stable partition values per key.** Only the
+    partitions the updates touch are scanned, so a key whose
+    ``partition_cols`` value CHANGES in an update leaves its old row in
+    the old partition (the table then holds the key twice). Partition
+    by attributes that are immutable for a given key (creation date,
+    tenant, shard), as every pruned-merge layout requires; keys that
+    genuinely move partitions need a delete in the old partition first.
+
     Returns ``{"touched_partitions": n}``.
     """
-    import os
+    from event_streamer_spark.helpers import hadoop_path_exists
 
     key_cols = list(key_cols)
     partition_cols = list(partition_cols)
@@ -145,15 +153,23 @@ def merge_upsert(
             .select("__m.__row.*")
         )
 
-    target_exists = os.path.isdir(path) and any(
-        not f.startswith((".", "_")) for f in os.listdir(path)
-    )
+    # Hadoop FS existence check, NOT os.path: on s3a://... or hdfs://...
+    # a driver-local check would report "missing" and the keep step would
+    # silently drop every surviving target row
+    target_exists = hadoop_path_exists(spark, path)
     touched = [
         tuple(r[c] for c in partition_cols)
         for r in updates.select(*partition_cols).distinct().collect()
     ]
     if target_exists:
-        target = spark.read.format(fmt).load(path)
+        try:
+            target = spark.read.format(fmt).load(path)
+        except Exception as e:  # noqa: BLE001 — empty dir == no target yet
+            if "infer schema" in str(e).lower():
+                target_exists = False
+            else:
+                raise
+    if target_exists:
         if set(target.columns) != set(updates.columns):
             raise ValueError(
                 "merge_upsert: updates schema must match target — "
@@ -178,15 +194,13 @@ def merge_upsert(
     else:
         combined = updates
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            combined.write.format(fmt)
-            .mode("overwrite")
-            .partitionBy(*partition_cols)
-            .save(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (
+        combined.write.format(fmt)
+        .mode("overwrite")
+        # per-write option, NOT the session conf: concurrent writers in
+        # the same session must not inherit dynamic semantics
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .save(path)
+    )
     return {"touched_partitions": len(touched)}

@@ -271,7 +271,7 @@ def test_tpch_q11_threshold_joins_reduced_frame(spark):
     aggregate — the nation filter reaches the scans, and both
     aggregates are map-side partial."""
     plan = plan_of(spark, "b54_tpch_q11")
-    assert "EqualTo(n_name,NATION_5)" in plan.replace(" ", "")
+    assert "EqualTo(n_name,NATION_3)" in plan.replace(" ", "")
     assert plan.count("HashAggregate") >= 4  # per-part + total, partial each
 
 

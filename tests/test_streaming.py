@@ -1111,3 +1111,43 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         (1, "click", dt.datetime(2024, 1, 1, 14, 0, 0)),
         (2, "view", dt.datetime(2024, 1, 1, 13, 0, 0)),
     ]
+
+
+def test_legacy_state_layout_migrates(spark, tmp_path):
+    """State dirs written by the pre-batch_id release (flat
+    part-*.parquet at the root) must upgrade in place: the first batch
+    of the new layout moves them into a batch_id=-1 partition instead
+    of crash-looping on mixed directory structures, and their rows keep
+    counting toward the merged sketch."""
+    from event_streamer_spark.operators.sketches import count_min_sketch
+    from event_streamer_spark.streaming import count_min_batch, read_count_min
+
+    state = str(tmp_path / "cm_state")
+    old_toks = spark.createDataFrame(
+        [("alpha",)] * 3 + [("beta",)], "tok string"
+    )
+    # legacy layout: the sketch shard written FLAT, no batch_id partition
+    count_min_sketch(old_toks).coalesce(1).write.parquet(state)
+    import glob
+
+    assert glob.glob(state + "/part-*.parquet")  # genuinely flat
+
+    new_toks = spark.createDataFrame([("alpha",)] * 2, "tok string")
+    count_min_batch(state)(new_toks, 0)  # process one "micro-batch"
+
+    assert not glob.glob(state + "/part-*.parquet")  # root files moved
+    assert glob.glob(state + "/batch_id=-1/part-*.parquet")
+
+    merged = read_count_min(spark, state)
+    both = count_min_sketch(
+        spark.createDataFrame([("alpha",)] * 5 + [("beta",)], "tok string")
+    )
+    got = {
+        (r["row"], r["bucket"]): r["cell_cnt"]
+        for r in merged.collect() if r["cell_cnt"] > 0
+    }
+    exp = {
+        (r["row"], r["bucket"]): r["cell_cnt"]
+        for r in both.collect() if r["cell_cnt"] > 0
+    }
+    assert got == exp  # legacy rows + new batch == one combined sketch
