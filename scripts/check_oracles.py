@@ -124,6 +124,10 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"PASS  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            if len(srows) == 0:
+                # an empty result matches an empty oracle no matter how
+                # wrong the query logic is — flag vacuous passes loudly
+                print("      WARNING: vacuous pass (0 rows on both engines)")
 
     print()
     total = len([n for n in REGISTRY if not name_filters or any(f in n for f in name_filters)])
