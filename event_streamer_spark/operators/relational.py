@@ -249,13 +249,18 @@ def b07_join_semi(spark: SparkSession, sf: str) -> DataFrame:
     "b07_join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
     """,
 )
 def b07_join_anti(spark: SparkSession, sf: str) -> DataFrame:
-    """B7: left-anti join (NOT EXISTS)."""
+    """B7: left-anti join (NOT EXISTS) — customers with no finished
+    order. (Every customer has SOME order in the fixture, so the
+    unfiltered anti-join would be vacuously empty and prove nothing;
+    the status filter keeps survivors at every gate SF.)"""
     cust = load(spark, sf, "customer")
-    orders = load(spark, sf, "orders")
+    orders = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -713,13 +718,19 @@ def b20_intersect(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT c_custkey AS k FROM customer
     EXCEPT
-    SELECT o_custkey AS k FROM orders
+    SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
 )
 def b20_except(spark: SparkSession, sf: str) -> DataFrame:
-    """B20: EXCEPT (distinct semantics — DataFrame.subtract)."""
+    """B20: EXCEPT (distinct semantics — DataFrame.subtract): customers
+    who never placed an urgent order. (Unfiltered, every custkey appears
+    in orders and the difference is vacuously empty at every SF.)"""
     c = load(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
-    o = load(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    o = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+    )
     return c.subtract(o)
 
 
