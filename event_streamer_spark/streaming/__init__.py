@@ -12,6 +12,7 @@ from event_streamer_spark.streaming.ops import (
     stream_stream_join,
 )
 from event_streamer_spark.streaming.dedup import (
+    compact_state,
     count_min_batch,
     hll_batch,
     minhash_neardup_batch,
@@ -47,6 +48,7 @@ __all__ = [
     "running_stats_with_state",
     "running_stats_tws",
     "minhash_neardup_batch",
+    "compact_state",
     "count_min_batch",
     "read_count_min",
     "hll_batch",

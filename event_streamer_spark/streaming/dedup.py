@@ -73,6 +73,48 @@ def _migrate_legacy_state(spark, path: str) -> None:
         fs.rename(p, jvm.org.apache.hadoop.fs.Path(dest, p.getName()))
 
 
+def compact_state(spark, path: str) -> int:
+    """Collapse a ``batch_id``-partitioned state table's history into
+    the single ``batch_id=-1`` partition (the same slot legacy
+    migration uses) and drop the per-batch partitions. Run it with the
+    STREAM STOPPED: the per-batch partitions exist so a retried
+    micro-batch can replace its own output — compacting an in-flight
+    batch away would let its retry re-insert.
+
+    Rows are preserved verbatim (state merges are aggregation-at-read:
+    SUM/MAX/top-k — all multiset-safe), so reads before and after
+    compact are identical. Returns the number of batch partitions
+    folded. Partition count stays O(1) over the stream's lifetime
+    instead of O(batches) — the state-table version of the small-files
+    problem.
+    """
+    from event_streamer_spark.helpers import hadoop_path_exists
+
+    if not hadoop_path_exists(spark, path):
+        return 0
+    df = spark.read.parquet(path)
+    batches = [
+        r["batch_id"]
+        for r in df.select("batch_id").distinct().collect()
+        if r["batch_id"] != -1
+    ]
+    if not batches:
+        return 0
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.drop("batch_id").write.mode("overwrite").parquet(tmp)
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    dest = jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id=-1")
+    fs.delete(dest, True)
+    for b in batches:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id={b}"), True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dest)
+    return len(batches)
+
+
 def _write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
     """Idempotent per-batch write: the rows land in partition
     ``batch_id=<n>``; dynamic partition overwrite replaces ONLY that

@@ -1151,3 +1151,41 @@ def test_legacy_state_layout_migrates(spark, tmp_path):
         for r in both.collect() if r["cell_cnt"] > 0
     }
     assert got == exp  # legacy rows + new batch == one combined sketch
+
+
+def test_compact_state_preserves_merged_sketch(spark, tmp_path):
+    """State-table compaction: folding N batch partitions into
+    batch_id=-1 leaves the merged sketch bit-identical and the
+    partition count at one."""
+    import glob
+
+    from event_streamer_spark.streaming import (
+        compact_state,
+        count_min_batch,
+        read_count_min,
+    )
+
+    state = str(tmp_path / "cm_state")
+    process = count_min_batch(state)
+    process(spark.createDataFrame([("alpha",)] * 3, "tok string"), 0)
+    process(spark.createDataFrame([("beta",)] * 2 + [("alpha",)], "tok string"), 1)
+
+    before = {
+        (r["row"], r["bucket"]): r["cell_cnt"]
+        for r in read_count_min(spark, state).collect()
+    }
+    n = compact_state(spark, state)
+    assert n == 2
+    assert glob.glob(state + "/batch_id=-1")
+    assert not glob.glob(state + "/batch_id=0")
+    after = {
+        (r["row"], r["bucket"]): r["cell_cnt"]
+        for r in read_count_min(spark, state).collect()
+    }
+    assert after == before
+    assert compact_state(spark, state) == 0  # idempotent no-op
+
+    # a post-compact batch lands in its own partition again
+    process(spark.createDataFrame([("gamma",)], "tok string"), 2)
+    assert glob.glob(state + "/batch_id=2")
+    assert len(read_count_min(spark, state).collect()) >= len(after)
