@@ -239,8 +239,11 @@ def d2_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     # signatures feed three consumers (banding + both join sides): persist
-    # so the pandas UDF runs once per row, not three times
-    sigs = _minhash_signatures(docs).persist()
+    # so the pandas UDF runs once per row, not three times; bounded to
+    # one live frame across calls (see caching.bounded_persist)
+    from event_streamer_spark.caching import bounded_persist
+
+    sigs = bounded_persist(_minhash_signatures(docs), "dedup.minhash_sigs")
 
     bands = sigs.select(
         "doc_id", F.posexplode("bands").alias("band", "bh")

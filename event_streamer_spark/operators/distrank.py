@@ -48,39 +48,17 @@ _DEFAULT_BUCKETS = 32
 _PERCENTILE_ACCURACY = 100
 
 # The bucketed frame is persist()-ed so pass-1 counts and the pass-2
-# sort share one build. Spark's CacheManager holds persisted frames
-# until an explicit unpersist — in a long-lived session every call would
-# leak one cached frame. We keep ONE live at a time: each new persist
-# evicts the previous call's frame (non-blocking). A concurrent caller
-# whose frame gets evicted mid-job recomputes from lineage — slower,
-# never wrong. ``clear_cache()`` releases the last one eagerly.
-_live_persists: list = []
-
-
-def _persist_evicting_previous(df: DataFrame) -> DataFrame:
-    # CacheManager keys entries by CANONICAL PLAN, not by object: a
-    # repeated identical query maps to the SAME entry, so evicting the
-    # previous object would delete the cache out from under the new
-    # persist (measured: 3× slower warm passes). Evict only when the
-    # plan actually changed — identical calls share the materialized
-    # cache; a new input/ordering replaces the old entry.
-    prev = _live_persists.pop() if _live_persists else None
-    if prev is not None:
-        try:
-            same = prev.sameSemantics(df)
-        except Exception:  # pragma: no cover - defensive
-            same = False
-        if not same:
-            prev.unpersist(False)
-    df = df.persist()
-    _live_persists.append(df)
-    return df
+# sort share one build; ``caching.bounded_persist`` keeps at most ONE
+# live cached frame for this operator across calls (identical repeat
+# calls share the entry; a different input evicts the old one).
+_CACHE_SLOT = "distrank.bucketed"
 
 
 def clear_cache() -> None:
     """Release the most recent two-level bucketed frame from the cache."""
-    while _live_persists:
-        _live_persists.pop().unpersist(False)
+    from event_streamer_spark.caching import clear_slot
+
+    clear_slot(_CACHE_SLOT)
 
 
 def _bucket_assign(value: Column, bounds: Column) -> Column:
@@ -215,7 +193,9 @@ def two_level_row_number(
         # one fact scan feeds BOTH consumers below (pass-1 counts and
         # the pass-2 sort); without this the bucketed frame is rebuilt
         # from parquet twice (the r4 3-scan regression)
-        b = _persist_evicting_previous(b)
+        from event_streamer_spark.caching import bounded_persist
+
+        b = bounded_persist(b, _CACHE_SLOT)
 
     # pass 1: per-bucket counts → cumulative base offsets (tiny table)
     counts = b.groupBy(*part_cols, "__bucket").agg(
