@@ -55,6 +55,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # introspection: point at the real body
         REGISTRY[name] = QuerySpec(
             name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or ""
         )

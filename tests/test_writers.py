@@ -175,3 +175,50 @@ class TestMergeUpsert:
         )
         with pytest.raises(ValueError, match="partition column"):
             merge_upsert(spark, out, updates, ["id"], [])
+
+    def test_randomized_upsert_sequence_matches_dict_model(self, spark, tmp_path):
+        """Three rounds of seeded-random update batches must leave the
+        table exactly equal to a plain dict model (key -> latest row),
+        across multi-partition updates, repeated keys, and inserts."""
+        import random
+
+        from event_streamer_spark.writers import merge_upsert, write_partitioned
+
+        rng = random.Random(17)
+        parts = ["p0", "p1", "p2"]
+        # every key is born in one fixed partition and stays there (the
+        # documented stable-partition precondition)
+        home = {k: parts[k % 3] for k in range(40)}
+
+        model = {}
+        base_rows = []
+        for k in range(0, 20):
+            v = rng.randrange(1000)
+            model[k] = (home[k], v)
+            base_rows.append((k, home[k], v))
+        out = str(tmp_path / "rand_target")
+        write_partitioned(
+            spark.createDataFrame(base_rows, "id int, part string, v int"),
+            out,
+            ["part"],
+        )
+
+        for _ in range(3):
+            batch = []
+            for k in rng.sample(range(40), 12):
+                v = rng.randrange(1000)
+                model[k] = (home[k], v)
+                batch.append((k, home[k], v))
+            merge_upsert(
+                spark,
+                out,
+                spark.createDataFrame(batch, "id int, part string, v int"),
+                ["id"],
+                ["part"],
+            )
+
+        got = {
+            r["id"]: (r["part"], r["v"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == model
