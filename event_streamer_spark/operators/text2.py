@@ -321,10 +321,14 @@ def d4_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     boilerplate explosions); the standard pretraining-data quality
     signal when a real LM isn't shipped.
 
-    Scale: the unigram table is vocab-sized (model state, not
-    data-sized) and broadcasts; the total-token count is a 1-row
-    broadcast; scoring is one narrow join + per-doc aggregate on the
-    uniform doc_id. ln() runs on the same libm both engines use and the
+    Scale: the unigram table is vocab-sized — small for curated text
+    but heavy-tailed on raw web corpora (typos/ids explode the
+    vocabulary), so the join strategy is deliberately LEFT TO AQE:
+    it broadcasts when the vocab is small and falls back to a shuffle
+    join on ``tok`` when it isn't (forcing a broadcast here would OOM
+    on a billion-token tail). The total-token count reduces from the
+    vocab table and broadcasts as 1 row; scoring is one join + per-doc
+    aggregate. ln() runs on the same libm both engines use and the
     mean is rounded to the repo's 6-decimal grain.
     """
     toks = (
@@ -336,7 +340,7 @@ def d4_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     # corpus pass: N = Σ count(tok)
     tot = cnt.agg(F.sum("c").alias("n"))
     return (
-        toks.join(F.broadcast(cnt), "tok")
+        toks.join(cnt, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
