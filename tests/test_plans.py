@@ -319,3 +319,36 @@ def test_tpch_q22_anti_join_for_lapsed_customers(spark):
     plan = plan_of(spark, "b59_tpch_q22")
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_tpch_q3_pushed_filters_and_topk(spark):
+    """Q3: segment/date filters reach their scans; the top-10 on
+    (revenue DESC, orderkey) is TakeOrderedAndProject, not a global
+    sort; no cartesian anywhere in the 3-way chain."""
+    plan = plan_of(spark, "b35_tpch_q3")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan.replace(" ", "")
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_scan_bound_single_aggregate(spark):
+    """Q6 is scan-bound by construction: every predicate pushes to the
+    lineitem scan, there is NO join, and the single global aggregate is
+    map-side partial."""
+    plan = plan_of(spark, "b36_tpch_q6")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q18_semi_join_from_aggregate(spark):
+    """Q18: the large-volume keeper set is an aggregate-derived LEFT
+    SEMI join (no row widening before the final group)."""
+    plan = plan_of(spark, "b37_tpch_q18")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
