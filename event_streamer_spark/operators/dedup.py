@@ -383,3 +383,59 @@ def d2_simhash(spark: SparkSession, sf: str) -> DataFrame:
         chunks.getItem(2).alias("chunk2"),
         chunks.getItem(3).alias("chunk3"),
     )
+
+
+@query(
+    "d4_ngram_novelty",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh_all AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i)),
+    df AS (SELECT s, COUNT(*) AS df FROM sh_all GROUP BY s)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           ROUND(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM sh_all JOIN df USING (s)
+    GROUP BY doc_id
+    """,
+)
+def d4_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: n-gram novelty — the fraction of a document's distinct
+    3-gram shingles that appear in NO other document. Low novelty flags
+    near-boilerplate / heavily-duplicated text (the complement of the
+    D2 dedup signals, usable as a quality filter on its own).
+
+    Scale: the shingle document-frequency table is shingle-vocab-sized;
+    the join strategy is left to AQE (broadcast when small, shuffle on
+    the shingle otherwise — the same heavy-tail argument as
+    d4_unigram_logprob). Both aggregates are map-side partial; the
+    per-doc fraction is an exact integer ratio rounded once.
+    """
+    d = load(spark, sf, "documents").withColumn("t", F.split("text", " "))
+    sh_all = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    df_tbl = sh_all.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh_all.join(df_tbl, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
