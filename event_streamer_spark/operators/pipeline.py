@@ -281,3 +281,55 @@ def d9_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("prefix") / _PACK_BUDGET).cast("bigint").alias("bin_id"),
         (F.col("prefix") % _PACK_BUDGET).cast("bigint").alias("bin_offset"),
     )
+
+
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+@query(
+    "d9_chunk_overlap",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    st AS (SELECT doc_id, t,
+                  unnest(range(1, greatest(len(t) - {_CHUNK_OVERLAP}, 1) + 1,
+                               {_CHUNK_STRIDE})) AS s
+           FROM tok)
+    SELECT doc_id,
+           CAST(s AS BIGINT) AS start,
+           CAST(len(t[s : s + {_CHUNK_TOKENS - 1}]) AS BIGINT) AS n_tok,
+           md5(array_to_string(t[s : s + {_CHUNK_TOKENS - 1}], ' '))
+             AS chunk_hash
+    FROM st
+    """,
+)
+def d9_chunk_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """D9: overlapping document chunking — the passage-window primitive
+    of RAG indexing and long-document pretraining prep: windows of 32
+    tokens at stride 24 (8-token overlap), identified by their token
+    offset. A window is emitted only when it extends coverage beyond
+    the previous window's overlap (``start ≤ len - overlap``), so no
+    chunk is fully contained in its predecessor; documents shorter than
+    one chunk yield exactly one window.
+
+    Scale: a pure narrow stage — split, per-row start grid (explode),
+    slice, hash — no shuffle anywhere; chunking 100 TB is scan-bound.
+    The md5 chunk hash keeps the output (and the oracle compare)
+    compact while pinning the full chunk text byte-for-byte.
+    """
+    d = load(spark, sf, "documents").withColumn("t", F.split("text", " "))
+    starts = F.expr(
+        f"sequence(1, greatest(size(t) - {_CHUNK_OVERLAP}, 1),"
+        f" {_CHUNK_STRIDE})"
+    )
+    chunk = F.expr(f"slice(t, start, {_CHUNK_TOKENS})")
+    return (
+        d.select("doc_id", "t", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            F.col("start").cast("bigint").alias("start"),
+            F.size(chunk).cast("bigint").alias("n_tok"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )
