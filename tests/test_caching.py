@@ -1,0 +1,58 @@
+"""bounded_persist: the CacheManager-canonical-plan contract, pinned.
+
+The regression this guards: CacheManager keys persisted frames by
+canonical plan, so for a repeated identical query `persist(new)` maps
+to the previous call's entry — naively unpersisting the previous object
+deletes the cache out from under the new frame (measured 3× slower warm
+passes in the distrank benchmark before the sameSemantics check)."""
+
+from pyspark.sql import functions as F
+
+from event_streamer_spark.caching import _SLOTS, bounded_persist, clear_slot
+
+
+def _frame(spark, n=1000, mult=2):
+    return spark.range(n).select(
+        "id", (F.col("id") * mult).alias("v")
+    ).groupBy((F.col("id") % 10).alias("k")).agg(F.sum("v").alias("s"))
+
+
+class TestBoundedPersist:
+    def teardown_method(self):
+        clear_slot()
+
+    def test_identical_plan_keeps_cache_live(self, spark):
+        a = bounded_persist(_frame(spark), "t.slot")
+        a.count()  # materialize
+        assert a.storageLevel.useMemory
+        b = bounded_persist(_frame(spark), "t.slot")  # same canonical plan
+        assert b.storageLevel.useMemory
+        # the FIRST frame's cache entry must still be live — evicting it
+        # would have emptied the shared entry
+        assert a.storageLevel.useMemory
+        assert b.count() == 10
+
+    def test_different_plan_evicts_previous(self, spark):
+        a = bounded_persist(_frame(spark, mult=2), "t.slot")
+        a.count()
+        b = bounded_persist(_frame(spark, mult=3), "t.slot")  # new plan
+        assert b.storageLevel.useMemory
+        assert not a.storageLevel.useMemory  # previous entry released
+        assert list(_SLOTS) == ["t.slot"]  # one live frame per slot
+
+    def test_slots_are_independent(self, spark):
+        a = bounded_persist(_frame(spark, mult=2), "slot.a")
+        b = bounded_persist(_frame(spark, mult=3), "slot.b")
+        a.count(), b.count()
+        assert a.storageLevel.useMemory and b.storageLevel.useMemory
+        clear_slot("slot.a")
+        assert not a.storageLevel.useMemory
+        assert b.storageLevel.useMemory
+
+    def test_clear_all_slots(self, spark):
+        a = bounded_persist(_frame(spark, mult=2), "slot.a")
+        b = bounded_persist(_frame(spark, mult=3), "slot.b")
+        clear_slot()
+        assert not a.storageLevel.useMemory
+        assert not b.storageLevel.useMemory
+        assert not _SLOTS
