@@ -1189,3 +1189,40 @@ def test_compact_state_preserves_merged_sketch(spark, tmp_path):
     process(spark.createDataFrame([("gamma",)], "tok string"), 2)
     assert glob.glob(state + "/batch_id=2")
     assert len(read_count_min(spark, state).collect()) >= len(after)
+
+
+def test_ivf_and_sample_batch_writes_are_retry_idempotent(spark, tmp_path):
+    """At-least-once foreachBatch redelivery: re-running the SAME
+    micro-batch id must replace its own partition, not double-insert —
+    for both the IVF index and the weighted-sample state."""
+    from event_streamer_spark.operators.similarity import random_ivf_centroids
+    from event_streamer_spark.streaming import (
+        ivf_ingest_batch,
+        read_weighted_sample,
+        weighted_sample_batch,
+    )
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).limit(50)
+    index_dir = str(tmp_path / "ivf_retry")
+    process = ivf_ingest_batch(index_dir, random_ivf_centroids())
+    process(emb, 0)
+    process(emb, 0)  # redelivery of batch 0
+    assert spark.read.parquet(index_dir).count() == 50  # not 100
+
+    docs = load(spark, SF, "documents").select("doc_id", "n_chars").limit(40)
+    ws_dir = str(tmp_path / "ws_retry")
+    wsp = weighted_sample_batch(ws_dir, k=10)
+    wsp(docs, 0)
+    first = [
+        (r["doc_id"], r["sample_key"])
+        for r in read_weighted_sample(spark, ws_dir, k=10).collect()
+    ]
+    wsp(docs, 0)  # redelivery
+    again = [
+        (r["doc_id"], r["sample_key"])
+        for r in read_weighted_sample(spark, ws_dir, k=10).collect()
+    ]
+    assert again == first
+    assert spark.read.parquet(ws_dir).count() == 10  # one top-k, not two
