@@ -14,6 +14,7 @@ from event_streamer_spark.streaming.ops import (
 from event_streamer_spark.streaming.dedup import (
     compact_state,
     count_min_batch,
+    exact_dedup_batch,
     hll_batch,
     minhash_neardup_batch,
     read_count_min,
@@ -48,6 +49,7 @@ __all__ = [
     "running_stats_with_state",
     "running_stats_tws",
     "minhash_neardup_batch",
+    "exact_dedup_batch",
     "compact_state",
     "count_min_batch",
     "read_count_min",

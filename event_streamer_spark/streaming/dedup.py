@@ -188,6 +188,59 @@ def read_hll(spark, state_dir: str) -> DataFrame:
     )
 
 
+def exact_dedup_batch(
+    state_dir: str,
+    emit_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame, int], None]:
+    """D1 streaming leg #2: UNBOUNDED-retention exact dedup over a
+    parquet-backed hash index (the durable complement of
+    ``ops.stream_exact_dedup``, whose state-store retention is
+    watermark-bounded by design).
+
+    Each micro-batch: sha2 the content, keep the min-id row per hash
+    WITHIN the batch, anti-join against the prior hash index
+    (cross-batch first-seen), emit survivors to ``emit_dir`` and fold
+    their hashes into ``state_dir``. The index is a plain distributed
+    table — one uniform 256-bit join key, no driver state, compactable
+    with :func:`compact_state`. Writes partition by ``batch_id`` with
+    dynamic overwrite, so redelivered batches replace their own output.
+    Replaying a corpus through ANY batch split emits exactly the batch
+    ``d1_exact_dedup`` keeper set (asserted in tests).
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        for sub in (state_dir, emit_dir):
+            _migrate_legacy_state(spark, sub)
+        hashed = batch_df.withColumn(
+            "content_hash", F.sha2(F.col(text_col), 256)
+        )
+        # within-batch keeper: min id per hash (matches d1's keeper rule)
+        w_min = hashed.groupBy("content_hash").agg(
+            F.min(id_col).alias("__keep_id")
+        )
+        firsts = hashed.join(
+            w_min,
+            (hashed["content_hash"] == w_min["content_hash"])
+            & (hashed[id_col] == F.col("__keep_id")),
+        ).select(hashed["*"])
+        if hadoop_path_exists(spark, state_dir):
+            prior = spark.read.parquet(state_dir).filter(
+                F.col("batch_id") != int(batch_id)
+            )
+            firsts = firsts.join(
+                prior.select("content_hash"), "content_hash", "left_anti"
+            )
+        _write_batch_partition(firsts, batch_id, emit_dir)
+        _write_batch_partition(
+            firsts.select("content_hash"), batch_id, state_dir
+        )
+
+    return process
+
+
 def minhash_neardup_batch(
     state_dir: str,
     pairs_dir: str,
