@@ -20,32 +20,47 @@ frame is evicted mid-job recomputes from lineage — slower, never wrong.
 
 from __future__ import annotations
 
+import threading
 from typing import Optional
 
 from pyspark.sql import DataFrame
 
 _SLOTS: dict[str, DataFrame] = {}
+# check-then-act on _SLOTS must be atomic: two threads racing the same
+# slot would otherwise both read the same prev, and the loser's frame
+# would stay persisted with no reference left to ever release it —
+# exactly the unbounded leak this module exists to prevent
+_LOCK = threading.Lock()
+
+
+def _safe_unpersist(df: DataFrame) -> None:
+    try:
+        df.unpersist(False)
+    except Exception:  # pragma: no cover — stale frame from a stopped
+        pass  # session counts as already evicted
 
 
 def bounded_persist(df: DataFrame, slot: str) -> DataFrame:
     """``persist()`` with at most one live cached frame per ``slot``."""
-    prev = _SLOTS.get(slot)
-    if prev is not None:
-        try:
-            same = prev.sameSemantics(df)
-        except Exception:  # pragma: no cover - defensive
-            same = False
-        if not same:
-            prev.unpersist(False)
-    df = df.persist()
-    _SLOTS[slot] = df
+    with _LOCK:
+        prev = _SLOTS.get(slot)
+        if prev is not None:
+            try:
+                same = prev.sameSemantics(df)
+            except Exception:  # pragma: no cover - defensive
+                same = False
+            if not same:
+                _safe_unpersist(prev)
+        df = df.persist()
+        _SLOTS[slot] = df
     return df
 
 
 def clear_slot(slot: Optional[str] = None) -> None:
     """Eagerly release one slot's cached frame (or all slots)."""
-    names = [slot] if slot is not None else list(_SLOTS)
-    for name in names:
-        df = _SLOTS.pop(name, None)
-        if df is not None:
-            df.unpersist(False)
+    with _LOCK:
+        names = [slot] if slot is not None else list(_SLOTS)
+        for name in names:
+            df = _SLOTS.pop(name, None)
+            if df is not None:
+                _safe_unpersist(df)

@@ -82,15 +82,44 @@ def d1_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
 _MAX_SHINGLE_DF = 256
 
 
+# Documents with fewer than 3 tokens have no 3-gram: both engines must
+# drop them BEFORE shingling. (Spark's sequence(1, size-2) turns
+# DESCENDING for size<3 and indexes past the array — an ANSI crash —
+# while DuckDB's range() just returns empty: a silent oracle divergence
+# without the shared guard.)
+_SHINGLE_SQL_CTES = """
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= 3),
+    sh_all AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i))"""
+
+
+def raw_shingles(docs: DataFrame) -> DataFrame:
+    """Uncapped distinct 3-gram shingles per document —
+    ``docs(doc_id, text)`` → ``(doc_id, s)``; sub-3-token docs dropped
+    (see :data:`_SHINGLE_SQL_CTES`, the matching oracle CTE chain)."""
+    return (
+        docs.withColumn("t", F.split("text", " "))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+
+
 def shingle_ctes(max_df: int = _MAX_SHINGLE_DF) -> str:
     """DuckDB CTE chain producing the capped shingle set ``sh(doc_id, s)``
     plus per-doc sizes — shared by the Jaccard and clustering oracles so
     both engines cut hot shingles at the identical threshold."""
-    return f"""
-    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh_all AS (
-      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-      FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i)),
+    return f"""{_SHINGLE_SQL_CTES},
     hot AS (SELECT s FROM sh_all GROUP BY s HAVING COUNT(*) > {max_df}),
     sh AS (
       SELECT a.doc_id, a.s FROM sh_all a
@@ -106,19 +135,7 @@ def shingle_sets(docs: DataFrame, max_df: int = _MAX_SHINGLE_DF) -> DataFrame:
     after it, no shingle key carries more than ``max_df`` rows into any
     downstream self-join.
     """
-    d = docs.withColumn("t", F.split("text", " "))
-    shingles = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 2),"
-                    " i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
-                )
-            ).alias("s"),
-        )
-        .distinct()
-    )
+    shingles = raw_shingles(docs)
     hot = (
         shingles.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -295,10 +312,14 @@ def d2_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
     Exactness on the surviving pairs is asserted against
     ``d2_ngram_jaccard`` in ``tests/test_dedup_quality.py``.
     """
+    from event_streamer_spark.caching import bounded_persist
+
     docs = load(spark, sf, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    sigs = _minhash_signatures(docs).persist()
+    sigs = bounded_persist(
+        _minhash_signatures(docs), "dedup.lsh_verified_sigs"
+    )
     bands = sigs.select("doc_id", F.posexplode("bands").alias("band", "bh"))
     a = bands.alias("a")
     b = bands.alias("b")
@@ -313,7 +334,10 @@ def d2_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
 
-    shingles = shingle_sets(docs.select("doc_id", "text")).persist()
+    shingles = bounded_persist(
+        shingle_sets(docs.select("doc_id", "text")),
+        "dedup.lsh_verified_shingles",
+    )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sh_a = shingles.select(F.col("doc_id").alias("doc_a"), "s")
     sh_b = shingles.select(F.col("doc_id").alias("doc_b"), "s")
@@ -387,11 +411,8 @@ def d2_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "d4_ngram_novelty",
-    oracle="""
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh_all AS (
-      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-      FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i)),
+    oracle=f"""
+    WITH {_SHINGLE_SQL_CTES},
     df AS (SELECT s, COUNT(*) AS df FROM sh_all GROUP BY s)
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_shingles,
@@ -413,19 +434,7 @@ def d4_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     d4_unigram_logprob). Both aggregates are map-side partial; the
     per-doc fraction is an exact integer ratio rounded once.
     """
-    d = load(spark, sf, "documents").withColumn("t", F.split("text", " "))
-    sh_all = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 2),"
-                    " i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
-                )
-            ).alias("s"),
-        )
-        .distinct()
-    )
+    sh_all = raw_shingles(load(spark, sf, "documents"))
     df_tbl = sh_all.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     return (
         sh_all.join(df_tbl, "s")

@@ -73,13 +73,61 @@ def _migrate_legacy_state(spark, path: str) -> None:
         fs.rename(p, jvm.org.apache.hadoop.fs.Path(dest, p.getName()))
 
 
+def _fs_for(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _marker_path(path: str) -> str:
+    # leading underscore: invisible to parquet partition discovery, but
+    # checked explicitly by the state writers (fail-loud, see
+    # _write_batch_partition)
+    return f"{path}/_COMPACT_PENDING"
+
+
+def _resume_compact(spark, path: str) -> None:
+    """Finish an interrupted :func:`compact_state` run: the marker lists
+    the folded batch ids; the staged data (``<path>__compact_tmp``)
+    supersedes them, so completing is always rename-then-delete."""
+    import json as _json
+
+    jvm, fs = _fs_for(spark, path)
+    marker = jvm.org.apache.hadoop.fs.Path(_marker_path(path))
+    if not fs.exists(marker):
+        return
+    stream = fs.open(marker)
+    try:
+        folded = _json.loads(bytes(stream.readAllBytes()).decode())
+    finally:
+        stream.close()
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
+    dest = jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id=-1")
+    if fs.exists(tmp):  # staged data not yet promoted
+        fs.delete(dest, True)
+        fs.rename(tmp, dest)
+    for b in folded:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id={b}"), True)
+    fs.delete(marker, False)
+
+
 def compact_state(spark, path: str) -> int:
     """Collapse a ``batch_id``-partitioned state table's history into
     the single ``batch_id=-1`` partition (the same slot legacy
     migration uses) and drop the per-batch partitions. Run it with the
-    STREAM STOPPED: the per-batch partitions exist so a retried
-    micro-batch can replace its own output — compacting an in-flight
-    batch away would let its retry re-insert.
+    STREAM STOPPED and its last batch COMMITTED; the NEWEST batch
+    partition is always left un-compacted so that even a batch whose
+    checkpoint commit didn't land keeps its retry-idempotence token (a
+    redelivery must find its own partition to replace — folding it away
+    would turn the retry into silent row loss for the dedup index).
+
+    Crash-safe by protocol, not by atomic rename: the staged rewrite
+    lands in ``<path>__compact_tmp`` and a ``_COMPACT_PENDING`` marker
+    (listing the folded batch ids) is written BEFORE anything is
+    deleted; promotion is rename-then-delete, and both
+    :func:`compact_state` and every state write auto-resume /
+    fail-loud on a leftover marker. At no point is a row only in a
+    deleted location.
 
     Rows are preserved verbatim (state merges are aggregation-at-read:
     SUM/MAX/top-k — all multiset-safe), so reads before and after
@@ -88,31 +136,44 @@ def compact_state(spark, path: str) -> int:
     instead of O(batches) — the state-table version of the small-files
     problem.
     """
+    import json as _json
+
     from event_streamer_spark.helpers import hadoop_path_exists
 
     if not hadoop_path_exists(spark, path):
         return 0
+    _resume_compact(spark, path)
     df = spark.read.parquet(path)
-    batches = [
+    ids = sorted(
         r["batch_id"]
         for r in df.select("batch_id").distinct().collect()
         if r["batch_id"] != -1
-    ]
-    if not batches:
+    )
+    folded = ids[:-1]  # newest batch keeps its partition (retry token)
+    if not folded:
         return 0
     tmp = path.rstrip("/") + "__compact_tmp"
-    df.drop("batch_id").write.mode("overwrite").parquet(tmp)
-
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-        spark._jsc.hadoopConfiguration()
+    (
+        df.filter(F.col("batch_id").isin([-1, *folded]))
+        .drop("batch_id")
+        .write.mode("overwrite")
+        .parquet(tmp)
     )
+
+    jvm, fs = _fs_for(spark, path)
+    marker = jvm.org.apache.hadoop.fs.Path(_marker_path(path))
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(_json.dumps([int(b) for b in folded]).encode()))
+    finally:
+        out.close()
     dest = jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id=-1")
-    fs.delete(dest, True)
-    for b in batches:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id={b}"), True)
+    fs.delete(dest, True)  # its rows are in tmp; promote then clean up
     fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dest)
-    return len(batches)
+    for b in folded:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id={b}"), True)
+    fs.delete(marker, False)
+    return len(folded)
 
 
 def _write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
@@ -120,6 +181,17 @@ def _write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
     ``batch_id=<n>``; dynamic partition overwrite replaces ONLY that
     partition on a foreachBatch retry (other batches' output is
     untouched), so at-least-once re-execution cannot double-insert."""
+    from event_streamer_spark.helpers import hadoop_path_exists
+
+    if hadoop_path_exists(df.sparkSession, _marker_path(path)):
+        # an interrupted compact left staged-but-unpromoted data; writing
+        # through it could read a partially-deleted index — fail loud,
+        # compact_state() on this path resumes and clears the marker
+        raise RuntimeError(
+            f"state table {path} has an unfinished compaction "
+            "(_COMPACT_PENDING): run compact_state() to resume it "
+            "before restarting the stream"
+        )
     (
         df.withColumn("batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")
@@ -206,8 +278,15 @@ def exact_dedup_batch(
     table — one uniform 256-bit join key, no driver state, compactable
     with :func:`compact_state`. Writes partition by ``batch_id`` with
     dynamic overwrite, so redelivered batches replace their own output.
-    Replaying a corpus through ANY batch split emits exactly the batch
-    ``d1_exact_dedup`` keeper set (asserted in tests).
+
+    Keeper semantics vs the batch ``d1_exact_dedup``: the emitted HASH
+    set is identical under any batch split (one keeper per distinct
+    content, asserted in tests), and within a batch the keeper is the
+    min id — but ACROSS batches the keeper is the first-arriving
+    batch's row, so a duplicate whose globally-minimal id arrives later
+    keeps the earlier id instead. That is the inherent streaming
+    contract (an index can't retract an already-emitted keeper); batch
+    and stream agree exactly when ids arrive in order.
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -233,10 +312,17 @@ def exact_dedup_batch(
             firsts = firsts.join(
                 prior.select("content_hash"), "content_hash", "left_anti"
             )
-        _write_batch_partition(firsts, batch_id, emit_dir)
-        _write_batch_partition(
-            firsts.select("content_hash"), batch_id, state_dir
-        )
+        # both writes share one evaluation — without the persist, the
+        # hash + self-join + anti-join against the O(corpus) index would
+        # run twice per batch
+        firsts = firsts.persist()
+        try:
+            _write_batch_partition(firsts, batch_id, emit_dir)
+            _write_batch_partition(
+                firsts.select("content_hash"), batch_id, state_dir
+            )
+        finally:
+            firsts.unpersist()
 
     return process
 

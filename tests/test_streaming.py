@@ -1175,9 +1175,10 @@ def test_compact_state_preserves_merged_sketch(spark, tmp_path):
         for r in read_count_min(spark, state).collect()
     }
     n = compact_state(spark, state)
-    assert n == 2
+    assert n == 1  # newest batch keeps its partition (retry token)
     assert glob.glob(state + "/batch_id=-1")
     assert not glob.glob(state + "/batch_id=0")
+    assert glob.glob(state + "/batch_id=1")
     after = {
         (r["row"], r["bucket"]): r["cell_cnt"]
         for r in read_count_min(spark, state).collect()
@@ -1275,3 +1276,55 @@ def test_exact_dedup_index_matches_batch_keepers(spark, tmp_path):
     )
     assert got_hashes == exp_hashes
     assert len(got) == len(exp)
+
+
+def test_interrupted_compact_resumes_and_blocks_writes(spark, tmp_path):
+    """Crash-safety protocol: a leftover _COMPACT_PENDING marker makes
+    state writes fail loud, and the next compact_state call resumes the
+    interrupted run (promoting staged data, clearing the marker) with
+    the merged sketch intact."""
+    import glob
+    import json
+    import shutil
+
+    import pytest as _pytest
+
+    from event_streamer_spark.streaming import (
+        compact_state,
+        count_min_batch,
+        read_count_min,
+    )
+
+    state = str(tmp_path / "cm_state")
+    process = count_min_batch(state)
+    process(spark.createDataFrame([("alpha",)] * 3, "tok string"), 0)
+    process(spark.createDataFrame([("beta",)], "tok string"), 1)
+    process(spark.createDataFrame([("gamma",)] * 2, "tok string"), 2)
+    before = {
+        (r["row"], r["bucket"]): r["cell_cnt"]
+        for r in read_count_min(spark, state).collect()
+    }
+
+    # simulate a crash mid-compact: stage batches 0+1 into tmp, write
+    # the marker, delete one source partition — then die
+    spark.read.parquet(state).filter("batch_id IN (0, 1)").drop(
+        "batch_id"
+    ).write.parquet(state + "__compact_tmp")
+    with open(state + "/_COMPACT_PENDING", "w") as f:
+        json.dump([0, 1], f)
+    shutil.rmtree(state + "/batch_id=0")
+
+    with _pytest.raises(RuntimeError, match="unfinished compaction"):
+        process(spark.createDataFrame([("delta",)], "tok string"), 3)
+
+    folded = compact_state(spark, state)  # resumes, then compacts rest
+    assert not glob.glob(state + "/_COMPACT_PENDING")
+    assert not glob.glob(state + "__compact_tmp")
+    after = {
+        (r["row"], r["bucket"]): r["cell_cnt"]
+        for r in read_count_min(spark, state).collect()
+    }
+    assert after == before
+    assert folded >= 0
+    # writes work again after resolution
+    process(spark.createDataFrame([("delta",)], "tok string"), 3)
