@@ -834,3 +834,48 @@ def b34_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.min("value"), 4).alias("lo"),
         F.round(F.max("value"), 4).alias("hi"),
     )
+
+
+@query(
+    "b30_apply_in_arrow",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_c
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def b30_apply_in_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """B30+ (§2.D): grouped ``applyInArrow`` — Spark 4's Arrow-native
+    grouped map (no pandas materialization at all: the group arrives as
+    a ``pyarrow.Table`` and the UDF computes with ``pyarrow.compute``
+    kernels). Per-segment count + integer-cents balance sum; rounding
+    uses half-away-from-zero to match both engines' ROUND. One shuffle
+    on the group key, zero Python-object rows.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def summarize(table: "pa.Table") -> "pa.Table":
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(table["c_acctbal"], pa.scalar(100.0)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "c_mktsegment": [table["c_mktsegment"][0].as_py()],
+                "n": pa.array([table.num_rows], pa.int64()),
+                "bal_c": pa.array([pc.sum(cents).as_py()], pa.int64()),
+            }
+        )
+
+    c = load(spark, sf, "customer").select("c_mktsegment", "c_acctbal")
+    return c.groupBy("c_mktsegment").applyInArrow(
+        summarize, "c_mktsegment string, n bigint, bal_c bigint"
+    )

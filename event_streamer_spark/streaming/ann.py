@@ -93,6 +93,14 @@ def ivf_query(
     scoring is a JVM-side array expression and the top-k is a
     ``TakeOrderedAndProject`` — no full-index pass anywhere.
     """
+    from event_streamer_spark.helpers import hadoop_path_exists
+
+    if not hadoop_path_exists(spark, state_dir):
+        # nothing ingested yet: a query against an empty index is a
+        # valid (empty) answer, not an error
+        return spark.createDataFrame(
+            [], "vec_id long, cell int, sim double"
+        )
     cells = ivf_probe_cells(centroids, query_vec, nprobe)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     idx = spark.read.parquet(state_dir).filter(F.col("cell").isin(cells))
