@@ -15,9 +15,11 @@ from event_streamer_spark.streaming.dedup import (
     compact_state,
     count_min_batch,
     exact_dedup_batch,
+    heavy_hitters_batch,
     hll_batch,
     minhash_neardup_batch,
     read_count_min,
+    read_heavy_hitters,
     read_hll,
 )
 from event_streamer_spark.streaming.ann import (
@@ -55,6 +57,8 @@ __all__ = [
     "read_count_min",
     "hll_batch",
     "read_hll",
+    "heavy_hitters_batch",
+    "read_heavy_hitters",
     "ivf_ingest_batch",
     "ivf_probe_cells",
     "ivf_query",

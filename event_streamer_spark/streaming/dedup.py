@@ -228,6 +228,42 @@ def count_min_batch(state_dir: str) -> Callable[[DataFrame, int], None]:
     return process
 
 
+def heavy_hitters_batch(
+    state_dir: str, tok_col: str = "tok"
+) -> Callable[[DataFrame, int], None]:
+    """Incremental exact heavy hitters (D10 streaming leg): each
+    micro-batch appends its OWN per-token counts (distinct-token-sized,
+    map-side combined); the running top-k merges shards with
+    ``SUM(cnt) GROUP BY tok`` at read — counts add, so any batch split
+    reproduces the batch counts exactly. Unlike the sketches, state
+    here grows with the distinct-token count — at web scale prefer
+    :func:`count_min_batch` (fixed d·w cells) and use this where exact
+    token counts are the requirement."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _migrate_legacy_state(batch_df.sparkSession, state_dir)
+        counts = (
+            batch_df.filter(F.length(tok_col) > 0)
+            .groupBy(tok_col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        _write_batch_partition(counts, batch_id, state_dir)
+
+    return process
+
+
+def read_heavy_hitters(spark, state_dir: str, k: int = 20) -> DataFrame:
+    """The current exact top-``k``: merge shards (SUM per token) and
+    TakeOrdered with the deterministic (count desc, token) tiebreak."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(k)
+    )
+
+
 def read_count_min(spark, state_dir: str) -> DataFrame:
     """Merge the appended per-batch sketch shards into THE sketch."""
     return (

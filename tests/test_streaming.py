@@ -1328,3 +1328,32 @@ def test_interrupted_compact_resumes_and_blocks_writes(spark, tmp_path):
     assert folded >= 0
     # writes work again after resolution
     process(spark.createDataFrame([("delta",)], "tok string"), 3)
+
+
+def test_heavy_hitters_streaming_equals_batch(spark, tmp_path):
+    """D10 streaming leg: token counts are additive, so any batch split
+    reproduces the batch heavy hitters exactly (counts AND order)."""
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.streaming import (
+        heavy_hitters_batch,
+        read_heavy_hitters,
+    )
+
+    toks = (
+        load(spark, SF, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    state = str(tmp_path / "hh_state")
+    process = heavy_hitters_batch(state)
+    process(toks.filter("doc_id % 2 = 0").select("tok"), 0)
+    process(toks.filter("doc_id % 2 = 1").select("tok"), 1)
+
+    got = [
+        (r["tok"], r["cnt"])
+        for r in read_heavy_hitters(spark, state, k=20).collect()
+    ]
+    exp = [
+        (r["tok"], r["cnt"])
+        for r in REGISTRY["d10_heavy_hitters"].fn(spark, SF).collect()
+    ]
+    assert got == exp and len(got) == 20
