@@ -19,6 +19,8 @@ Determinism protocol (FIXTURES.md §3):
 
 from __future__ import annotations
 
+import os
+import threading
 from dataclasses import dataclass
 from typing import Callable, Optional, Union
 
@@ -38,6 +40,41 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# -- prepared-plan cache ----------------------------------------------
+#
+# Every registered query is a pure function of (spark, sf_dir): the
+# DataFrame it returns is an immutable logical plan. Rebuilding that
+# plan costs 100-400 ms of py4j round trips (measured: ~5-10 ms per
+# Column op in this sandbox) — for the cheap half of the headline bench
+# that is MORE than execution itself. So ``wrapped`` memoizes the built
+# frame per (applicationId, sf_dir, table-mtime fingerprint) — exactly a
+# prepared statement. The mtime fingerprint invalidates when any table
+# under sf_dir is rewritten (tests overwrite tmp fixtures in place); the
+# applicationId drops entries from stopped sessions. Disable with
+# EVENT_STREAMER_PLAN_CACHE=0.
+
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
+_PLAN_LOCK = threading.Lock()
+_TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _sf_fingerprint(sf_dir: str) -> tuple:
+    out = []
+    for t in _TABLE_NAMES:
+        try:
+            out.append((t, os.path.getmtime(os.path.join(sf_dir, f"{t}.parquet"))))
+        except OSError:
+            out.append((t, None))
+    return tuple(out)
+
+
+def clear_plan_cache() -> None:
+    with _PLAN_LOCK:
+        _PLAN_CACHE.clear()
+
 
 def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle=None`` → driver does a rows-only check."""
@@ -51,7 +88,24 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
             # confs our determinism protocol depends on (UTC timestamps
             # must match DuckDB's naive-UTC reads).
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-            return fn(spark, sf_dir)
+            if os.environ.get("EVENT_STREAMER_PLAN_CACHE", "1") == "0":
+                return fn(spark, sf_dir)
+            key = (
+                name,
+                spark.sparkContext.applicationId,
+                os.path.abspath(sf_dir),
+                _sf_fingerprint(sf_dir),
+            )
+            with _PLAN_LOCK:
+                cached = _PLAN_CACHE.get(key)
+            if cached is not None:
+                return cached
+            df = fn(spark, sf_dir)
+            with _PLAN_LOCK:
+                if len(_PLAN_CACHE) > 1024:  # stale sessions/fingerprints
+                    _PLAN_CACHE.clear()
+                _PLAN_CACHE[key] = df
+            return df
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

@@ -5,9 +5,21 @@ creates/replaces temp views for SQL-form queries (CTEs, subqueries).
 Parquet scans get predicate pushdown + column pruning from Catalyst for
 free — queries must keep projections/filters declarative so they reach
 the scan (verify with ``.explain``: ``PushedFilters`` / ``ReadSchema``).
+
+Loads are memoized per (session, path, file-mtime): ``spark.read.parquet``
+costs ~80-115 ms of file listing + footer schema inference per call, and
+every operator pays it 1-6× at plan-build time — the dominant fixed
+per-query overhead in the r5 bench. A DataFrame is an immutable logical
+plan, so reusing one is semantically identical to re-reading; the mtime
+key invalidates the entry whenever the table directory is rewritten
+(tests overwrite tmp fixtures in place), and the applicationId key drops
+entries from stopped sessions.
 """
 
 from __future__ import annotations
+
+import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -25,7 +37,38 @@ TABLES = (
 )
 
 
+_LOAD_CACHE: dict[tuple, DataFrame] = {}
+_LOAD_LOCK = threading.Lock()
+
+
+def clear_load_cache() -> None:
+    """Drop every memoized table frame (tests that swap sessions)."""
+    with _LOAD_LOCK:
+        _LOAD_CACHE.clear()
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None  # non-local path (s3a:// etc.) — never cached
+    if mtime is not None:
+        key = (spark.sparkContext.applicationId, os.path.abspath(path), mtime)
+        with _LOAD_LOCK:
+            cached = _LOAD_CACHE.get(key)
+        if cached is not None:
+            return cached
+        df = _load(spark, sf_dir, name)
+        with _LOAD_LOCK:
+            if len(_LOAD_CACHE) > 256:  # bound: stale mtimes/sessions
+                _LOAD_CACHE.clear()
+            _LOAD_CACHE[key] = df
+        return df
+    return _load(spark, sf_dir, name)
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts encoding varies by generator version: TIMESTAMP(NANOS)
         # (illegal for Spark's parquet reader — read as long and truncate to
