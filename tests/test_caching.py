@@ -56,3 +56,49 @@ class TestBoundedPersist:
         assert not a.storageLevel.useMemory
         assert not b.storageLevel.useMemory
         assert not _SLOTS
+
+
+class TestPlanCache:
+    """Prepared-plan + table-load memoization (registry.py / tables.py).
+
+    The contract under test: repeated identical calls return the SAME
+    frame object (zero rebuild cost), and rewriting a table under the
+    sf_dir invalidates both caches via the mtime fingerprint — a stale
+    plan over a rewritten fixture would silently serve old data."""
+
+    def test_same_call_returns_cached_frame(self, spark, sf_dir):
+        from event_streamer_spark.operators import REGISTRY
+
+        a = REGISTRY["b11_tpch_q1"].fn(spark, sf_dir)
+        b = REGISTRY["b11_tpch_q1"].fn(spark, sf_dir)
+        assert a is b
+
+    def test_rewritten_table_invalidates(self, spark, tmp_path):
+        import os
+        import time
+
+        from event_streamer_spark import tables
+        from event_streamer_spark.operators import REGISTRY
+
+        sf = str(tmp_path)
+        src = tables.load(spark, "/root/testdata/sf0.001", "orders")
+        src.write.parquet(f"{sf}/orders.parquet")
+        q = REGISTRY["b11_group_having"].fn
+        n1 = q(spark, sf).count()
+        a = q(spark, sf)
+        assert q(spark, sf) is a  # cached while untouched
+        time.sleep(0.01)
+        src.limit(10).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+        os.utime(f"{sf}/orders.parquet")  # ensure mtime tick on coarse fs
+        b = q(spark, sf)
+        assert b is not a
+        n2 = b.count()
+        assert n2 != n1  # fresh plan sees the rewritten table
+
+    def test_plan_cache_disabled_by_env(self, spark, sf_dir, monkeypatch):
+        from event_streamer_spark.operators import REGISTRY
+
+        monkeypatch.setenv("EVENT_STREAMER_PLAN_CACHE", "0")
+        a = REGISTRY["b11_tpch_q1"].fn(spark, sf_dir)
+        b = REGISTRY["b11_tpch_q1"].fn(spark, sf_dir)
+        assert a is not b
