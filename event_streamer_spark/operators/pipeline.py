@@ -243,14 +243,19 @@ def d9_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
     bin it starts in and its token offset within that bin (concat-and-
     chunk packing, the standard pretraining batch-prep step).
 
-    The exclusive prefix sum is computed as a DISTRIBUTED two-level
-    scan, not a single-partition global window: docs cumsum within
-    bounded ranges (window over doc_id ÷ {1000}), range totals form a
-    tiny table whose own cumsum is the per-range base offset, joined
-    back broadcast. Every big stage partitions on the range key; the
-    only ordered window over the full corpus runs on the ranges table
-    (n/{1000} rows — model-state-sized). Integer arithmetic end-to-end,
-    so the two-level decomposition is exactly the oracle's global scan.
+    The exclusive prefix sum is computed as a DISTRIBUTED three-level
+    scan — no unpartitioned window anywhere in the plan: docs cumsum
+    within bounded ranges (window over doc_id ÷ {1000}, partitioned),
+    range totals cumsum within super-ranges (÷ {1000}² — n/10³ rows,
+    partitioned), and only the super-range totals (n/10⁶ rows:
+    10⁴ rows at 10¹⁰ docs) take an ordered scan on an explicit
+    single-partition key — a declared, bounded one-task stage, not a
+    silent global sort. The bases table (n/10³ rows) joins back on the
+    range key WITHOUT a forced broadcast: the big side already hash-
+    partitions on ``rng`` from its window, so the join reuses that
+    exchange at scale while AQE still broadcasts the small side at test
+    SFs. Integer arithmetic end-to-end, so the decomposition is exactly
+    the oracle's global scan.
     """
     from pyspark.sql import Window
 
@@ -265,14 +270,29 @@ def d9_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
     within = t.withColumn(
         "local_prefix", F.sum("n_tokens").over(in_range) - F.col("n_tokens")
     )
-    range_totals = t.groupBy("rng").agg(F.sum("n_tokens").alias("rt"))
-    over_ranges = Window.orderBy("rng").rowsBetween(
+    range_totals = t.groupBy("rng").agg(
+        F.sum("n_tokens").alias("rt")
+    ).withColumn("rng2", (F.col("rng") / _PACK_RANGE).cast("bigint"))
+    in_super = Window.partitionBy("rng2").orderBy("rng").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    bases = range_totals.withColumn(
-        "base", F.sum("rt").over(over_ranges) - F.col("rt")
-    ).select("rng", "base")
-    packed = within.join(F.broadcast(bases), "rng").withColumn(
+    within_super = range_totals.withColumn(
+        "local_base", F.sum("rt").over(in_super) - F.col("rt")
+    )
+    super_totals = range_totals.groupBy("rng2").agg(F.sum("rt").alias("st"))
+    # the partition key must not be foldable (Catalyst drops constant
+    # partition exprs, reintroducing the unpartitioned-window warning) —
+    # rng2*0 is 0 for every row but survives optimization
+    top = Window.partitionBy(F.col("rng2") * 0).orderBy("rng2").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    super_bases = super_totals.withColumn(
+        "super_base", F.sum("st").over(top) - F.col("st")
+    ).select("rng2", "super_base")
+    bases = within_super.join(F.broadcast(super_bases), "rng2").select(
+        "rng", (F.col("super_base") + F.col("local_base")).alias("base")
+    )
+    packed = within.join(bases, "rng").withColumn(
         "prefix", F.col("base") + F.col("local_prefix")
     )
     return packed.select(

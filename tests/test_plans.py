@@ -115,16 +115,21 @@ def test_tfidf_partial_aggregation(spark):
 
 
 def test_sequence_pack_distributed_prefix_sum(spark):
-    """d9's big-table window must be partitioned (rng) and the range-base
-    join broadcast — the global ordered window runs only on the tiny
-    ranges table, never the corpus."""
+    """d9's prefix sum is three-level: every window in the plan must be
+    PARTITIONED — docs by rng, range totals by rng2, and the top scan by
+    an explicit single-partition key — so no stage silently moves the
+    corpus (or even the ranges table) to one unpartitioned sort."""
+    import re
+
     plan = plan_of(spark, "d9_sequence_pack")
-    assert "BroadcastHashJoin" in plan
-    # the corpus-side window's spec partitions on rng: its
-    # windowspecdefinition lists (rng, doc_id ASC); the unpartitioned
-    # global cumsum spec — windowspecdefinition(rng ASC ...) with no
-    # partition column — may appear ONLY on the tiny ranges aggregate
-    assert "windowspecdefinition(rng#" in plan.replace("\n", " ")
+    # an unpartitioned spec's first windowspecdefinition arg is the
+    # ORDER expr (col ASC/DESC); a partitioned spec's is the plain
+    # partition column
+    unpartitioned = re.findall(
+        r"windowspecdefinition\([^,()]+ (?:ASC|DESC)", plan
+    )
+    assert not unpartitioned, unpartitioned
+    # corpus-side window partitions on rng and orders by doc_id
     corpus_window = [
         l for l in plan.splitlines()
         if "windowspecdefinition" in l and "doc_id" in l
