@@ -141,7 +141,10 @@ def running_stats_with_state(
 
 
 def running_stats_tws(
-    events: DataFrame, key_col: str = "user_id", value_col: str = "value"
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    require_v2: bool = False,
 ) -> DataFrame:
     """C8 (third shape): the SAME running-aggregate semantics as
     :func:`running_stats_with_state`, on Spark 4's arbitrary-state v2
@@ -157,10 +160,33 @@ def running_stats_tws(
         spark.sql.streaming.stateStore.providerClass =
           org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
 
-    and the ``protobuf`` package (the v2 Python worker protocol);
-    environments without it keep the v1 operator — the execution test
-    gates on the import and the plan-construction test runs anywhere.
+    and the ``protobuf`` package (the v2 Python worker protocol). When
+    protobuf is missing the operator DOWNGRADES to the v1
+    :func:`running_stats_with_state` — identical output schema and
+    semantics (the suite pins v1 == v2 == batch), logging one warning —
+    so the API works in every environment; pass ``require_v2=True`` to
+    get an ImportError instead of the fallback.
     """
+    try:
+        import google.protobuf  # noqa: F401 — v2 worker protocol dep
+    except ImportError:
+        if require_v2:
+            raise ImportError(
+                "transformWithStateInPandas requires the protobuf package"
+                " (pip install protobuf); install it or call with"
+                " require_v2=False for the applyInPandasWithState fallback"
+            )
+        import warnings
+
+        warnings.warn(
+            "protobuf not installed: running_stats_tws falling back to the"
+            " applyInPandasWithState (v1) operator — same semantics, no"
+            " RocksDB typed-state features",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return running_stats_with_state(events, key_col, value_col)
+
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     class _RunningStats(StatefulProcessor):

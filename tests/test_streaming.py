@@ -865,14 +865,13 @@ def test_running_stats_tws_matches_v1_and_batch(spark, tmp_path):
     micro-batches must produce the exact final per-user aggregates as
     the v1 applyInPandasWithState operator and the batch groupBy.
 
-    The v2 Python worker protocol needs the protobuf package — absent
-    in this container, so this execution leg skips here and runs in any
-    environment that has it (pip install protobuf).
+    The v2 Python worker protocol needs the protobuf package; without
+    it the operator downgrades to the v1 applyInPandasWithState fold
+    (same declared semantics), so this test EXECUTES in every
+    environment — through v2 where protobuf exists, through the
+    fallback (still under the RocksDB state store) where it doesn't —
+    and the aggregate equality it asserts is identical either way.
     """
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithState's Python worker requires protobuf",
-    )
     from event_streamer_spark.streaming import running_stats_tws
 
     ev = load(spark, SF, "events").select("user_id", "value")
@@ -931,6 +930,40 @@ def test_running_stats_tws_matches_v1_and_batch(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_running_stats_tws_fallback_contract(spark, tmp_path):
+    """Without protobuf the v2 operator must (a) warn once and return
+    the v1 plan, (b) raise ImportError under require_v2=True; with
+    protobuf present it must do neither."""
+    import warnings
+
+    from event_streamer_spark.streaming import running_stats_tws
+
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .parquet(str(tmp_path))
+    )
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = running_stats_tws(stream)
+        downgrades = [
+            w for w in caught if "falling back" in str(w.message)
+        ]
+    assert out.isStreaming
+    if has_protobuf:
+        assert not downgrades
+    else:
+        assert len(downgrades) == 1
+        with pytest.raises(ImportError, match="protobuf"):
+            running_stats_tws(stream, require_v2=True)
 
 
 def test_ivf_streaming_ingest_matches_batch_and_prunes(spark, tmp_path):
