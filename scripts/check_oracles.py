@@ -53,9 +53,22 @@ def canon_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    name_filters = sys.argv[2:]
+def run_sweep(
+    spark,
+    sf_dir: str,
+    name_filters: list[str] | None = None,
+    quiet: bool = False,
+) -> tuple[int, list[str]]:
+    """Run the full Spark-vs-DuckDB sweep; returns (total, failures).
+
+    Reusable from pytest (tests/test_oracle_harness.py) so any oracle
+    regression fails CI between driver rounds, not just this script.
+    """
+    name_filters = name_filters or []
+
+    def say(msg: str) -> None:
+        if not quiet:
+            print(msg)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -63,7 +76,6 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    spark = get_spark("oracle-check", shuffle_partitions=8)
     failures = []
     for name, spec in sorted(REGISTRY.items()):
         if name_filters and not any(f in name for f in name_filters):
@@ -74,21 +86,21 @@ def main() -> int:
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {e}")
+            say(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {e}")
             failures.append(name)
             continue
         if spec.oracle is None:
-            print(f"ok*   {name}: rows-only ({len(srows)} rows, "
+            say(f"ok*   {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s)")
             if len(srows) == 0 and name not in ("d2_minhash_lsh",):
-                print(f"      WARNING: zero rows")
+                say(f"      WARNING: zero rows")
             continue
         try:
             rel = con.sql(spec.oracle)
             ocols = rel.columns
             orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: DUCKDB ERROR {type(e).__name__}: {e}")
+            say(f"FAIL  {name}: DUCKDB ERROR {type(e).__name__}: {e}")
             failures.append(name)
             continue
 
@@ -118,20 +130,27 @@ def main() -> int:
                 for x in only_o:
                     problems.append(f"  duck-only:  {x!r}")
         if problems:
-            print(f"FAIL  {name}: " + "; ".join(problems[:1]))
+            say(f"FAIL  {name}: " + "; ".join(problems[:1]))
             for p in problems[1:]:
-                print(f"      {p}")
+                say(f"      {p}")
             failures.append(name)
         else:
-            print(f"PASS  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            say(f"PASS  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
             if len(srows) == 0:
                 # an empty result matches an empty oracle no matter how
                 # wrong the query logic is — flag vacuous passes loudly
-                print("      WARNING: vacuous pass (0 rows on both engines)")
+                say("      WARNING: vacuous pass (0 rows on both engines)")
 
-    print()
+    say("")
     total = len([n for n in REGISTRY if not name_filters or any(f in n for f in name_filters)])
-    print(f"{total - len(failures)}/{total} ok; failures: {failures}")
+    say(f"{total - len(failures)}/{total} ok; failures: {failures}")
+    return total, failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("oracle-check", shuffle_partitions=8)
+    _, failures = run_sweep(spark, sf_dir, sys.argv[2:])
     return 1 if failures else 0
 
 

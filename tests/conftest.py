@@ -12,6 +12,11 @@ def pytest_configure(config):
         "kafka: real-broker Kafka integration tests — gated on "
         "EVENT_STREAMER_KAFKA_BROKER (skip cleanly without a broker)",
     )
+    config.addinivalue_line(
+        "markers",
+        "oracle_sweep: full Spark-vs-DuckDB registry sweep at sf0.001 "
+        "(runs in the default suite; deselect with -m 'not oracle_sweep')",
+    )
 
 
 @pytest.fixture(scope="session")

@@ -5,6 +5,8 @@ row-count, or null difference — otherwise a green sweep proves nothing."""
 
 import sys
 
+import pytest
+
 sys.path.insert(0, "scripts")
 
 from check_oracles import canon_hash, canon_value  # noqa: E402
@@ -68,3 +70,18 @@ class TestCanonHash:
         assert canon_hash(["a"], [(0.1234567,)]) == canon_hash(
             ["a"], [(0.12345674,)]
         )
+
+
+@pytest.mark.oracle_sweep
+def test_full_oracle_sweep_sf0001(spark):
+    """Insurance for the off-panel queries: the driver's correctness
+    gate replays a FIXED 50-name panel every round, so a regression in
+    any of the other ~107 registered queries would only surface at
+    judge time. This runs the complete Spark-vs-DuckDB sweep (row count
+    + columns + canonical value hash per query) at sf0.001 inside
+    pytest — any oracle break fails CI immediately."""
+    from check_oracles import run_sweep
+
+    total, failures = run_sweep(spark, "/root/testdata/sf0.001", quiet=True)
+    assert total >= 157, f"registry shrank: {total}"
+    assert not failures, failures
