@@ -37,6 +37,10 @@ HEADLINE = [
     "d2_minhash_lsh",
     "d3_topk_cosine",
     "d4_quality_score",
+    # round-6 breadth: the most shuffle-intensive TPC-H plan (Q21's
+    # multi-EXISTS self-join) and the composed D-pipeline
+    "b50_tpch_q21",
+    "d6_curation_pipeline",
 ]
 
 
