@@ -111,7 +111,16 @@ def _resume_compact(spark, path: str) -> None:
     fs.delete(marker, False)
 
 
-def compact_state(spark, path: str) -> int:
+class _InjectedCrash(RuntimeError):
+    """Raised by the chaos-test hook to simulate a crash mid-compaction."""
+
+
+def _crashpoint(name: str, _interrupt) -> None:
+    if _interrupt == name:
+        raise _InjectedCrash(name)
+
+
+def compact_state(spark, path: str, _interrupt: str | None = None) -> int:
     """Collapse a ``batch_id``-partitioned state table's history into
     the single ``batch_id=-1`` partition (the same slot legacy
     migration uses) and drop the per-batch partitions. Run it with the
@@ -159,6 +168,7 @@ def compact_state(spark, path: str) -> int:
         .write.mode("overwrite")
         .parquet(tmp)
     )
+    _crashpoint("staged", _interrupt)
 
     jvm, fs = _fs_for(spark, path)
     marker = jvm.org.apache.hadoop.fs.Path(_marker_path(path))
@@ -167,11 +177,16 @@ def compact_state(spark, path: str) -> int:
         out.write(bytearray(_json.dumps([int(b) for b in folded]).encode()))
     finally:
         out.close()
+    _crashpoint("marked", _interrupt)
     dest = jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id=-1")
     fs.delete(dest, True)  # its rows are in tmp; promote then clean up
+    _crashpoint("dest_deleted", _interrupt)
     fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dest)
-    for b in folded:
+    _crashpoint("promoted", _interrupt)
+    for i, b in enumerate(folded):
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id={b}"), True)
+        if i == 0:
+            _crashpoint("partial_delete", _interrupt)
     fs.delete(marker, False)
     return len(folded)
 

@@ -1363,6 +1363,65 @@ def test_interrupted_compact_resumes_and_blocks_writes(spark, tmp_path):
     process(spark.createDataFrame([("delta",)], "tok string"), 3)
 
 
+@pytest.mark.parametrize(
+    "crash_at",
+    ["staged", "marked", "dest_deleted", "promoted", "partial_delete"],
+)
+def test_compact_crash_at_every_point_recovers(spark, tmp_path, crash_at):
+    """Chaos sweep over the REAL compaction code path: kill compaction
+    at each of its five interruption points (after staging, after the
+    marker, after the batch_id=-1 delete, after promotion, mid
+    partition-deletes), restart, and assert the state multiset is
+    byte-identical — no duplicated and no lost rows — and that writes
+    are blocked exactly while the marker is pending."""
+    import glob
+
+    from event_streamer_spark.streaming import compact_state
+    from event_streamer_spark.streaming.dedup import (
+        _InjectedCrash,
+        _write_batch_partition,
+    )
+
+    state = str(tmp_path / "chaos_state")
+    for b in range(4):
+        df = spark.createDataFrame(
+            [(b * 10 + i, f"v{b}_{i}") for i in range(5)], "k bigint, v string"
+        )
+        _write_batch_partition(df, b, state)
+    before = sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(state).collect()
+    )
+
+    with pytest.raises(_InjectedCrash):
+        compact_state(spark, state, _interrupt=crash_at)
+
+    marker_pending = bool(glob.glob(state + "/_COMPACT_PENDING"))
+    extra = spark.createDataFrame([(999, "late")], "k bigint, v string")
+    if marker_pending:
+        # writes must fail loud while a compaction is unresolved
+        with pytest.raises(RuntimeError, match="unfinished compaction"):
+            _write_batch_partition(extra, 9, state)
+    else:
+        # pre-marker crash ("staged"): nothing deleted, writes fine
+        assert crash_at == "staged"
+
+    folded = compact_state(spark, state)  # restart: resume + finish
+    assert not glob.glob(state + "/_COMPACT_PENDING")
+    assert not glob.glob(state + "__compact_tmp")
+    after_df = spark.read.parquet(state)
+    after = sorted((r["k"], r["v"]) for r in after_df.collect())
+    assert after == before  # no duplicate, no lost state
+    # history is folded: only batch_id=-1 plus the newest batch remain
+    parts = sorted(
+        r["batch_id"] for r in after_df.select("batch_id").distinct().collect()
+    )
+    assert parts == [-1, 3]
+    assert folded >= 0
+    # stream resumes cleanly after recovery
+    _write_batch_partition(extra, 9, state)
+    assert spark.read.parquet(state).filter("k = 999").count() == 1
+
+
 def test_heavy_hitters_streaming_equals_batch(spark, tmp_path):
     """D10 streaming leg: token counts are additive, so any batch split
     reproduces the batch heavy hitters exactly (counts AND order)."""
