@@ -715,3 +715,93 @@ class TestCheckpointMigration:
             spark, str(tmp_path / "ckpt"), "", single_source=True
         )
         assert loc == str(tmp_path / "ckpt")
+
+
+class TestCheckpointMigrationE2E:
+    """End-to-end proof of the pre-multi-source migration fallback: a
+    deployment whose offsets live at ckpt_root itself (the legacy
+    layout) restarts on the upgraded layout-aware code and continues
+    from its committed position — every old message processed exactly
+    once in phase A, every new message exactly once in phase B, nothing
+    replayed and nothing skipped."""
+
+    def _config(self):
+        set_config(
+            Config(
+                host="unused:9092",
+                app_name="t",
+                only_testing=False,
+                consumer=ConsumerConfig(group_id="g", dispatch="driver"),
+            )
+        )
+
+    @staticmethod
+    def _write_msgs(spark, src_dir, values, fname):
+        import json
+
+        rows = [("topic-a", json.dumps({"code": "EvA", "v": v})) for v in values]
+        spark.createDataFrame(rows, "topic string, value string").coalesce(
+            1
+        ).write.mode("append").parquet(src_dir)
+
+    def test_legacy_root_offsets_survive_restart_without_loss(
+        self, spark, tmp_path
+    ):
+        from event_streamer_spark.sources.files import read_file_stream
+
+        self._config()
+        src_dir = str(tmp_path / "msgs")
+        root = str(tmp_path / "ckpt")
+
+        # -- phase A: the OLD deployment checkpointed at ckpt_root itself
+        self._write_msgs(spark, src_dir, [0, 1, 2], "a")
+        hits_a = []
+        r1 = ConsumerRouter()
+        r1.add("topic-a", "EvA", lambda c, e: hits_a.append(c["v"]))
+        for q in r1.start(
+            spark,
+            source_df=read_file_stream(spark, src_dir),
+            checkpoint_dir=root,
+        ):
+            q.processAllAvailable()
+        r1.stop()
+        assert sorted(hits_a) == [0, 1, 2]
+        import os
+
+        assert os.path.isdir(f"{root}/offsets")  # legacy layout on disk
+
+        # -- upgrade: the layout-aware resolver must keep the root (a
+        # relocation to root/shared would abandon the committed offsets)
+        resolved = ConsumerRouter.resolve_checkpoint(
+            spark, root, "shared", single_source=True
+        )
+        assert resolved == root
+
+        # -- phase B: restart on the resolved location with new messages
+        self._write_msgs(spark, src_dir, [10, 11], "b")
+        hits_b = []
+        r2 = ConsumerRouter()
+        r2.add("topic-a", "EvA", lambda c, e: hits_b.append(c["v"]))
+        for q in r2.start(
+            spark,
+            source_df=read_file_stream(spark, src_dir),
+            checkpoint_dir=resolved,
+        ):
+            q.processAllAvailable()
+        r2.stop()
+        # zero loss (both new messages), zero replay (no 0/1/2 again)
+        assert sorted(hits_b) == [10, 11]
+
+    def test_migrated_layout_wins_once_it_has_offsets(self, spark, tmp_path):
+        """Counter-scenario: once root/shared owns offsets, resolution
+        must prefer it even if a stale legacy root checkpoint remains —
+        otherwise a completed manual migration would be undone."""
+        import os
+
+        root = str(tmp_path / "ckpt2")
+        os.makedirs(f"{root}/offsets")
+        os.makedirs(f"{root}/shared/offsets")
+        resolved = ConsumerRouter.resolve_checkpoint(
+            spark, root, "shared", single_source=True
+        )
+        assert resolved == f"{root}/shared"
