@@ -1,0 +1,155 @@
+"""Deterministic sf1 generator: a ~10x scale-up of sf0.1 by key-shifted
+replication (TESTDATA.md conventions; /root/testdata stays read-only —
+output goes to a scratch dir, never checked in).
+
+Usage::
+
+    python scripts/gen_sf1.py [out_dir]     # default /tmp/sf1
+
+Design (so sf1 stresses the same plan shapes, not new semantics):
+
+* region/nation stay fixed (TPC-H dimensions don't scale).
+* customer/supplier/part/orders/lineitem/events replicate 10x with key
+  shifts of stride max(key)+1 per replica — every FK link lands in its
+  own replica, so join fan-outs, group cardinalities per key, and skew
+  profiles match sf0.1 exactly while totals are 10x.
+* documents: each replica permutes every doc's words with an RNG seeded
+  by (replica, md5(text)) — unigram stats (token counts, quality,
+  langid) are IDENTICAL, exact-duplicate structure is preserved within
+  a replica (same text => same permutation), but 5-gram shingles differ
+  across replicas so MinHash/LSH candidate counts grow linearly, not
+  quadratically (10 verbatim copies of the corpus would make every doc
+  a 10-way near-dup and blow candidate pairs up 45x — a different
+  workload, not a scale-up of this one).
+* embeddings: replicas add tiny deterministic N(0, 0.01) noise seeded by
+  (replica, vec_id) — cluster structure survives for IVF/ANN recall,
+  exact ties don't multiply.
+
+Everything is seeded; two runs produce byte-identical row multisets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SRC = "/root/testdata/sf0.1"
+REPS = 10
+
+
+def _stride(con, path: str, col: str) -> int:
+    return con.sql(f"SELECT max({col}) + 1 FROM '{path}'").fetchone()[0]
+
+
+def main() -> int:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+
+    # fixed dimensions
+    for t in ("region", "nation"):
+        con.sql(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
+            f"'{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+    s_cust = _stride(con, f"{SRC}/customer.parquet", "c_custkey")
+    s_supp = _stride(con, f"{SRC}/supplier.parquet", "s_suppkey")
+    s_part = _stride(con, f"{SRC}/part.parquet", "p_partkey")
+    s_ord = _stride(con, f"{SRC}/orders.parquet", "o_orderkey")
+    s_evt = _stride(con, f"{SRC}/events.parquet", "event_id")
+    s_usr = _stride(con, f"{SRC}/events.parquet", "user_id")
+
+    rep = f"(SELECT unnest(range({REPS})) AS rep)"
+    scaled = {
+        "customer": f"""
+            SELECT c_custkey + rep * {s_cust} AS c_custkey, c_name,
+                   c_nationkey, c_acctbal, c_mktsegment
+            FROM '{SRC}/customer.parquet' CROSS JOIN {rep}""",
+        "supplier": f"""
+            SELECT s_suppkey + rep * {s_supp} AS s_suppkey, s_name,
+                   s_nationkey, s_acctbal
+            FROM '{SRC}/supplier.parquet' CROSS JOIN {rep}""",
+        "part": f"""
+            SELECT p_partkey + rep * {s_part} AS p_partkey, p_name,
+                   p_brand, p_type, p_size, p_retailprice
+            FROM '{SRC}/part.parquet' CROSS JOIN {rep}""",
+        "orders": f"""
+            SELECT o_orderkey + rep * {s_ord} AS o_orderkey,
+                   o_custkey + rep * {s_cust} AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM '{SRC}/orders.parquet' CROSS JOIN {rep}""",
+        "lineitem": f"""
+            SELECT l_orderkey + rep * {s_ord} AS l_orderkey,
+                   l_partkey + rep * {s_part} AS l_partkey,
+                   l_suppkey + rep * {s_supp} AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM '{SRC}/lineitem.parquet' CROSS JOIN {rep}""",
+        "events": f"""
+            SELECT event_id + rep * {s_evt} AS event_id, ts,
+                   user_id + rep * {s_usr} AS user_id,
+                   event_type, value, props
+            FROM '{SRC}/events.parquet' CROSS JOIN {rep}""",
+    }
+    for t, q in scaled.items():
+        con.sql(f"COPY ({q}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+        print(f"{t}: {con.sql(f'SELECT count(*) FROM {chr(39)}{out}/{t}.parquet{chr(39)}').fetchone()[0]} rows")
+
+    # documents: word permutation seeded by (rep, md5(text))
+    docs = con.sql(f"SELECT * FROM '{SRC}/documents.parquet'").df()
+    s_doc = int(docs["doc_id"].max()) + 1
+    out_docs = []
+    for r in range(REPS):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + r * s_doc
+        if r > 0:
+            def perm(text: str, _r=r) -> str:
+                seed = int.from_bytes(
+                    hashlib.md5(f"{_r}:{text}".encode()).digest()[:4], "big"
+                )
+                words = text.split(" ")
+                rng = np.random.RandomState(seed)
+                rng.shuffle(words)
+                return " ".join(words)
+
+            d["text"] = d["text"].map(perm)
+        out_docs.append(d)
+    all_docs = pd.concat(out_docs, ignore_index=True)
+    con.register("all_docs", all_docs)
+    con.sql(f"COPY (SELECT * FROM all_docs) TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    print(f"documents: {len(all_docs)} rows")
+
+    # embeddings: per-replica deterministic jitter
+    emb = con.sql(f"SELECT * FROM '{SRC}/embeddings.parquet'").df()
+    s_vec = int(emb["vec_id"].max()) + 1
+    out_emb = []
+    for r in range(REPS):
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + r * s_vec
+        if r > 0:
+            def jitter(row, _r=r):
+                v = np.asarray(row["embedding"], dtype=np.float32)
+                rng = np.random.RandomState(_r * 1_000_003 + int(row["vec_id"]))
+                return (v + rng.normal(0, 0.01, v.shape).astype(np.float32)).tolist()
+
+            e["embedding"] = e.apply(jitter, axis=1)
+        out_emb.append(e)
+    all_emb = pd.concat(out_emb, ignore_index=True)
+    con.register("all_emb", all_emb)
+    con.sql(
+        f"COPY (SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding, label "
+        f"FROM all_emb) TO '{out}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    print(f"embeddings: {len(all_emb)} rows")
+    print(f"sf1 written to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -210,6 +210,48 @@ def test_two_level_auto_mode_picks_by_size(spark):
     assert {r["uid"]: r["rn"] for r in big.select("uid", "rn").collect()} == exp
 
 
+def test_auto_mode_crossover_with_real_estimates(spark):
+    """The sf1-shaped size decision, non-degenerate on both sides: with
+    the threshold set BETWEEN the sf0.001 and sf0.01 lineitem Catalyst
+    estimates, auto must pick naive for the small table and two-level
+    for the large one — the real statistic drives the choice, not a
+    forced 0 threshold. Also pins that the estimate scales ~linearly
+    with SF (10x data => 5-20x estimate), which is what places the
+    1 GiB production crossover between sf1 (~0.14 GiB) and sf10: the
+    measured decision here extrapolates to those sizes."""
+    from event_streamer_spark.operators.distrank import (
+        _plan_size_bytes,
+        two_level_row_number,
+    )
+
+    def lineitem(sf_dir):
+        return load(spark, sf_dir, "lineitem").select(
+            F.col("l_returnflag").alias("pk"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
+            F.col("l_extendedprice").alias("v"),
+        )
+
+    small_df = lineitem("/root/testdata/sf0.001")
+    big_df = lineitem("/root/testdata/sf0.01")
+    est_small = _plan_size_bytes(small_df)
+    est_big = _plan_size_bytes(big_df)
+    assert est_small and est_big
+    ratio = est_big / est_small
+    assert 5 <= ratio <= 20, f"estimate not ~linear in SF: {ratio}"
+
+    threshold = (est_small + est_big) // 2
+    naive_pick = two_level_row_number(
+        small_df, ["pk"], ["v", "uid"], bucket_value="v", out_col="rn",
+        mode="auto", naive_max_bytes=threshold,
+    )
+    assert "__bucket" not in explain_str(naive_pick, "simple")
+    two_level_pick = two_level_row_number(
+        big_df, ["pk"], ["v", "uid"], bucket_value="v", out_col="rn",
+        mode="auto", naive_max_bytes=threshold, n_buckets=8,
+    )
+    assert "__bucket" in explain_str(two_level_pick, "simple")
+
+
 def test_two_level_naive_mode_count_and_limit(spark):
     """The naive fallback honors count_col and rn_limit exactly like
     the two-level path."""
