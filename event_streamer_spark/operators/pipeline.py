@@ -218,6 +218,68 @@ _PACK_BUDGET = 512  # tokens per packed training sequence
 _PACK_RANGE = 1000  # doc_ids per prefix-sum range (bounds window size)
 
 
+def exclusive_prefix_sum(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    out_col: str = "prefix",
+    fanout: int = _PACK_RANGE,
+) -> DataFrame:
+    """Distributed exclusive prefix sum of ``val_col`` in ``key_col``
+    order (integer keys), as a three-level scan with NO unpartitioned
+    window anywhere in the plan: rows cumsum within bounded ranges
+    (window over key ÷ fanout, partitioned), range totals cumsum within
+    super-ranges (÷ fanout² — n/fanout rows, partitioned), and only the
+    super-range totals (n/fanout² rows: 10⁴ at 10¹⁰ rows with the
+    default fanout) take an ordered scan on an explicit single-partition
+    key — a declared, bounded one-task stage, not a silent global sort.
+    The bases table (n/fanout rows) joins back on the range key WITHOUT
+    a forced broadcast: the big side already hash-partitions on ``rng``
+    from its window, so the join reuses that exchange at scale while AQE
+    still broadcasts the small side at test SFs. Keys may be sparse or
+    duplicated; ties cumsum in arbitrary order within the key, exactly
+    like an ORDER BY key ROWS UNBOUNDED PRECEDING scan.
+    """
+    from pyspark.sql import Window
+
+    t = df.withColumn("__rng", (F.col(key_col) / fanout).cast("bigint"))
+    in_range = Window.partitionBy("__rng").orderBy(key_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    within = t.withColumn(
+        "__local", F.sum(val_col).over(in_range) - F.col(val_col)
+    )
+    range_totals = t.groupBy("__rng").agg(
+        F.sum(val_col).alias("__rt")
+    ).withColumn("__rng2", (F.col("__rng") / fanout).cast("bigint"))
+    in_super = Window.partitionBy("__rng2").orderBy("__rng").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    within_super = range_totals.withColumn(
+        "__local_base", F.sum("__rt").over(in_super) - F.col("__rt")
+    )
+    super_totals = range_totals.groupBy("__rng2").agg(F.sum("__rt").alias("__st"))
+    # the partition key must not be foldable (Catalyst drops constant
+    # partition exprs, reintroducing the unpartitioned-window warning) —
+    # rng2*0 is 0 for every row but survives optimization
+    top = Window.partitionBy(F.col("__rng2") * 0).orderBy("__rng2").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    super_bases = super_totals.withColumn(
+        "__super_base", F.sum("__st").over(top) - F.col("__st")
+    ).select("__rng2", "__super_base")
+    bases = within_super.join(F.broadcast(super_bases), "__rng2").select(
+        "__rng",
+        (F.col("__super_base") + F.col("__local_base")).alias("__base"),
+    )
+    return (
+        within.join(bases, "__rng")
+        .withColumn(out_col, F.col("__base") + F.col("__local"))
+        .drop("__rng", "__local", "__base")
+    )
+
+
+
 @query(
     "d9_sequence_pack",
     oracle=f"""
@@ -243,58 +305,16 @@ def d9_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
     bin it starts in and its token offset within that bin (concat-and-
     chunk packing, the standard pretraining batch-prep step).
 
-    The exclusive prefix sum is computed as a DISTRIBUTED three-level
-    scan — no unpartitioned window anywhere in the plan: docs cumsum
-    within bounded ranges (window over doc_id ÷ {1000}, partitioned),
-    range totals cumsum within super-ranges (÷ {1000}² — n/10³ rows,
-    partitioned), and only the super-range totals (n/10⁶ rows:
-    10⁴ rows at 10¹⁰ docs) take an ordered scan on an explicit
-    single-partition key — a declared, bounded one-task stage, not a
-    silent global sort. The bases table (n/10³ rows) joins back on the
-    range key WITHOUT a forced broadcast: the big side already hash-
-    partitions on ``rng`` from its window, so the join reuses that
-    exchange at scale while AQE still broadcasts the small side at test
-    SFs. Integer arithmetic end-to-end, so the decomposition is exactly
-    the oracle's global scan.
+    The exclusive prefix sum is :func:`exclusive_prefix_sum` — the
+    three-level distributed scan (see its docstring for the scale
+    argument). Integer arithmetic end-to-end, so the decomposition is
+    exactly the oracle's global scan.
     """
-    from pyspark.sql import Window
-
     t = load(spark, sf, "documents").select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
-        (F.col("doc_id") / _PACK_RANGE).cast("bigint").alias("rng"),
     )
-    in_range = Window.partitionBy("rng").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    within = t.withColumn(
-        "local_prefix", F.sum("n_tokens").over(in_range) - F.col("n_tokens")
-    )
-    range_totals = t.groupBy("rng").agg(
-        F.sum("n_tokens").alias("rt")
-    ).withColumn("rng2", (F.col("rng") / _PACK_RANGE).cast("bigint"))
-    in_super = Window.partitionBy("rng2").orderBy("rng").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    within_super = range_totals.withColumn(
-        "local_base", F.sum("rt").over(in_super) - F.col("rt")
-    )
-    super_totals = range_totals.groupBy("rng2").agg(F.sum("rt").alias("st"))
-    # the partition key must not be foldable (Catalyst drops constant
-    # partition exprs, reintroducing the unpartitioned-window warning) —
-    # rng2*0 is 0 for every row but survives optimization
-    top = Window.partitionBy(F.col("rng2") * 0).orderBy("rng2").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    super_bases = super_totals.withColumn(
-        "super_base", F.sum("st").over(top) - F.col("st")
-    ).select("rng2", "super_base")
-    bases = within_super.join(F.broadcast(super_bases), "rng2").select(
-        "rng", (F.col("super_base") + F.col("local_base")).alias("base")
-    )
-    packed = within.join(bases, "rng").withColumn(
-        "prefix", F.col("base") + F.col("local_prefix")
-    )
+    packed = exclusive_prefix_sum(t, "doc_id", "n_tokens")
     return packed.select(
         "doc_id",
         "n_tokens",

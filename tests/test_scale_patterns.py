@@ -391,3 +391,34 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_exclusive_prefix_sum_adversarial_keys(spark):
+    """The three-level prefix sum must equal a single global scan on
+    every key shape that stresses its decomposition: sparse keys,
+    range-boundary keys (fanout and fanout² straddles), a single row,
+    all rows in one range, and negative-free zero keys."""
+    import pandas as pd
+
+    from event_streamer_spark.operators.pipeline import exclusive_prefix_sum
+
+    fanout = 10  # small fanout so the test crosses ALL three levels
+    cases = {
+        "boundary_straddle": [0, 9, 10, 11, 99, 100, 101, 999, 1000],
+        "sparse": [3, 47, 1001, 5000, 99999],
+        "single": [42],
+        "one_range": [1, 2, 3, 4, 5],
+        "dense_multi_super": list(range(0, 250, 7)),
+    }
+    for name, keys in cases.items():
+        vals = [(k * 7) % 13 + 1 for k in keys]
+        pdf = pd.DataFrame({"k": keys, "v": vals}).sort_values("k")
+        expected = dict(
+            zip(pdf["k"], pdf["v"].cumsum() - pdf["v"])
+        )
+        df = spark.createDataFrame(
+            list(zip(keys, vals)), "k bigint, v bigint"
+        )
+        out = exclusive_prefix_sum(df, "k", "v", fanout=fanout)
+        got = {r["k"]: r["prefix"] for r in out.collect()}
+        assert got == expected, name
