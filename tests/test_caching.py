@@ -102,3 +102,28 @@ class TestPlanCache:
         a = REGISTRY["b11_tpch_q1"].fn(spark, sf_dir)
         b = REGISTRY["b11_tpch_q1"].fn(spark, sf_dir)
         assert a is not b
+
+    def test_concurrent_same_query_is_safe(self, spark, sf_dir):
+        """Eight threads racing the same (query, sf_dir) must all get a
+        usable frame with the same result — the cache lock can never
+        hand out a half-built entry or deadlock against the build."""
+        import threading
+
+        from event_streamer_spark.operators import REGISTRY
+
+        fn = REGISTRY["b11_group_having"].fn
+        results, errors = [], []
+
+        def worker():
+            try:
+                results.append(fn(spark, sf_dir).count())
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        assert len(set(results)) == 1 and len(results) == 8
