@@ -25,10 +25,10 @@ from event_streamer_spark.tables import load
 _DECON_GRAM = 5  # tokens per overlap gram
 _EVAL_MOD = 97  # doc_id % mod == 0 → held-out "benchmark" doc
 
-
-@query(
-    "d8_decontaminate",
-    oracle=f"""
+# Both decontamination variants (exact shuffle join / Bloom-pruned) are
+# EXACT — same answer, different physical strategy — so they share one
+# oracle.
+_D8_ORACLE = f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     grams AS (
       SELECT doc_id,
@@ -44,20 +44,13 @@ _EVAL_MOD = 97  # doc_id % mod == 0 → held-out "benchmark" doc
            COUNT(*) AS n_shared_grams
     FROM train JOIN eval_grams ON train.g = eval_grams.g
     GROUP BY train.doc_id
-    """,
-)
-def d8_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
-    """D8: benchmark decontamination — flag training docs sharing any
-    overlapping {5}-token gram with the held-out eval slice
-    (doc_id % 97 == 0), reporting how many distinct grams leak.
-
-    The published recipe (exact n-gram collision against benchmarks,
-    GPT-3 appx C / Llama 2 appx A.6) as one dataflow: explode
-    overlapping grams, split eval/train by the deterministic holdout
-    predicate, distinct, and join on the gram. The join shuffles on the
-    gram string (uniform hash, skew-free); eval grams are benchmark-
-    sized, so AQE broadcasts them at real scale.
     """
+
+
+def _decon_grams(spark: SparkSession, sf: str):
+    """Shared gram dataflow for the D8 variants: ``(train_pairs,
+    eval_grams)`` where ``train_pairs`` is the PRE-distinct (doc_id, g)
+    stream and ``eval_grams`` the distinct held-out gram set."""
     t = (
         load(spark, sf, "documents")
         .withColumn("toks", F.split("text", " "))
@@ -75,13 +68,132 @@ def d8_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     eval_grams = (
         grams.filter(F.col("doc_id") % _EVAL_MOD == 0).select("g").distinct()
     )
-    train = (
-        grams.filter(F.col("doc_id") % _EVAL_MOD != 0)
-        .select("doc_id", "g")
+    train_pairs = grams.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
+        "doc_id", "g"
+    )
+    return train_pairs, eval_grams
+
+
+@query("d8_decontaminate", oracle=_D8_ORACLE)
+def d8_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """D8: benchmark decontamination — flag training docs sharing any
+    overlapping {5}-token gram with the held-out eval slice
+    (doc_id % 97 == 0), reporting how many distinct grams leak.
+
+    The published recipe (exact n-gram collision against benchmarks,
+    GPT-3 appx C / Llama 2 appx A.6) as one dataflow: explode
+    overlapping grams, split eval/train by the deterministic holdout
+    predicate, distinct, and join on the gram. The join shuffles on the
+    gram string (uniform hash, skew-free); eval grams are benchmark-
+    sized, so AQE broadcasts them at real scale.
+    """
+    train_pairs, eval_grams = _decon_grams(spark, sf)
+    return (
+        train_pairs.distinct()
+        .join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+# -- Bloom-pruned decontamination (the 100 TB physical strategy) -------
+#
+# d8_decontaminate's scale cost is the `train.distinct()` + join: EVERY
+# training gram crosses the wire once to be deduplicated and matched.
+# At 100 TB that is the dominant shuffle of the whole pipeline, yet
+# ~all grams match nothing. A Bloom filter over the (benchmark-sized)
+# eval grams, built relationally and broadcast as one array<long> row,
+# rejects non-colliding grams MAP-SIDE before any exchange; survivors
+# (true collisions + the α false-positive sliver) are exact-verified by
+# the original join, so the answer is bit-identical — same oracle.
+
+_BLOOM_BITS = 1 << 18  # 262144 bits → 4096 longs ≈ 32 KiB broadcast
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 4  # hash probes per key
+
+
+def bloom_bitmap(keys: DataFrame, col: str = "g") -> DataFrame:
+    """Build a Bloom bitmap over ``keys[col]`` as a 1-row frame holding
+    ``array<long>`` of {m/64} words — no driver state, no UDFs.
+
+    Relational construction: explode each key into its k crc32 bit
+    positions, distinct (map-side combinable), OR the per-word masks,
+    then fold the ≤{m/64}-row word table into a dense array via a map
+    lookup over ``sequence``. The result is model-state-sized (32 KiB)
+    regardless of input cardinality, like the count-min table
+    (`sketches.py`).
+    """
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.crc32(F.concat(F.lit(f"bloom{i}|"), F.col(col)))
+                        % _BLOOM_BITS
+                    ).alias("p")
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+    ).distinct()
+    words = (
+        pos.select(
+            F.expr("pos DIV 64").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("m")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {_BLOOM_WORDS - 1}), "
+            "w -> coalesce(m[CAST(w AS BIGINT)], CAST(0 AS BIGINT)))"
+        ).alias("bloom")
+    )
+
+
+def bloom_might_contain(col: str = "g", bitmap_col: str = "bloom") -> F.Column:
+    """Membership predicate against a :func:`bloom_bitmap` column: true
+    iff ALL k probe bits are set (never a false negative)."""
+    conds = []
+    for i in range(_BLOOM_K):
+        p = f"(crc32(concat('bloom{i}|', {col})) % {_BLOOM_BITS})"
+        conds.append(
+            f"(element_at({bitmap_col}, CAST({p} DIV 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))) <> 0"
+        )
+    return F.expr(" AND ".join(conds))
+
+
+@query("d8_decontaminate_bloom", oracle=_D8_ORACLE)
+def d8_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """D8 (scale path): Bloom-pruned benchmark decontamination —
+    EXACTLY the `d8_decontaminate` answer (shared oracle), with the
+    train-side shuffle pruned map-side by a broadcast 32 KiB Bloom
+    bitmap over the eval grams.
+
+    Physical story: the bitmap build touches only eval grams (benchmark-
+    sized); training grams are filtered BEFORE the distinct, so only
+    true collisions plus an ~α false-positive sliver ever reach an
+    exchange; the surviving grams are exact-verified by the original
+    join, cancelling the false positives. Bloom filters have no false
+    negatives, so no collision is lost (asserted against
+    `d8_decontaminate` in tests/test_dedup_quality.py).
+    """
+    train_pairs, eval_grams = _decon_grams(spark, sf)
+    bitmap = bloom_bitmap(eval_grams)
+    pruned = (
+        train_pairs.crossJoin(F.broadcast(bitmap))
+        .filter(bloom_might_contain())
+        .drop("bloom")
         .distinct()
     )
     return (
-        train.join(eval_grams, "g")
+        pruned.join(eval_grams, "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
