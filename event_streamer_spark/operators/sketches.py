@@ -15,7 +15,7 @@ Accuracy is asserted in ``tests/test_dedup_quality.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from event_streamer_spark.operators.registry import query
@@ -192,3 +192,95 @@ def d10_count_min(spark: SparkSession, sf: str) -> DataFrame:
             F.min("cell_cnt").alias("est_cnt"),
         )
     )
+
+
+# -- DDSketch: mergeable relative-error quantile sketch ----------------
+#
+# Pipeline question: "what is the p99 of doc length / event value /
+# tokens-per-doc over 100 TB" without a global sort. percentile_approx
+# answers it with rank error; DDSketch (Masson et al., VLDB 2019)
+# answers with RELATIVE VALUE error — est within alpha of the true
+# quantile value — and its state is a tiny bucket table whose merge is
+# ordinary addition, so it composes with partial aggregation and the
+# streaming shard pattern exactly like count-min/HLL above.
+#
+# bucket(x) = ceil(log_gamma(x)) for x > 0, gamma = (1+a)/(1-a); every
+# x in bucket i lies within a of the bucket midpoint 2*gamma^i/(gamma+1).
+
+import math
+
+_DD_ALPHA = 0.01
+_DD_GAMMA = (1 + _DD_ALPHA) / (1 - _DD_ALPHA)
+_DD_QS = (0.5, 0.9, 0.99, 0.999)
+
+
+def dd_bucket_table(values: DataFrame, val_col: str = "value") -> DataFrame:
+    """DDSketch bucket table ``(bucket, cnt)`` over strictly positive
+    ``values[val_col]`` — one map-side-combinable groupBy; ~log_gamma
+    (max/min) rows total (≈540 for this fixture's 0.01..490 range at
+    alpha = 1%). Merge of shards = SUM per bucket."""
+    b = F.ceil(F.log(F.col(val_col)) / math.log(_DD_GAMMA)).cast("long")
+    return (
+        values.filter(F.col(val_col) > 0)
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dd_quantiles(buckets: DataFrame, qs=_DD_QS) -> DataFrame:
+    """Quantile estimates from a (possibly merged) bucket table: for
+    each q, the midpoint of the first bucket whose cumulative count
+    reaches rank ``floor(q*(n-1)) + 1``.
+
+    The cumulative sum runs over the SKETCH table — bounded at
+    ~log_gamma(max/min) rows by construction, so the unpartitioned
+    window is over sketch-state, never data (same bounded-table
+    argument as the RRF fusion in hybrid.py)."""
+    spark = buckets.sparkSession
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = buckets.agg(F.sum("cnt").alias("n"))  # 1-row scalar subquery
+    cum = buckets.select(
+        "bucket", F.sum("cnt").over(w).alias("cum")
+    ).crossJoin(F.broadcast(total))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    hit = cum.join(
+        F.broadcast(qdf),
+        F.col("cum") >= F.floor(F.col("q") * (F.col("n") - 1)) + 1,
+    )
+    est = F.lit(2.0) * F.pow(F.lit(_DD_GAMMA), F.col("bucket")) / F.lit(
+        _DD_GAMMA + 1
+    )
+    return (
+        hit.groupBy("q")
+        .agg(F.min("bucket").alias("bucket"), F.max("n").alias("n"))
+        .select(
+            "q",
+            F.round(
+                F.lit(2.0)
+                * F.pow(F.lit(_DD_GAMMA), F.col("bucket"))
+                / F.lit(_DD_GAMMA + 1),
+                6,
+            ).alias("est"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+@query("d11_dd_quantiles", oracle=None)  # estimator → rows-only check
+def d11_dd_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """D11: DDSketch quantiles of ``events.value`` — p50/p90/p99/p999
+    with a 1% RELATIVE value-error guarantee, from a ~540-row mergeable
+    bucket table instead of a global sort.
+
+    Scale: bucket assignment is a narrow JVM expression; the groupBy
+    output is bounded by the value RANGE (log_gamma(max/min) buckets),
+    not the row count, so at 100 TB the sketch is still sketch-sized
+    and the quantile fold runs on the driver-adjacent tiny table.
+    Accuracy vs the exact quantiles is asserted in
+    tests/test_dedup_quality.py (|est - exact| <= alpha * exact).
+    """
+    buckets = dd_bucket_table(load(spark, sf, "events"), "value")
+    return dd_quantiles(buckets).orderBy("q")

@@ -14,11 +14,13 @@ from event_streamer_spark.streaming.ops import (
 from event_streamer_spark.streaming.dedup import (
     compact_state,
     count_min_batch,
+    ddsketch_batch,
     exact_dedup_batch,
     heavy_hitters_batch,
     hll_batch,
     minhash_neardup_batch,
     read_count_min,
+    read_ddsketch,
     read_heavy_hitters,
     read_hll,
 )
@@ -55,6 +57,8 @@ __all__ = [
     "compact_state",
     "count_min_batch",
     "read_count_min",
+    "ddsketch_batch",
+    "read_ddsketch",
     "hll_batch",
     "read_hll",
     "heavy_hitters_batch",

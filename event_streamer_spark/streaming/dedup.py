@@ -288,6 +288,35 @@ def read_count_min(spark, state_dir: str) -> DataFrame:
     )
 
 
+def ddsketch_batch(
+    state_dir: str, val_col: str = "value"
+) -> Callable[[DataFrame, int], None]:
+    """Incremental DDSketch over a value stream (D11 streaming leg):
+    append each micro-batch's (bucket, cnt) shard; the merged sketch is
+    ``SUM(cnt) GROUP BY bucket`` at read — DDSketch merge IS addition,
+    so any batch split reproduces the batch bucket table exactly, and
+    the 1% relative-error quantile guarantee carries over unchanged."""
+    from event_streamer_spark.operators.sketches import dd_bucket_table
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _migrate_legacy_state(batch_df.sparkSession, state_dir)
+        _write_batch_partition(
+            dd_bucket_table(batch_df, val_col), batch_id, state_dir
+        )
+
+    return process
+
+
+def read_ddsketch(spark, state_dir: str) -> DataFrame:
+    """Merge appended DDSketch shards into THE bucket table; feed the
+    result to ``operators.sketches.dd_quantiles`` for estimates."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def hll_batch(state_dir: str) -> Callable[[DataFrame, int], None]:
     """Incremental HyperLogLog over a token stream (D11 streaming leg):
     append each micro-batch's register shard; the merged sketch is

@@ -349,3 +349,27 @@ class TestBloomDecontamination:
             .count()
         )
         assert missed == 0
+
+
+def test_dd_quantiles_relative_error_within_alpha(spark):
+    """D11: DDSketch guarantees |est - exact_q| <= alpha * exact_q for
+    the same rank definition (rank floor(q*(n-1))+1). Asserted for
+    p50/p90/p99/p999 on events.value."""
+    import numpy as np
+
+    from event_streamer_spark.operators.sketches import _DD_ALPHA
+
+    rows = REGISTRY["d11_dd_quantiles"].fn(spark, SF).collect()
+    assert len(rows) == 4
+    vals = np.sort(
+        load(spark, SF, "events").toPandas()["value"].to_numpy()
+    )
+    n = len(vals)
+    for r in rows:
+        exact = float(vals[int(np.floor(r["q"] * (n - 1)))])
+        assert abs(r["est"] - exact) <= _DD_ALPHA * exact + 1e-9, (
+            r["q"],
+            r["est"],
+            exact,
+        )
+        assert r["n"] == n

@@ -1449,3 +1449,45 @@ def test_heavy_hitters_streaming_equals_batch(spark, tmp_path):
         for r in REGISTRY["d10_heavy_hitters"].fn(spark, SF).collect()
     ]
     assert got == exp and len(got) == 20
+
+
+def test_incremental_ddsketch_equals_batch_buckets(spark, tmp_path):
+    """D11 streaming leg: DDSketch merge is addition, so the bucket
+    table accumulated over two micro-batches equals the batch bucket
+    table exactly (hence identical quantile estimates)."""
+    from event_streamer_spark.operators.sketches import dd_bucket_table
+    from event_streamer_spark.streaming import ddsketch_batch, read_ddsketch
+    from event_streamer_spark.tables import load
+
+    vals = load(spark, SF, "events").select("event_id", "value")
+    exact = {
+        r["bucket"]: r["cnt"] for r in dd_bucket_table(vals).collect()
+    }
+    assert exact, "fixture has no positive values"
+
+    src = str(tmp_path / "val_src")
+    vals.filter(F.col("event_id") % 2 == 0).select("value").coalesce(
+        1
+    ).write.parquet(src, mode="append")
+    vals.filter(F.col("event_id") % 2 == 1).select("value").coalesce(
+        1
+    ).write.parquet(src, mode="append")
+
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "dd_state")
+    q = (
+        stream.writeStream.foreachBatch(ddsketch_batch(state))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    merged = {
+        r["bucket"]: r["cnt"] for r in read_ddsketch(spark, state).collect()
+    }
+    assert merged == exact
