@@ -222,3 +222,110 @@ class TestMergeUpsert:
             for r in spark.read.parquet(out).collect()
         }
         assert got == model
+
+
+class TestZorderWrite:
+    """Z-order clustering must give every file a narrow min/max range in
+    BOTH dimensions (footer-stat skipping for 2-d box predicates), where
+    a plain sort clusters only its leading column."""
+
+    def _file_ranges(self, out, cols):
+        import pyarrow.parquet as pq
+
+        ranges = []
+        for f in sorted(glob.glob(out + "/*.parquet")):
+            md = pq.read_metadata(f)
+            lo = {c: None for c in cols}
+            hi = {c: None for c in cols}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in cols and col.statistics is not None:
+                        s = col.statistics
+                        lo[name] = (
+                            s.min if lo[name] is None else min(lo[name], s.min)
+                        )
+                        hi[name] = (
+                            s.max if hi[name] is None else max(hi[name], s.max)
+                        )
+            ranges.append((lo, hi))
+        return ranges
+
+    @staticmethod
+    def _files_overlapping_box(ranges, box):
+        n = 0
+        for lo, hi in ranges:
+            if all(hi[c] >= b_lo and lo[c] <= b_hi for c, (b_lo, b_hi) in box.items()):
+                n += 1
+        return n
+
+    def test_box_predicate_skips_files(self, spark, tmp_path):
+        from event_streamer_spark.writers import zorder_write
+
+        ev = load(spark, SF, "events").select("event_id", "user_id", "value")
+        n_rows = ev.count()
+        zout = str(tmp_path / "zorder")
+        sout = str(tmp_path / "sorted")
+        zorder_write(ev, zout, ["user_id", "value"], n_files=16)
+        # baseline: single-dimension sort (clusters user_id only)
+        (
+            ev.repartitionByRange(16, "user_id")
+            .sortWithinPartitions("user_id")
+            .write.parquet(sout)
+        )
+
+        # rows preserved bit-for-bit (set equality on the key)
+        assert spark.read.parquet(zout).count() == n_rows
+        assert (
+            spark.read.parquet(zout).select("event_id").exceptAll(
+                ev.select("event_id")
+            ).count()
+            == 0
+        )
+
+        cols = ("user_id", "value")
+        zr = self._file_ranges(zout, cols)
+        sr = self._file_ranges(sout, cols)
+        # repartitionByRange may emit fewer files when sampled range
+        # bounds collide — both layouts just need enough files to skip
+        assert len(zr) >= 8 and len(sr) >= 8, (len(zr), len(sr))
+
+        # a box covering ~1/4 of each dimension
+        stats = ev.agg(
+            F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+        ).collect()[0]
+        u_lo, u_hi, v_lo, v_hi = stats
+        box = {
+            "user_id": (u_lo, u_lo + (u_hi - u_lo) // 4),
+            "value": (v_lo, v_lo + (v_hi - v_lo) / 4),
+        }
+        z_hit = self._files_overlapping_box(zr, box)
+        s_hit = self._files_overlapping_box(sr, box)
+        # z-order skips on BOTH dims: a 2-d box touching a quarter of
+        # each dimension must prune at least half the files (a ~4x4
+        # Morton tiling leaves ~1/4 + boundary files)
+        assert z_hit <= len(zr) // 2, (z_hit, len(zr))
+
+        # a predicate on the NON-leading dim alone: the 1-d sort reads
+        # EVERYTHING (every file spans value's range); z-order skips
+        vbox = {"value": (v_lo, v_lo + (v_hi - v_lo) / 8)}
+        z_v = self._files_overlapping_box(
+            [({"value": lo["value"]}, {"value": hi["value"]}) for lo, hi in zr],
+            vbox,
+        )
+        s_v = self._files_overlapping_box(
+            [({"value": lo["value"]}, {"value": hi["value"]}) for lo, hi in sr],
+            vbox,
+        )
+        assert s_v == len(sr)  # 1-d sort: no skipping on value
+        assert z_v < s_v, (z_v, s_v)
+
+        # mixed 2-d workload (the z-order trade): slightly weaker
+        # leading-dim pruning, massively better non-leading pruning —
+        # fewer files read overall, normalized for file counts
+        assert (z_hit + z_v) / len(zr) < (s_hit + s_v) / len(sr), (
+            (z_hit, z_v, len(zr)),
+            (s_hit, s_v, len(sr)),
+        )
