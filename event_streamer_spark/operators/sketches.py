@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from event_streamer_spark.caching import bounded_persist
 from event_streamer_spark.operators.registry import query
 from event_streamer_spark.tables import load
 
@@ -284,3 +285,160 @@ def d11_dd_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """
     buckets = dd_bucket_table(load(spark, sf, "events"), "value")
     return dd_quantiles(buckets).orderBy("q")
+
+
+# -- sketch algebra: HLL set operations, grouped DDSketch --------------
+
+
+def hll_registers_by(
+    tokens: DataFrame, group_col: str, tok_col: str = "tok"
+) -> DataFrame:
+    """Per-group HLL register table ``(group, bucket, max_rho)`` in ONE
+    pass — m rows per group. Union of groups = ``MAX per bucket`` over
+    their registers (HLL union is lossless: the union sketch equals the
+    sketch of the unioned stream)."""
+    h = F.crc32(F.col(tok_col).cast("string"))
+    bucket = (h % _HLL_M).alias("bucket")
+    w = (h / _HLL_M).cast("long")
+    nbits = 32 - _HLL_P
+    rho = (
+        F.when(w == 0, F.lit(nbits + 1))
+        .otherwise(F.lit(nbits) - F.floor(F.log2(w)))
+        .cast("int")
+        .alias("rho")
+    )
+    return (
+        tokens.select(F.col(group_col).alias("grp"), bucket, rho)
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_fold(regs: DataFrame) -> DataFrame:
+    """Fold per-group register tables into ``(grp, estimate)`` — the
+    harmonic mean + small-range linear-counting correction, per group."""
+    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+    agg = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("present_sum"),
+        F.count(F.lit(1)).alias("n_present"),
+    ).select(
+        "grp",
+        (F.col("present_sum") + (_HLL_M - F.col("n_present"))).alias("hsum"),
+        (F.lit(_HLL_M) - F.col("n_present")).alias("zeros"),
+    )
+    raw = F.lit(alpha * _HLL_M * _HLL_M) / F.col("hsum")
+    corrected = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("zeros") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    return agg.select("grp", F.round(corrected, 2).alias("estimate"))
+
+
+@query("d11_hll_union", oracle=None)  # estimator → rows-only check
+def d11_hll_union(spark: SparkSession, sf: str) -> DataFrame:
+    """D11: HLL set algebra — distinct 3-token-shingle estimates for two
+    corpus slices (even/odd doc_id), their UNION (register MAX-merge,
+    lossless) and their INTERSECTION (inclusion–exclusion). The corpus
+    question this answers at 100 TB: "how much NEW content does shard
+    B add over shard A" without ever co-shuffling the two shards.
+
+    The scale story: per-slice registers are built in one pass
+    (groupBy(slice, bucket)); merging slices never revisits the data —
+    union over any subset of 10^6 shards is a ~m-row MAX aggregation.
+    Inclusion–exclusion inherits the union/|A|/|B| errors, so its
+    absolute error is bounded by a few σ of the LARGEST operand
+    (asserted in tests); HLL has no direct intersection estimator.
+    """
+    toks = (
+        load(spark, sf, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
+        .select(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("slice"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', slice(toks, i, 3)))"
+                )
+            ).alias("tok"),
+        )
+    )
+    regs = bounded_persist(
+        hll_registers_by(toks, "slice"), "d11_hll_union_regs"
+    )
+    union_regs = regs.groupBy("bucket").agg(
+        F.max("max_rho").alias("max_rho")
+    ).select(F.lit("union").alias("grp"), "bucket", "max_rho")
+    est = hll_fold(regs.unionByName(union_regs))
+    wide = est.groupBy().pivot("grp", ["a", "b", "union"]).agg(
+        F.first("estimate")
+    )
+    return wide.select(
+        F.col("a").alias("est_a"),
+        F.col("b").alias("est_b"),
+        F.col("union").alias("est_union"),
+        F.round(F.col("a") + F.col("b") - F.col("union"), 2).alias(
+            "est_intersection"
+        ),
+    )
+
+
+def dd_bucket_table_by(
+    values: DataFrame, group_col: str, val_col: str = "value"
+) -> DataFrame:
+    """Per-group DDSketch bucket table ``(grp, bucket, cnt)`` — one
+    map-side-combinable groupBy; merge of shards = SUM per (grp, bucket)."""
+    b = F.ceil(F.log(F.col(val_col)) / math.log(_DD_GAMMA)).cast("long")
+    return (
+        values.filter(F.col(val_col) > 0)
+        .select(F.col(group_col).alias("grp"), b.alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query("d11_dd_quantiles_by_group", oracle=None)  # estimator → rows-only
+def d11_dd_quantiles_by_group(spark: SparkSession, sf: str) -> DataFrame:
+    """D11: per-group DDSketch quantiles — p50/p99 of ``events.value``
+    per event_type, each within 1% relative value error.
+
+    The cumulative window is PARTITIONED by group and ordered by bucket
+    — per-partition work is bounded by the ~540-bucket sketch width, so
+    a million groups parallelize across the cluster with no global
+    sort and no skew (every group's state is sketch-sized).
+    """
+    buckets = dd_bucket_table_by(
+        load(spark, sf, "events"), "event_type", "value"
+    )
+    totals = buckets.groupBy("grp").agg(F.sum("cnt").alias("n"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = buckets.select(
+        "grp", "bucket", F.sum("cnt").over(w).alias("cum")
+    ).join(F.broadcast(totals), "grp")
+    qdf = spark.createDataFrame([(0.5,), (0.99,)], "q double")
+    hit = cum.join(
+        F.broadcast(qdf),
+        F.col("cum") >= F.floor(F.col("q") * (F.col("n") - 1)) + 1,
+    )
+    return (
+        hit.groupBy("grp", "q")
+        .agg(F.min("bucket").alias("bucket"), F.max("n").alias("n"))
+        .select(
+            F.col("grp").alias("event_type"),
+            "q",
+            F.round(
+                F.lit(2.0)
+                * F.pow(F.lit(_DD_GAMMA), F.col("bucket"))
+                / F.lit(_DD_GAMMA + 1),
+                6,
+            ).alias("est"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("event_type", "q")
+    )

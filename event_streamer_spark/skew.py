@@ -55,3 +55,47 @@ def salted_count(
         .groupBy(key)
         .agg(F.sum("__partial").alias("cnt"))
     )
+
+
+def bloom_prune_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "left_semi",
+) -> DataFrame:
+    """Bloom-pruned join: reject ``large`` rows whose ``key`` cannot
+    match any ``small`` key MAP-SIDE (broadcast 32 KiB bitmap, k crc32
+    probes, no false negatives) before the real join verifies exactly.
+
+    The result is IDENTICAL to ``large.join(small, key, how)`` —
+    asserted in tests — but when most large-side keys don't match
+    (dedup-against-index, decontamination, delta-vs-snapshot lookups),
+    the shuffle moves only survivors: true matches plus the ~α
+    false-positive sliver, instead of the whole fact table.
+
+    This is Spark's own runtime-bloom-filter rewrite
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) made explicit
+    and deterministic: available on any plan shape, any join type whose
+    semantics survive pruning non-matching LEFT rows (semi/inner —
+    not outer/anti, which must SEE the non-matching rows; rejected
+    with a ValueError).
+    """
+    from event_streamer_spark.operators.pipeline import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    if how not in ("left_semi", "inner"):
+        raise ValueError(
+            "bloom_prune_join supports left_semi/inner joins only; "
+            f"{how!r} joins need the non-matching left rows"
+        )
+    keys = small.select(F.col(key).cast("string").alias("__bk")).distinct()
+    bitmap = bloom_bitmap(keys, "__bk")
+    pruned = (
+        large.withColumn("__bk", F.col(key).cast("string"))
+        .crossJoin(F.broadcast(bitmap))
+        .filter(bloom_might_contain("__bk"))
+        .drop("__bk", "bloom")
+    )
+    return pruned.join(small, key, how)

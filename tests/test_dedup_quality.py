@@ -373,3 +373,61 @@ def test_dd_quantiles_relative_error_within_alpha(spark):
             exact,
         )
         assert r["n"] == n
+
+
+def test_hll_union_and_intersection_track_exact(spark):
+    """D11 set algebra: per-slice/union estimates within ~3 sigma
+    (sigma = 1.04/sqrt(1024) = 3.3%) of exact; inclusion-exclusion
+    intersection within the compounded bound (10% of the union)."""
+    r = REGISTRY["d11_hll_union"].fn(spark, SF).collect()[0].asDict()
+    toks = (
+        load(spark, SF, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
+        .select(
+            (F.col("doc_id") % 2 == 0).alias("even"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', slice(toks, i, 3)))"
+                )
+            ).alias("g"),
+        )
+    )
+    a = toks.filter("even").select("g").distinct().count()
+    b = toks.filter("NOT even").select("g").distinct().count()
+    u = toks.select("g").distinct().count()
+    inter = a + b - u
+    assert 0 < inter < min(a, b), "fixture slices must partially overlap"
+    for est, exact in ((r["est_a"], a), (r["est_b"], b), (r["est_union"], u)):
+        assert abs(est - exact) / exact <= 0.10, (est, exact)
+    assert abs(r["est_intersection"] - inter) <= 0.10 * u, (
+        r["est_intersection"],
+        inter,
+    )
+
+
+def test_dd_quantiles_by_group_within_alpha(spark):
+    """D11 grouped sketch: every (event_type, q) estimate within alpha
+    relative value error of that group's exact quantile."""
+    import numpy as np
+
+    from event_streamer_spark.operators.sketches import _DD_ALPHA
+
+    rows = REGISTRY["d11_dd_quantiles_by_group"].fn(spark, SF).collect()
+    groups = {r["event_type"] for r in rows}
+    assert len(groups) == 5 and len(rows) == 10  # 5 types x 2 quantiles
+    ev = load(spark, SF, "events").select("event_type", "value").toPandas()
+    for r in rows:
+        vals = np.sort(
+            ev[ev["event_type"] == r["event_type"]]["value"].to_numpy()
+        )
+        n = len(vals)
+        assert r["n"] == n
+        exact = float(vals[int(np.floor(r["q"] * (n - 1)))])
+        assert abs(r["est"] - exact) <= _DD_ALPHA * exact + 1e-9, (
+            r["event_type"],
+            r["q"],
+            r["est"],
+            exact,
+        )

@@ -422,3 +422,79 @@ def test_exclusive_prefix_sum_adversarial_keys(spark):
         out = exclusive_prefix_sum(df, "k", "v", fanout=fanout)
         got = {r["k"]: r["prefix"] for r in out.collect()}
         assert got == expected, name
+
+
+class TestBloomPruneJoin:
+    """bloom_prune_join must equal the plain join exactly (Bloom has no
+    false negatives; the real join removes false positives) while
+    rejecting most non-matching rows before the shuffle."""
+
+    def test_semi_join_equivalence(self, spark):
+        from event_streamer_spark.skew import bloom_prune_join
+
+        orders = load(spark, SF, "orders")
+        # a selective small side: customers in one nation segment
+        cust = load(spark, SF, "customer").filter(
+            F.col("c_nationkey") < 3
+        ).select(F.col("c_custkey").alias("o_custkey"))
+        plain = orders.join(cust, "o_custkey", "left_semi")
+        pruned = bloom_prune_join(orders, cust, "o_custkey", "left_semi")
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, pruned.collect())
+        )
+        assert plain.count() > 0
+
+    def test_inner_join_equivalence(self, spark):
+        from event_streamer_spark.skew import bloom_prune_join
+
+        li = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+        small = (
+            load(spark, SF, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+        )
+        plain = li.join(small, "l_orderkey", "inner")
+        pruned = bloom_prune_join(li, small, "l_orderkey", "inner")
+        assert plain.count() == pruned.count() > 0
+        assert plain.exceptAll(pruned).count() == 0
+
+    def test_outer_join_rejected(self, spark):
+        from event_streamer_spark.skew import bloom_prune_join
+
+        df = load(spark, SF, "orders")
+        with pytest.raises(ValueError, match="left_semi/inner"):
+            bloom_prune_join(df, df, "o_orderkey", "left_outer")
+
+    def test_prunes_nonmatching_rows_map_side(self, spark):
+        from event_streamer_spark.operators.pipeline import (
+            bloom_bitmap,
+            bloom_might_contain,
+        )
+
+        orders = load(spark, SF, "orders")
+        cust = (
+            load(spark, SF, "customer")
+            .filter(F.col("c_nationkey") == 0)
+            .select(F.col("c_custkey").cast("string").alias("__bk"))
+            .distinct()
+        )
+        bitmap = bloom_bitmap(cust, "__bk")
+        survivors = (
+            orders.withColumn("__bk", F.col("o_custkey").cast("string"))
+            .crossJoin(F.broadcast(bitmap))
+            .filter(bloom_might_contain("__bk"))
+            .count()
+        )
+        matches = orders.join(
+            cust.select(F.col("__bk").cast("bigint").alias("o_custkey")),
+            "o_custkey",
+            "left_semi",
+        ).count()
+        total = orders.count()
+        # survivors = true matches + alpha sliver; must be far below total
+        assert matches <= survivors <= matches + 0.05 * total, (
+            matches,
+            survivors,
+            total,
+        )
+        assert survivors < 0.5 * total
