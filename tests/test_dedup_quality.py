@@ -431,3 +431,40 @@ def test_dd_quantiles_by_group_within_alpha(spark):
             r["est"],
             exact,
         )
+
+
+def test_pq_shortlist_recall_and_rerank_overlap(spark):
+    """D3 PQ+ADC: the exact re-rank of the 64-candidate ADC shortlist
+    must recover most of the true top-10 (measured 8/10 at sf0.001 on
+    a fixture whose sims are tightly bunched — the hardest regime for
+    quantized ordering), and estimates must be deterministic."""
+    pq = REGISTRY["d3_pq_topk"].fn(spark, SF).collect()
+    exact = REGISTRY["d3_topk_cosine"].fn(spark, SF).collect()
+    pq_ids = {r["vec_id"] for r in pq}
+    exact_ids = {r["vec_id"] for r in exact}
+    assert len(pq) == 10
+    assert len(pq_ids & exact_ids) >= 7, (sorted(pq_ids), sorted(exact_ids))
+    # re-ranked sims are EXACT cosines: every id shared with the exact
+    # top-10 must carry the same similarity
+    exact_sim = {r["vec_id"]: r["sim"] for r in exact}
+    for r in pq:
+        if r["vec_id"] in exact_sim:
+            assert abs(r["sim"] - exact_sim[r["vec_id"]]) <= 1e-6
+    again = REGISTRY["d3_pq_topk"].fn(spark, SF).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in pq]
+
+
+def test_pq_codebooks_deterministic_and_model_sized(spark):
+    from event_streamer_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        train_pq_codebooks,
+    )
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    b1 = train_pq_codebooks(emb)
+    b2 = train_pq_codebooks(emb)
+    assert b1.shape == (_PQ_M, _PQ_K, 64 // _PQ_M)
+    assert (b1 == b2).all()
