@@ -350,3 +350,46 @@ def d4_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@query("d4_compression_ratio", oracle=None)  # codec output → rows-only
+def d4_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: per-document compression-ratio quality signal — the
+    published "too-compressible means boilerplate/repetition" filter
+    (used alongside the Gopher repetition rules in web-corpus
+    curation): ratio = deflate(text) / len(text), flag docs below a
+    threshold.
+
+    Scale: a narrow Arrow-batched mapInPandas pass (zlib level 6 —
+    CPU-light, scan-bound); no shuffle at all. Rows-only by design:
+    DEFLATE output length is codec-version-dependent, so there is no
+    engine-independent oracle — behavior is pinned by invariant tests
+    (repetitive ≪ novel text, determinism) in tests/test_text.py.
+    """
+    import pandas as pd
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+
+    def ratio(batches):
+        import zlib
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            n = raw.map(len).clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int64"),
+                    "compression_ratio": (comp / n).round(6),
+                }
+            )
+
+    out = docs.mapInPandas(
+        ratio, "doc_id long, n_bytes bigint, compression_ratio double"
+    )
+    return out.withColumn(
+        "too_compressible", F.col("compression_ratio") < 0.3
+    )
