@@ -8,6 +8,7 @@ from event_streamer_spark.streaming.ops import (
     stream_dedup,
     stream_exact_dedup,
     stream_decontaminate,
+    stream_decontaminate_bloom,
     stream_static_join,
     stream_stream_join,
 )
@@ -47,6 +48,7 @@ __all__ = [
     "stream_dedup",
     "stream_exact_dedup",
     "stream_decontaminate",
+    "stream_decontaminate_bloom",
     "stream_static_join",
     "stream_stream_join",
     "sessionize_with_state",

@@ -141,6 +141,53 @@ def stream_decontaminate(
     )
 
 
+def stream_decontaminate_bloom(
+    docs: DataFrame,
+    eval_grams: DataFrame,
+    gram: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """D8 streaming leg, Bloom-pruned (the 100 TB configuration): same
+    answer as :func:`stream_decontaminate` (Bloom filters have no false
+    negatives; the broadcast gram join removes false positives), but
+    arriving grams are rejected by the broadcast 32 KiB bitmap BEFORE
+    the per-doc ``dropDuplicates`` — so the dedup STATE STORE holds only
+    colliding grams plus the ~α sliver, instead of every (doc, gram)
+    the stream has ever seen. On an unbounded stream that is the
+    difference between sketch-sized and corpus-sized state.
+    """
+    from event_streamer_spark.operators.pipeline import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    toks = docs.withColumn("toks", F.split(text_col, " ")).filter(
+        F.size("toks") >= gram
+    )
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {gram} + 1),"
+                f" i -> concat_ws(' ', slice(toks, i, {gram})))"
+            )
+        ).alias("g"),
+    )
+    bitmap = bloom_bitmap(eval_grams.select("g"))
+    pruned = (
+        grams.crossJoin(F.broadcast(bitmap))
+        .filter(bloom_might_contain())
+        .drop("bloom")
+        .dropDuplicates([id_col, "g"])
+    )
+    return (
+        pruned.join(F.broadcast(eval_grams.select("g")), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 def stream_static_join(
     stream: DataFrame, static: DataFrame, on, how: str = "inner", broadcast: bool = True
 ) -> DataFrame:

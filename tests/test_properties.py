@@ -62,3 +62,23 @@ def test_to_array_always_list(v):
 def test_debug_gating_never_raises():
     for level in Debug:
         debug(level, "msg")  # unconfigured → silent, no raise
+
+
+@given(
+    st.floats(
+        min_value=1e-9, max_value=1e12, allow_nan=False, allow_infinity=False
+    )
+)
+@settings(max_examples=500, deadline=None)  # first call pays module import
+def test_ddsketch_bucket_midpoint_within_alpha(x):
+    """The DDSketch mapping used in operators/sketches.py: for ANY
+    positive value, the midpoint of its bucket is within alpha relative
+    error (the paper's core invariant — quantile accuracy follows)."""
+    import math
+
+    from event_streamer_spark.operators.sketches import _DD_ALPHA, _DD_GAMMA
+
+    b = math.ceil(math.log(x) / math.log(_DD_GAMMA))
+    est = 2.0 * _DD_GAMMA**b / (_DD_GAMMA + 1)
+    # tiny slack for the float log/pow round-trip at bucket boundaries
+    assert abs(est - x) <= _DD_ALPHA * x * (1 + 1e-9), (x, b, est)

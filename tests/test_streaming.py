@@ -1491,3 +1491,40 @@ def test_incremental_ddsketch_equals_batch_buckets(spark, tmp_path):
         r["bucket"]: r["cnt"] for r in read_ddsketch(spark, state).collect()
     }
     assert merged == exact
+
+
+def test_stream_decontaminate_bloom_matches_batch(spark, tmp_path):
+    """D8 streaming leg, Bloom-pruned: identical flags to the batch
+    d8_decontaminate (no false negatives survive the design) with the
+    bitmap pruning arriving grams before the dedup state store."""
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.operators.pipeline import (
+        _EVAL_MOD,
+        _decon_grams,
+    )
+    from event_streamer_spark.streaming import stream_decontaminate_bloom
+
+    batch = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in REGISTRY["d8_decontaminate"].fn(spark, SF).collect()
+    }
+    _, eval_grams = _decon_grams(spark, SF)
+
+    train_stream = _documents_stream(spark).filter(
+        F.col("doc_id") % _EVAL_MOD != 0
+    )
+    flagged = stream_decontaminate_bloom(train_stream, eval_grams)
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("stream_d8_bloom")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "d8b"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in spark.sql("SELECT * FROM stream_d8_bloom").collect()
+    }
+    assert got == batch
