@@ -448,3 +448,95 @@ def d4_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# -- longest duplicated token span (suffix-dedup shape) ----------------
+
+_SPAN_LEVELS = (4, 8, 16, 32)
+
+
+@query(
+    "d1_max_dup_span",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, i AS pos, toks[i] AS h
+      FROM t, UNNEST(range(1, len(toks) + 1)) u(i)),
+    h2 AS (SELECT doc_id, pos, md5(h || '|' || lead(h, 1) OVER w) AS h
+           FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    h4 AS (SELECT doc_id, pos, md5(h || '|' || lead(h, 2) OVER w) AS h
+           FROM h2 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    h8 AS (SELECT doc_id, pos, md5(h || '|' || lead(h, 4) OVER w) AS h
+           FROM h4 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    h16 AS (SELECT doc_id, pos, md5(h || '|' || lead(h, 8) OVER w) AS h
+            FROM h8 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    h32 AS (SELECT doc_id, pos, md5(h || '|' || lead(h, 16) OVER w) AS h
+            FROM h16 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    lv AS (
+      SELECT 4 AS span_len, doc_id, h FROM h4 WHERE h IS NOT NULL
+      UNION ALL SELECT 8, doc_id, h FROM h8 WHERE h IS NOT NULL
+      UNION ALL SELECT 16, doc_id, h FROM h16 WHERE h IS NOT NULL
+      UNION ALL SELECT 32, doc_id, h FROM h32 WHERE h IS NOT NULL),
+    dup AS (
+      SELECT span_len, h FROM lv GROUP BY span_len, h HAVING COUNT(*) >= 2)
+    SELECT lv.doc_id, CAST(MAX(lv.span_len) AS BIGINT) AS max_dup_span
+    FROM lv JOIN dup ON lv.span_len = dup.span_len AND lv.h = dup.h
+    GROUP BY lv.doc_id
+    """,
+)
+def d1_max_dup_span(spark: SparkSession, sf: str) -> DataFrame:
+    """D1: longest duplicated token span per document — the signal the
+    suffix-array dedup pipelines (Lee et al. 2022, "Deduplicating
+    Training Data Makes LMs Better") remove: text whose 32-token spans
+    appear verbatim elsewhere is memorization fuel.
+
+    Exact suffix arrays don't distribute; the published-scale rewrite
+    is HASH DOUBLING: the hash of a 2L-span is md5(h_L(pos),
+    h_L(pos+L)), so levels 4→8→16→32 each cost ONE per-doc window
+    (partitioned by doc_id — bounded, skew-free, and Catalyst reuses
+    a single sort for the whole lead chain) instead of re-tokenizing.
+    A span is duplicated iff its hash occurs ≥2 times corpus-wide (any
+    doc, any position — self-repeats ARE duplication, as in the
+    paper); per-level occurrence counting shuffles on the uniform
+    hash. Reported value: the largest checked level with a duplicated
+    span (levels {4,8,16,32} — monotone, since an L-dup contains
+    L/2-dups).
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        load(spark, sf, "documents")
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "h")
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    levels = {}
+    cur = toks
+    for step in (1, 2, 4, 8, 16):
+        cur = cur.withColumn(
+            "h", F.md5(F.concat(F.col("h"), F.lit("|"), F.lead("h", step).over(w)))
+        )
+        if 2 * step in _SPAN_LEVELS:
+            levels[2 * step] = cur
+    lv = None
+    for span_len, df in levels.items():
+        part = df.filter(F.col("h").isNotNull()).select(
+            F.lit(span_len).alias("span_len"), "doc_id", "h"
+        )
+        lv = part if lv is None else lv.unionByName(part)
+    from event_streamer_spark.caching import bounded_persist
+
+    lv = bounded_persist(lv, "d1_max_dup_span_lv")
+    dup = (
+        lv.groupBy("span_len", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("span_len", "h")
+    )
+    return (
+        lv.join(dup, ["span_len", "h"])
+        .groupBy("doc_id")
+        .agg(F.max("span_len").cast("bigint").alias("max_dup_span"))
+    )

@@ -468,3 +468,30 @@ def test_pq_codebooks_deterministic_and_model_sized(spark):
     b2 = train_pq_codebooks(emb)
     assert b1.shape == (_PQ_M, _PQ_K, 64 // _PQ_M)
     assert (b1 == b2).all()
+
+
+def test_max_dup_span_levels_on_constructed_corpus(spark, tmp_path):
+    """D1 suffix-dedup shape: a 32-token span shared by two docs is
+    reported at level 32 for both; a 4-token-only overlap reports 4; a
+    fully unique doc is absent."""
+    import os
+
+    shared32 = " ".join(f"s{i}" for i in range(32))
+    shared4 = "q1 q2 q3 q4"
+    rows = [
+        (1, shared32 + " a1 a2 a3 a4 a5"),
+        (2, "b1 b2 b3 " + shared32),
+        (3, shared4 + " c1 c2 c3 c4 c5 c6"),
+        (4, "d0 d1b " + shared4 + " d2b d3b"),
+        (5, " ".join(f"u{i}" for i in range(40))),  # unique
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sf_dir = str(tmp_path / "corpus")
+    os.makedirs(sf_dir)
+    docs.write.parquet(sf_dir + "/documents.parquet")
+
+    got = {
+        r["doc_id"]: r["max_dup_span"]
+        for r in REGISTRY["d1_max_dup_span"].fn(spark, sf_dir).collect()
+    }
+    assert got == {1: 32, 2: 32, 3: 4, 4: 4}
