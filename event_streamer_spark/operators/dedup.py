@@ -540,3 +540,128 @@ def d1_max_dup_span(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("span_len").cast("bigint").alias("max_dup_span"))
     )
+
+
+_SCRUB_SPAN = 16  # tokens per scrubbed duplicated span
+
+
+@query(
+    "d1_span_scrub",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM t, UNNEST(range(1, len(toks) + 1)) u(i)),
+    h2 AS (SELECT doc_id, pos, tok, md5(tok || '|' || lead(tok, 1) OVER w) AS h
+           FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    h4 AS (SELECT doc_id, pos, tok, md5(h || '|' || lead(h, 2) OVER w) AS h
+           FROM h2 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    h8 AS (SELECT doc_id, pos, tok, md5(h || '|' || lead(h, 4) OVER w) AS h
+           FROM h4 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    h16 AS (SELECT doc_id, pos, tok, md5(h || '|' || lead(h, 8) OVER w) AS h
+            FROM h8 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    occ AS (SELECT doc_id, pos, h FROM h16 WHERE h IS NOT NULL),
+    dup AS (SELECT h FROM occ GROUP BY h HAVING COUNT(*) >= 2),
+    docc AS (SELECT occ.* FROM occ JOIN dup USING (h)),
+    scrub AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM docc) WHERE rn > 1),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + o AS pos
+      FROM scrub, UNNEST(range(0, {_SCRUB_SPAN})) u(o)),
+    kept AS (
+      SELECT tok.doc_id, tok.pos, tok.tok
+      FROM tok LEFT JOIN covered
+        ON tok.doc_id = covered.doc_id AND tok.pos = covered.pos
+      WHERE covered.doc_id IS NULL)
+    SELECT d.doc_id,
+           COALESCE(k.cleaned, '') AS cleaned,
+           COALESCE(k.n_kept, 0) AS n_kept
+    FROM documents d
+    LEFT JOIN (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id) k USING (doc_id)
+    """,
+)
+def d1_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """D1: duplicated-span REMOVAL (the second half of the Lee et al.
+    suffix dedup): every {16}-token span occurring ≥2 times corpus-wide
+    keeps its FIRST occurrence (lexicographic (doc_id, pos)) and is
+    scrubbed everywhere else; cleaned text is reassembled from the
+    surviving tokens.
+
+    Scale notes: hash doubling (one reused per-doc window sort, as in
+    ``d1_max_dup_span``) builds the span hashes; the keeper per
+    duplicated hash is a ``min(struct(doc_id, pos))`` aggregate —
+    map-side combinable, so a pathological corpus where ONE span
+    repeats 10^9 times still has no hot reducer (the oracle's
+    ROW_NUMBER formulation is the same math, which DuckDB can afford
+    at oracle scale). Coverage explode is ≤{16} rows per scrubbed
+    occurrence; reassembly is a per-doc sort_array over bounded doc
+    length. Fully-scrubbed docs survive as empty strings via the
+    LEFT join from ``documents``.
+    """
+    from pyspark.sql import Window
+
+    from event_streamer_spark.caching import bounded_persist
+
+    toks = (
+        load(spark, sf, "documents")
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cur = toks.withColumn("h", F.col("tok"))
+    for step in (1, 2, 4, 8):
+        cur = cur.withColumn(
+            "h",
+            F.md5(F.concat(F.col("h"), F.lit("|"), F.lead("h", step).over(w))),
+        )
+    occ = cur.filter(F.col("h").isNotNull()).select("doc_id", "pos", "h")
+    occ = bounded_persist(occ, "d1_span_scrub_occ")
+    dup = (
+        occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    docc = occ.join(dup, "h")
+    keepers = docc.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("k")
+    ).select("h", F.col("k.doc_id").alias("doc_id"), F.col("k.pos").alias("pos"))
+    scrub = docc.join(keepers, ["h", "doc_id", "pos"], "left_anti")
+    covered = (
+        scrub.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (_SCRUB_SPAN - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, tok))),"
+                " x -> x.tok)"
+            ),
+        ).alias("cleaned"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )

@@ -495,3 +495,31 @@ def test_max_dup_span_levels_on_constructed_corpus(spark, tmp_path):
         for r in REGISTRY["d1_max_dup_span"].fn(spark, sf_dir).collect()
     }
     assert got == {1: 32, 2: 32, 3: 4, 4: 4}
+
+
+def test_span_scrub_keeps_first_occurrence(spark, tmp_path):
+    """D1 span scrub: a 16-token span shared by two docs survives in
+    the lexicographically-first occurrence only; unique text is
+    untouched; fully-scrubbed docs come back as empty strings."""
+    import os
+
+    span = " ".join(f"s{i}" for i in range(16))
+    rows = [
+        (1, span + " a1 a2 a3"),          # keeper: first (doc_id, pos)
+        (2, "b1 b2 " + span),             # scrubbed copy
+        (3, " ".join(f"u{i}" for i in range(20))),  # unique, untouched
+        (4, span),                        # exact-span doc → fully scrubbed
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sf_dir = str(tmp_path / "corpus2")
+    os.makedirs(sf_dir)
+    docs.write.parquet(sf_dir + "/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["cleaned"], r["n_kept"])
+        for r in REGISTRY["d1_span_scrub"].fn(spark, sf_dir).collect()
+    }
+    assert got[1] == (span + " a1 a2 a3", 19)  # keeper intact
+    assert got[2] == ("b1 b2", 2)  # span removed
+    assert got[3][1] == 20 and got[3][0].startswith("u0 u1")
+    assert got[4] == ("", 0)  # empty, not missing
