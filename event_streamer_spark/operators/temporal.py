@@ -153,3 +153,91 @@ def b46_scd2(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+_BIN_SECONDS = 3600  # interval-join bin width (1 h)
+
+
+@query(
+    "b09_interval_join",
+    oracle=f"""
+    WITH a AS (
+      SELECT event_id AS a_id, user_id,
+             epoch_us(ts) // 1000000 AS a_start,
+             epoch_us(ts) // 1000000 + CAST(FLOOR(value) AS BIGINT) * 60 AS a_end
+      FROM events WHERE event_type = 'purchase'),
+    b AS (
+      SELECT event_id AS b_id, user_id,
+             epoch_us(ts) // 1000000 AS b_start,
+             epoch_us(ts) // 1000000 + 3600 AS b_end
+      FROM events WHERE event_type = 'error')
+    SELECT a.a_id, b.b_id, a.user_id,
+           CAST(LEAST(a.a_end, b.b_end) - GREATEST(a.a_start, b.b_start)
+                AS BIGINT) AS overlap_s
+    FROM a JOIN b
+      ON a.user_id = b.user_id
+     AND a.a_start < b.b_end
+     AND b.b_start < a.a_end
+    """,
+)
+def b09_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B9 extension: interval-OVERLAP join (purchase activity windows ×
+    error windows per user) via time binning — the genomics/IP-range
+    pattern that keeps a non-equi interval join off the
+    BroadcastNestedLoop path.
+
+    Purchase windows run value minutes (≤ ~8 h), error windows 1 h.
+    Each interval explodes to the 1-hour bins it touches (bounded by
+    len/bin + 1 — ≤9 here), the join runs as an EQUI join on
+    (user_id, bin), and
+    the true overlap predicate filters residually; dropDuplicates
+    removes the double-count when a pair overlaps across a bin
+    boundary. Every stage shuffles on the uniform composite key — at
+    100 TB the naive range join is a per-user cross product, this is
+    scan + one hash join.
+    """
+    ev = load(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("a_start"),
+        (F.unix_timestamp("ts") + F.col("value").cast("bigint") * 60).alias("a_end"),
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("b_start"),
+        (F.unix_timestamp("ts") + 3600).alias("b_end"),
+    )
+
+    def binned(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{start} DIV {_BIN_SECONDS}"),
+                    # end is EXCLUSIVE (a_start < b_end residual below):
+                    # an interval ending exactly on a bin boundary does
+                    # not touch the next bin
+                    F.expr(f"({end} - 1) DIV {_BIN_SECONDS}"),
+                )
+            ),
+        )
+
+    pairs = (
+        binned(a, "a_start", "a_end")
+        .join(binned(b, "b_start", "b_end"), ["user_id", "bin"])
+        .filter(
+            (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        "user_id",
+        (
+            F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+        ).cast("bigint").alias("overlap_s"),
+    )

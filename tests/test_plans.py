@@ -357,3 +357,13 @@ def test_tpch_q18_semi_join_from_aggregate(spark):
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_stays_equi_binned(spark):
+    """B9 interval-overlap join: the bin explode must compile to an
+    EQUI hash join on (user_id, bin) with the overlap predicate as a
+    residual — never a BroadcastNestedLoopJoin/cartesian."""
+    plan = plan_of(spark, "b09_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
