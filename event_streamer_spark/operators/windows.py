@@ -279,3 +279,54 @@ def c7_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
             F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
         ).cast("bigint").alias("secs_after"),
     )
+
+
+@query(
+    "c1_windowed_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS w, user_id, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT w, user_id, cnt,
+             ROW_NUMBER() OVER (PARTITION BY w ORDER BY cnt DESC, user_id)
+               AS rn
+      FROM c)
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+           user_id, cnt, CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= 3
+    """,
+)
+def c1_windowed_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """C1×D10: per-window heavy hitters — the top-3 most active users
+    in each 1-hour tumbling window, with a deterministic (count desc,
+    user_id) tiebreak.
+
+    The groupBy((window, user)) count is map-side combinable, so the
+    rank runs over the ALREADY-aggregated table (one row per active
+    user per window, not per event). Per-window partitions are bounded
+    by active-user cardinality; at extreme per-window cardinality the
+    same query routes through ``distrank.two_level_row_number`` on the
+    count column — here the aggregated table is the smaller of the two
+    by orders of magnitude, which is the point of aggregating first.
+    """
+    e = load(spark, sf, "events")
+    counts = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("w").orderBy(F.desc("cnt"), "user_id")
+    )
+    return (
+        counts.withColumn("rn", rn.cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "user_id",
+            "cnt",
+            "rn",
+        )
+    )
