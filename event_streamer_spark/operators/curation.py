@@ -314,3 +314,82 @@ def d12_corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     return ranked.select(
         "doc_id", "hk", F.col("shuffle_pos").cast("long").alias("shuffle_pos")
     )
+
+
+@query(
+    "d6_source_report",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, source, sha256(text) AS content_hash,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents),
+    contaminated AS (
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      grams AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+        FROM t, UNNEST(range(1, len(toks) - 3)) AS u(i)
+        WHERE len(toks) >= 5),
+      eval_grams AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+      SELECT DISTINCT g2.doc_id
+      FROM (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0) g2
+      JOIN eval_grams ON g2.g = eval_grams.g)
+    SELECT h.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT h.content_hash) AS BIGINT) AS n_unique,
+           ROUND(1.0 - CAST(COUNT(DISTINCT h.content_hash) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_rate,
+           CAST(SUM(h.n_toks) AS BIGINT) AS total_tokens,
+           CAST(MAX(h.n_toks) AS BIGINT) AS max_tokens,
+           CAST(COUNT(c.doc_id) AS BIGINT) AS n_contaminated
+    FROM hashed h LEFT JOIN contaminated c ON h.doc_id = c.doc_id
+    GROUP BY h.source
+    """,
+)
+def d6_source_report(spark: SparkSession, sf: str) -> DataFrame:
+    """D6: the per-source data-quality report a corpus owner reads
+    before mixing — per source: doc count, exact-unique count and dup
+    rate, token volume, and how many docs leak benchmark 5-grams
+    (the `d8_decontaminate` predicate).
+
+    Scale shape: one sha2 groupBy per source (map-side combinable), the
+    decontamination leg reuses the uniform gram-hash shuffle, and the
+    final per-source rollup is k-rows output. The kind of composition
+    a 100 TB pipeline runs nightly — every stage is an aggregate or a
+    broadcast-sized join, nothing driver-side.
+    """
+    from event_streamer_spark.operators.pipeline import _decon_grams
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.sha2("text", 256).alias("content_hash"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+    )
+    train_pairs, eval_grams = _decon_grams(spark, sf)
+    contaminated = (
+        train_pairs.distinct()
+        .join(eval_grams, "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    return (
+        docs.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("content_hash").cast("bigint").alias("n_unique"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct("content_hash").cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.max("n_toks").cast("bigint").alias("max_tokens"),
+            F.count("is_cont").cast("bigint").alias("n_contaminated"),
+        )
+    )

@@ -523,3 +523,31 @@ def test_span_scrub_keeps_first_occurrence(spark, tmp_path):
     assert got[2] == ("b1 b2", 2)  # span removed
     assert got[3][1] == 20 and got[3][0].startswith("u0 u1")
     assert got[4] == ("", 0)  # empty, not missing
+
+
+def test_round6_ops_on_degenerate_corpora(spark, tmp_path):
+    """Empty and single-doc corpora must not crash the round-6 span /
+    bloom operators (empty bitmap → all-zero words; no windows; no
+    duplicated spans)."""
+    import os
+
+    for tag, rows in (
+        ("empty", []),
+        ("single", [(1, "only one tiny doc here")]),
+    ):
+        sf_dir = str(tmp_path / tag)
+        os.makedirs(sf_dir)
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string"
+        ).write.parquet(sf_dir + "/documents.parquet")
+        assert REGISTRY["d1_max_dup_span"].fn(spark, sf_dir).count() == 0
+        scrub = {
+            r["doc_id"]: r["cleaned"]
+            for r in REGISTRY["d1_span_scrub"].fn(spark, sf_dir).collect()
+        }
+        if tag == "single":
+            assert scrub == {1: "only one tiny doc here"}  # untouched
+        else:
+            assert scrub == {}
+        assert REGISTRY["d8_decontaminate_bloom"].fn(spark, sf_dir).count() == 0
+        assert REGISTRY["d4_compression_ratio"].fn(spark, sf_dir).count() == len(rows)
