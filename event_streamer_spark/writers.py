@@ -280,3 +280,87 @@ def zorder_write(
         .drop("__z", *[f"__{k}_{c}" for c in zorder_cols for k in ("lo", "hi")])
     )
     clustered.write.format(fmt).mode(mode).save(path)
+
+
+def file_column_ranges(path: str, cols: Sequence[str]) -> list:
+    """Per-file [min, max] ranges for ``cols`` from parquet FOOTERS —
+    the manifest a table format (Delta/Iceberg) would keep, recovered
+    from the files themselves. Metadata-only: reads footers, never row
+    data; output is file-count-sized (model state).
+
+    Local-filesystem walk; for object stores swap in a FileSystem
+    listing — the pruning logic below is unchanged.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(_glob.glob(path.rstrip("/") + "/*.parquet")):
+        md = pq.read_metadata(f)
+        lo: dict = {c: None for c in cols}
+        hi: dict = {c: None for c in cols}
+        ok = True
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            seen = set()
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name in lo:
+                    seen.add(name)
+                    s = col.statistics
+                    if s is None or not s.has_min_max:
+                        ok = False
+                        break
+                    lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                    hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+            if not ok or seen != set(cols):
+                ok = False
+                break
+        # a file with no usable stats must be READ, not skipped
+        out.append((f, lo if ok else None, hi if ok else None))
+    return out
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    ranges: dict,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Manifest-style file skipping without a table format: drop every
+    file whose footer [min, max] cannot intersect ``ranges`` (a dict
+    ``{col: (lo, hi)}``; either bound may be None for open intervals),
+    then hand Spark ONLY the surviving files.
+
+    Paired with :func:`zorder_write` this recovers the table-format
+    data-skipping story: the z-ordered layout makes per-file ranges
+    narrow in every clustered dimension, and this reader turns those
+    narrow ranges into files never opened — at 100 TB the difference
+    between listing 10^6 files and scanning them. The predicate must
+    ALSO be applied to the returned frame (footer pruning is a
+    superset filter, exactly like partition pruning); files lacking
+    stats are conservatively kept.
+    """
+    cols = list(ranges)
+    stats = file_column_ranges(path, cols)
+    keep = []
+    for f, lo, hi in stats:
+        if lo is None:
+            keep.append(f)  # no stats → cannot prove exclusion
+            continue
+        hit = True
+        for c, (want_lo, want_hi) in ranges.items():
+            if want_lo is not None and hi[c] < want_lo:
+                hit = False
+                break
+            if want_hi is not None and lo[c] > want_hi:
+                hit = False
+                break
+        if hit:
+            keep.append(f)
+    if not keep:
+        # preserve schema for the empty result
+        return spark.read.format(fmt).load(path).limit(0)
+    return spark.read.format(fmt).load(keep)

@@ -329,3 +329,64 @@ class TestZorderWrite:
             (z_hit, z_v, len(zr)),
             (s_hit, s_v, len(sr)),
         )
+
+
+class TestReadPruned:
+    """Manifest-style footer pruning: correct (superset of the true
+    result) and effective on a z-ordered layout."""
+
+    def test_pruned_read_is_exact_after_predicate(self, spark, tmp_path):
+        from event_streamer_spark.writers import read_pruned, zorder_write
+
+        ev = load(spark, SF, "events").select("event_id", "user_id", "value")
+        out = str(tmp_path / "zo")
+        zorder_write(ev, out, ["user_id", "value"], n_files=16)
+
+        stats = ev.agg(
+            F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+        ).collect()[0]
+        u_lo, u_hi, v_lo, v_hi = stats
+        box = {
+            "user_id": (u_lo, u_lo + (u_hi - u_lo) // 4),
+            "value": (v_lo, v_lo + (v_hi - v_lo) / 4),
+        }
+        pruned = read_pruned(spark, out, box).filter(
+            F.col("user_id").between(*box["user_id"])
+            & F.col("value").between(*box["value"])
+        )
+        expect = ev.filter(
+            F.col("user_id").between(*box["user_id"])
+            & F.col("value").between(*box["value"])
+        )
+        assert pruned.count() == expect.count() > 0
+        assert (
+            pruned.select("event_id").exceptAll(expect.select("event_id")).count()
+            == 0
+        )
+        # effectiveness: the prune must drop files on the z-ordered layout
+        from event_streamer_spark.writers import file_column_ranges
+
+        n_total = len(glob.glob(out + "/*.parquet"))
+        kept = 0
+        for f, lo, hi in file_column_ranges(out, ["user_id", "value"]):
+            if lo is None:
+                kept += 1
+                continue
+            if (
+                hi["user_id"] >= box["user_id"][0]
+                and lo["user_id"] <= box["user_id"][1]
+                and hi["value"] >= box["value"][0]
+                and lo["value"] <= box["value"][1]
+            ):
+                kept += 1
+        assert kept < n_total, (kept, n_total)
+
+    def test_empty_prune_keeps_schema(self, spark, tmp_path):
+        from event_streamer_spark.writers import read_pruned, zorder_write
+
+        ev = load(spark, SF, "events").select("event_id", "user_id", "value")
+        out = str(tmp_path / "zo2")
+        zorder_write(ev, out, ["user_id"], n_files=4)
+        empty = read_pruned(spark, out, {"user_id": (10**12, None)})
+        assert empty.count() == 0
+        assert set(empty.columns) == {"event_id", "user_id", "value"}
