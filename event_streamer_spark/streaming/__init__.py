@@ -19,10 +19,12 @@ from event_streamer_spark.streaming.dedup import (
     exact_dedup_batch,
     heavy_hitters_batch,
     hll_batch,
+    windowed_heavy_hitters_batch,
     minhash_neardup_batch,
     read_count_min,
     read_ddsketch,
     read_heavy_hitters,
+    read_windowed_heavy_hitters,
     read_hll,
 )
 from event_streamer_spark.streaming.ann import (
@@ -65,6 +67,8 @@ __all__ = [
     "read_hll",
     "heavy_hitters_batch",
     "read_heavy_hitters",
+    "windowed_heavy_hitters_batch",
+    "read_windowed_heavy_hitters",
     "ivf_ingest_batch",
     "ivf_probe_cells",
     "ivf_query",

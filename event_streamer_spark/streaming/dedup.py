@@ -267,6 +267,51 @@ def heavy_hitters_batch(
     return process
 
 
+def windowed_heavy_hitters_batch(
+    state_dir: str, ts_col: str = "ts", key_col: str = "user_id"
+) -> Callable[[DataFrame, int], None]:
+    """Incremental windowed heavy hitters (C1×D10 streaming leg): each
+    micro-batch appends its own (window_start, key) counts — map-side
+    combined, so shard size is bounded by active keys per window, not
+    events. Merge = SUM at read; counts add, so any batch split
+    reproduces the batch counts exactly."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _migrate_legacy_state(batch_df.sparkSession, state_dir)
+        counts = (
+            batch_df.groupBy(
+                F.window(ts_col, "1 hour").alias("w"), key_col
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.col("w.start").alias("window_start"), key_col, "cnt"
+            )
+        )
+        _write_batch_partition(counts, batch_id, state_dir)
+
+    return process
+
+
+def read_windowed_heavy_hitters(
+    spark, state_dir: str, k: int = 3, key_col: str = "user_id"
+) -> DataFrame:
+    """Current per-window top-``k``: merge count shards (SUM per
+    (window, key)) then rank within each window with the deterministic
+    (count desc, key) tiebreak — the rank runs over the aggregated
+    table, one row per active key per window."""
+    from pyspark.sql import Window as W
+
+    merged = (
+        spark.read.parquet(state_dir)
+        .groupBy("window_start", key_col)
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.desc("cnt"), key_col)
+    )
+    return merged.withColumn("rn", rn.cast("int")).filter(F.col("rn") <= k)
+
+
 def read_heavy_hitters(spark, state_dir: str, k: int = 20) -> DataFrame:
     """The current exact top-``k``: merge shards (SUM per token) and
     TakeOrdered with the deterministic (count desc, token) tiebreak."""

@@ -1528,3 +1528,52 @@ def test_stream_decontaminate_bloom_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM stream_d8_bloom").collect()
     }
     assert got == batch
+
+
+def test_incremental_windowed_heavy_hitters_equals_batch(spark, tmp_path):
+    """C1×D10 streaming leg: two micro-batches of appended (window,
+    user) count shards merge to exactly the batch
+    c1_windowed_heavy_hitters rows."""
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.streaming import (
+        read_windowed_heavy_hitters,
+        windowed_heavy_hitters_batch,
+    )
+    from event_streamer_spark.tables import load
+
+    batch = {
+        (r["window_start"], r["user_id"]): (r["cnt"], r["rn"])
+        for r in REGISTRY["c1_windowed_heavy_hitters"].fn(spark, SF).collect()
+    }
+
+    ev = load(spark, SF, "events").select("event_id", "ts", "user_id")
+    src = str(tmp_path / "whh_src")
+    ev.filter(F.col("event_id") % 2 == 0).drop("event_id").coalesce(
+        1
+    ).write.parquet(src, mode="append")
+    ev.filter(F.col("event_id") % 2 == 1).drop("event_id").coalesce(
+        1
+    ).write.parquet(src, mode="append")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "whh_state")
+    q = (
+        stream.writeStream.foreachBatch(windowed_heavy_hitters_batch(state))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "whh_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (
+            r["window_start"].strftime("%Y-%m-%d %H:%M:%S"),
+            r["user_id"],
+        ): (r["cnt"], r["rn"])
+        for r in read_windowed_heavy_hitters(spark, state).collect()
+    }
+    assert got == batch
