@@ -512,20 +512,28 @@ def d1_max_dup_span(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    levels = {}
+    # ONE lineage for every level: each doubling step rewrites h and
+    # snapshots the levels we report as named columns, so the four
+    # Window operators share a single per-doc sort (identical
+    # partition/order spec) instead of one chain per level branch —
+    # plan-pinned in tests/test_plans.py
     cur = toks
     for step in (1, 2, 4, 8, 16):
         cur = cur.withColumn(
             "h", F.md5(F.concat(F.col("h"), F.lit("|"), F.lead("h", step).over(w)))
         )
         if 2 * step in _SPAN_LEVELS:
-            levels[2 * step] = cur
-    lv = None
-    for span_len, df in levels.items():
-        part = df.filter(F.col("h").isNotNull()).select(
-            F.lit(span_len).alias("span_len"), "doc_id", "h"
+            cur = cur.withColumn(f"h{2 * step}", F.col("h"))
+    stack = ", ".join(f"{n}L, h{n}" for n in _SPAN_LEVELS)
+    lv = (
+        cur.select(
+            "doc_id",
+            F.expr(
+                f"stack({len(_SPAN_LEVELS)}, {stack}) AS (span_len, h)"
+            ),
         )
-        lv = part if lv is None else lv.unionByName(part)
+        .filter(F.col("h").isNotNull())
+    )
     from event_streamer_spark.caching import bounded_persist
 
     lv = bounded_persist(lv, "d1_max_dup_span_lv")

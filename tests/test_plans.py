@@ -367,3 +367,14 @@ def test_interval_join_stays_equi_binned(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_max_dup_span_single_sort_for_all_levels(spark):
+    """D1 hash doubling: the four span levels must share ONE lineage —
+    a single per-doc sort feeds the whole lead/window chain (stack
+    unpivot), not one chain per level branch."""
+    plan = plan_of(spark, "d1_max_dup_span")
+    import re
+
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan.count("Sort")
+    assert "CartesianProduct" not in plan
