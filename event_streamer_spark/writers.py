@@ -257,7 +257,9 @@ def zorder_write(
         lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
         # width_bucket yields 0..n+1 incl. out-of-range sentinels; clamp
         # to 0..n-1 (degenerate lo == hi collapses to bucket 0)
-        idx = F.when(hi > lo,
+        idx = F.when(
+            F.col(c).isNull(), F.lit(0)  # nulls cluster into bucket 0
+        ).when(hi > lo,
             F.least(
                 F.greatest(
                     F.width_bucket(F.col(c).cast("double"), lo, hi, n_buckets)

@@ -390,3 +390,19 @@ class TestReadPruned:
         empty = read_pruned(spark, out, {"user_id": (10**12, None)})
         assert empty.count() == 0
         assert set(empty.columns) == {"event_id", "user_id", "value"}
+
+
+def test_zorder_write_handles_nulls(spark, tmp_path):
+    from event_streamer_spark.writers import zorder_write
+
+    df = spark.createDataFrame(
+        [(i, None if i % 7 == 0 else i * 3, float(i % 50)) for i in range(200)],
+        "id bigint, a bigint, b double",
+    )
+    out = str(tmp_path / "zo_null")
+    zorder_write(df, out, ["a", "b"], n_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert back.filter(F.col("a").isNull()).count() == df.filter(
+        F.col("a").isNull()
+    ).count()
