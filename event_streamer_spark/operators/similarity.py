@@ -775,3 +775,98 @@ def d3_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("sim"), "vec_id")
         .limit(10)
     )
+
+
+# -- feature hashing (Weinberger et al., ICML 2009) --------------------
+
+_FH_DIM = 64  # hashed feature dimension
+_FH_QUERY_DOC = 0  # query document for the top-k
+
+
+@query(
+    "d3_feature_hash_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hv
+      FROM tok WHERE length(tok) > 0),
+    comp AS (
+      SELECT doc_id, hv % {_FH_DIM} AS bucket,
+             SUM(CASE WHEN (hv // {_FH_DIM}) % 2 = 0 THEN 1 ELSE -1 END)
+               AS w
+      FROM hashed GROUP BY 1, 2),
+    norms AS (
+      SELECT doc_id, SUM(w * w) AS n2 FROM comp GROUP BY 1),
+    q AS (SELECT bucket, w AS qw FROM comp WHERE doc_id = {_FH_QUERY_DOC}),
+    qn AS (SELECT n2 AS qn2 FROM norms WHERE doc_id = {_FH_QUERY_DOC}),
+    dots AS (
+      SELECT c.doc_id, SUM(c.w * q.qw) AS dot
+      FROM comp c JOIN q USING (bucket)
+      WHERE c.doc_id <> {_FH_QUERY_DOC}
+      GROUP BY 1)
+    SELECT d.doc_id,
+           ROUND(d.dot / (sqrt(n.n2) * sqrt(qn.qn2)), 6) AS sim
+    FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
+    ORDER BY sim DESC, doc_id LIMIT 10
+    """,
+)
+def d3_feature_hash_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """D3: text similarity WITHOUT embeddings — the hashing trick
+    (Weinberger et al. 2009): every token hashes to one of {64}
+    signed buckets, so a document becomes a fixed-dim sparse vector in
+    ONE streaming pass with zero vocabulary state (the property that
+    matters at 100 TB: no dictionary to build, broadcast, or version).
+
+    Plan: token→(bucket, ±1) is a narrow md5 expression; per-doc
+    components are a map-side-combinable groupBy; the query doc's {64}
+    components broadcast into a hash join; cosine arithmetic stays
+    INTEGER until the final division, so both engines round
+    identically. Top-10 via TakeOrdered on (sim desc, doc_id).
+    """
+    from event_streamer_spark.caching import bounded_persist
+
+    toks = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    hv = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    comp = (
+        toks.select(
+            "doc_id",
+            (hv % _FH_DIM).alias("bucket"),
+            F.when((hv / _FH_DIM).cast("long") % 2 == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("w"))
+    )
+    comp = bounded_persist(comp, "d3_fh_comp")
+    norms = comp.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    q = comp.filter(F.col("doc_id") == _FH_QUERY_DOC).select(
+        "bucket", F.col("w").alias("qw")
+    )
+    qn = norms.filter(F.col("doc_id") == _FH_QUERY_DOC).select(
+        F.col("n2").alias("qn2")
+    )
+    dots = (
+        comp.filter(F.col("doc_id") != _FH_QUERY_DOC)
+        .join(F.broadcast(q), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    return (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("dot") / (F.sqrt("n2") * F.sqrt("qn2")), 6
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "doc_id")
+        .limit(10)
+    )
