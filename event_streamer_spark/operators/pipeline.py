@@ -47,24 +47,36 @@ _D8_ORACLE = f"""
     """
 
 
+def explode_grams(
+    docs: DataFrame,
+    gram: int = _DECON_GRAM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, g)`` rows of overlapping ``gram``-token n-grams — THE one
+    gram definition every decontamination path shares (batch exact,
+    batch Bloom-pruned, and both streaming legs in ``streaming/ops``),
+    so a tokenizer/boundary change cannot silently diverge between the
+    tested-equal variants."""
+    t = docs.withColumn("toks", F.split(text_col, " ")).filter(
+        F.size("toks") >= gram
+    )
+    return t.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {gram} + 1),"
+                f" i -> concat_ws(' ', slice(toks, i, {gram})))"
+            )
+        ).alias("g"),
+    )
+
+
 def _decon_grams(spark: SparkSession, sf: str):
     """Shared gram dataflow for the D8 variants: ``(train_pairs,
     eval_grams)`` where ``train_pairs`` is the PRE-distinct (doc_id, g)
     stream and ``eval_grams`` the distinct held-out gram set."""
-    t = (
-        load(spark, sf, "documents")
-        .withColumn("toks", F.split("text", " "))
-        .filter(F.size("toks") >= _DECON_GRAM)
-    )
-    grams = t.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(toks) - {_DECON_GRAM} + 1),"
-                f" i -> concat_ws(' ', slice(toks, i, {_DECON_GRAM})))"
-            )
-        ).alias("g"),
-    )
+    grams = explode_grams(load(spark, sf, "documents"))
     eval_grams = (
         grams.filter(F.col("doc_id") % _EVAL_MOD == 0).select("g").distinct()
     )
@@ -107,66 +119,13 @@ def d8_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 # (true collisions + the α false-positive sliver) are exact-verified by
 # the original join, so the answer is bit-identical — same oracle.
 
-_BLOOM_BITS = 1 << 18  # 262144 bits → 4096 longs ≈ 32 KiB broadcast
-_BLOOM_WORDS = _BLOOM_BITS // 64
-_BLOOM_K = 4  # hash probes per key
-
-
-def bloom_bitmap(keys: DataFrame, col: str = "g") -> DataFrame:
-    """Build a Bloom bitmap over ``keys[col]`` as a 1-row frame holding
-    ``array<long>`` of {m/64} words — no driver state, no UDFs.
-
-    Relational construction: explode each key into its k crc32 bit
-    positions, distinct (map-side combinable), OR the per-word masks,
-    then fold the ≤{m/64}-row word table into a dense array via a map
-    lookup over ``sequence``. The result is model-state-sized (32 KiB)
-    regardless of input cardinality, like the count-min table
-    (`sketches.py`).
-    """
-    pos = keys.select(
-        F.explode(
-            F.array(
-                *[
-                    (
-                        F.crc32(F.concat(F.lit(f"bloom{i}|"), F.col(col)))
-                        % _BLOOM_BITS
-                    ).alias("p")
-                    for i in range(_BLOOM_K)
-                ]
-            )
-        ).alias("pos")
-    ).distinct()
-    words = (
-        pos.select(
-            F.expr("pos DIV 64").alias("word"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
-            ).alias("mask"),
-        )
-        .groupBy("word")
-        .agg(F.expr("bit_or(mask)").alias("bits"))
-    )
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("m")
-    ).select(
-        F.expr(
-            f"transform(sequence(0, {_BLOOM_WORDS - 1}), "
-            "w -> coalesce(m[CAST(w AS BIGINT)], CAST(0 AS BIGINT)))"
-        ).alias("bloom")
-    )
-
-
-def bloom_might_contain(col: str = "g", bitmap_col: str = "bloom") -> F.Column:
-    """Membership predicate against a :func:`bloom_bitmap` column: true
-    iff ALL k probe bits are set (never a false negative)."""
-    conds = []
-    for i in range(_BLOOM_K):
-        p = f"(crc32(concat('bloom{i}|', {col})) % {_BLOOM_BITS})"
-        conds.append(
-            f"(element_at({bitmap_col}, CAST({p} DIV 64 AS INT) + 1)"
-            f" & shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))) <> 0"
-        )
-    return F.expr(" AND ".join(conds))
+# The generic bitmap/probe primitive lives in event_streamer_spark.bloom
+# (shared with skew.bloom_prune_join and streaming Bloom pruning);
+# re-exported here for existing callers.
+from event_streamer_spark.bloom import (  # noqa: E402,F401
+    bloom_bitmap,
+    bloom_might_contain,
+)
 
 
 @query("d8_decontaminate_bloom", oracle=_D8_ORACLE)

@@ -678,6 +678,9 @@ def train_pq_codebooks(emb: DataFrame) -> np.ndarray:
         .select("vec_id", "v")
         .collect()
     )
+    # collect() order follows partition layout; sort by vec_id so the
+    # seeded init indexes the SAME rows under any partitioning
+    sample.sort(key=lambda r: r["vec_id"])
     X = np.array([r["v"] for r in sample], dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     dim = X.shape[1]

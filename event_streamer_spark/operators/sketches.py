@@ -105,21 +105,9 @@ def hll_registers(tokens: DataFrame, tok_col: str = "tok") -> DataFrame:
     register is ``max(rho)`` per bucket — one map-side-combinable
     groupBy. Merging shards = max per bucket, ordinary aggregation.
     """
-    h = F.crc32(F.col(tok_col).cast("string"))
-    bucket = (h % _HLL_M).alias("bucket")
-    w = (h / _HLL_M).cast("long")  # remaining 32-p bits
-    nbits = 32 - _HLL_P
-    rho = (
-        F.when(w == 0, F.lit(nbits + 1))
-        .otherwise(F.lit(nbits) - F.floor(F.log2(w)))
-        .cast("int")
-        .alias("rho")
-    )
-    return (
-        tokens.select(bucket, rho)
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("max_rho"))
-    )
+    return hll_registers_by(
+        tokens.withColumn("__grp", F.lit(0)), "__grp", tok_col
+    ).drop("grp")
 
 
 @query("d11_hll_distinct", oracle=None)  # estimator → rows-only check
@@ -134,25 +122,9 @@ def d11_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     count is asserted in tests (±5%). At 100 TB: one narrow map + a
     1024-row aggregation — cardinality estimation at scan throughput.
     """
-    regs = hll_registers(_tokens(spark, sf))
-    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
-    agg = regs.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("present_sum"),
-        F.count(F.lit(1)).alias("n_present"),
-    ).select(
-        # empty registers contribute 2^0 = 1 each to the harmonic sum
-        (F.col("present_sum") + (_HLL_M - F.col("n_present"))).alias("hsum"),
-        (F.lit(_HLL_M) - F.col("n_present")).alias("zeros"),
-    )
-    raw = F.lit(alpha * _HLL_M * _HLL_M) / F.col("hsum")
-    corrected = F.when(
-        (raw <= 2.5 * _HLL_M) & (F.col("zeros") > 0),
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
-    ).otherwise(raw)
-    return agg.select(
-        F.round(raw, 2).alias("raw_estimate"),
-        F.round(corrected, 2).alias("estimate"),
-        F.col("zeros").cast("bigint").alias("empty_registers"),
+    regs = hll_registers(_tokens(spark, sf)).withColumn("grp", F.lit(0))
+    return hll_fold(regs).select(
+        "raw_estimate", "estimate", "empty_registers"
     )
 
 
@@ -220,12 +192,16 @@ def dd_bucket_table(values: DataFrame, val_col: str = "value") -> DataFrame:
     ``values[val_col]`` — one map-side-combinable groupBy; ~log_gamma
     (max/min) rows total (≈540 for this fixture's 0.01..490 range at
     alpha = 1%). Merge of shards = SUM per bucket."""
-    b = F.ceil(F.log(F.col(val_col)) / math.log(_DD_GAMMA)).cast("long")
+    return dd_bucket_table_by(
+        values.withColumn("__grp", F.lit(0)), "__grp", val_col
+    ).drop("grp")
+
+
+def _dd_midpoint(bucket) -> F.Column:
+    """Bucket-midpoint estimate 2*gamma^i/(gamma+1) — the one copy of
+    the DDSketch value-reconstruction formula."""
     return (
-        values.filter(F.col(val_col) > 0)
-        .select(b.alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        F.lit(2.0) * F.pow(F.lit(_DD_GAMMA), bucket) / F.lit(_DD_GAMMA + 1)
     )
 
 
@@ -251,20 +227,12 @@ def dd_quantiles(buckets: DataFrame, qs=_DD_QS) -> DataFrame:
         F.broadcast(qdf),
         F.col("cum") >= F.floor(F.col("q") * (F.col("n") - 1)) + 1,
     )
-    est = F.lit(2.0) * F.pow(F.lit(_DD_GAMMA), F.col("bucket")) / F.lit(
-        _DD_GAMMA + 1
-    )
     return (
         hit.groupBy("q")
         .agg(F.min("bucket").alias("bucket"), F.max("n").alias("n"))
         .select(
             "q",
-            F.round(
-                F.lit(2.0)
-                * F.pow(F.lit(_DD_GAMMA), F.col("bucket"))
-                / F.lit(_DD_GAMMA + 1),
-                6,
-            ).alias("est"),
+            F.round(_dd_midpoint(F.col("bucket")), 6).alias("est"),
             F.col("n").cast("bigint").alias("n"),
         )
     )
@@ -315,8 +283,12 @@ def hll_registers_by(
 
 
 def hll_fold(regs: DataFrame) -> DataFrame:
-    """Fold per-group register tables into ``(grp, estimate)`` — the
-    harmonic mean + small-range linear-counting correction, per group."""
+    """Fold per-group register tables ``(grp, bucket, max_rho)`` into
+    per-group estimates — THE one copy of the harmonic-mean +
+    small-range linear-counting math (d11_hll_distinct and
+    d11_hll_union both delegate here). Returns ``(grp, raw_estimate,
+    estimate, empty_registers)``; empty registers contribute 2^0 = 1
+    each to the harmonic sum."""
     alpha = 0.7213 / (1 + 1.079 / _HLL_M)
     agg = regs.groupBy("grp").agg(
         F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("present_sum"),
@@ -331,7 +303,12 @@ def hll_fold(regs: DataFrame) -> DataFrame:
         (raw <= 2.5 * _HLL_M) & (F.col("zeros") > 0),
         F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
     ).otherwise(raw)
-    return agg.select("grp", F.round(corrected, 2).alias("estimate"))
+    return agg.select(
+        "grp",
+        F.round(raw, 2).alias("raw_estimate"),
+        F.round(corrected, 2).alias("estimate"),
+        F.col("zeros").cast("bigint").alias("empty_registers"),
+    )
 
 
 @query("d11_hll_union", oracle=None)  # estimator → rows-only check
@@ -371,7 +348,7 @@ def d11_hll_union(spark: SparkSession, sf: str) -> DataFrame:
     union_regs = regs.groupBy("bucket").agg(
         F.max("max_rho").alias("max_rho")
     ).select(F.lit("union").alias("grp"), "bucket", "max_rho")
-    est = hll_fold(regs.unionByName(union_regs))
+    est = hll_fold(regs.unionByName(union_regs)).select("grp", "estimate")
     wide = est.groupBy().pivot("grp", ["a", "b", "union"]).agg(
         F.first("estimate")
     )
@@ -432,12 +409,7 @@ def d11_dd_quantiles_by_group(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("grp").alias("event_type"),
             "q",
-            F.round(
-                F.lit(2.0)
-                * F.pow(F.lit(_DD_GAMMA), F.col("bucket"))
-                / F.lit(_DD_GAMMA + 1),
-                6,
-            ).alias("est"),
+            F.round(_dd_midpoint(F.col("bucket")), 6).alias("est"),
             F.col("n").cast("bigint").alias("n"),
         )
         .orderBy("event_type", "q")

@@ -79,16 +79,29 @@ def bloom_prune_join(
     semantics survive pruning non-matching LEFT rows (semi/inner —
     not outer/anti, which must SEE the non-matching rows; rejected
     with a ValueError).
+
+    Both sides must carry the SAME type for ``key``: the probe hashes
+    the key's string form, and two types whose string forms diverge
+    where the join's numeric coercion matches (bigint 1 vs double 1.0)
+    would turn coercion matches into false negatives — so a type
+    mismatch is rejected up front instead of silently dropping rows.
     """
-    from event_streamer_spark.operators.pipeline import (
-        bloom_bitmap,
-        bloom_might_contain,
-    )
+    from event_streamer_spark.bloom import bloom_bitmap, bloom_might_contain
 
     if how not in ("left_semi", "inner"):
         raise ValueError(
             "bloom_prune_join supports left_semi/inner joins only; "
             f"{how!r} joins need the non-matching left rows"
+        )
+    lt = large.schema[key].dataType
+    st = small.schema[key].dataType
+    if lt != st:
+        raise ValueError(
+            f"bloom_prune_join requires matching key types; {key!r} is "
+            f"{lt.simpleString()} on the large side and "
+            f"{st.simpleString()} on the small side — cast one side "
+            "explicitly so string canonicalization agrees with join "
+            "coercion"
         )
     keys = small.select(F.col(key).cast("string").alias("__bk")).distinct()
     bitmap = bloom_bitmap(keys, "__bk")

@@ -122,18 +122,11 @@ def stream_decontaminate(
     aggregation keys on the arriving ``doc_id`` (run the sink in
     update/complete mode).
     """
-    toks = docs.withColumn("toks", F.split(text_col, " ")).filter(
-        F.size("toks") >= gram
+    from event_streamer_spark.operators.pipeline import explode_grams
+
+    grams = explode_grams(docs, gram, text_col, id_col).dropDuplicates(
+        [id_col, "g"]
     )
-    grams = toks.select(
-        id_col,
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(toks) - {gram} + 1),"
-                f" i -> concat_ws(' ', slice(toks, i, {gram})))"
-            )
-        ).alias("g"),
-    ).dropDuplicates([id_col, "g"])
     return (
         grams.join(F.broadcast(eval_grams.select("g")), "g")
         .groupBy(id_col)
@@ -157,23 +150,10 @@ def stream_decontaminate_bloom(
     the stream has ever seen. On an unbounded stream that is the
     difference between sketch-sized and corpus-sized state.
     """
-    from event_streamer_spark.operators.pipeline import (
-        bloom_bitmap,
-        bloom_might_contain,
-    )
+    from event_streamer_spark.bloom import bloom_bitmap, bloom_might_contain
+    from event_streamer_spark.operators.pipeline import explode_grams
 
-    toks = docs.withColumn("toks", F.split(text_col, " ")).filter(
-        F.size("toks") >= gram
-    )
-    grams = toks.select(
-        id_col,
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(toks) - {gram} + 1),"
-                f" i -> concat_ws(' ', slice(toks, i, {gram})))"
-            )
-        ).alias("g"),
-    )
+    grams = explode_grams(docs, gram, text_col, id_col)
     bitmap = bloom_bitmap(eval_grams.select("g"))
     pruned = (
         grams.crossJoin(F.broadcast(bitmap))

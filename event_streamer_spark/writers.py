@@ -242,6 +242,18 @@ def zorder_write(
         raise ValueError("zorder_write takes 1-4 cluster columns")
     if bits * len(zorder_cols) > 62:
         raise ValueError("bits * len(zorder_cols) must fit in a long")
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    for c in zorder_cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, (NumericType, DateType, TimestampType)):
+            # a string column would min/max-cast to null bounds and
+            # silently collapse the whole dimension into bucket 0
+            raise ValueError(
+                f"zorder_write cluster column {c!r} is "
+                f"{dt.simpleString()}; cluster columns must be numeric/"
+                "date/timestamp — hash or dictionary-encode strings first"
+            )
     n_buckets = 1 << bits
     bounds = df.agg(
         *[
@@ -320,6 +332,10 @@ def file_column_ranges(path: str, cols: Sequence[str]) -> list:
             if not ok or seen != set(cols):
                 ok = False
                 break
+        # zero-row-group files (Spark writes one to preserve schema on
+        # empty frames) have no stats either — same conservative keep
+        if any(lo[c] is None for c in cols):
+            ok = False
         # a file with no usable stats must be READ, not skipped
         out.append((f, lo if ok else None, hi if ok else None))
     return out
