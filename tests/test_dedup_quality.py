@@ -551,3 +551,16 @@ def test_round6_ops_on_degenerate_corpora(spark, tmp_path):
             assert scrub == {}
         assert REGISTRY["d8_decontaminate_bloom"].fn(spark, sf_dir).count() == 0
         assert REGISTRY["d4_compression_ratio"].fn(spark, sf_dir).count() == len(rows)
+
+
+def test_pq_codebooks_invariant_under_partitioning(spark):
+    """Codebook training must not depend on collect() row order: a
+    repartitioned input yields bit-identical codebooks."""
+    from event_streamer_spark.operators.similarity import train_pq_codebooks
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    b1 = train_pq_codebooks(emb)
+    b2 = train_pq_codebooks(emb.repartition(13))
+    assert (b1 == b2).all()

@@ -498,3 +498,12 @@ class TestBloomPruneJoin:
             total,
         )
         assert survivors < 0.5 * total
+
+
+def test_bloom_prune_join_rejects_mismatched_key_types(spark):
+    from event_streamer_spark.skew import bloom_prune_join
+
+    big = spark.createDataFrame([(1,), (2,)], "k bigint")
+    small = spark.createDataFrame([(1.0,)], "k double")
+    with pytest.raises(ValueError, match="matching key types"):
+        bloom_prune_join(big, small, "k", "left_semi")

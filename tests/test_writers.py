@@ -406,3 +406,21 @@ def test_zorder_write_handles_nulls(spark, tmp_path):
     assert back.filter(F.col("a").isNull()).count() == df.filter(
         F.col("a").isNull()
     ).count()
+
+
+def test_read_pruned_keeps_statless_empty_file(spark, tmp_path):
+    """A zero-row-group part file (Spark's empty-frame write) has no
+    footer stats; read_pruned must keep it conservatively, not crash."""
+    from event_streamer_spark.writers import read_pruned
+
+    out = str(tmp_path / "mixed")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id bigint, v double"
+    )
+    df.coalesce(1).write.parquet(out)
+    # add an empty part file alongside (what writing an empty frame does)
+    df.limit(0).coalesce(1).write.mode("append").parquet(out)
+    got = read_pruned(spark, out, {"v": (10.0, 20.0)}).filter(
+        F.col("v").between(10.0, 20.0)
+    )
+    assert got.count() == 11
