@@ -879,3 +879,66 @@ def b30_apply_in_arrow(spark: SparkSession, sf: str) -> DataFrame:
     return c.groupBy("c_mktsegment").applyInArrow(
         summarize, "c_mktsegment string, n bigint, bal_c bigint"
     )
+
+
+_EQUIDEPTH_BINS = 10
+
+
+@query(
+    "b34_equidepth_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id, value,
+             NTILE({_EQUIDEPTH_BINS}) OVER (ORDER BY value, event_id) AS bin
+      FROM events)
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(MIN(value), 4) AS lo, ROUND(MAX(value), 4) AS hi
+    FROM t GROUP BY bin
+    """,
+)
+def b34_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """B34 extension: EXACT equi-depth histogram — {10} bins with equal
+    row counts and true [min, max] value bounds per bin. The binning a
+    cost optimizer or drift monitor wants (`percentile_approx` bins
+    would be rank-approximate and engine-specific, hence not
+    oracle-able).
+
+    ntile needs each row's GLOBAL rank — a single-task sort in the
+    naive plan. Here the rank comes from ``distrank.two_level_row_number``
+    with a constant partition key (the d12 TeraSort shape: range-bucket
+    on the value, rank in parallel, add broadcast bucket offsets) and
+    ntile is arithmetic on (rank, n): the standard
+    first-``n % bins``-bins-get-one-extra rule.
+    """
+    from event_streamer_spark.operators.distrank import two_level_row_number
+
+    e = (
+        load(spark, sf, "events")
+        .select("event_id", "value")
+        .withColumn("__g", F.lit(0))
+    )
+    ranked = two_level_row_number(
+        e,
+        ["__g"],
+        ["value", "event_id"],
+        bucket_value="value",
+        out_col="rn",
+        count_col="n",
+    )
+    # NTILE(b) over n rows: first (n % b) bins have ceil(n/b) rows
+    big = F.ceil(F.col("n") / _EQUIDEPTH_BINS).cast("long")
+    small = F.floor(F.col("n") / _EQUIDEPTH_BINS).cast("long")
+    n_big = (F.col("n") % _EQUIDEPTH_BINS).cast("long")
+    cut = n_big * big  # rows covered by the big bins
+    bin_col = F.when(
+        F.col("rn") <= cut, F.ceil(F.col("rn") / big)
+    ).otherwise(n_big + F.ceil((F.col("rn") - cut) / small)).cast("int")
+    return (
+        ranked.withColumn("bin", bin_col)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
