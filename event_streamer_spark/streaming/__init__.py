@@ -37,6 +37,7 @@ from event_streamer_spark.streaming.sampling import (
     weighted_sample_batch,
 )
 from event_streamer_spark.streaming.state import (
+    funnel_with_state,
     running_stats_tws,
     running_stats_with_state,
     sessionize_with_state,
@@ -54,6 +55,7 @@ __all__ = [
     "stream_static_join",
     "stream_stream_join",
     "sessionize_with_state",
+    "funnel_with_state",
     "running_stats_with_state",
     "running_stats_tws",
     "minhash_neardup_batch",

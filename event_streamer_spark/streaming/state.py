@@ -250,3 +250,85 @@ def sessionize_with_state(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+_FUNNEL_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7 days in microseconds
+_NONE = -1  # state sentinel (timestamps are non-negative epoch micros)
+
+
+def _funnel_fold(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user funnel state: (first_signup_us, first_qualifying_
+    purchase_us, earliest_purchase_us). The third slot lets a signup
+    that arrives in the same batch as earlier-batch purchases still
+    qualify the earliest purchase when it is at-or-after the signup."""
+    (user_id,) = key
+    if state.exists:
+        signup, qual, earliest = state.get
+    else:
+        signup, qual, earliest = _NONE, _NONE, _NONE
+    for pdf in pdfs:
+        us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        for t, kind in zip(us, pdf["event_type"]):
+            t = int(t)
+            if kind == "signup":
+                if signup == _NONE or t < signup:
+                    signup = t
+                    # a previously-unqualified earliest purchase may
+                    # qualify under the (earlier) signup
+                    if earliest != _NONE and earliest >= signup:
+                        qual = earliest if qual == _NONE else min(qual, earliest)
+            else:  # purchase
+                if earliest == _NONE or t < earliest:
+                    earliest = t
+                if signup != _NONE and t >= signup and (
+                    qual == _NONE or t < qual
+                ):
+                    qual = t
+    state.update((int(signup), int(qual), int(earliest)))
+    if signup == _NONE:
+        return  # no signup yet → user not in the funnel output
+    converted = qual != _NONE and qual <= signup + _FUNNEL_WINDOW_US
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "signup_ts": [pd.Timestamp(signup, unit="us")],
+            "first_purchase_ts": [
+                pd.Timestamp(qual, unit="us") if qual != _NONE else pd.NaT
+            ],
+            "converted": [bool(converted)],
+        }
+    )
+
+
+def funnel_with_state(events: DataFrame) -> DataFrame:
+    """C8 (third shape): the B32 two-step conversion funnel as an
+    arbitrary-stateful streaming operator — per-user state is three
+    timestamps, emitted in update mode as signups/purchases arrive.
+
+    Exactness contract: equals the batch ``b32_funnel`` whenever each
+    user's FIRST signup is seen no later than the purchases that should
+    qualify against it (event-time-ordered replay, or any watermark
+    discipline that delivers a user's signup before the window closes).
+    A signup arriving after watermark-expired purchases would need
+    unbounded purchase buffering — the standard bounded-state trade
+    every streaming funnel makes. State is per-key in Spark's state
+    store: horizontally partitioned, no driver state, O(3 longs) per
+    user.
+    """
+    ev = events.filter(
+        F.col("event_type").isin("signup", "purchase")
+    ).select("user_id", "event_type", "ts")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_fold,
+        outputStructType=(
+            "user_id bigint, signup_ts timestamp, "
+            "first_purchase_ts timestamp, converted boolean"
+        ),
+        stateStructType="signup long, qual long, earliest long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

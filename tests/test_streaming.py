@@ -1577,3 +1577,62 @@ def test_incremental_windowed_heavy_hitters_equals_batch(spark, tmp_path):
         for r in read_windowed_heavy_hitters(spark, state).collect()
     }
     assert got == batch
+
+
+def test_funnel_with_state_matches_batch(spark, tmp_path):
+    """C8 funnel: replaying events in TWO event-time-ordered
+    micro-batches, the final per-user funnel state equals the batch
+    b32_funnel rows exactly (including the same-batch
+    signup-qualifies-earlier-purchase path)."""
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.streaming import funnel_with_state
+    from event_streamer_spark.tables import load
+
+    batch = {
+        r["user_id"]: (r["signup_ts"], r["first_purchase_ts"], r["converted"])
+        for r in REGISTRY["b32_funnel"].fn(spark, SF).collect()
+    }
+    assert batch and any(v[2] for v in batch.values())
+
+    ev = load(spark, SF, "events").select("user_id", "event_type", "ts")
+    mid = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")
+    ).collect()[0]["m"]
+    src = str(tmp_path / "funnel_src")
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.parquet(src, mode="append")
+    ev.filter(F.col("ts") > mid).coalesce(1).write.parquet(src, mode="append")
+
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        funnel_with_state(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "funnel_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # update mode: keep the LAST row per user (memory sink appends)
+    rows = spark.sql(
+        "SELECT * FROM funnel_state"
+    ).collect()
+    got = {}
+    for r in rows:  # later updates overwrite earlier ones
+        got[r["user_id"]] = r
+    final = {
+        u: (
+            r["signup_ts"].strftime("%Y-%m-%d %H:%M:%S"),
+            r["first_purchase_ts"].strftime("%Y-%m-%d %H:%M:%S")
+            if r["first_purchase_ts"] is not None
+            else None,
+            r["converted"],
+        )
+        for u, r in got.items()
+    }
+    assert final == batch
