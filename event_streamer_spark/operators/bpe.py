@@ -1,0 +1,186 @@
+"""Distributed BPE tokenizer training + application (D4 extension).
+
+Tokenizer training is part of the 100 TB data pipeline, not an
+afterthought: the merge table is learned FROM the corpus (Sennrich et
+al. 2016, the GPT-2 recipe). The classic algorithm is inherently
+iterative — count adjacent symbol pairs, merge the most frequent,
+repeat — and maps cleanly onto Spark:
+
+* the corpus collapses to a WORD-FREQUENCY table once (`groupBy(word)`
+  — BPE statistics only depend on word counts, so a 10^12-token corpus
+  becomes a vocabulary-sized frame);
+* each merge round is ONE map-side-combinable pair-count aggregate over
+  that frame (the candidate table is symbol-pair-sized) plus one
+  Arrow-batched merge pass;
+* the only driver state is the merge table itself — model-sized, like
+  the IVF centroids (`similarity.py:train_ivf_centroids`).
+
+Equivalence with the textbook single-process algorithm is pinned in
+``tests/test_bpe.py`` against an independent pure-Python reference.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from event_streamer_spark.operators.registry import query
+from event_streamer_spark.tables import load
+
+_N_MERGES = 12  # fixture-sized merge budget (real runs use 10k-100k);
+# each merge round costs one aggregate+collect pass, so the registered
+# query keeps the budget small — train_bpe_merges takes any n_merges
+_END = "</w>"  # end-of-word marker (Sennrich et al. §3.2)
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(word, cnt)`` — the sufficient statistic for BPE training."""
+    return (
+        docs.select(F.explode(F.split(text_col, " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _merge_pair_udf(a: str, b: str):
+    """Arrow-batched application of ONE merge (a, b) → ab to symbol
+    arrays — the per-round rewrite. A plain Python scan per word, but
+    over the word-frequency table (vocabulary-sized), not the corpus."""
+
+    @pandas_udf("array<string>")
+    def merge(syms: pd.Series) -> pd.Series:
+        out = []
+        for s in syms:
+            s = list(s)
+            i, acc = 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    acc.append(a + b)
+                    i += 2
+                else:
+                    acc.append(s[i])
+                    i += 1
+            out.append(acc)
+        return pd.Series(out)
+
+    return merge
+
+
+def train_bpe_merges(
+    docs: DataFrame, n_merges: int = _N_MERGES, text_col: str = "text"
+) -> list:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
+    list ``[(a, b), ...]`` in application order (driver-side model
+    state, bounded by ``n_merges``).
+
+    Each round: pair-count aggregate (map-side combinable; output is
+    pair-vocabulary-sized) → deterministic argmax (count desc, pair
+    asc) → one narrow merge pass over the word table. The word table is
+    re-persisted per round so lineage stays flat across iterations.
+    """
+    from event_streamer_spark.caching import bounded_persist, clear_slot
+
+    words = word_frequencies(docs, text_col).withColumn(
+        "syms",
+        F.expr(f"array_append(split(word, ''), '{_END}')"),
+    ).select("syms", "cnt")
+    merges: list = []
+    slot = "bpe.words"
+    for _ in range(n_merges):
+        words = bounded_persist(words, slot)
+        pairs = (
+            words.select(
+                F.explode(
+                    # guard: sequence(1, 0) is DESCENDING [1, 0], not
+                    # empty — fully-merged single-symbol words need the
+                    # explicit empty-array branch
+                    F.expr(
+                        "CASE WHEN size(syms) < 2 THEN"
+                        " array() ELSE"
+                        " transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i - 1] AS a, syms[i] AS b)) END"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), "a", "b").limit(1).collect()
+        if not top or top[0]["n"] < 2:
+            break  # no pair occurs twice → nothing left to merge
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        words = words.withColumn("syms", _merge_pair_udf(a, b)(F.col("syms")))
+    # materialize the final table before dropping the persist the plan
+    # depends on, then release it
+    words.count()
+    clear_slot(slot)
+    return merges
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: Sequence,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize ``docs[text_col]`` with a trained merge list: per word,
+    repeatedly apply the lowest-rank applicable merge (the standard BPE
+    apply loop), Arrow-batched. Returns ``(id, n_bpe_tokens)``."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    @pandas_udf("int")
+    def count_tokens(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            total = 0
+            for word in text.split(" "):
+                if not word:
+                    continue
+                s = list(word) + [_END]
+                while len(s) > 1:
+                    best, best_rank = None, None
+                    for i in range(len(s) - 1):
+                        r = ranks.get((s[i], s[i + 1]))
+                        if r is not None and (best_rank is None or r < best_rank):
+                            best, best_rank = i, r
+                    if best is None:
+                        break
+                    s[best : best + 2] = [s[best] + s[best + 1]]
+                total += len(s)
+            out.append(total)
+        return pd.Series(out, dtype="int32")
+
+    return docs.select(
+        id_col, count_tokens(F.col(text_col)).alias("n_bpe_tokens")
+    )
+
+
+@query("d4_bpe_train_tokenize", oracle=None)  # iterative → rows-only
+def d4_bpe_train_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: train a {12}-merge BPE vocabulary ON the corpus, then
+    tokenize every document with it — the end-to-end tokenizer leg of
+    the pipeline. Per-doc output: BPE token count next to the
+    whitespace count (the compression the learned merges buy).
+
+    Not SQL-expressible (iterative training); pinned instead by
+    ``tests/test_bpe.py``: the distributed trainer is merge-for-merge
+    identical to an independent single-process reference, invariant
+    under repartitioning, and tokenization strictly compresses.
+    """
+    docs = load(spark, sf, "documents")
+    merges = train_bpe_merges(docs)
+    counted = apply_bpe(docs, merges)
+    ws = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("int").alias("n_ws_tokens")
+    )
+    return counted.join(ws, "doc_id").select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens"
+    )

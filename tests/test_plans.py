@@ -376,13 +376,15 @@ def test_max_dup_span_single_sort_for_all_levels(spark):
     import re
 
     from event_streamer_spark.caching import clear_slot
+    from event_streamer_spark.operators.registry import clear_plan_cache
 
-    # an earlier test may have left the persisted frame in CacheManager,
-    # in which case explain shows InMemoryTableScan and hides the chain
+    # reset BOTH caches: clearing only the persist slot while the plan
+    # cache still returns the memoized frame leaves an unpersisted lv
+    # whose joins re-plan as SortMergeJoin (extra sorts); a fresh build
+    # re-registers the persist and restores the canonical shape
     clear_slot("d1_max_dup_span_lv")
+    clear_plan_cache()
     plan = plan_of(spark, "d1_max_dup_span")
     n_sorts = len(re.findall(r"\(\d+\) Sort", plan))
-    assert n_sorts <= 1, n_sorts  # 0 only if the subtree is still cached
-    if "InMemoryTableScan" not in plan:
-        assert n_sorts == 1, n_sorts
+    assert n_sorts == 1, n_sorts
     assert "CartesianProduct" not in plan
