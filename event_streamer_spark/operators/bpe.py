@@ -91,9 +91,14 @@ def train_bpe_merges(
         F.expr(f"array_append(split(word, ''), '{_END}')"),
     ).select("syms", "cnt")
     merges: list = []
-    slot = "bpe.words"
-    for _ in range(n_merges):
-        words = bounded_persist(words, slot)
+    # two alternating persist slots: round k's table must be MATERIALIZED
+    # (by its own pair-count job, reading round k-1 from cache) BEFORE
+    # round k-1 is released — a single slot would evict the previous
+    # round first and recompute the whole merge chain from the raw
+    # corpus every iteration
+    slots = ("bpe.words.0", "bpe.words.1")
+    for it in range(n_merges):
+        words = bounded_persist(words, slots[it % 2])
         pairs = (
             words.select(
                 F.explode(
@@ -112,28 +117,24 @@ def train_bpe_merges(
             .groupBy("p.a", "p.b")
             .agg(F.sum("cnt").alias("n"))
         )
+        # this collect also materializes the round's persisted table
+        # (computed incrementally from the previous round's cache)
         top = pairs.orderBy(F.desc("n"), "a", "b").limit(1).collect()
+        clear_slot(slots[(it + 1) % 2])  # previous round, now superseded
         if not top or top[0]["n"] < 2:
             break  # no pair occurs twice → nothing left to merge
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
         words = words.withColumn("syms", _merge_pair_udf(a, b)(F.col("syms")))
-    # materialize the final table before dropping the persist the plan
-    # depends on, then release it
-    words.count()
-    clear_slot(slot)
+    for slot in slots:  # the merge list is the only output; release all
+        clear_slot(slot)
     return merges
 
 
-def apply_bpe(
-    docs: DataFrame,
-    merges: Sequence,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Tokenize ``docs[text_col]`` with a trained merge list: per word,
+def bpe_token_count_udf(merges: Sequence):
+    """Arrow-batched tokenizer for a trained merge list: per word,
     repeatedly apply the lowest-rank applicable merge (the standard BPE
-    apply loop), Arrow-batched. Returns ``(id, n_bpe_tokens)``."""
+    apply loop) and count the resulting tokens."""
     ranks = {tuple(m): i for i, m in enumerate(merges)}
 
     @pandas_udf("int")
@@ -158,8 +159,19 @@ def apply_bpe(
             out.append(total)
         return pd.Series(out, dtype="int32")
 
+    return count_tokens
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: Sequence,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, n_bpe_tokens)`` for a trained merge list."""
     return docs.select(
-        id_col, count_tokens(F.col(text_col)).alias("n_bpe_tokens")
+        id_col,
+        bpe_token_count_udf(merges)(F.col(text_col)).alias("n_bpe_tokens"),
     )
 
 
@@ -177,10 +189,15 @@ def d4_bpe_train_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     """
     docs = load(spark, sf, "documents")
     merges = train_bpe_merges(docs)
-    counted = apply_bpe(docs, merges)
-    ws = docs.select(
-        "doc_id", F.size(F.split("text", " ")).cast("int").alias("n_ws_tokens")
-    )
-    return counted.join(ws, "doc_id").select(
-        "doc_id", "n_ws_tokens", "n_bpe_tokens"
+    # ONE narrow pass: both counts are per-row projections of the same
+    # input row — no second corpus scan, no self-join on doc_id.
+    # Empty strings from consecutive spaces are not words (same filter
+    # as the trainer), so count non-empty splits.
+    ws = F.size(
+        F.filter(F.split("text", " "), lambda x: x != "")
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe_token_count_udf(merges)(F.col("text")).alias("n_bpe_tokens"),
     )

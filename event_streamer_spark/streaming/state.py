@@ -270,7 +270,11 @@ def _funnel_fold(
         signup, qual, earliest = state.get
     else:
         signup, qual, earliest = _NONE, _NONE, _NONE
-    for pdf in pdfs:
+    # applyInPandasWithState gives NO intra-group row order after the
+    # shuffle; fold in EVENT-TIME order or a purchase scanned before
+    # its same-batch signup would be dropped from the qualifying slot
+    batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+    for pdf in (batch,):
         us = pdf["ts"].astype("datetime64[us]").astype("int64")
         for t, kind in zip(us, pdf["event_type"]):
             t = int(t)

@@ -78,7 +78,24 @@ def test_trainer_on_fixture_matches_reference_and_partitioning(spark):
 def test_tokenize_compresses_and_registered_query_runs(spark):
     rows = REGISTRY["d4_bpe_train_tokenize"].fn(spark, SF).collect()
     assert len(rows) == 500
+    chars = {
+        r["doc_id"]: sum(len(w) for w in r["text"].split(" ") if w)
+        for r in load(spark, SF, "documents").collect()
+    }
+    words = {
+        r["doc_id"]: sum(1 for w in r["text"].split(" ") if w)
+        for r in load(spark, SF, "documents").collect()
+    }
+    compressed_somewhere = False
     for r in rows:
-        # chars+end-markers upper bound; merges must compress below it
         assert 0 < r["n_bpe_tokens"]
-        assert r["n_ws_tokens"] <= r["n_bpe_tokens"]  # >= one BPE token/word
+        assert r["n_ws_tokens"] == words[r["doc_id"]]
+        assert r["n_ws_tokens"] <= r["n_bpe_tokens"]  # >= one token/word
+        # unmerged tokenization would be chars + one end marker per word;
+        # learned merges must stay at or below that, and strictly below
+        # somewhere in the corpus
+        ceiling = chars[r["doc_id"]] + words[r["doc_id"]]
+        assert r["n_bpe_tokens"] <= ceiling
+        if r["n_bpe_tokens"] < ceiling:
+            compressed_somewhere = True
+    assert compressed_somewhere

@@ -1636,3 +1636,48 @@ def test_funnel_with_state_matches_batch(spark, tmp_path):
         for u, r in got.items()
     }
     assert final == batch
+
+
+def test_funnel_with_state_adversarial_in_batch_order(spark, tmp_path):
+    """The state fold must sort by event time: a qualifying purchase
+    written BEFORE its signup in the same micro-batch (shuffle order is
+    arbitrary) must still be found."""
+    import datetime as dt
+
+    from event_streamer_spark.streaming import funnel_with_state
+
+    t = dt.datetime(2024, 1, 1)
+
+    def at(h):
+        return t + dt.timedelta(hours=h)
+
+    rows = [  # deliberately scrambled: purchases precede the signup
+        (1, "purchase", at(2)),
+        (1, "purchase", at(10)),
+        (1, "signup", at(5)),
+    ]
+    src = str(tmp_path / "adv_src")
+    spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string, ts timestamp")
+        .parquet(src)
+    )
+    q = (
+        funnel_with_state(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_adv")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "adv_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM funnel_adv").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["signup_ts"] == at(5)
+    # NOT the pre-signup purchase at h2; the h10 one qualifies
+    assert r["first_purchase_ts"] == at(10)
+    assert r["converted"] is True
