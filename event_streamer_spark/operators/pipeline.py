@@ -444,3 +444,99 @@ def d9_chunk_overlap(spark: SparkSession, sf: str) -> DataFrame:
             F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
         )
     )
+
+
+_TEMP_ALPHA = 0.5  # multilingual temperature (alpha-sampling) exponent
+
+
+@query(
+    "d7_temperature_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    powered AS (
+      SELECT lang, c, POW(CAST(c AS DOUBLE), {_TEMP_ALPHA}) AS pc
+      FROM counts),
+    tot AS (SELECT SUM(c) AS n, SUM(pc) AS z FROM powered),
+    rates AS (
+      -- target share of source s is pc/z of the corpus; dividing by its
+      -- own share c/n gives the per-row keep rate, capped at 1
+      SELECT lang,
+             LEAST(1.0, (pc / z) * (CAST(n AS DOUBLE) / c)) AS rate
+      FROM powered CROSS JOIN tot),
+    thr AS (
+      SELECT lang, rate,
+             CASE WHEN rate >= 1.0 THEN 'g'
+                  ELSE lpad(lower(to_hex(LEAST(CAST(FLOOR(rate * 4294967296.0)
+                                               AS BIGINT),
+                                          4294967295))), 8, '0') END AS h
+      FROM rates)
+    SELECT d.doc_id, d.lang, ROUND(thr.rate, 6) AS rate
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '#T' || d.lang), 1, 8)
+          < thr.h
+    """,
+)
+def d7_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """D7: temperature-based LANGUAGE rebalancing — keep rates chosen so
+    language s contributes ∝ count_s^{0.5} (the multilingual
+    "alpha-sampling" recipe from the mBERT/XLM-R/mT5 reports:
+    alpha < 1 upweights small sources without flattening completely,
+    between `d7_mixture_sample`'s uniform target (alpha=0) and raw
+    proportions (alpha=1)).
+
+    Same physical shape as the uniform variant: one k-row per-source
+    aggregate broadcast into a narrow deterministic md5-threshold
+    filter — no RNG state, no second pass, identical row set on any
+    cluster. The hash salt ('#T') differs from the uniform variant's so
+    the two samples are independent.
+    """
+    d = load(spark, sf, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    powered = counts.select(
+        "lang", "c", F.pow(F.col("c").cast("double"), _TEMP_ALPHA).alias("pc")
+    )
+    tot = powered.agg(F.sum("c").alias("n"), F.sum("pc").alias("z"))
+    rates = powered.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.col("pc") / F.col("z")) * (F.col("n").cast("double") / F.col("c")),
+        ).alias("rate"),
+    )
+    thr = rates.select(
+        "lang",
+        "rate",
+        F.when(F.col("rate") >= 1.0, F.lit("g"))
+        .otherwise(
+            F.lpad(
+                F.lower(
+                    F.hex(
+                        F.least(
+                            F.floor(
+                                F.col("rate") * F.lit(4294967296.0)
+                            ).cast("bigint"),
+                            F.lit(4294967295),
+                        )
+                    )
+                ),
+                8,
+                "0",
+            )
+        )
+        .alias("h"),
+    )
+    key = F.substring(
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit("#T"), F.col("lang")
+            )
+        ),
+        1,
+        8,
+    )
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .filter(key < F.col("h"))
+        .select("doc_id", "lang", F.round("rate", 6).alias("rate"))
+    )

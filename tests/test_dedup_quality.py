@@ -564,3 +564,29 @@ def test_pq_codebooks_invariant_under_partitioning(spark):
     b1 = train_pq_codebooks(emb)
     b2 = train_pq_codebooks(emb.repartition(13))
     assert (b1 == b2).all()
+
+
+def test_temperature_sample_rebalances_toward_alpha_shares(spark):
+    """D7 alpha-sampling: small languages keep rate 1 (kept fully),
+    the dominant language is downsampled, and realized counts track
+    the c^alpha target shares."""
+    docs = load(spark, SF, "documents")
+    before = {
+        r["lang"]: r["c"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    rows = REGISTRY["d7_temperature_sample"].fn(spark, SF).collect()
+    after = {}
+    rates = {}
+    for r in rows:
+        after[r["lang"]] = after.get(r["lang"], 0) + 1
+        rates[r["lang"]] = r["rate"]
+    top = max(before, key=before.get)
+    assert rates[top] < 1.0
+    assert after[top] < before[top]
+    for lang, c in before.items():
+        if lang != top and rates.get(lang) == 1.0:
+            assert after[lang] == c  # rate-1 languages kept fully
+    # realized keep fraction within 25% relative of the declared rate
+    # (hash thresholding is exact in expectation; fixture is small)
+    assert abs(after[top] / before[top] - rates[top]) <= 0.25 * rates[top]
