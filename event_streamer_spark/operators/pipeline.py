@@ -158,6 +158,29 @@ def d8_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def md5_threshold(rate_col: F.Column) -> F.Column:
+    """Fixed-width lowercase-hex keep threshold for a [0, 1] rate — the
+    shared primitive behind every deterministic hash sampler here
+    (uniform mixture, temperature, and the streaming leg): a row is
+    kept iff the first 8 md5 hex chars of its salted key sort below
+    this. 'g' sorts above every hex digit, so rate >= 1 keeps all; the
+    2^32-1 clamp keeps a rate a few ulps under 1.0 at 8 digits."""
+    return F.when(rate_col >= 1.0, F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(
+                F.hex(
+                    F.least(
+                        F.floor(rate_col * F.lit(4294967296.0)).cast("bigint"),
+                        F.lit(4294967295),
+                    )
+                )
+            ),
+            8,
+            "0",
+        )
+    )
+
+
 @query(
     "d7_mixture_sample",
     oracle="""
@@ -205,27 +228,7 @@ def d7_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("rate"),
     )
     thr = rates.select(
-        "source",
-        "rate",
-        F.when(F.col("rate") >= 1.0, F.lit("g"))
-        .otherwise(
-            F.lpad(
-                F.lower(
-                    F.hex(
-                        # clamp to 2^32-1 so the hex form stays 8 digits
-                        F.least(
-                            F.floor(
-                                F.col("rate") * F.lit(4294967296.0)
-                            ).cast("bigint"),
-                            F.lit(4294967295),
-                        )
-                    )
-                ),
-                8,
-                "0",
-            )
-        )
-        .alias("h"),
+        "source", "rate", md5_threshold(F.col("rate")).alias("h")
     )
     key = F.substring(
         F.md5(
@@ -505,26 +508,7 @@ def d7_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("rate"),
     )
     thr = rates.select(
-        "lang",
-        "rate",
-        F.when(F.col("rate") >= 1.0, F.lit("g"))
-        .otherwise(
-            F.lpad(
-                F.lower(
-                    F.hex(
-                        F.least(
-                            F.floor(
-                                F.col("rate") * F.lit(4294967296.0)
-                            ).cast("bigint"),
-                            F.lit(4294967295),
-                        )
-                    )
-                ),
-                8,
-                "0",
-            )
-        )
-        .alias("h"),
+        "lang", "rate", md5_threshold(F.col("rate")).alias("h")
     )
     key = F.substring(
         F.md5(

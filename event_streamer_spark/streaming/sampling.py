@@ -71,3 +71,38 @@ def read_weighted_sample(
         .orderBy(F.desc("sample_key"), "doc_id")
         .limit(k)
     )
+
+
+def stream_rate_sample(
+    docs: DataFrame,
+    thresholds: DataFrame,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "#T",
+) -> DataFrame:
+    """D7 streaming leg: deterministic hash sampling of an arriving
+    document stream against STATIC per-key rates — the temperature /
+    mixture samplers' filter applied micro-batch by micro-batch.
+
+    ``thresholds`` is the ``(key, rate, h)`` table the batch sampler
+    builds (``operators.pipeline.md5_threshold``) — corpus statistics
+    are computed batch-side (or refreshed periodically) and broadcast,
+    exactly like the static holdout in ``stream_decontaminate``. The
+    keep decision is a pure row function of (id, key, h), so the
+    streamed sample is BIT-IDENTICAL to the batch sample under any
+    batch split — no state, no RNG, zero stream shuffle.
+    """
+    key = F.substring(
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(salt), F.col(key_col)
+            )
+        ),
+        1,
+        8,
+    )
+    return (
+        docs.join(F.broadcast(thresholds), key_col)
+        .filter(key < F.col("h"))
+        .drop("h")
+    )

@@ -1681,3 +1681,65 @@ def test_funnel_with_state_adversarial_in_batch_order(spark, tmp_path):
     # NOT the pre-signup purchase at h2; the h10 one qualifies
     assert r["first_purchase_ts"] == at(10)
     assert r["converted"] is True
+
+
+def test_stream_rate_sample_bit_identical_to_batch(spark, tmp_path):
+    """D7 streaming leg: the md5-threshold filter is a pure row
+    function, so replaying the corpus in two micro-batches yields
+    EXACTLY the batch d7_temperature_sample row set."""
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.streaming import stream_rate_sample
+    from event_streamer_spark.tables import load
+
+    batch = {
+        (r["doc_id"], r["lang"])
+        for r in REGISTRY["d7_temperature_sample"].fn(spark, SF).collect()
+    }
+    assert batch
+
+    # rebuild the same thresholds table the batch sampler uses
+    from event_streamer_spark.operators.pipeline import md5_threshold
+
+    d = load(spark, SF, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    powered = counts.select(
+        "lang", "c", F.pow(F.col("c").cast("double"), 0.5).alias("pc")
+    )
+    tot = powered.agg(F.sum("c").alias("n"), F.sum("pc").alias("z"))
+    rates = powered.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.col("pc") / F.col("z")) * (F.col("n").cast("double") / F.col("c")),
+        ).alias("rate"),
+    )
+    thr = rates.select("lang", md5_threshold(F.col("rate")).alias("h"))
+
+    src = str(tmp_path / "rs_src")
+    d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang"
+    ).coalesce(1).write.parquet(src, mode="append")
+    d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang"
+    ).coalesce(1).write.parquet(src, mode="append")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, lang string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_rate_sample(stream, thr)
+        .writeStream.format("memory")
+        .queryName("rate_sample")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "rs_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in spark.sql("SELECT * FROM rate_sample").collect()
+    }
+    assert got == batch
