@@ -526,3 +526,112 @@ def d5_audio_features(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id long, fmt string, channels int, sample_rate int,"
         " n_frames long, duration_ms double",
     )
+
+
+def ahash_64(payload: bytes, codecs: Optional[list[PixelCodec]] = None) -> str:
+    """64-bit average-hash (aHash) perceptual fingerprint of an image
+    payload: decode pixels, grayscale, 2×2 mean-pool to an 8×8 grid,
+    threshold at the global mean — the standard cheap perceptual hash
+    (pHash family). Small uniform brightness shifts don't move any bit
+    (every cell and the mean shift together), which is exactly the
+    near-duplicate invariance the dedup below relies on."""
+    w, h, rows = decode_png_pixels(payload, codecs)
+    gray = [
+        [sum(rows[y][x * 3 : x * 3 + 3]) // 3 for x in range(w)]
+        for y in range(h)
+    ]
+    sx, sy = max(1, w // 8), max(1, h // 8)
+    cells = []
+    for cy in range(8):
+        for cx in range(8):
+            s = n = 0
+            for dy in range(sy):
+                for dx in range(sx):
+                    yy, xx = min(h - 1, cy * sy + dy), min(w - 1, cx * sx + dx)
+                    s += gray[yy][xx]
+                    n += 1
+            cells.append(s // n)
+    m = sum(cells) / len(cells)
+    bits = 0
+    for i, v in enumerate(cells):
+        if v > m:
+            bits |= 1 << i
+    return f"{bits:016x}"
+
+
+@query(
+    "d5_image_phash_dedup",
+    oracle="""
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY doc_id % 10) AS keeper,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY doc_id % 10) AS is_dup
+    FROM documents
+    """,
+)
+def d5_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """D5×D2: perceptual-hash image deduplication — the cross-modal
+    near-dup pass a multimodal corpus needs (byte-level D1 dedup misses
+    re-encoded/brightness-shifted copies; aHash buckets them).
+
+    Fixture: each doc renders a 16×16 patterned PNG whose 8×8 cell
+    pattern is a fixed pseudo-random function of ``doc_id % 10`` plus a
+    per-doc brightness offset (``doc_id % 3``) — ten groups of
+    perceptual near-duplicates that are NOT byte-identical. The real
+    pipeline runs end-to-end: PNG encode → REAL pixel decode →
+    grayscale → mean-pool → threshold; the oracle recomputes the
+    designed grouping from first principles (keeper = min doc_id per
+    pattern), so any bug in the decode/hash path scrambles groups and
+    breaks the hash match.
+
+    Scale: hashing is a narrow Arrow-batched map; grouping shuffles
+    64-bit fingerprints (uniform key), keeper is min-per-group — the
+    same shape as d1_exact_dedup, at 8 bytes per image instead of the
+    image.
+    """
+
+    def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                p, noise = did % 10, did % 3
+                rows = []
+                for y in range(16):
+                    line = []
+                    for x in range(16):
+                        bit = (
+                            (x // 2 + 2 * (y // 2) + p) * 2654435761 >> 4
+                        ) & 1
+                        g = (200 if bit else 40) + noise
+                        line += [g, g, g]
+                    rows.append(bytes(line))
+                payload = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + _png_chunk(
+                        b"IHDR",
+                        struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 0),
+                    )
+                    + _png_chunk(
+                        b"IDAT",
+                        zlib.compress(b"".join(b"\x00" + r for r in rows)),
+                    )
+                    + _png_chunk(b"IEND", b"")
+                )
+                ids.append(did)
+                hs.append(ahash_64(payload))
+            yield pd.DataFrame({"doc_id": ids, "phash": hs})
+
+    hashed = (
+        load(spark, sf, "documents")
+        .select("doc_id")
+        .mapInPandas(hash_images, "doc_id long, phash string")
+    )
+    keepers = hashed.groupBy("phash").agg(F.min("doc_id").alias("keeper"))
+    return (
+        hashed.join(keepers, "phash")
+        .select(
+            "doc_id",
+            "keeper",
+            (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
+        )
+    )

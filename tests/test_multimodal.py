@@ -206,3 +206,43 @@ class TestPluggableCodecs:
         assert decode_png_pixels(b"\xff\xd8x")[0] == 2
         with _pytest.raises(NotImplementedError):
             decode_png_pixels(b"not-any-known-format")
+
+
+class TestPerceptualHashDedup:
+    """aHash invariances: brightness shift doesn't move bits; a pattern
+    change does."""
+
+    def test_brightness_invariant_pattern_sensitive(self):
+        import struct
+        import zlib
+
+        from event_streamer_spark.operators.multimodal import (
+            _png_chunk,
+            ahash_64,
+        )
+
+        def png(pattern, offset):
+            rows = []
+            for y in range(16):
+                line = []
+                for x in range(16):
+                    bit = ((x // 2 + 2 * (y // 2) + pattern) * 2654435761 >> 4) & 1
+                    g = (200 if bit else 40) + offset
+                    line += [g, g, g]
+                rows.append(bytes(line))
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(
+                    b"IHDR", struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 0)
+                )
+                + _png_chunk(
+                    b"IDAT",
+                    zlib.compress(b"".join(b"\x00" + r for r in rows)),
+                )
+                + _png_chunk(b"IEND", b"")
+            )
+
+        assert ahash_64(png(3, 0)) == ahash_64(png(3, 2))  # shift-invariant
+        assert ahash_64(png(3, 0)) != ahash_64(png(4, 0))  # pattern-sensitive
+        hashes = {ahash_64(png(p, 0)) for p in range(10)}
+        assert len(hashes) == 10  # all fixture groups distinct
