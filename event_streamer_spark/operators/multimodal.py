@@ -535,27 +535,22 @@ def ahash_64(payload: bytes, codecs: Optional[list[PixelCodec]] = None) -> str:
     (pHash family). Small uniform brightness shifts don't move any bit
     (every cell and the mean shift together), which is exactly the
     near-duplicate invariance the dedup below relies on."""
+    import numpy as np
+
     w, h, rows = decode_png_pixels(payload, codecs)
-    gray = [
-        [sum(rows[y][x * 3 : x * 3 + 3]) // 3 for x in range(w)]
-        for y in range(h)
-    ]
+    px = np.asarray(rows, dtype=np.int64).reshape(h, w, 3)
+    gray = px.sum(axis=2) // 3
     sx, sy = max(1, w // 8), max(1, h // 8)
-    cells = []
-    for cy in range(8):
-        for cx in range(8):
-            s = n = 0
-            for dy in range(sy):
-                for dx in range(sx):
-                    yy, xx = min(h - 1, cy * sy + dy), min(w - 1, cx * sx + dx)
-                    s += gray[yy][xx]
-                    n += 1
-            cells.append(s // n)
-    m = sum(cells) / len(cells)
-    bits = 0
-    for i, v in enumerate(cells):
-        if v > m:
-            bits |= 1 << i
+    # clamp-pad so partial edge cells reuse the last row/col (identical
+    # to the scalar min(h-1, ...) indexing this replaces)
+    yy = np.minimum(np.arange(8 * sy), h - 1)
+    xx = np.minimum(np.arange(8 * sx), w - 1)
+    g = gray[np.ix_(yy, xx)]
+    cells = g.reshape(8, sy, 8, sx).sum(axis=(1, 3)) // (sx * sy)
+    m = cells.mean()
+    bits = int(
+        ((cells > m).reshape(-1) << np.arange(64, dtype=np.uint64)).sum()
+    )
     return f"{bits:016x}"
 
 
