@@ -28,6 +28,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from event_streamer_spark.operators.registry import query
 from event_streamer_spark.tables import load
@@ -554,6 +555,43 @@ def ahash_64(payload: bytes, codecs: Optional[list[PixelCodec]] = None) -> str:
     return f"{bits:016x}"
 
 
+def make_patterned_png(doc_id: int) -> bytes:
+    """The phash-dedup fixture image: a 16×16 PNG whose 8×8 cell
+    pattern is a fixed pseudo-random function of ``doc_id % 10`` with a
+    per-doc brightness offset (``doc_id % 3``) — ten groups of
+    perceptual near-duplicates that are NOT byte-identical."""
+    p, noise = doc_id % 10, doc_id % 3
+    rows = []
+    for y in range(16):
+        line = []
+        for x in range(16):
+            bit = ((x // 2 + 2 * (y // 2) + p) * 2654435761 >> 4) & 1
+            g = (200 if bit else 40) + noise
+            line += [g, g, g]
+        rows.append(bytes(line))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 0))
+        + _png_chunk(
+            b"IDAT", zlib.compress(b"".join(b"\x00" + r for r in rows))
+        )
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def ahash_udf():
+    """``pandas_udf`` computing :func:`ahash_64` over a BINARY image
+    column — the hash expression the durable streaming dedup index
+    (`streaming.dedup.exact_dedup_batch(hash_expr=...)`) plugs in for
+    perceptual image dedup."""
+
+    @pandas_udf("string")
+    def _ahash(payloads: pd.Series) -> pd.Series:
+        return pd.Series([ahash_64(bytes(b)) for b in payloads])
+
+    return _ahash
+
+
 @query(
     "d5_image_phash_dedup",
     oracle="""
@@ -586,35 +624,15 @@ def d5_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
     def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, hs = [], []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                p, noise = did % 10, did % 3
-                rows = []
-                for y in range(16):
-                    line = []
-                    for x in range(16):
-                        bit = (
-                            (x // 2 + 2 * (y // 2) + p) * 2654435761 >> 4
-                        ) & 1
-                        g = (200 if bit else 40) + noise
-                        line += [g, g, g]
-                    rows.append(bytes(line))
-                payload = (
-                    b"\x89PNG\r\n\x1a\n"
-                    + _png_chunk(
-                        b"IHDR",
-                        struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 0),
-                    )
-                    + _png_chunk(
-                        b"IDAT",
-                        zlib.compress(b"".join(b"\x00" + r for r in rows)),
-                    )
-                    + _png_chunk(b"IEND", b"")
-                )
-                ids.append(did)
-                hs.append(ahash_64(payload))
-            yield pd.DataFrame({"doc_id": ids, "phash": hs})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [
+                        ahash_64(make_patterned_png(int(d)))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
 
     hashed = (
         load(spark, sf, "documents")

@@ -390,6 +390,7 @@ def exact_dedup_batch(
     emit_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_expr=None,
 ) -> Callable[[DataFrame, int], None]:
     """D1 streaming leg #2: UNBOUNDED-retention exact dedup over a
     parquet-backed hash index (the durable complement of
@@ -419,7 +420,14 @@ def exact_dedup_batch(
         for sub in (state_dir, emit_dir):
             _migrate_legacy_state(spark, sub)
         hashed = batch_df.withColumn(
-            "content_hash", F.sha2(F.col(text_col), 256)
+            "content_hash",
+            # hash_expr plugs in non-byte identities — e.g. the
+            # perceptual aHash of an image column
+            # (operators.multimodal.ahash_udf) — keeping the index/
+            # keeper/anti-join machinery identical
+            hash_expr
+            if hash_expr is not None
+            else F.sha2(F.col(text_col), 256),
         )
         # within-batch keeper: min id per hash (matches d1's keeper rule)
         w_min = hashed.groupBy("content_hash").agg(

@@ -1743,3 +1743,59 @@ def test_stream_rate_sample_bit_identical_to_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM rate_sample").collect()
     }
     assert got == batch
+
+
+def test_incremental_phash_dedup_matches_batch_groups(spark, tmp_path):
+    """D5×D2 streaming leg: the durable dedup index with the perceptual
+    aHash plugged in — replaying image payloads in two micro-batches
+    emits exactly one keeper per perceptual group, and the emitted
+    (group → keeper) map equals batch d5_image_phash_dedup (ids arrive
+    in order, so keepers agree exactly)."""
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.operators.multimodal import (
+        ahash_udf,
+        make_patterned_png,
+    )
+    from event_streamer_spark.streaming import exact_dedup_batch
+    from event_streamer_spark.tables import load
+
+    batch_keepers = {
+        r["doc_id"]: r["keeper"]
+        for r in REGISTRY["d5_image_phash_dedup"].fn(spark, SF).collect()
+    }
+
+    ids = [r["doc_id"] for r in load(spark, SF, "documents").collect()]
+    rows = [(i, bytearray(make_patterned_png(i))) for i in sorted(ids)]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    src = str(tmp_path / "img_src")
+    half = sorted(ids)[len(ids) // 2]
+    df.filter(F.col("doc_id") <= half).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    df.filter(F.col("doc_id") > half).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, payload binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "img_state")
+    emit = str(tmp_path / "img_emit")
+    q = (
+        stream.writeStream.foreachBatch(
+            exact_dedup_batch(
+                state, emit, hash_expr=ahash_udf()(F.col("payload"))
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "img_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emitted = spark.read.parquet(emit)
+    keepers = {r["content_hash"]: r["doc_id"] for r in emitted.collect()}
+    # one keeper per perceptual group, and the same keeper ids as batch
+    assert sorted(keepers.values()) == sorted(set(batch_keepers.values()))
