@@ -548,6 +548,12 @@ def ahash_64(payload: bytes, codecs: Optional[list[PixelCodec]] = None) -> str:
     xx = np.minimum(np.arange(8 * sx), w - 1)
     g = gray[np.ix_(yy, xx)]
     cells = g.reshape(8, sy, 8, sx).sum(axis=(1, 3)) // (sx * sy)
+    if cells.max() == cells.min():
+        # a uniform image has no pattern bits — every solid color would
+        # otherwise collapse to hash 0 and dedup unrelated solids
+        # against each other. Quantize the level coarsely (//16) so the
+        # small-brightness-shift invariance still holds for solids.
+        return f"uniform-{int(cells[0, 0]) // 16:02x}"
     m = cells.mean()
     bits = int(
         ((cells > m).reshape(-1) << np.arange(64, dtype=np.uint64)).sum()
@@ -555,12 +561,17 @@ def ahash_64(payload: bytes, codecs: Optional[list[PixelCodec]] = None) -> str:
     return f"{bits:016x}"
 
 
-def make_patterned_png(doc_id: int) -> bytes:
+def make_patterned_png(
+    doc_id: int, pattern: Optional[int] = None, offset: Optional[int] = None
+) -> bytes:
     """The phash-dedup fixture image: a 16×16 PNG whose 8×8 cell
     pattern is a fixed pseudo-random function of ``doc_id % 10`` with a
     per-doc brightness offset (``doc_id % 3``) — ten groups of
-    perceptual near-duplicates that are NOT byte-identical."""
-    p, noise = doc_id % 10, doc_id % 3
+    perceptual near-duplicates that are NOT byte-identical. Explicit
+    ``pattern``/``offset`` override the doc_id derivation so tests pin
+    the invariances on THIS generator, not a private copy."""
+    p = doc_id % 10 if pattern is None else pattern
+    noise = doc_id % 3 if offset is None else offset
     rows = []
     for y in range(16):
         line = []
@@ -634,11 +645,15 @@ def d5_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    hashed = (
+    from event_streamer_spark.caching import bounded_persist
+
+    hashed = bounded_persist(
         load(spark, sf, "documents")
         .select("doc_id")
-        .mapInPandas(hash_images, "doc_id long, phash string")
-    )
+        .mapInPandas(hash_images, "doc_id long, phash string"),
+        "d5_phash_hashed",
+    )  # the render+decode+hash pass is the whole cost — run it once,
+    # not once per join side
     keepers = hashed.groupBy("phash").agg(F.min("doc_id").alias("keeper"))
     return (
         hashed.join(keepers, "phash")

@@ -452,20 +452,59 @@ def d9_chunk_overlap(spark: SparkSession, sf: str) -> DataFrame:
 _TEMP_ALPHA = 0.5  # multilingual temperature (alpha-sampling) exponent
 
 
+def temperature_thresholds(docs: DataFrame, key_col: str = "lang") -> DataFrame:
+    """``(key, rate, h)`` thresholds for alpha-sampling — THE one copy
+    of the recipe, shared by the batch `d7_temperature_sample`, the
+    streaming `stream_rate_sample` leg, and their equality tests.
+
+    Determinism: ``sqrt`` is exactly rounded under IEEE-754 on both
+    engines (unlike ``pow``), and quantizing pc to integers (×1e6,
+    floored) makes the z sum order-independent — every downstream float
+    expression then consumes bit-identical inputs on any cluster,
+    partitioning, or engine.
+    """
+    counts = docs.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
+    powered = counts.select(
+        key_col,
+        "c",
+        F.floor(F.sqrt(F.col("c").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("pc"),
+    )
+    tot = powered.agg(F.sum("c").alias("n"), F.sum("pc").alias("z"))
+    rates = powered.crossJoin(F.broadcast(tot)).select(
+        key_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("pc").cast("double") / F.col("z"))
+            * (F.col("n").cast("double") / F.col("c")),
+        ).alias("rate"),
+    )
+    return rates.select(
+        key_col, "rate", md5_threshold(F.col("rate")).alias("h")
+    )
+
+
 @query(
     "d7_temperature_sample",
-    oracle=f"""
+    oracle="""
     WITH counts AS (
       SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
     powered AS (
-      SELECT lang, c, POW(CAST(c AS DOUBLE), {_TEMP_ALPHA}) AS pc
+      -- sqrt is exactly rounded (IEEE-754) on both engines, and the
+      -- 1e6 integer quantization makes the z sum order-independent:
+      -- every downstream float op then sees bit-identical inputs
+      SELECT lang, c,
+             CAST(FLOOR(sqrt(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS pc
       FROM counts),
     tot AS (SELECT SUM(c) AS n, SUM(pc) AS z FROM powered),
     rates AS (
-      -- target share of source s is pc/z of the corpus; dividing by its
-      -- own share c/n gives the per-row keep rate, capped at 1
+      -- target share of language s is pc/z of the corpus; dividing by
+      -- its own share c/n gives the per-row keep rate, capped at 1
       SELECT lang,
-             LEAST(1.0, (pc / z) * (CAST(n AS DOUBLE) / c)) AS rate
+             LEAST(1.0, (CAST(pc AS DOUBLE) / z) * (CAST(n AS DOUBLE) / c))
+               AS rate
       FROM powered CROSS JOIN tot),
     thr AS (
       SELECT lang, rate,
@@ -494,33 +533,10 @@ def d7_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
     cluster. The hash salt ('#T') differs from the uniform variant's so
     the two samples are independent.
     """
+    from event_streamer_spark.streaming.sampling import stream_rate_sample
+
     d = load(spark, sf, "documents")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
-    powered = counts.select(
-        "lang", "c", F.pow(F.col("c").cast("double"), _TEMP_ALPHA).alias("pc")
-    )
-    tot = powered.agg(F.sum("c").alias("n"), F.sum("pc").alias("z"))
-    rates = powered.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        F.least(
-            F.lit(1.0),
-            (F.col("pc") / F.col("z")) * (F.col("n").cast("double") / F.col("c")),
-        ).alias("rate"),
-    )
-    thr = rates.select(
-        "lang", "rate", md5_threshold(F.col("rate")).alias("h")
-    )
-    key = F.substring(
-        F.md5(
-            F.concat(
-                F.col("doc_id").cast("string"), F.lit("#T"), F.col("lang")
-            )
-        ),
-        1,
-        8,
-    )
-    return (
-        d.join(F.broadcast(thr), "lang")
-        .filter(key < F.col("h"))
-        .select("doc_id", "lang", F.round("rate", 6).alias("rate"))
+    thr = temperature_thresholds(d)
+    return stream_rate_sample(d, thr, key_col="lang", salt="#T").select(
+        "doc_id", "lang", F.round("rate", 6).alias("rate")
     )

@@ -91,6 +91,12 @@ def stream_rate_sample(
     keep decision is a pure row function of (id, key, h), so the
     streamed sample is BIT-IDENTICAL to the batch sample under any
     batch split — no state, no RNG, zero stream shuffle.
+
+    Keys ABSENT from the thresholds table (a language first seen after
+    the snapshot was built) default to 'g' — keep everything — via the
+    LEFT join: rare new keys are exactly what alpha-sampling upweights,
+    so sampling them at rate 0 (the inner-join behavior) would invert
+    the intent. Refresh the snapshot to assign them a real rate.
     """
     key = F.substring(
         F.md5(
@@ -102,7 +108,7 @@ def stream_rate_sample(
         8,
     )
     return (
-        docs.join(F.broadcast(thresholds), key_col)
-        .filter(key < F.col("h"))
+        docs.join(F.broadcast(thresholds), key_col, "left")
+        .filter(key < F.coalesce(F.col("h"), F.lit("g")))
         .drop("h")
     )

@@ -213,36 +213,27 @@ class TestPerceptualHashDedup:
     change does."""
 
     def test_brightness_invariant_pattern_sensitive(self):
-        import struct
-        import zlib
-
         from event_streamer_spark.operators.multimodal import (
-            _png_chunk,
             ahash_64,
+            make_patterned_png,
         )
 
         def png(pattern, offset):
-            rows = []
-            for y in range(16):
-                line = []
-                for x in range(16):
-                    bit = ((x // 2 + 2 * (y // 2) + pattern) * 2654435761 >> 4) & 1
-                    g = (200 if bit else 40) + offset
-                    line += [g, g, g]
-                rows.append(bytes(line))
-            return (
-                b"\x89PNG\r\n\x1a\n"
-                + _png_chunk(
-                    b"IHDR", struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 0)
-                )
-                + _png_chunk(
-                    b"IDAT",
-                    zlib.compress(b"".join(b"\x00" + r for r in rows)),
-                )
-                + _png_chunk(b"IEND", b"")
-            )
+            # the REAL fixture generator — a private copy here would
+            # let the operator and test drift apart silently
+            return make_patterned_png(0, pattern=pattern, offset=offset)
 
         assert ahash_64(png(3, 0)) == ahash_64(png(3, 2))  # shift-invariant
         assert ahash_64(png(3, 0)) != ahash_64(png(4, 0))  # pattern-sensitive
         hashes = {ahash_64(png(p, 0)) for p in range(10)}
         assert len(hashes) == 10  # all fixture groups distinct
+
+    def test_uniform_images_hash_by_level(self):
+        from event_streamer_spark.operators.multimodal import ahash_64, make_png
+
+        white = ahash_64(make_png(8, 8, 250))
+        black = ahash_64(make_png(8, 8, 10))
+        assert white != black  # solid colors are NOT perceptual dups
+        assert white.startswith("uniform-")
+        # small brightness shift within the quantization bucket
+        assert ahash_64(make_png(8, 8, 96)) == ahash_64(make_png(8, 8, 98))

@@ -1697,23 +1697,11 @@ def test_stream_rate_sample_bit_identical_to_batch(spark, tmp_path):
     }
     assert batch
 
-    # rebuild the same thresholds table the batch sampler uses
-    from event_streamer_spark.operators.pipeline import md5_threshold
+    # the SAME thresholds table the batch sampler uses (shared helper)
+    from event_streamer_spark.operators.pipeline import temperature_thresholds
 
     d = load(spark, SF, "documents")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
-    powered = counts.select(
-        "lang", "c", F.pow(F.col("c").cast("double"), 0.5).alias("pc")
-    )
-    tot = powered.agg(F.sum("c").alias("n"), F.sum("pc").alias("z"))
-    rates = powered.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        F.least(
-            F.lit(1.0),
-            (F.col("pc") / F.col("z")) * (F.col("n").cast("double") / F.col("c")),
-        ).alias("rate"),
-    )
-    thr = rates.select("lang", md5_threshold(F.col("rate")).alias("h"))
+    thr = temperature_thresholds(d).drop("rate")
 
     src = str(tmp_path / "rs_src")
     d.filter(F.col("doc_id") % 2 == 0).select(
