@@ -663,3 +663,104 @@ def d5_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
         )
     )
+
+
+def make_patterned_wav(doc_id: int) -> bytes:
+    """The audio-dedup fixture: mono 16-bit WAV whose waveform is the
+    standard pattern for ``n = 200 + (doc_id % 8) * 50`` frames plus a
+    per-doc DC offset (``doc_id % 5``) — eight groups of perceptual
+    near-duplicates (same signal, shifted "recording level") that are
+    NOT byte-identical."""
+    import io
+    import wave
+
+    n = 200 + (doc_id % 8) * 50
+    dc = doc_id % 5
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", (j * 31) % 4096 + dc) for j in range(n)
+            )
+        )
+    return buf.getvalue()
+
+
+def audio_fingerprint(payload: bytes) -> str:
+    """DC-offset-invariant audio fingerprint: decode PCM via the stdlib
+    ``wave`` module, subtract the mean (removes any constant level
+    shift EXACTLY), and hash the integer-quantized per-window energy
+    profile (8 windows) plus the frame count. Same role as the image
+    aHash: recordings differing only by a constant level collide; a
+    different waveform or length does not."""
+    import hashlib
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n = w.getnframes()
+        pcm = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.float64)
+    pcm = pcm - pcm.mean()
+    bounds = np.linspace(0, len(pcm), 9).astype(int)
+    profile = [
+        int(round((pcm[bounds[i] : bounds[i + 1]] ** 2).mean()))
+        for i in range(8)
+    ]
+    key = f"{n}|" + ",".join(map(str, profile))
+    return hashlib.md5(key.encode()).hexdigest()[:16]
+
+
+@query(
+    "d5_audio_fingerprint_dedup",
+    oracle="""
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY doc_id % 8) AS keeper,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY doc_id % 8) AS is_dup
+    FROM documents
+    """,
+)
+def d5_audio_fingerprint_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """D5×D2: audio near-duplicate detection — the audio counterpart of
+    `d5_image_phash_dedup`: recordings that differ only by a constant
+    level shift (re-digitized/re-normalized copies) group together via
+    a mean-subtracted energy-profile fingerprint over REAL ``wave``
+    decode; byte-level dedup sees them as distinct.
+
+    Fixture: eight groups (waveform length keyed by ``doc_id % 8``)
+    with a per-doc DC offset; the oracle recomputes the designed
+    grouping, so any decode/fingerprint bug scrambles groups and fails
+    the hash gate. Scale shape identical to the image path: narrow
+    Arrow-batched hashing, 16-byte fingerprints through the shuffle,
+    min-per-group keeper.
+    """
+    from event_streamer_spark.caching import bounded_persist
+
+    def hash_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "afp": [
+                        audio_fingerprint(make_patterned_wav(int(d)))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    hashed = bounded_persist(
+        load(spark, sf, "documents")
+        .select("doc_id")
+        .mapInPandas(hash_audio, "doc_id long, afp string"),
+        "d5_afp_hashed",
+    )
+    keepers = hashed.groupBy("afp").agg(F.min("doc_id").alias("keeper"))
+    return hashed.join(keepers, "afp").select(
+        "doc_id",
+        "keeper",
+        (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
+    )

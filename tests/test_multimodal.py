@@ -237,3 +237,20 @@ class TestPerceptualHashDedup:
         assert white.startswith("uniform-")
         # small brightness shift within the quantization bucket
         assert ahash_64(make_png(8, 8, 96)) == ahash_64(make_png(8, 8, 98))
+
+
+class TestAudioFingerprint:
+    def test_dc_invariant_waveform_sensitive(self):
+        from event_streamer_spark.operators.multimodal import (
+            audio_fingerprint,
+            make_patterned_wav,
+        )
+
+        # doc_ids 0 and 8: same group (n frames), different DC offsets
+        assert audio_fingerprint(make_patterned_wav(0)) == audio_fingerprint(
+            make_patterned_wav(8 * 5)  # same %8 group, different %5 offset
+        )
+        # different groups → different lengths → different fingerprints
+        assert audio_fingerprint(make_patterned_wav(0)) != audio_fingerprint(
+            make_patterned_wav(1)
+        )
