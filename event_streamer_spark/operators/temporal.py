@@ -201,7 +201,12 @@ def b09_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_id").alias("a_id"),
         "user_id",
         F.unix_timestamp("ts").alias("a_start"),
-        (F.unix_timestamp("ts") + F.col("value").cast("bigint") * 60).alias("a_end"),
+        # floor (not cast-truncate) so negative durations would round the
+        # same way the FLOOR() oracle does; fixture values are >0 but the
+        # semantics shouldn't depend on that
+        (
+            F.unix_timestamp("ts") + F.floor("value").cast("bigint") * 60
+        ).alias("a_end"),
     )
     b = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("b_id"),

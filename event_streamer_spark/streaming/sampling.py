@@ -107,8 +107,12 @@ def stream_rate_sample(
         1,
         8,
     )
+    # drop BOTH snapshot columns: leaking "rate" (null for keys absent
+    # from the snapshot) would silently widen the stream schema for
+    # callers that don't re-select; join the thresholds table back if
+    # the rate is wanted downstream (see d7_temperature_sample)
     return (
         docs.join(F.broadcast(thresholds), key_col, "left")
         .filter(key < F.coalesce(F.col("h"), F.lit("g")))
-        .drop("h")
+        .drop("h", "rate")
     )

@@ -281,8 +281,12 @@ def _funnel_fold(
             if kind == "signup":
                 if signup == _NONE or t < signup:
                     signup = t
-                    # a previously-unqualified earliest purchase may
-                    # qualify under the (earlier) signup
+                    # ONLY the earliest already-seen purchase can be
+                    # requalified under the (earlier) signup — per-key
+                    # state keeps one purchase timestamp, so a later
+                    # already-seen purchase that would qualify while the
+                    # earliest does not is outside the exactness
+                    # contract (see docstring)
                     if earliest != _NONE and earliest >= signup:
                         qual = earliest if qual == _NONE else min(qual, earliest)
             else:  # purchase
