@@ -942,3 +942,39 @@ def b34_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("hi"),
         )
     )
+
+
+@query(
+    "b14_empty_grand_total",
+    oracle="""
+    SELECT r_name AS g0,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(r_regionkey) AS BIGINT) AS total
+    FROM region WHERE r_regionkey < 0
+    GROUP BY GROUPING SETS ((r_name), ())
+    """,
+)
+def b14_empty_grand_total(spark: SparkSession, sf: str) -> DataFrame:
+    """B14 regression (found by scripts/fuzz_oracles.py, seed r7b:126):
+    ANSI GROUPING SETS containing the grand-total set ``()`` emits ONE
+    aggregate row even over EMPTY input (COUNT(*)=0) — DuckDB/Postgres
+    comply, but Spark's Expand-based rollup expands zero input rows to
+    zero output rows and silently drops the grand total.
+
+    The compliant Spark recipe, pinned here: compute the ``()`` set as a
+    separate global ``df.agg`` (which correctly returns one row on empty
+    input) and UNION ALL it with the per-key grouping sets. Cost at
+    scale: the global agg is a map-side-combined second pass over the
+    same scan — two partial aggregations instead of one Expand, no extra
+    shuffle width.
+    """
+    d = load(spark, sf, "region").filter(F.col("r_regionkey") < 0)
+    per_key = d.groupBy(F.col("r_name").alias("g0")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("r_regionkey").cast("bigint").alias("total"),
+    )
+    grand = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("r_regionkey").cast("bigint").alias("total"),
+    ).select(F.lit(None).cast("string").alias("g0"), "cnt", "total")
+    return per_key.unionByName(grand)

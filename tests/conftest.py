@@ -17,6 +17,11 @@ def pytest_configure(config):
         "oracle_sweep: full Spark-vs-DuckDB registry sweep at sf0.001 "
         "(runs in the default suite; deselect with -m 'not oracle_sweep')",
     )
+    config.addinivalue_line(
+        "markers",
+        "fuzz: seeded differential fuzz vs DuckDB (runs in the default "
+        "suite; deselect with -m 'not fuzz')",
+    )
 
 
 @pytest.fixture(scope="session")
