@@ -14,6 +14,7 @@ from event_streamer_spark.operators import dedup  # noqa: F401
 from event_streamer_spark.operators import text  # noqa: F401
 from event_streamer_spark.operators import similarity  # noqa: F401
 from event_streamer_spark.operators import multimodal  # noqa: F401
+from event_streamer_spark.operators import multimodal_gif  # noqa: F401
 from event_streamer_spark.operators import curation  # noqa: F401
 from event_streamer_spark.operators import clustering  # noqa: F401
 from event_streamer_spark.operators import text2  # noqa: F401

@@ -1,0 +1,308 @@
+"""D5 multi-frame VISUAL media: animated GIF (87a/89a) frame sampling.
+
+Round-6 gap: ``d5_frame_sample`` (``multimodal.py``) seeks frames in WAV
+audio only — a VLM pipeline samples keyframes from a multi-frame visual
+medium. GIF is the one animated image format that is fully decodable
+from first principles with the stdlib (no codec libraries): LZW with
+variable code width is specified in GIF89a appendix F, and the encoder
+here uses the classic "uncompressed GIF" trick (emit a CLEAR code before
+the string table can grow past 9-bit codes) so the fixture writer stays
+~30 lines while the DECODER is a general table-building LZW that handles
+output from any real encoder.
+
+Fixture recipe (same shape as ``make_patterned_wav``): frame ``f`` holds
+pixel ``(x, y) = (f*31 + x*7 + y) % 251`` — non-uniform in both axes and
+frame-dependent, so the per-frame pixel SUM recomputes from first
+principles in the DuckDB oracle and any seek/LZW/palette bug breaks the
+value hash.
+
+Reference parity note: the reference (comparaonline/event-streamer) has
+no media surface at all; this extends SURVEY §2.D D5 per BASELINE.json's
+multimodal mandate.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from event_streamer_spark.operators.registry import query
+from event_streamer_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# GIF-flavored LZW (spec: GIF89a appendix F)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    """LZW-encode palette indices, literal-only: every pixel is emitted
+    as its 9-bit literal code, with a CLEAR before the decoder's string
+    table can force a 10th bit. ~12% size overhead vs real compression,
+    zero table bookkeeping — fixture writer, not a production encoder.
+    """
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    # decoder adds one string-table entry per code after the first and
+    # widens its code size when next_code (starting at clear+2) reaches
+    # 2^width — reset one code before that so width never grows
+    budget = (1 << width) - clear - 2
+    count = 0
+    for px in indices:
+        emit(px)
+        count += 1
+        if count >= budget:
+            emit(clear)
+            count = 0
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """General GIF LZW decoder: variable code width (grows at table size
+    2^width, 12-bit cap per spec), CLEAR resets, the KwKwK case
+    (``code == next_code``). LSB-first bit packing."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    base = {i: bytes([i]) for i in range(clear)}
+    table = dict(base)
+    next_code = eoi + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    prev = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = dict(base)
+                next_code = eoi + 1
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            else:
+                if code in table:
+                    entry = table[code]
+                elif code == next_code:
+                    entry = prev + prev[:1]  # KwKwK
+                else:
+                    raise ValueError(f"corrupt LZW stream: code {code}")
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            out += entry
+            prev = entry
+    raise ValueError("LZW stream ended without EOI")
+
+
+# ---------------------------------------------------------------------------
+# container: encoder (fixture) + decoder (operator)
+# ---------------------------------------------------------------------------
+
+GIF_W, GIF_H = 4, 8  # fixture frame geometry (32 px/frame)
+
+
+def gif_pixel(frame: int, x: int, y: int) -> int:
+    """The fixture's first-principles pixel value (mod-251 keeps the
+    pattern non-uniform across frames AND within each frame)."""
+    return (frame * 31 + x * 7 + y) % 251
+
+
+def make_patterned_gif(
+    n_frames: int, w: int = GIF_W, h: int = GIF_H, delay_cs: int = 4
+) -> bytes:
+    """Animated GIF89a: global 256-gray palette, one Graphic Control
+    Extension (frame delay in centiseconds) + image block per frame."""
+    out = bytearray(b"GIF89a")
+    # logical screen: global color table, 8-bit color resolution, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += bytes(v for i in range(256) for v in (i, i, i))  # grayscale GCT
+    for f in range(n_frames):
+        out += b"\x21\xF9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(8)  # LZW minimum code size
+        idx = bytes(
+            gif_pixel(f, x, y) for y in range(h) for x in range(w)
+        )
+        comp = _lzw_encode(idx, 8)
+        for i in range(0, len(comp), 255):
+            chunk = comp[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # image data terminator
+    out += b"\x3B"  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Parse a GIF87a/89a payload: header, global/local color tables,
+    extension blocks (Graphic Control delay kept, others skipped), one
+    LZW-decoded index frame per image block.
+
+    Returns ``{"width", "height", "n_frames", "frames", "delays_cs",
+    "palette"}`` where each frame is ``bytes`` of palette indices in
+    row-major order. Interlaced frames raise ``NotImplementedError``
+    (a real guard, same protocol as the PNG codec's unsupported
+    filter types)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    frames: list[bytes] = []
+    delays: list[int] = []
+    pending_delay = 0
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension block
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # Graphic Control Extension
+                size = payload[pos]
+                block = payload[pos + 1 : pos + 1 + size]
+                pending_delay = struct.unpack("<H", block[1:3])[0]
+                pos += 1 + size
+                if payload[pos] != 0:
+                    raise ValueError("unterminated GCE")
+                pos += 1
+            else:  # comment/plain-text/application: skip sub-blocks
+                while True:
+                    size = payload[pos]
+                    pos += 1
+                    if size == 0:
+                        break
+                    pos += size
+        elif b0 == 0x2C:  # image descriptor
+            _l, _t, fw, fh, ip = struct.unpack(
+                "<HHHHB", payload[pos : pos + 9]
+            )
+            pos += 9
+            if ip & 0x40:
+                raise NotImplementedError("interlaced GIF frames")
+            if ip & 0x80:  # local color table (unused by the fixture)
+                n = 2 ** ((ip & 0x07) + 1)
+                pos += 3 * n
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                size = payload[pos]
+                pos += 1
+                if size == 0:
+                    break
+                data += payload[pos : pos + size]
+                pos += size
+            idx = _lzw_decode(bytes(data), mcs)
+            if len(idx) < fw * fh:
+                raise ValueError("short GIF frame")
+            frames.append(idx[: fw * fh])
+            delays.append(pending_delay)
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": len(frames),
+        "frames": frames,
+        "delays_cs": delays,
+        "palette": gct,
+    }
+
+
+# ---------------------------------------------------------------------------
+# the registered operator
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d5_gif_frames",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, 1 + n_chars % 40 AS n FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_frames,
+           list_transform(range(0, LEAST(n, 8)),
+                          i -> CAST(i * n // 8 AS BIGINT)) AS offsets,
+           list_transform(range(0, LEAST(n, 8)),
+                          i -> CAST(list_sum(list_transform(range(0, {GIF_W * GIF_H}),
+                               p -> (i * n // 8 * 31 + (p % {GIF_W}) * 7
+                                     + p // {GIF_W}) % 251)) AS BIGINT))
+             AS frame_sums
+    FROM t
+    """,
+)
+def d5_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """D5: frame sampling on a multi-frame VISUAL medium — decode an
+    animated GIF (stdlib-only LZW, :func:`decode_gif`), take 8 evenly
+    spaced keyframes, and emit each sampled frame's exact pixel sum.
+    The fixture writes pixel ``(f,x,y) = (f*31 + x*7 + y) % 251``, so
+    the oracle recomputes every sampled sum from first principles — a
+    frame-indexing, LZW, or palette bug breaks the hash. Same
+    mapInPandas plumbing as ``d5_frame_sample`` (WAV): for codec-bound
+    video, swap :func:`decode_gif` for a codec-backed reader.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfr, offs, sums = [], [], [], []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = 1 + int(nc) % 40
+                g = decode_gif(make_patterned_gif(n))
+                k = min(n, 8)
+                o = [i * n // 8 for i in range(k)]
+                s = [sum(g["frames"][off]) for off in o]
+                ids.append(int(did))
+                nfr.append(n)
+                offs.append(o)
+                sums.append(s)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nfr,
+                    "offsets": offs,
+                    "frame_sums": sums,
+                }
+            )
+
+    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    return d.mapInPandas(
+        sample,
+        "doc_id long, n_frames long, offsets array<long>,"
+        " frame_sums array<long>",
+    )

@@ -4,6 +4,8 @@ fixtures, plus corrupt-input hardening."""
 
 import struct
 
+import pytest
+
 from event_streamer_spark.operators.multimodal import (
     decode_media,
     make_png,
@@ -254,3 +256,100 @@ class TestAudioFingerprint:
         assert audio_fingerprint(make_patterned_wav(0)) != audio_fingerprint(
             make_patterned_wav(1)
         )
+
+
+class TestGifCodec:
+    """d5_gif_frames support: stdlib GIF89a encoder/decoder (VERDICT r6 #3)."""
+
+    def test_round_trip_non_uniform_frames(self):
+        from event_streamer_spark.operators.multimodal_gif import (
+            GIF_H,
+            GIF_W,
+            decode_gif,
+            gif_pixel,
+            make_patterned_gif,
+        )
+
+        g = decode_gif(make_patterned_gif(11))
+        assert (g["width"], g["height"], g["n_frames"]) == (GIF_W, GIF_H, 11)
+        for f in (0, 5, 10):
+            fr = g["frames"][f]
+            # every pixel matches first principles (NOT a uniform frame:
+            # the pattern varies in x, y, and f)
+            assert [
+                fr[y * GIF_W + x] for y in range(GIF_H) for x in range(GIF_W)
+            ] == [
+                gif_pixel(f, x, y) for y in range(GIF_H) for x in range(GIF_W)
+            ]
+            assert len(set(fr)) > 1, "frame must not be uniform"
+        # frames differ from each other
+        assert g["frames"][0] != g["frames"][1]
+        # grayscale palette: index i → (i, i, i)
+        assert g["palette"][3 * 7 : 3 * 8] == bytes([7, 7, 7])
+
+    def test_frame_delays_parsed(self):
+        from event_streamer_spark.operators.multimodal_gif import (
+            decode_gif,
+            make_patterned_gif,
+        )
+
+        g = decode_gif(make_patterned_gif(3, delay_cs=12))
+        assert g["delays_cs"] == [12, 12, 12]
+
+    def test_interlaced_frame_raises(self):
+        from event_streamer_spark.operators.multimodal_gif import (
+            decode_gif,
+            make_patterned_gif,
+        )
+
+        payload = bytearray(make_patterned_gif(1))
+        # image descriptor starts after 6 (hdr) + 7 (LSD) + 768 (GCT) +
+        # 8 (GCE) bytes; its packed byte is the 9th of the descriptor
+        idesc = 6 + 7 + 768 + 8
+        assert payload[idesc] == 0x2C
+        payload[idesc + 9] |= 0x40  # set interlace flag
+        with pytest.raises(NotImplementedError, match="interlaced"):
+            decode_gif(bytes(payload))
+
+    def test_skips_unknown_extensions(self):
+        from event_streamer_spark.operators.multimodal_gif import (
+            decode_gif,
+            make_patterned_gif,
+        )
+
+        payload = bytearray(make_patterned_gif(2))
+        # splice a comment extension right before the trailer
+        assert payload[-1] == 0x3B
+        comment = b"\x21\xfe\x05hello\x00"
+        payload = payload[:-1] + comment + b"\x3b"
+        g = decode_gif(bytes(payload))
+        assert g["n_frames"] == 2
+
+    def test_lzw_decoder_handles_general_streams(self):
+        from event_streamer_spark.operators.multimodal_gif import (
+            _lzw_decode,
+            _lzw_encode,
+        )
+
+        # literal-only round trips at both palette widths
+        data = bytes([1, 1, 1, 1, 2, 2, 2, 2] * 300)
+        assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+        small = bytes([0, 1, 2, 3] * 10)
+        assert _lzw_decode(_lzw_encode(small, 2), 2) == small
+        # hand-packed KwKwK stream (code == next_code): clear,1,6,eoi @3 bits
+        acc = 0
+        nbits = 0
+        out = bytearray()
+        for c in (4, 1, 6, 5):
+            acc |= c << nbits
+            nbits += 3
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        assert _lzw_decode(bytes(out), 2) == bytes([1, 1, 1])
+        # truncated stream (no EOI) must raise, not return silently
+        with pytest.raises(ValueError, match="EOI"):
+            _lzw_decode(_lzw_encode(data, 8)[:-2] + b"", 8)

@@ -3,6 +3,8 @@
 These verify the 100 TB toolkit produces *identical results* to the
 naive plans (salting) and *removes shuffles* (bucketing)."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -507,3 +509,49 @@ def test_bloom_prune_join_rejects_mismatched_key_types(spark):
     small = spark.createDataFrame([(1.0,)], "k double")
     with pytest.raises(ValueError, match="matching key types"):
         bloom_prune_join(big, small, "k", "left_semi")
+
+
+SF10_DIR = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/sf10")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{SF10_DIR}/lineitem.parquet"),
+    reason="sf10 data absent — generate with "
+    "`python scripts/gen_sf1.py /tmp/sf10 --reps 100 "
+    "--tables lineitem,events,documents` (scripts/prove_sf10.py runs the "
+    "full proof)",
+)
+def test_sf10_auto_flips_at_default_threshold(spark):
+    """The sf10 crossover proof, at REAL sizes (not extrapolation): the
+    Catalyst estimate for the FULL-WIDTH sf10 lineitem scan exceeds the
+    DEFAULT 1 GiB threshold and ``mode='auto'`` emits the two-level
+    plan, while the same call at sf0.001 stays naive. (Catalyst prunes
+    the estimate by projected width, so b15's 5-column frame crosses
+    around sf20 — the decision input is whatever frame the caller
+    hands in.) Plan checks only — no job runs; timing lives in
+    scripts/prove_sf10.py."""
+    from event_streamer_spark.operators.distrank import (
+        _NAIVE_MAX_BYTES,
+        _plan_size_bytes,
+        two_level_row_number,
+    )
+
+    assert _plan_size_bytes(load(spark, SF10_DIR, "lineitem")) > _NAIVE_MAX_BYTES
+    assert _plan_size_bytes(load(spark, SF, "lineitem")) < _NAIVE_MAX_BYTES
+
+    def auto_plan(df):
+        return explain_str(
+            two_level_row_number(
+                df,
+                ["l_returnflag"],
+                [F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"],
+                bucket_value=-F.col("l_extendedprice"),
+                out_col="rn",
+                mode="auto",
+                cache=False,
+            ),
+            "simple",
+        )
+
+    assert "__bucket" in auto_plan(load(spark, SF10_DIR, "lineitem"))
+    assert "__bucket" not in auto_plan(load(spark, SF, "lineitem"))

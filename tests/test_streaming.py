@@ -21,6 +21,26 @@ from event_streamer_spark.tables import load
 SF = "/root/testdata/sf0.001"
 
 
+def write_split_files(df, src: str, key: str, n_splits: int, seed: str):
+    """Seeded randomized micro-batch boundaries: split ``df`` into
+    ``n_splits`` parquet files by a seeded hash of ``key`` — one file
+    per micro-batch under ``maxFilesPerTrigger=1``. The incremental
+    index family claims batch-boundary INDEPENDENCE (any split replays
+    to the same result); the replay-equality tests therefore run both
+    the historical 2-way parity split and a seeded multi-way hash split
+    instead of proving the claim at a single boundary."""
+    b = F.pmod(
+        F.crc32(F.concat(F.col(key).cast("string"), F.lit(seed))),
+        F.lit(n_splits),
+    )
+    for i in range(n_splits):
+        df.filter(b == i).coalesce(1).write.parquet(src, mode="append")
+
+
+# (n_splits, seed) grid for the boundary-independence parametrization
+BOUNDARY_SPLITS = [(2, "p0"), (4, "r7")]
+
+
 def _events_stream(spark):
     # load() handles the nanos→micros conversion; write a micros copy for
     # the streaming source to read.
@@ -620,11 +640,15 @@ def test_incremental_hll_equals_batch_registers(spark, tmp_path):
     assert merged == exact
 
 
-def test_incremental_minhash_neardup_matches_batch(spark, tmp_path):
-    """D2 streaming leg: replaying the corpus in TWO micro-batches
-    through the incremental LSH index yields exactly the batch
-    operator's candidate pairs (cross-batch pairs come from the index
-    join, within-batch pairs from the self-join; no pair twice)."""
+@pytest.mark.parametrize("n_splits,bseed", BOUNDARY_SPLITS)
+def test_incremental_minhash_neardup_matches_batch(
+    spark, tmp_path, n_splits, bseed
+):
+    """D2 streaming leg: replaying the corpus in micro-batches (any
+    seeded boundary) through the incremental LSH index yields exactly
+    the batch operator's candidate pairs (cross-batch pairs come from
+    the index join, within-batch pairs from the self-join; no pair
+    twice)."""
     from event_streamer_spark.operators import REGISTRY
     from event_streamer_spark.streaming import minhash_neardup_batch
 
@@ -634,15 +658,9 @@ def test_incremental_minhash_neardup_matches_batch(spark, tmp_path):
     }
     assert batch_pairs, "no candidate pairs at sf0.001"
 
-    # two files → two micro-batches with maxFilesPerTrigger=1
     docs = load(spark, SF, "documents").select("doc_id", "text")
     src = str(tmp_path / "docs_src")
-    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
-        src, mode="append"
-    )
-    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
-        src, mode="append"
-    )
+    write_split_files(docs, src, "doc_id", n_splits, bseed)
 
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
@@ -966,11 +984,14 @@ def test_running_stats_tws_fallback_contract(spark, tmp_path):
             running_stats_tws(stream, require_v2=True)
 
 
-def test_ivf_streaming_ingest_matches_batch_and_prunes(spark, tmp_path):
-    """D3 streaming leg: vectors ingested over two micro-batches land in
-    the SAME cells as the batch assigner; the query probes nprobe cells
-    via partition pruning (pinned in the plan) and returns exactly the
-    batch-computed top-k over those cells."""
+@pytest.mark.parametrize("n_splits,bseed", BOUNDARY_SPLITS)
+def test_ivf_streaming_ingest_matches_batch_and_prunes(
+    spark, tmp_path, n_splits, bseed
+):
+    """D3 streaming leg: vectors ingested over micro-batches (any seeded
+    boundary) land in the SAME cells as the batch assigner; the query
+    probes nprobe cells via partition pruning (pinned in the plan) and
+    returns exactly the batch-computed top-k over those cells."""
     import numpy as np
 
     from event_streamer_spark.operators.similarity import (
@@ -988,8 +1009,7 @@ def test_ivf_streaming_ingest_matches_batch_and_prunes(spark, tmp_path):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     src = str(tmp_path / "vec_src")
-    emb.filter("vec_id < 250").coalesce(1).write.parquet(src, mode="append")
-    emb.filter("vec_id >= 250").coalesce(1).write.parquet(src, mode="append")
+    write_split_files(emb, src, "vec_id", n_splits, bseed)
 
     index_dir = str(tmp_path / "ivf_index")
     cents = random_ivf_centroids()
@@ -1047,11 +1067,15 @@ def test_ivf_streaming_ingest_matches_batch_and_prunes(spark, tmp_path):
     assert rows == exp_rows
 
 
-def test_weighted_sample_streaming_equals_batch(spark, tmp_path):
+@pytest.mark.parametrize("n_splits,bseed", BOUNDARY_SPLITS)
+def test_weighted_sample_streaming_equals_batch(
+    spark, tmp_path, n_splits, bseed
+):
     """D7 streaming leg: the A-ES priority is a pure row function, so
-    replaying the corpus in two micro-batches and merging each batch's
-    top-k candidates yields the BIT-IDENTICAL sample to the batch
-    d7_weighted_sample operator — exact, not approximate."""
+    replaying the corpus in micro-batches (any seeded boundary) and
+    merging each batch's top-k candidates yields the BIT-IDENTICAL
+    sample to the batch d7_weighted_sample operator — exact, not
+    approximate."""
     from event_streamer_spark.operators import REGISTRY
     from event_streamer_spark.streaming import (
         read_weighted_sample,
@@ -1060,8 +1084,7 @@ def test_weighted_sample_streaming_equals_batch(spark, tmp_path):
 
     docs = load(spark, SF, "documents").select("doc_id", "n_chars")
     src = str(tmp_path / "doc_src")
-    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src, mode="append")
-    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(src, mode="append")
+    write_split_files(docs, src, "doc_id", n_splits, bseed)
 
     state = str(tmp_path / "ws_state")
     stream = (
@@ -1262,18 +1285,21 @@ def test_ivf_and_sample_batch_writes_are_retry_idempotent(spark, tmp_path):
     assert spark.read.parquet(ws_dir).count() == 10  # one top-k, not two
 
 
-def test_exact_dedup_index_matches_batch_keepers(spark, tmp_path):
+@pytest.mark.parametrize("n_splits,bseed", BOUNDARY_SPLITS)
+def test_exact_dedup_index_matches_batch_keepers(
+    spark, tmp_path, n_splits, bseed
+):
     """D1 streaming leg #2 (parquet hash index, unbounded retention):
-    replaying the corpus in two micro-batches emits exactly the batch
-    d1_exact_dedup keeper set — cross-batch duplicates suppressed by
-    the index, within-batch ones by the min-id rule."""
+    replaying the corpus in micro-batches (any seeded boundary) emits
+    exactly the batch d1_exact_dedup group count — cross-batch
+    duplicates suppressed by the index, within-batch ones by the min-id
+    rule."""
     from event_streamer_spark.operators import REGISTRY
     from event_streamer_spark.streaming import exact_dedup_batch
 
     docs = load(spark, SF, "documents").select("doc_id", "text")
     src = str(tmp_path / "docs_src")
-    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src, mode="append")
-    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(src, mode="append")
+    write_split_files(docs, src, "doc_id", n_splits, bseed)
 
     state, emit_dir = str(tmp_path / "hash_idx"), str(tmp_path / "kept")
     q = (
@@ -1683,10 +1709,13 @@ def test_funnel_with_state_adversarial_in_batch_order(spark, tmp_path):
     assert r["converted"] is True
 
 
-def test_stream_rate_sample_bit_identical_to_batch(spark, tmp_path):
+@pytest.mark.parametrize("n_splits,bseed", BOUNDARY_SPLITS)
+def test_stream_rate_sample_bit_identical_to_batch(
+    spark, tmp_path, n_splits, bseed
+):
     """D7 streaming leg: the md5-threshold filter is a pure row
-    function, so replaying the corpus in two micro-batches yields
-    EXACTLY the batch d7_temperature_sample row set."""
+    function, so replaying the corpus in micro-batches (any seeded
+    boundary) yields EXACTLY the batch d7_temperature_sample row set."""
     from event_streamer_spark.operators import REGISTRY
     from event_streamer_spark.streaming import stream_rate_sample
     from event_streamer_spark.tables import load
@@ -1704,12 +1733,9 @@ def test_stream_rate_sample_bit_identical_to_batch(spark, tmp_path):
     thr = temperature_thresholds(d).drop("rate")
 
     src = str(tmp_path / "rs_src")
-    d.filter(F.col("doc_id") % 2 == 0).select(
-        "doc_id", "lang"
-    ).coalesce(1).write.parquet(src, mode="append")
-    d.filter(F.col("doc_id") % 2 == 1).select(
-        "doc_id", "lang"
-    ).coalesce(1).write.parquet(src, mode="append")
+    write_split_files(
+        d.select("doc_id", "lang"), src, "doc_id", n_splits, bseed
+    )
 
     stream = (
         spark.readStream.schema("doc_id bigint, lang string")
