@@ -260,7 +260,13 @@ def d2_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # one live frame across calls (see caching.bounded_persist)
     from event_streamer_spark.caching import bounded_persist
 
-    sigs = bounded_persist(_minhash_signatures(docs), "dedup.minhash_sigs")
+    # uncompressed: the signature arrays are uniform hashes (no codec
+    # wins) and the first build sits on the cold path (see bounded_persist)
+    sigs = bounded_persist(
+        _minhash_signatures(docs),
+        "dedup.minhash_sigs",
+        columnar_compressed=False,
+    )
 
     bands = sigs.select(
         "doc_id", F.posexplode("bands").alias("band", "bh")

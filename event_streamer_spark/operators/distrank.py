@@ -195,7 +195,10 @@ def two_level_row_number(
         # from parquet twice (the r4 3-scan regression)
         from event_streamer_spark.caching import bounded_persist
 
-        b = bounded_persist(b, _CACHE_SLOT)
+        # narrow numeric frame on the cold critical path: skip columnar
+        # compression (2× faster first build, identical reread — see
+        # bounded_persist)
+        b = bounded_persist(b, _CACHE_SLOT, columnar_compressed=False)
 
     # pass 1: per-bucket counts → cumulative base offsets (tiny table)
     counts = b.groupBy(*part_cols, "__bucket").agg(
