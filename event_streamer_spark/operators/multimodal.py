@@ -195,8 +195,18 @@ def decode_media(
                 channels=_PNG_CHANNELS.get(payload[25]),
             )
         elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            from event_streamer_spark.operators.multimodal_gif import (
+                count_gif_frames,
+            )
+
             w, h = struct.unpack("<HH", payload[6:10])
-            out.update(format="gif", width=w, height=h, channels=3)
+            try:
+                nf = count_gif_frames(payload)
+            except Exception:  # noqa: BLE001 — truncated block structure
+                nf = None
+            out.update(
+                format="gif", width=w, height=h, channels=3, n_frames=nf
+            )
         elif payload[:2] == b"BM" and len(payload) >= 26:
             w, h = struct.unpack("<ii", payload[18:26])
             out.update(format="bmp", width=w, height=abs(h), channels=3)

@@ -163,6 +163,50 @@ def make_patterned_gif(
     return bytes(out)
 
 
+def count_gif_frames(payload: bytes) -> int:
+    """Header-level frame count: walk the block structure (skipping data
+    sub-blocks by their length prefixes) and count image descriptors —
+    no LZW decode, O(#blocks) not O(#pixels). Used by
+    ``multimodal.decode_media`` to fill ``n_frames`` for GIFs as cheaply
+    as the WAV header path does for audio."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 ** ((packed & 0x07) + 1))
+    n = 0
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            pos += 1  # label
+            while True:
+                size = payload[pos]
+                pos += 1
+                if size == 0:
+                    break
+                pos += size
+        elif b0 == 0x2C:
+            ip = payload[pos + 8]
+            pos += 9
+            if ip & 0x80:
+                pos += 3 * (2 ** ((ip & 0x07) + 1))
+            pos += 1  # LZW min code size
+            while True:
+                size = payload[pos]
+                pos += 1
+                if size == 0:
+                    break
+                pos += size
+            n += 1
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    return n
+
+
 def decode_gif(payload: bytes) -> dict:
     """Parse a GIF87a/89a payload: header, global/local color tables,
     extension blocks (Graphic Control delay kept, others skipped), one
@@ -305,4 +349,62 @@ def d5_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
         sample,
         "doc_id long, n_frames long, offsets array<long>,"
         " frame_sums array<long>",
+    )
+
+
+@query(
+    "d5_gif_keyframe_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, 1 + n_chars % 40 AS n FROM documents),
+    f AS (
+      SELECT doc_id,
+             md5(array_to_string(list_transform(range(0, LEAST(n, 8)),
+                 i -> CAST(list_sum(list_transform(range(0, {GIF_W * GIF_H}),
+                      p -> (i * n // 8 * 31 + (p % {GIF_W}) * 7
+                            + p // {GIF_W}) % 251)) AS BIGINT)), ',')) AS fp
+      FROM t)
+    SELECT fp AS fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           MIN(doc_id) AS keeper_id
+    FROM f GROUP BY fp
+    """,
+)
+def d5_gif_keyframe_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """D5×D2: VIDEO-dedup analog on the multi-frame visual medium — a
+    keyframe signature (md5 over the 8 sampled frames' decoded pixel
+    sums) groups perceptually-identical animations; one shuffle on the
+    16-byte fingerprint, min-id keeper per group. Two GIFs share a
+    fingerprint iff their sampled keyframe CONTENT matches (the fixture
+    makes that exactly the ``1 + n_chars % 40`` frame-count classes, so
+    the oracle recomputes every group from first principles). For real
+    video, swap :func:`decode_gif` for a codec-backed keyframe reader
+    and the per-frame sum for the aHash already used by
+    ``d5_image_phash_dedup`` — the Spark shape (mapInPandas fingerprint
+    → groupBy) is identical.
+    """
+    from pyspark.sql import functions as F
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = 1 + int(nc) % 40
+                g = decode_gif(make_patterned_gif(n))
+                sums = [
+                    sum(g["frames"][i * n // 8]) for i in range(min(n, 8))
+                ]
+                ids.append(int(did))
+                fps.append(",".join(str(s) for s in sums))
+            yield pd.DataFrame({"doc_id": ids, "sig": fps})
+
+    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    sigs = d.mapInPandas(fingerprint, "doc_id long, sig string")
+    return (
+        sigs.select("doc_id", F.md5("sig").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min("doc_id").alias("keeper_id"),
+        )
     )

@@ -329,10 +329,22 @@ class Gen:
                 )
             else:
                 dates = _cols_of(t, ("date",))
-                if dates:
+                strs = _cols_of(t, ("str", "name"))
+                pick2 = rng.random()
+                if dates and pick2 < 0.4:
                     out.append(
                         f"CAST({a}.{rng.choice(dates)} AS DATE) AS c{i}"
                     )
+                elif dates and pick2 < 0.7:
+                    part = rng.choice(["YEAR", "MONTH", "DAY"])
+                    out.append(
+                        f"EXTRACT({part} FROM CAST({a}.{rng.choice(dates)}"
+                        f" AS DATE)) AS c{i}"
+                    )
+                elif len(strs) >= 2:
+                    s1, s2 = rng.sample(strs, 2)
+                    # || is NULL-propagating on BOTH engines (CONCAT not)
+                    out.append(f"{a}.{s1} || '_' || {a}.{s2} AS c{i}")
                 else:
                     out.append(f"{self.int_expr(t, a)} AS c{i}")
         return out
@@ -399,11 +411,13 @@ def q_agg(g: Gen) -> str:
     key_sql = ", ".join(f"{e} AS {al}" for e, al in keys)
     group = ", ".join(e for e, _ in keys)
     aggs = ", ".join(g.aggs(t, "t"))
-    having = (
-        f" HAVING COUNT(*) >= {g.rng.randint(1, 5)}"
-        if g.rng.random() < 0.4
-        else ""
-    )
+    pick = g.rng.random()
+    if pick < 0.3:
+        having = f" HAVING COUNT(*) >= {g.rng.randint(1, 5)}"
+    elif pick < 0.5:
+        having = f" HAVING SUM({g.int_expr(t, 't')}) > 0"
+    else:
+        having = ""
     return (
         f"SELECT {key_sql}, {aggs} FROM {t} t "
         f"WHERE {g.pred(t, 't')} GROUP BY {group}{having}"
@@ -456,6 +470,61 @@ def q_join(g: Gen) -> str:
             f"FROM ({q}) j GROUP BY ppk"
         )
     return q
+
+
+def q_join3(g: Gen) -> str:
+    """Three-table FK chain (child → parent → grandparent), aggregated
+    on a grandparent key — the TPC-H star shape the registry leans on."""
+    rng = g.rng
+    chain = rng.choice(
+        [
+            ("lineitem", "l_orderkey", "orders", "o_orderkey",
+             "o_custkey", "customer", "c_custkey"),
+            ("orders", "o_custkey", "customer", "c_custkey",
+             "c_nationkey", "nation", "n_nationkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey",
+             "n_regionkey", "region", "r_regionkey"),
+            ("lineitem", "l_suppkey", "supplier", "s_suppkey",
+             "s_nationkey", "nation", "n_nationkey"),
+        ]
+    )
+    c, ck, p, pk, pfk, gp, gpk = chain
+    e = g.int_expr(c, "c")
+    strs_gp = _cols_of(gp, ("str", "name"))
+    gcol = f"g.{rng.choice(strs_gp)}" if strs_gp else f"g.{gpk}"
+    return (
+        f"SELECT {gcol} AS g0, COUNT(*) AS cnt, SUM({e}) AS s0 "
+        f"FROM {c} c JOIN {p} p ON c.{ck} = p.{pk} "
+        f"JOIN {gp} g ON p.{pfk} = g.{gpk} "
+        f"WHERE {g.pred(c, 'c')} AND {g.pred(gp, 'g')} "
+        f"GROUP BY {gcol}"
+    )
+
+
+def q_window_frame(g: Gen) -> str:
+    """Explicit ROWS BETWEEN frames over a total in-partition order."""
+    rng = g.rng
+    t = rng.choice([x for x in TABLES if x not in ("region", "nation")])
+    part, _ = g.group_keys(t, "t")[0]
+    val = g.int_expr(t, "t")
+    pk_order = ", ".join(f"t.{p} ASC" for p in TABLES[t]["pk"])
+    lo = rng.randint(1, 4)
+    frame = rng.choice(
+        [
+            f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN {lo} PRECEDING AND {rng.randint(1, 3)} FOLLOWING",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        ]
+    )
+    fn = rng.choice([f"SUM({val})", f"MIN({val})", f"MAX({val})",
+                     "COUNT(*)", f"AVG({val})"])
+    pks = ", ".join(f"t.{p} AS pk{i}" for i, p in enumerate(TABLES[t]["pk"]))
+    return (
+        f"SELECT {pks}, {part} AS g0, {val} AS v0, "
+        f"{fn} OVER (PARTITION BY {part} ORDER BY {val} ASC NULLS FIRST, "
+        f"{pk_order} {frame}) AS w0 "
+        f"FROM {t} t WHERE {g.pred(t, 't')}"
+    )
 
 
 def q_window(g: Gen) -> str:
@@ -581,6 +650,8 @@ SHAPES = [
     (q_scalar_subq, 2),
     (q_cte, 1),
     (q_rollup, 2),
+    (q_join3, 3),
+    (q_window_frame, 2),
 ]
 
 

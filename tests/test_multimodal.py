@@ -353,3 +353,25 @@ class TestGifCodec:
         # truncated stream (no EOI) must raise, not return silently
         with pytest.raises(ValueError, match="EOI"):
             _lzw_decode(_lzw_encode(data, 8)[:-2] + b"", 8)
+
+    def test_count_frames_and_decode_media_integration(self):
+        from event_streamer_spark.operators.multimodal import decode_media
+        from event_streamer_spark.operators.multimodal_gif import (
+            GIF_H,
+            GIF_W,
+            count_gif_frames,
+            make_patterned_gif,
+        )
+
+        payload = make_patterned_gif(17)
+        assert count_gif_frames(payload) == 17
+        meta = decode_media(payload)
+        assert meta["format"] == "gif"
+        assert (meta["width"], meta["height"]) == (GIF_W, GIF_H)
+        assert meta["n_frames"] == 17
+        # truncated payload → only COMPLETE image blocks are counted
+        # (lenient, like a player rendering what arrived); header fields
+        # survive either way
+        meta2 = decode_media(payload[: len(payload) // 2])
+        assert meta2["format"] == "gif"
+        assert meta2["n_frames"] is None or meta2["n_frames"] < 17
