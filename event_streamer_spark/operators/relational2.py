@@ -978,3 +978,49 @@ def b14_empty_grand_total(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("r_regionkey").cast("bigint").alias("total"),
     ).select(F.lit(None).cast("string").alias("g0"), "cnt", "total")
     return per_key.unionByName(grand)
+
+
+@query(
+    "b27_cast_trunc_double",
+    oracle="""
+    SELECT c_custkey,
+           CAST(TRUNC(c_acctbal) AS BIGINT) AS bal_trunc,
+           CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor
+    FROM customer WHERE c_acctbal < 0
+    """,
+)
+def b27_cast_trunc_double(spark: SparkSession, sf: str) -> DataFrame:
+    """B27 regression (direct engine probe, round 7): ``CAST(double AS
+    BIGINT)`` TRUNCATES toward zero on Spark but ROUNDS half-away on
+    DuckDB — and ``TRY_CAST`` inherits the same split (-2.5 → -2 vs -3).
+    The portable recipes, pinned here on the NEGATIVE c_acctbal rows
+    where the two diverge hardest: Spark's bare cast ==
+    ``CAST(TRUNC(x))`` on DuckDB; ``FLOOR`` before casting is identical
+    on both. Oracle authors must never write a bare double→int cast.
+    """
+    c = load(spark, sf, "customer").filter(F.col("c_acctbal") < 0)
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("bigint").alias("bal_trunc"),
+        F.floor("c_acctbal").cast("bigint").alias("bal_floor"),
+    )
+
+
+@query(
+    "b23_sign_bigint",
+    oracle="""
+    SELECT c_custkey,
+           CAST(SIGN(c_acctbal) AS BIGINT) AS bal_sign
+    FROM customer
+    """,
+)
+def b23_sign_bigint(spark: SparkSession, sf: str) -> DataFrame:
+    """B23 regression (direct engine probe, round 7): ``SIGN(double)``
+    returns DOUBLE on Spark (-1.0) but an integer-typed value on DuckDB
+    (-1) — equal numerically, hash-divergent through the canonical
+    formatter. The portable recipe is an explicit integer cast on BOTH
+    sides, pinned here over c_acctbal's mixed-sign values."""
+    return load(spark, sf, "customer").select(
+        "c_custkey",
+        F.signum("c_acctbal").cast("bigint").alias("bal_sign"),
+    )

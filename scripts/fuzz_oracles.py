@@ -31,6 +31,24 @@ difference the grammar must not trip over, verified here once so the
 - window ORDER BY is total within its partition (PK tiebreak) so
   rank/lag/sum-frames are deterministic.
 
+Known divergences confirmed by direct probing (round 7) and excluded
+from the grammar, each pinned by a named registry query showing the
+portable recipe:
+
+- ``CAST(double AS BIGINT)`` / ``TRY_CAST``: Spark truncates toward
+  zero, DuckDB rounds half-away (-2.5 → -2 vs -3). Recipe: FLOOR (or
+  TRUNC on the DuckDB side) before casting → ``b27_cast_trunc_double``.
+- ``SIGN(double)``: Spark returns DOUBLE, DuckDB integer-typed — equal
+  values, different canonical formatting. Recipe: explicit integer cast
+  on both sides → ``b23_sign_bigint``.
+- ``CAST(double AS DECIMAL(p,s))``: Spark rounds the SHORTEST DECIMAL
+  REPRESENTATION of the double (2.675 → 2.68) while DuckDB rounds the
+  true binary value (2.67499999…96 → 2.67). Recipe: never cast doubles
+  to decimal in oracles; ``ROUND(x, s)`` agrees on both engines (it
+  operates on the binary value in each).
+- empty-input grand-total grouping set: see ``_known_divergence`` →
+  ``b14_empty_grand_total``.
+
 Usage::
 
     python scripts/fuzz_oracles.py [sf_dir] [--n N] [--seed S]
@@ -373,15 +391,54 @@ class Gen:
         for i in range(n):
             pick = rng.random()
             e = self.int_expr(t, a)
-            if pick < 0.35:
+            if pick < 0.25:
                 out.append(f"SUM({e}) AS a{i}")
-            elif pick < 0.55:
+            elif pick < 0.4:
                 out.append(f"{rng.choice(['MIN', 'MAX'])}({e}) AS a{i}")
-            elif pick < 0.7:
+            elif pick < 0.5:
                 cols = list(TABLES[t]["cols"])
                 out.append(f"COUNT(DISTINCT {a}.{rng.choice(cols)}) AS a{i}")
-            elif pick < 0.85:
+            elif pick < 0.6:
                 out.append(f"AVG({e}) AS a{i}")
+            elif pick < 0.68:
+                # aggregate FILTER clause — portable (probed round 7)
+                fn = rng.choice([f"SUM({e})", "COUNT(*)"])
+                out.append(
+                    f"{fn} FILTER (WHERE {self.pred(t, a, depth=2)}) AS a{i}"
+                )
+            elif pick < 0.76:
+                out.append(
+                    f"{rng.choice(['BOOL_AND', 'BOOL_OR'])}"
+                    f"({self.pred(t, a, depth=2)}) AS a{i}"
+                )
+            elif pick < 0.82:
+                ints = _cols_of(t, ("int",))
+                if ints:
+                    out.append(
+                        f"{rng.choice(['BIT_AND', 'BIT_OR', 'BIT_XOR'])}"
+                        f"({a}.{rng.choice(ints)}) AS a{i}"
+                    )
+                else:
+                    out.append(f"SUM({e}) AS a{i}")
+            elif pick < 0.9:
+                # exact percentile family: portable over INTEGER inputs
+                # only (probed round 7: DOUBLE inputs diverge — DuckDB's
+                # median/quantile_cont over DOUBLE is not interpolated
+                # the way Spark's is; integer inputs agree exactly)
+                ints = _cols_of(t, ("int",))
+                if ints:
+                    c = f"{a}.{rng.choice(ints)}"
+                    out.append(
+                        rng.choice(
+                            [
+                                f"MEDIAN({c}) AS a{i}",
+                                f"PERCENTILE_CONT(0.5) WITHIN GROUP "
+                                f"(ORDER BY {c}) AS a{i}",
+                            ]
+                        )
+                    )
+                else:
+                    out.append(f"AVG({e}) AS a{i}")
             else:
                 strs = _cols_of(t, ("str", "name"))
                 if strs:
