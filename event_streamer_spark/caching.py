@@ -65,8 +65,14 @@ def bounded_persist(
             if not same:
                 _safe_unpersist(prev)
         conf_key = "spark.sql.inMemoryColumnarStorage.compressed"
-        if not columnar_compressed:
-            spark = df.sparkSession
+        spark = df.sparkSession
+        # the conf is SESSION-global: a persist() on another thread
+        # during the flip window (foreachBatch sinks persist directly,
+        # outside _LOCK) would capture compressed=false too — a cache-
+        # size effect, never a correctness one, but skip the
+        # optimization entirely while streaming queries are live so
+        # their per-batch persists keep the intended compression
+        if not columnar_compressed and not spark.streams.active:
             old = spark.conf.get(conf_key, "true")
             spark.conf.set(conf_key, "false")
             try:

@@ -107,6 +107,9 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
             if code == eoi:
                 return bytes(out)
             if prev is None:
+                # first code after CLEAR must be a literal
+                if code not in table:
+                    raise ValueError(f"corrupt LZW stream: code {code}")
                 entry = table[code]
             else:
                 if code in table:
@@ -277,6 +280,10 @@ def decode_gif(payload: bytes) -> dict:
                 raise ValueError("short GIF frame")
             frames.append(idx[: fw * fh])
             delays.append(pending_delay)
+            # a GCE governs only the single block that follows it
+            # (GIF89a §23): frames without their own GCE get delay 0,
+            # not the previous frame's
+            pending_delay = 0
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
     return {

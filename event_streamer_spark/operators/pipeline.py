@@ -537,10 +537,10 @@ def d7_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents")
     thr = temperature_thresholds(d)
-    # stream_rate_sample drops the snapshot columns; join the per-lang
-    # rate back from the tiny thresholds table for the report output
-    return (
-        stream_rate_sample(d, thr, key_col="lang", salt="#T")
-        .join(F.broadcast(thr.select("lang", "rate")), "lang")
-        .select("doc_id", "lang", F.round("rate", 6).alias("rate"))
-    )
+    # keep_rate=True rides the rate along the existing broadcast join —
+    # re-joining thr would build a second broadcast subtree and run the
+    # whole thresholds aggregation twice (ReuseExchange can't dedupe
+    # two different subtrees)
+    return stream_rate_sample(
+        d, thr, key_col="lang", salt="#T", keep_rate=True
+    ).select("doc_id", "lang", F.round("rate", 6).alias("rate"))

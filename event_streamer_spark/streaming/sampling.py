@@ -79,6 +79,7 @@ def stream_rate_sample(
     key_col: str = "lang",
     id_col: str = "doc_id",
     salt: str = "#T",
+    keep_rate: bool = False,
 ) -> DataFrame:
     """D7 streaming leg: deterministic hash sampling of an arriving
     document stream against STATIC per-key rates — the temperature /
@@ -107,12 +108,16 @@ def stream_rate_sample(
         1,
         8,
     )
-    # drop BOTH snapshot columns: leaking "rate" (null for keys absent
-    # from the snapshot) would silently widen the stream schema for
-    # callers that don't re-select; join the thresholds table back if
-    # the rate is wanted downstream (see d7_temperature_sample)
+    # drop the snapshot columns by default: leaking "rate" (null for
+    # keys absent from the snapshot) would silently widen the stream
+    # schema for callers that don't re-select. keep_rate=True keeps it
+    # for callers that want the per-key rate in the output WITHOUT a
+    # second thresholds aggregation (a re-join of `thresholds` builds a
+    # different broadcast subtree, so ReuseExchange cannot dedupe it
+    # and the whole corpus-stats aggregation runs twice).
+    drop_cols = ["h"] if keep_rate else ["h", "rate"]
     return (
         docs.join(F.broadcast(thresholds), key_col, "left")
         .filter(key < F.coalesce(F.col("h"), F.lit("g")))
-        .drop("h", "rate")
+        .drop(*drop_cols)
     )

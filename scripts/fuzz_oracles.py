@@ -396,7 +396,14 @@ class Gen:
             elif pick < 0.4:
                 out.append(f"{rng.choice(['MIN', 'MAX'])}({e}) AS a{i}")
             elif pick < 0.5:
-                cols = list(TABLES[t]["cols"])
+                # non-date columns only: raw timestamps are the one
+                # column class the module invariant keeps out of the
+                # grammar (nanos-vs-micros encodings could split counts)
+                cols = [
+                    c
+                    for c, k in TABLES[t]["cols"].items()
+                    if k != "date"
+                ]
                 out.append(f"COUNT(DISTINCT {a}.{rng.choice(cols)}) AS a{i}")
             elif pick < 0.6:
                 out.append(f"AVG({e}) AS a{i}")
@@ -494,8 +501,6 @@ def q_join(g: Gen) -> str:
             f"SELECT {projs} FROM {child} c WHERE {cpred} AND {exists} "
             f"(SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck} AND {ppred})"
         )
-    if jt == "FULL":
-        jt = "FULL JOIN"
     child_cols = [f"c.{x} AS ck{i}" for i, x in enumerate(TABLES[child]["pk"])]
     parent_cols = [f"p.{pk} AS ppk"]
     extra_c = g.int_expr(child, "c")

@@ -63,7 +63,18 @@ def main() -> int:
     )
     args = ap.parse_args()
     out, REPS_N, SRC_D = args.out_dir, args.reps, args.src
+    if REPS_N < 1:
+        ap.error("--reps must be >= 1")
+    known = {
+        "customer", "supplier", "part", "orders", "lineitem", "events",
+        "documents", "embeddings",
+    }
     wanted = set(args.tables.split(",")) if args.tables else None
+    if wanted is not None and wanted - known:
+        # a typo'd table name must fail loudly, not silently skip the
+        # coverage the run was meant to produce
+        ap.error(f"unknown tables: {sorted(wanted - known)}; "
+                 f"choose from {sorted(known)}")
 
     def want(t: str) -> bool:
         return wanted is None or t in wanted

@@ -375,3 +375,23 @@ class TestGifCodec:
         meta2 = decode_media(payload[: len(payload) // 2])
         assert meta2["format"] == "gif"
         assert meta2["n_frames"] is None or meta2["n_frames"] < 17
+
+    def test_gce_scope_is_single_frame(self):
+        """A GCE governs only the block that follows it (GIF89a §23):
+        a frame WITHOUT its own GCE gets delay 0, not the previous
+        frame's."""
+        from event_streamer_spark.operators.multimodal_gif import (
+            decode_gif,
+            make_patterned_gif,
+        )
+
+        payload = make_patterned_gif(2, delay_cs=50)
+        gce = b"\x21\xF9\x04\x00" + (50).to_bytes(2, "little") + b"\x00\x00"
+        assert payload.count(gce) == 2
+        # drop the SECOND frame's GCE
+        first = payload.index(gce)
+        second = payload.index(gce, first + 1)
+        stripped = payload[:second] + payload[second + len(gce):]
+        g = decode_gif(stripped)
+        assert g["n_frames"] == 2
+        assert g["delays_cs"] == [50, 0]

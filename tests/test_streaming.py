@@ -23,22 +23,28 @@ SF = "/root/testdata/sf0.001"
 
 def write_split_files(df, src: str, key: str, n_splits: int, seed: str):
     """Seeded randomized micro-batch boundaries: split ``df`` into
-    ``n_splits`` parquet files by a seeded hash of ``key`` — one file
-    per micro-batch under ``maxFilesPerTrigger=1``. The incremental
-    index family claims batch-boundary INDEPENDENCE (any split replays
-    to the same result); the replay-equality tests therefore run both
-    the historical 2-way parity split and a seeded multi-way hash split
-    instead of proving the claim at a single boundary."""
-    b = F.pmod(
-        F.crc32(F.concat(F.col(key).cast("string"), F.lit(seed))),
-        F.lit(n_splits),
-    )
+    ``n_splits`` parquet files — one file per micro-batch under
+    ``maxFilesPerTrigger=1``. The sentinel seed ``"parity"`` reproduces
+    the historical ``key % n`` split (all-even batch then all-odd — the
+    boundary class where a duplicate pair straddles batches on id
+    parity); any other seed hashes ``crc32(key || seed)``. The
+    incremental index family claims batch-boundary INDEPENDENCE, so the
+    replay-equality tests run BOTH classes instead of proving the claim
+    at a single boundary."""
+    if seed == "parity":
+        b = F.pmod(F.col(key), F.lit(n_splits))
+    else:
+        b = F.pmod(
+            F.crc32(F.concat(F.col(key).cast("string"), F.lit(seed))),
+            F.lit(n_splits),
+        )
     for i in range(n_splits):
         df.filter(b == i).coalesce(1).write.parquet(src, mode="append")
 
 
-# (n_splits, seed) grid for the boundary-independence parametrization
-BOUNDARY_SPLITS = [(2, "p0"), (4, "r7")]
+# (n_splits, seed) grid for the boundary-independence parametrization:
+# the historical 2-way parity boundary + a seeded 4-way hash boundary
+BOUNDARY_SPLITS = [(2, "parity"), (4, "r7")]
 
 
 def _events_stream(spark):
