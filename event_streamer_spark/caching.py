@@ -69,9 +69,12 @@ def bounded_persist(
         # the conf is SESSION-global: a persist() on another thread
         # during the flip window (foreachBatch sinks persist directly,
         # outside _LOCK) would capture compressed=false too — a cache-
-        # size effect, never a correctness one, but skip the
-        # optimization entirely while streaming queries are live so
-        # their per-batch persists keep the intended compression
+        # size effect, never a correctness one, so skip the optimization
+        # entirely while streaming queries are live. Residual window: a
+        # stream STARTED between this check and the finally-restore
+        # still captures the flipped conf for its per-batch persists —
+        # accepted (same size-only blast radius; closing it would mean
+        # locking stream starts, which this module has no authority over)
         if not columnar_compressed and not spark.streams.active:
             old = spark.conf.get(conf_key, "true")
             spark.conf.set(conf_key, "false")

@@ -23,6 +23,7 @@ multimodal mandate.
 
 from __future__ import annotations
 
+import functools
 import struct
 from typing import Iterator
 
@@ -301,6 +302,21 @@ def decode_gif(payload: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=64)
+def _keyframe_sums(n: int) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """(offsets, per-frame pixel sums) for the 8 evenly spaced keyframes
+    of the ``n``-frame fixture GIF — THE one copy of the sampling rule,
+    shared by ``d5_gif_frames`` and ``d5_gif_keyframe_dedup`` so the
+    dedup fingerprint can never drift from the sampled frames. Cached:
+    only 40 distinct ``n`` values exist (``1 + n_chars % 40``), so each
+    executor worker decodes 40 GIFs total instead of one per document —
+    the decode is a REAL encode+LZW round trip, kept honest by the
+    cache rather than by skipping it."""
+    g = decode_gif(make_patterned_gif(n))
+    offsets = tuple(i * n // 8 for i in range(min(n, 8)))
+    return offsets, tuple(sum(g["frames"][off]) for off in offsets)
+
+
 @query(
     "d5_gif_frames",
     oracle=f"""
@@ -334,14 +350,11 @@ def d5_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
             ids, nfr, offs, sums = [], [], [], []
             for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
                 n = 1 + int(nc) % 40
-                g = decode_gif(make_patterned_gif(n))
-                k = min(n, 8)
-                o = [i * n // 8 for i in range(k)]
-                s = [sum(g["frames"][off]) for off in o]
+                o, s = _keyframe_sums(n)
                 ids.append(int(did))
                 nfr.append(n)
-                offs.append(o)
-                sums.append(s)
+                offs.append(list(o))
+                sums.append(list(s))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -397,10 +410,7 @@ def d5_gif_keyframe_dedup(spark: SparkSession, sf: str) -> DataFrame:
             ids, fps = [], []
             for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
                 n = 1 + int(nc) % 40
-                g = decode_gif(make_patterned_gif(n))
-                sums = [
-                    sum(g["frames"][i * n // 8]) for i in range(min(n, 8))
-                ]
+                _, sums = _keyframe_sums(n)
                 ids.append(int(did))
                 fps.append(",".join(str(s) for s in sums))
             yield pd.DataFrame({"doc_id": ids, "sig": fps})

@@ -674,10 +674,13 @@ def q_limit(g: Gen) -> str:
     )
     direction = rng.choice(["ASC", "DESC"])
     nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+    offset = (
+        f" OFFSET {rng.randint(1, 20)}" if rng.random() < 0.3 else ""
+    )
     return (
         f"SELECT {pks}, {e} AS v0 FROM {t} t WHERE {g.pred(t, 't')} "
         f"ORDER BY v0 {direction} {nulls}, {pk_order} "
-        f"LIMIT {rng.randint(1, 50)}"
+        f"LIMIT {rng.randint(1, 50)}{offset}"
     )
 
 

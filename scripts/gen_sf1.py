@@ -145,26 +145,34 @@ def main() -> int:
         s_doc = int(docs["doc_id"].max()) + 1
         writer = None
         n_docs = 0
-        for r in range(REPS_N):
-            d = docs.copy()
-            d["doc_id"] = d["doc_id"] + r * s_doc
-            if r > 0:
-                def perm(text: str, _r=r) -> str:
-                    seed = int.from_bytes(
-                        hashlib.md5(f"{_r}:{text}".encode()).digest()[:4], "big"
-                    )
-                    words = text.split(" ")
-                    rng = np.random.RandomState(seed)
-                    rng.shuffle(words)
-                    return " ".join(words)
+        try:
+            for r in range(REPS_N):
+                d = docs.copy()
+                d["doc_id"] = d["doc_id"] + r * s_doc
+                if r > 0:
+                    def perm(text: str, _r=r) -> str:
+                        seed = int.from_bytes(
+                            hashlib.md5(f"{_r}:{text}".encode()).digest()[:4], "big"
+                        )
+                        words = text.split(" ")
+                        rng = np.random.RandomState(seed)
+                        rng.shuffle(words)
+                        return " ".join(words)
 
-                d["text"] = d["text"].map(perm)
-            tbl = pa.Table.from_pandas(d, preserve_index=False)
-            if writer is None:
-                writer = pq.ParquetWriter(f"{out}/documents.parquet", tbl.schema)
-            writer.write_table(tbl)
-            n_docs += len(d)
-        writer.close()
+                    d["text"] = d["text"].map(perm)
+                tbl = pa.Table.from_pandas(d, preserve_index=False)
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        f"{out}/documents.parquet", tbl.schema
+                    )
+                writer.write_table(tbl)
+                n_docs += len(d)
+        finally:
+            # close even on ENOSPC/OOM mid-replication so the footer is
+            # written and the failure surfaces here, not as an opaque
+            # parquet read error in a later prove_sf10.py run
+            if writer is not None:
+                writer.close()
         print(f"documents: {n_docs} rows")
 
     # embeddings: per-replica deterministic jitter
