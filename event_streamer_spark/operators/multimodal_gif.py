@@ -61,10 +61,10 @@ def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
             nbits -= 8
 
     emit(clear)
-    # decoder adds one string-table entry per code after the first and
-    # widens its code size when next_code (starting at clear+2) reaches
-    # 2^width — reset one code before that so width never grows
-    budget = (1 << width) - clear - 2
+    # the decoder adds one string-table entry per code after the first
+    # and widens EARLY at next_code == 2^width - 1 (see _lzw_decode) —
+    # reset so the CLEAR itself still lands within the 9-bit window
+    budget = (1 << width) - clear - 3
     count = 0
     for px in indices:
         emit(px)
@@ -119,12 +119,31 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
                     entry = prev + prev[:1]  # KwKwK
                 else:
                     raise ValueError(f"corrupt LZW stream: code {code}")
-                table[next_code] = prev + entry[:1]
-                next_code += 1
-                if next_code == (1 << width) and width < 12:
+                if next_code < 4096:  # table frozen when full (GIF cap)
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+                # the decoder adds its k-th entry one CODE after the
+                # encoder added the same entry (the first code after a
+                # CLEAR adds nothing), so it must widen one slot EARLY —
+                # at 2^width - 1, not 2^width — to read the encoder's
+                # first wider code at the right width. (Found by the
+                # property round-trip against a real compressing
+                # encoder; the literal-only fixture encoder never grows
+                # the width and masked this.)
+                if next_code == (1 << width) - 1 and width < 12:
                     width += 1
             out += entry
             prev = entry
+    # EOI boundary quirk: when the final data code lands the decoder
+    # exactly on a width-growth boundary, the encoder (which adds no
+    # table entry after its last data code) emits the EOI one bit
+    # NARROWER than the decoder now expects. The zero padding of the
+    # encoder's byte flush normally absorbs the difference — unless the
+    # EOI ends exactly on a byte boundary and no padding byte exists.
+    # Zero-extend the remaining partial code, exactly as the flush
+    # would, and accept it if it spells EOI.
+    if nbits > 0 and acc == eoi:
+        return bytes(out)
     raise ValueError("LZW stream ended without EOI")
 
 

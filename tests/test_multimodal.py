@@ -336,13 +336,15 @@ class TestGifCodec:
         assert _lzw_decode(_lzw_encode(data, 8), 8) == data
         small = bytes([0, 1, 2, 3] * 10)
         assert _lzw_decode(_lzw_encode(small, 2), 2) == small
-        # hand-packed KwKwK stream (code == next_code): clear,1,6,eoi @3 bits
+        # hand-packed KwKwK stream (code == next_code): clear,1,6 at 3
+        # bits; decoding 6 adds entry 6 and next_code hits 7 = 2^3 - 1,
+        # so the decoder widens EARLY and the EOI is a 4-bit code
         acc = 0
         nbits = 0
         out = bytearray()
-        for c in (4, 1, 6, 5):
+        for c, w in ((4, 3), (1, 3), (6, 3), (5, 4)):
             acc |= c << nbits
-            nbits += 3
+            nbits += w
             while nbits >= 8:
                 out.append(acc & 0xFF)
                 acc >>= 8
@@ -395,3 +397,125 @@ class TestGifCodec:
         g = decode_gif(stripped)
         assert g["n_frames"] == 2
         assert g["delays_cs"] == [50, 0]
+
+
+class TestLzwProperty:
+    """The shipped decoder is a GENERAL table-building LZW; the fixture
+    encoder is literal-only. Round-trip it against a textbook
+    COMPRESSING encoder too, so table growth, width growth (9→12 bits),
+    the 12-bit cap with deferred clear, and KwKwK all get exercised by
+    machine-generated streams, not just hand-built ones."""
+
+    @staticmethod
+    def _compress(indices: bytes, min_code_size: int) -> bytes:
+        """Textbook GIF-LZW: greedy longest-match table build, width
+        grows one code EARLY per the GIF convention (when next_code hits
+        2^width), CLEAR emitted when the table fills at 4096."""
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        width = min_code_size + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        out = bytearray()
+        acc = 0
+        nbits = 0
+
+        def emit(code: int) -> None:
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        def reset() -> None:
+            nonlocal table, next_code, width
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+
+        emit(clear)
+        w = b""
+        for b in indices:
+            wc = w + bytes([b])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w])
+            if next_code < 4096:
+                table[wc] = next_code
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            else:
+                emit(clear)
+                reset()
+            w = bytes([b])
+        if w:
+            emit(table[w])
+        emit(eoi)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def test_round_trip_random_streams(self):
+        import random
+
+        from event_streamer_spark.operators.multimodal_gif import (
+            _lzw_decode,
+        )
+
+        for seed in range(30):
+            rng = random.Random(f"lzw:{seed}")
+            mcs = rng.choice([2, 3, 4, 8])
+            alphabet = 1 << mcs
+            n = rng.randint(1, 6000)
+            # mix runs (compressible, triggers KwKwK) and noise
+            data = bytearray()
+            while len(data) < n:
+                if rng.random() < 0.5:
+                    data += bytes([rng.randrange(alphabet)]) * rng.randint(
+                        1, 40
+                    )
+                else:
+                    data += bytes(
+                        rng.randrange(alphabet)
+                        for _ in range(rng.randint(1, 20))
+                    )
+            data = bytes(data[:n])
+            comp = self._compress(data, mcs)
+            assert _lzw_decode(comp, mcs) == data, (seed, mcs, n)
+
+    def test_width_growth_to_cap(self):
+        """A long low-entropy stream at mcs=2 forces the encoder through
+        every code width up to the 12-bit cap and a mid-stream CLEAR."""
+        import random
+
+        from event_streamer_spark.operators.multimodal_gif import (
+            _lzw_decode,
+        )
+
+        rng = random.Random("cap")
+        data = bytes(rng.randrange(4) for _ in range(120_000))
+        comp = self._compress(data, 2)
+        assert _lzw_decode(comp, 2) == data
+
+    def test_hypothesis_round_trip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from event_streamer_spark.operators.multimodal_gif import (
+            _lzw_decode,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.binary(min_size=1, max_size=2000).map(
+                lambda b: bytes(x & 0x0F for x in b)
+            )
+        )
+        def check(data):
+            assert _lzw_decode(self._compress(data, 4), 4) == data
+
+        check()
