@@ -321,19 +321,50 @@ def decode_gif(payload: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def keyframe_sums(decoded: dict) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """(offsets, per-frame pixel sums) for the 8 evenly spaced keyframes
+    of a DECODED gif — THE one copy of the sampling rule, shared by
+    ``d5_gif_frames``, ``d5_gif_keyframe_dedup``, and the streaming
+    signature UDF so the dedup fingerprint can never drift from the
+    sampled frames."""
+    n = decoded["n_frames"]
+    offsets = tuple(i * n // 8 for i in range(min(n, 8)))
+    return offsets, tuple(sum(decoded["frames"][off]) for off in offsets)
+
+
 @functools.lru_cache(maxsize=64)
 def _keyframe_sums(n: int) -> tuple[tuple[int, ...], tuple[int, ...]]:
-    """(offsets, per-frame pixel sums) for the 8 evenly spaced keyframes
-    of the ``n``-frame fixture GIF — THE one copy of the sampling rule,
-    shared by ``d5_gif_frames`` and ``d5_gif_keyframe_dedup`` so the
-    dedup fingerprint can never drift from the sampled frames. Cached:
+    """:func:`keyframe_sums` of the ``n``-frame FIXTURE gif. Cached:
     only 40 distinct ``n`` values exist (``1 + n_chars % 40``), so each
     executor worker decodes 40 GIFs total instead of one per document —
     the decode is a REAL encode+LZW round trip, kept honest by the
     cache rather than by skipping it."""
-    g = decode_gif(make_patterned_gif(n))
-    offsets = tuple(i * n // 8 for i in range(min(n, 8)))
-    return offsets, tuple(sum(g["frames"][off]) for off in offsets)
+    return keyframe_sums(decode_gif(make_patterned_gif(n)))
+
+
+def gif_signature_udf():
+    """Arrow-batched UDF: animated-GIF payload bytes → md5 keyframe
+    signature, the ``hash_expr`` plug for the durable incremental dedup
+    index (``streaming.exact_dedup_batch``) — the video-dedup analog of
+    ``multimodal.ahash_udf``. Decodes the REAL payload (no fixture
+    shortcut), so it works on any GIF the decoder accepts; equals the
+    batch ``d5_gif_keyframe_dedup`` fingerprint by construction (same
+    :func:`keyframe_sums`, same md5-of-joined-sums string)."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _sig(payloads: pd.Series) -> pd.Series:
+        def one(b) -> str:
+            _, sums = keyframe_sums(decode_gif(bytes(b)))
+            return hashlib.md5(
+                ",".join(str(s) for s in sums).encode()
+            ).hexdigest()
+
+        return payloads.map(one)
+
+    return _sig
 
 
 @query(

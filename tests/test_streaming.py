@@ -1819,3 +1819,65 @@ def test_incremental_phash_dedup_matches_batch_groups(spark, tmp_path):
     keepers = {r["content_hash"]: r["doc_id"] for r in emitted.collect()}
     # one keeper per perceptual group, and the same keeper ids as batch
     assert sorted(keepers.values()) == sorted(set(batch_keepers.values()))
+
+
+def test_incremental_gif_keyframe_dedup_matches_batch(spark, tmp_path):
+    """D5×D2 streaming leg: the durable dedup index with the GIF
+    keyframe signature plugged in (video-dedup analog of the phash
+    leg) — replaying animated-GIF payloads in two micro-batches emits
+    exactly one keeper per keyframe-signature group, with the same
+    keepers as batch d5_gif_keyframe_dedup (ids arrive in order)."""
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.operators.multimodal_gif import (
+        gif_signature_udf,
+        make_patterned_gif,
+    )
+    from event_streamer_spark.streaming import exact_dedup_batch
+    from event_streamer_spark.tables import load
+
+    batch = {
+        r["fingerprint"]: (r["keeper_id"], r["n_dups"])
+        for r in REGISTRY["d5_gif_keyframe_dedup"].fn(spark, SF).collect()
+    }
+    assert batch
+
+    docs = load(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    rows = [
+        (r["doc_id"], bytearray(make_patterned_gif(1 + r["n_chars"] % 40)))
+        for r in sorted(docs, key=lambda r: r["doc_id"])
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    src = str(tmp_path / "gif_src")
+    half = rows[len(rows) // 2][0]
+    df.filter(F.col("doc_id") <= half).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    df.filter(F.col("doc_id") > half).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, payload binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "gif_state")
+    emit = str(tmp_path / "gif_emit")
+    q = (
+        stream.writeStream.foreachBatch(
+            exact_dedup_batch(
+                state, emit, hash_expr=gif_signature_udf()(F.col("payload"))
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "gif_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emitted = {
+        r["content_hash"]: r["doc_id"]
+        for r in spark.read.parquet(emit).collect()
+    }
+    # same signature groups, same keepers (in-order arrival)
+    assert emitted == {fp: kid for fp, (kid, _) in batch.items()}
