@@ -1024,3 +1024,32 @@ def b23_sign_bigint(spark: SparkSession, sf: str) -> DataFrame:
         "c_custkey",
         F.signum("c_acctbal").cast("bigint").alias("bal_sign"),
     )
+
+
+@query(
+    "b22_dow_parity",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(DOW FROM CAST(o_orderdate AS DATE)) + 1
+                AS BIGINT) AS dow1,
+           CAST(EXTRACT(DOY FROM CAST(o_orderdate AS DATE))
+                AS BIGINT) AS doy
+    FROM orders
+    """,
+)
+def b22_dow_parity(spark: SparkSession, sf: str) -> DataFrame:
+    """B22 regression (date probe, round 7): day-of-week NUMBERING
+    diverges — Spark's EXTRACT(DOW)/dayofweek() is 1-based with
+    Sunday=1, DuckDB/Postgres EXTRACT(DOW) is 0-based with Sunday=0.
+    The portable recipe, pinned over every order date: Spark
+    ``dayofweek(d)`` == DuckDB ``EXTRACT(DOW) + 1``. Day-of-YEAR
+    (DOY) agrees on both engines and rides along as the control."""
+    return load(spark, sf, "orders").select(
+        "o_orderkey",
+        F.dayofweek(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("dow1"),
+        F.dayofyear(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("doy"),
+    )

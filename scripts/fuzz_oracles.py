@@ -48,6 +48,13 @@ portable recipe:
   operates on the binary value in each).
 - empty-input grand-total grouping set: see ``_known_divergence`` →
   ``b14_empty_grand_total``.
+- ``EXTRACT(DOW ...)``: Spark is 1-based Sunday=1 (= ``dayofweek``),
+  DuckDB/Postgres 0-based Sunday=0. Recipe: Spark ``dayofweek(d)`` ==
+  DuckDB ``EXTRACT(DOW) + 1`` → ``b22_dow_parity``. DOY agrees.
+- ``date + INTERVAL`` / ``DATE_TRUNC``: result is DATE on one engine,
+  TIMESTAMP on the other — always wrap in ``CAST(... AS DATE)`` (the
+  form the grammar emits). ``DATEDIFF`` signatures are incompatible
+  (Spark wants an unquoted unit keyword); excluded.
 
 Usage::
 
@@ -353,12 +360,32 @@ class Gen:
                     out.append(
                         f"CAST({a}.{rng.choice(dates)} AS DATE) AS c{i}"
                     )
-                elif dates and pick2 < 0.7:
-                    part = rng.choice(["YEAR", "MONTH", "DAY"])
+                elif dates and pick2 < 0.55:
+                    # DOW excluded: Spark is 1-based Sunday=1, DuckDB
+                    # 0-based Sunday=0 (pinned by b22_dow_parity)
+                    part = rng.choice(
+                        ["YEAR", "MONTH", "DAY", "QUARTER", "DOY"]
+                    )
                     out.append(
                         f"EXTRACT({part} FROM CAST({a}.{rng.choice(dates)}"
                         f" AS DATE)) AS c{i}"
                     )
+                elif dates and pick2 < 0.7:
+                    d = f"CAST({a}.{rng.choice(dates)} AS DATE)"
+                    # date+INTERVAL and DATE_TRUNC both promote to
+                    # TIMESTAMP on one engine only — the explicit DATE
+                    # cast is the portable form
+                    expr = rng.choice(
+                        [
+                            f"CAST({d} + INTERVAL {rng.randint(1, 90)} DAY"
+                            f" AS DATE)",
+                            f"CAST({d} - INTERVAL {rng.randint(1, 6)} MONTH"
+                            f" AS DATE)",
+                            f"CAST(DATE_TRUNC('MONTH', {d}) AS DATE)",
+                            f"LAST_DAY({d})",
+                        ]
+                    )
+                    out.append(f"{expr} AS c{i}")
                 elif len(strs) >= 2:
                     s1, s2 = rng.sample(strs, 2)
                     # || is NULL-propagating on BOTH engines (CONCAT not)
