@@ -758,7 +758,9 @@ def gen_query(rng: random.Random, pools: dict) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _known_divergence(sql: str, srows: list, orows: list) -> str | None:
+def _known_divergence(
+    sql: str, srows: list, orows: list, ocols: list | None = None
+) -> str | None:
     """Classify documented engine divergences so the fuzzer keeps
     GENERATING the risky construct (regressions in our handling would
     still surface as a different mismatch shape) without failing on the
@@ -773,6 +775,17 @@ def _known_divergence(sql: str, srows: list, orows: list) -> str | None:
     u = sql.upper()
     grouping = "ROLLUP" in u or "CUBE" in u or "GROUPING SETS" in u
     if grouping and len(srows) == 0 and len(orows) == 1:
+        # the one extra DuckDB row must actually BE the grand total —
+        # all group keys NULL, COUNT(*) zero — so a genuine Spark
+        # zero-rows bug can't hide behind the classifier
+        if ocols is not None:
+            row = dict(zip(ocols, orows[0]))
+            keys_null = all(
+                row[c] is None for c in ocols if c.startswith("g")
+            )
+            cnt_zero = row.get("cnt", 0) == 0
+            if not (keys_null and cnt_zero):
+                return None
         return "empty-input grand-total row (b14_empty_grand_total)"
     return None
 
@@ -831,7 +844,7 @@ def run_fuzz(
             ]:
                 reason = f"columns spark={scols} duckdb={ocols}"
             elif len(srows) != len(orows):
-                known = _known_divergence(sql, srows, orows)
+                known = _known_divergence(sql, srows, orows, ocols)
                 if known is not None:
                     say(f"known [{seed}:{i}] {known}")
                 else:
