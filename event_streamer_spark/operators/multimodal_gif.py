@@ -141,8 +141,10 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
     # encoder's byte flush normally absorbs the difference — unless the
     # EOI ends exactly on a byte boundary and no padding byte exists.
     # Zero-extend the remaining partial code, exactly as the flush
-    # would, and accept it if it spells EOI.
-    if nbits > 0 and acc == eoi:
+    # would, and accept it ONLY when the leftover bits can hold the
+    # encoder's (width-1)-bit EOI; a shorter tail that coincidentally
+    # spells EOI is a truncation, not a valid terminator.
+    if nbits >= width - 1 and acc == eoi:
         return bytes(out)
     raise ValueError("LZW stream ended without EOI")
 
@@ -153,6 +155,28 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
 
 GIF_W, GIF_H = 4, 8  # fixture frame geometry (32 px/frame)
 
+# GIF89a §20 interlace: four passes over the rows, coarsest first
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def interlace_row_order(h: int) -> list[int]:
+    """The row indices of an ``h``-row interlaced frame in STORAGE
+    order: pass 1 rows 0,8,16…, pass 2 rows 4,12…, pass 3 rows 2,6…,
+    pass 4 rows 1,3,5… (GIF89a §20). Shared by the encoder (permute
+    before LZW) and the decoder (un-permute after), so a one-sided
+    mistake cannot round-trip."""
+    return [
+        r for start, step in _INTERLACE_PASSES for r in range(start, h, step)
+    ]
+
+
+def _deinterlace(idx: bytes, w: int, h: int) -> bytes:
+    """Un-permute an interlaced frame's rows back to top-down order."""
+    out = bytearray(w * h)
+    for stored, actual in enumerate(interlace_row_order(h)):
+        out[actual * w : (actual + 1) * w] = idx[stored * w : (stored + 1) * w]
+    return bytes(out)
+
 
 def gif_pixel(frame: int, x: int, y: int) -> int:
     """The fixture's first-principles pixel value (mod-251 keeps the
@@ -161,22 +185,52 @@ def gif_pixel(frame: int, x: int, y: int) -> int:
 
 
 def make_patterned_gif(
-    n_frames: int, w: int = GIF_W, h: int = GIF_H, delay_cs: int = 4
+    n_frames: int,
+    w: int = GIF_W,
+    h: int = GIF_H,
+    delay_cs: int = 4,
+    interlace: bool = False,
+    local_rot: int | None = None,
 ) -> bytes:
     """Animated GIF89a: global 256-gray palette, one Graphic Control
-    Extension (frame delay in centiseconds) + image block per frame."""
+    Extension (frame delay in centiseconds) + image block per frame.
+
+    ``interlace=True`` stores each frame's rows in the 4-pass §20 order
+    with the interlace flag set — same displayed image, different wire
+    layout. ``local_rot=r`` gives every frame a LOCAL color table whose
+    entry ``j`` is gray ``(j + r) % 256`` and writes index
+    ``(pixel - r) % 256``, so the raw indices differ from the pixel
+    values but the displayed grays are identical — exercising the LCT
+    path end-to-end."""
     out = bytearray(b"GIF89a")
     # logical screen: global color table, 8-bit color resolution, 256 entries
     out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
     out += bytes(v for i in range(256) for v in (i, i, i))  # grayscale GCT
     for f in range(n_frames):
         out += b"\x21\xF9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
-        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        packed = 0
+        if interlace:
+            packed |= 0x40
+        if local_rot is not None:
+            packed |= 0x87  # LCT present, 256 entries
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, packed)
+        if local_rot is not None:
+            out += bytes(
+                v
+                for j in range(256)
+                for v in ((j + local_rot) % 256,) * 3
+            )
         out.append(8)  # LZW minimum code size
-        idx = bytes(
-            gif_pixel(f, x, y) for y in range(h) for x in range(w)
-        )
-        comp = _lzw_encode(idx, 8)
+        rows = [
+            bytes(gif_pixel(f, x, y) for x in range(w)) for y in range(h)
+        ]
+        if local_rot is not None:
+            rows = [
+                bytes((px - local_rot) % 256 for px in row) for row in rows
+            ]
+        if interlace:
+            rows = [rows[r] for r in interlace_row_order(h)]
+        comp = _lzw_encode(b"".join(rows), 8)
         for i in range(0, len(comp), 255):
             chunk = comp[i : i + 255]
             out.append(len(chunk))
@@ -186,15 +240,39 @@ def make_patterned_gif(
     return bytes(out)
 
 
+def _u8(payload: bytes, pos: int) -> int:
+    """One bounds-checked byte: truncated input is a data error
+    (``ValueError``), not an ``IndexError`` programming error — direct
+    callers (tests, future operators) get a consistent exception type
+    while ``decode_media``'s lenient wrapper behaves as before."""
+    if pos >= len(payload):
+        raise ValueError("truncated GIF")
+    return payload[pos]
+
+
+def _skip_subblocks(payload: bytes, pos: int) -> int:
+    """Advance past a chain of length-prefixed data sub-blocks
+    (bounds-checked); returns the position after the 0 terminator."""
+    while True:
+        size = _u8(payload, pos)
+        pos += 1
+        if size == 0:
+            return pos
+        if pos + size > len(payload):
+            raise ValueError("truncated GIF")
+        pos += size
+
+
 def count_gif_frames(payload: bytes) -> int:
     """Header-level frame count: walk the block structure (skipping data
     sub-blocks by their length prefixes) and count image descriptors —
     no LZW decode, O(#blocks) not O(#pixels). Used by
     ``multimodal.decode_media`` to fill ``n_frames`` for GIFs as cheaply
-    as the WAV header path does for audio."""
+    as the WAV header path does for audio. Truncated input raises
+    ``ValueError('truncated GIF')``."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    packed = payload[10]
+    packed = _u8(payload, 10)
     pos = 13
     if packed & 0x80:
         pos += 3 * (2 ** ((packed & 0x07) + 1))
@@ -205,25 +283,13 @@ def count_gif_frames(payload: bytes) -> int:
         if b0 == 0x3B:
             break
         if b0 == 0x21:
-            pos += 1  # label
-            while True:
-                size = payload[pos]
-                pos += 1
-                if size == 0:
-                    break
-                pos += size
+            pos = _skip_subblocks(payload, pos + 1)  # +1 skips the label
         elif b0 == 0x2C:
-            ip = payload[pos + 8]
+            ip = _u8(payload, pos + 8)
             pos += 9
             if ip & 0x80:
                 pos += 3 * (2 ** ((ip & 0x07) + 1))
-            pos += 1  # LZW min code size
-            while True:
-                size = payload[pos]
-                pos += 1
-                if size == 0:
-                    break
-                pos += size
+            pos = _skip_subblocks(payload, pos + 1)  # +1 skips min code size
             n += 1
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
@@ -233,24 +299,32 @@ def count_gif_frames(payload: bytes) -> int:
 def decode_gif(payload: bytes) -> dict:
     """Parse a GIF87a/89a payload: header, global/local color tables,
     extension blocks (Graphic Control delay kept, others skipped), one
-    LZW-decoded index frame per image block.
+    LZW-decoded index frame per image block. Interlaced frames
+    (flag 0x40) are de-interlaced via the §20 4-pass row permutation;
+    a frame's local color table, when present, is kept per-frame.
 
     Returns ``{"width", "height", "n_frames", "frames", "delays_cs",
-    "palette"}`` where each frame is ``bytes`` of palette indices in
-    row-major order. Interlaced frames raise ``NotImplementedError``
-    (a real guard, same protocol as the PNG codec's unsupported
-    filter types)."""
+    "palette", "frame_palettes"}`` where each frame is ``bytes`` of
+    palette indices in row-major TOP-DOWN order (post-deinterlace) and
+    ``frame_palettes[f]`` is the frame's local color table or ``None``
+    (→ use the global ``palette``). Truncated input raises
+    ``ValueError('truncated GIF')``."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF")
     w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 ** ((packed & 0x07) + 1)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated GIF")
         gct = payload[pos : pos + 3 * n]
         pos += 3 * n
     frames: list[bytes] = []
     delays: list[int] = []
+    palettes: list[bytes | None] = []
     pending_delay = 0
     while pos < len(payload):
         b0 = payload[pos]
@@ -258,47 +332,54 @@ def decode_gif(payload: bytes) -> dict:
         if b0 == 0x3B:  # trailer
             break
         if b0 == 0x21:  # extension block
-            label = payload[pos]
+            label = _u8(payload, pos)
             pos += 1
             if label == 0xF9:  # Graphic Control Extension
-                size = payload[pos]
+                size = _u8(payload, pos)
+                if pos + 1 + size > len(payload):
+                    raise ValueError("truncated GIF")
                 block = payload[pos + 1 : pos + 1 + size]
                 pending_delay = struct.unpack("<H", block[1:3])[0]
                 pos += 1 + size
-                if payload[pos] != 0:
+                if _u8(payload, pos) != 0:
                     raise ValueError("unterminated GCE")
                 pos += 1
             else:  # comment/plain-text/application: skip sub-blocks
-                while True:
-                    size = payload[pos]
-                    pos += 1
-                    if size == 0:
-                        break
-                    pos += size
+                pos = _skip_subblocks(payload, pos)
         elif b0 == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("truncated GIF")
             _l, _t, fw, fh, ip = struct.unpack(
                 "<HHHHB", payload[pos : pos + 9]
             )
             pos += 9
-            if ip & 0x40:
-                raise NotImplementedError("interlaced GIF frames")
-            if ip & 0x80:  # local color table (unused by the fixture)
+            lct = None
+            if ip & 0x80:  # local color table overrides the GCT
                 n = 2 ** ((ip & 0x07) + 1)
+                if pos + 3 * n > len(payload):
+                    raise ValueError("truncated GIF")
+                lct = payload[pos : pos + 3 * n]
                 pos += 3 * n
-            mcs = payload[pos]
+            mcs = _u8(payload, pos)
             pos += 1
             data = bytearray()
             while True:
-                size = payload[pos]
+                size = _u8(payload, pos)
                 pos += 1
                 if size == 0:
                     break
+                if pos + size > len(payload):
+                    raise ValueError("truncated GIF")
                 data += payload[pos : pos + size]
                 pos += size
             idx = _lzw_decode(bytes(data), mcs)
             if len(idx) < fw * fh:
                 raise ValueError("short GIF frame")
-            frames.append(idx[: fw * fh])
+            idx = idx[: fw * fh]
+            if ip & 0x40:  # interlaced: un-permute rows (GIF89a §20)
+                idx = _deinterlace(idx, fw, fh)
+            frames.append(idx)
+            palettes.append(lct)
             delays.append(pending_delay)
             # a GCE governs only the single block that follows it
             # (GIF89a §23): frames without their own GCE get delay 0,
@@ -313,7 +394,23 @@ def decode_gif(payload: bytes) -> dict:
         "frames": frames,
         "delays_cs": delays,
         "palette": gct,
+        "frame_palettes": palettes,
     }
+
+
+def frame_gray(decoded: dict, f: int) -> bytes:
+    """Frame ``f``'s DISPLAYED gray levels: map each palette index
+    through the frame's applicable color table (local if present, else
+    global) and take the red channel — the fixtures' palettes are
+    grayscale, so red == luma. This is what makes the keyframe
+    fingerprint palette-aware: two frames with different index bytes
+    but the same displayed image (e.g. a rotated local palette)
+    fingerprint identically."""
+    pal = decoded["frame_palettes"][f] or decoded["palette"]
+    if pal is None:
+        raise ValueError("GIF frame has no color table")
+    frame = decoded["frames"][f]
+    return bytes(pal[3 * i] for i in frame)
 
 
 # ---------------------------------------------------------------------------
@@ -326,10 +423,15 @@ def keyframe_sums(decoded: dict) -> tuple[tuple[int, ...], tuple[int, ...]]:
     of a DECODED gif — THE one copy of the sampling rule, shared by
     ``d5_gif_frames``, ``d5_gif_keyframe_dedup``, and the streaming
     signature UDF so the dedup fingerprint can never drift from the
-    sampled frames."""
+    sampled frames. Sums are of DISPLAYED gray levels (indices mapped
+    through the applicable color table, :func:`frame_gray`), so two
+    encodings of the same image — interlaced or not, global or rotated
+    local palette — fingerprint identically; with the fixtures'
+    identity grayscale GCT this equals the raw index sum, keeping the
+    DuckDB oracle's first-principles formula unchanged."""
     n = decoded["n_frames"]
     offsets = tuple(i * n // 8 for i in range(min(n, 8)))
-    return offsets, tuple(sum(decoded["frames"][off]) for off in offsets)
+    return offsets, tuple(sum(frame_gray(decoded, off)) for off in offsets)
 
 
 @functools.lru_cache(maxsize=64)
@@ -349,15 +451,24 @@ def gif_signature_udf():
     ``multimodal.ahash_udf``. Decodes the REAL payload (no fixture
     shortcut), so it works on any GIF the decoder accepts; equals the
     batch ``d5_gif_keyframe_dedup`` fingerprint by construction (same
-    :func:`keyframe_sums`, same md5-of-joined-sums string)."""
+    :func:`keyframe_sums`, same md5-of-joined-sums string).
+
+    A corrupt/truncated payload maps to NULL instead of raising: a
+    deterministic decode error would otherwise fail the same
+    micro-batch on every retry — a poison pill for the streaming dedup
+    query. Callers filter/dead-letter the NULLs (same contract as
+    ``decode_media``'s lenient wrapper)."""
     import hashlib
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
     def _sig(payloads: pd.Series) -> pd.Series:
-        def one(b) -> str:
-            _, sums = keyframe_sums(decode_gif(bytes(b)))
+        def one(b):
+            try:
+                _, sums = keyframe_sums(decode_gif(bytes(b)))
+            except (ValueError, NotImplementedError, TypeError):
+                return None  # corrupt payload → dead-letter, not a wedge
             return hashlib.md5(
                 ",".join(str(s) for s in sums).encode()
             ).hexdigest()
@@ -393,7 +504,22 @@ def d5_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
     frame-indexing, LZW, or palette bug breaks the hash. Same
     mapInPandas plumbing as ``d5_frame_sample`` (WAV): for codec-bound
     video, swap :func:`decode_gif` for a codec-backed reader.
+
+    Every 8th doc takes the PAYLOAD leg: the GIF bytes flow through a
+    real ``binary`` column (pandas-UDF encode stage → mapInPandas
+    decode stage), so a payload-side corruption breaks THIS oracle,
+    not just the streaming ``gif_signature_udf``. The remaining docs
+    use the per-``n`` decode cache (``_keyframe_sums`` — same
+    encode→LZW→decode round trip, run once per distinct frame count).
+    Both legs are narrow map stages; the union adds no shuffle.
     """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    out_schema = (
+        "doc_id long, n_frames long, offsets array<long>,"
+        " frame_sums array<long>"
+    )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -414,12 +540,41 @@ def d5_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
+    @pandas_udf("binary")
+    def encode(n_chars: pd.Series) -> pd.Series:
+        return n_chars.map(lambda nc: make_patterned_gif(1 + int(nc) % 40))
+
+    def sample_payload(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfr, offs, sums = [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                g = decode_gif(bytes(payload))
+                o, s = keyframe_sums(g)
+                ids.append(int(did))
+                nfr.append(g["n_frames"])
+                offs.append(list(o))
+                sums.append(list(s))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nfr,
+                    "offsets": offs,
+                    "frame_sums": sums,
+                }
+            )
+
     d = load(spark, sf, "documents").select("doc_id", "n_chars")
-    return d.mapInPandas(
-        sample,
-        "doc_id long, n_frames long, offsets array<long>,"
-        " frame_sums array<long>",
+    sampled = F.col("doc_id") % 8 == 0
+    via_payload = (
+        d.filter(sampled)
+        .withColumn("payload", encode("n_chars"))
+        .drop("n_chars")
+        .mapInPandas(sample_payload, out_schema)
     )
+    via_cache = d.filter(~sampled).mapInPandas(sample, out_schema)
+    return via_payload.unionByName(via_cache)
 
 
 @query(

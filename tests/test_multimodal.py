@@ -296,20 +296,143 @@ class TestGifCodec:
         g = decode_gif(make_patterned_gif(3, delay_cs=12))
         assert g["delays_cs"] == [12, 12, 12]
 
-    def test_interlaced_frame_raises(self):
+    def test_interlace_row_order(self):
+        from event_streamer_spark.operators.multimodal_gif import (
+            interlace_row_order,
+        )
+
+        # GIF89a §20 worked example for 8 rows
+        assert interlace_row_order(8) == [0, 4, 2, 6, 1, 3, 5, 7]
+        # every height is a permutation of range(h)
+        for h in (1, 2, 3, 5, 7, 11, 16):
+            assert sorted(interlace_row_order(h)) == list(range(h))
+
+    def test_interlaced_decodes_equal_to_progressive_twin(self):
+        """VERDICT r7 #3: an interlaced encoding of the same animation
+        decodes to the SAME top-down frames as its non-interlaced twin
+        (wire layout differs, displayed image does not)."""
+        from event_streamer_spark.operators.multimodal_gif import (
+            decode_gif,
+            keyframe_sums,
+            make_patterned_gif,
+        )
+
+        plain = decode_gif(make_patterned_gif(9))
+        inter = decode_gif(make_patterned_gif(9, interlace=True))
+        assert inter["frames"] == plain["frames"]
+        # and the dedup fingerprint is layout-invariant
+        assert keyframe_sums(inter) == keyframe_sums(plain)
+
+    def test_interlaced_round_trip_odd_geometries(self):
+        """Interlace permutation at heights hitting each pass-count
+        edge (h=1 → pass 1 only, h=2 → passes 1+4, h=3,5 partial
+        pass 3, h=11 all four passes with ragged tails)."""
         from event_streamer_spark.operators.multimodal_gif import (
             decode_gif,
             make_patterned_gif,
         )
 
-        payload = bytearray(make_patterned_gif(1))
-        # image descriptor starts after 6 (hdr) + 7 (LSD) + 768 (GCT) +
-        # 8 (GCE) bytes; its packed byte is the 9th of the descriptor
-        idesc = 6 + 7 + 768 + 8
-        assert payload[idesc] == 0x2C
-        payload[idesc + 9] |= 0x40  # set interlace flag
-        with pytest.raises(NotImplementedError, match="interlaced"):
-            decode_gif(bytes(payload))
+        for w, h in ((1, 1), (3, 2), (4, 3), (2, 5), (5, 11)):
+            plain = decode_gif(make_patterned_gif(3, w=w, h=h))
+            inter = decode_gif(
+                make_patterned_gif(3, w=w, h=h, interlace=True)
+            )
+            assert inter["frames"] == plain["frames"], (w, h)
+
+    def test_local_color_table_round_trip(self):
+        """VERDICT r7 #3 (second half): frames carrying a LOCAL color
+        table — a rotated grayscale, so raw indices differ from the
+        displayed grays — decode to the same DISPLAYED image and the
+        same keyframe fingerprint as the global-palette twin."""
+        from event_streamer_spark.operators.multimodal_gif import (
+            GIF_H,
+            GIF_W,
+            decode_gif,
+            frame_gray,
+            gif_pixel,
+            keyframe_sums,
+            make_patterned_gif,
+        )
+
+        plain = decode_gif(make_patterned_gif(5))
+        lct = decode_gif(make_patterned_gif(5, local_rot=77))
+        assert all(p is not None for p in lct["frame_palettes"])
+        # raw index bytes DIFFER (the palette indirection is real) …
+        assert lct["frames"][0] != plain["frames"][0]
+        # … but the displayed grays match first principles per frame
+        for f in range(5):
+            assert frame_gray(lct, f) == bytes(
+                gif_pixel(f, x, y) for y in range(GIF_H) for x in range(GIF_W)
+            )
+        # and the palette-aware fingerprint is identical
+        assert keyframe_sums(lct) == keyframe_sums(plain)
+
+    def test_truncated_payload_raises_valueerror(self):
+        """ADVICE r7: truncation is a DATA error — ValueError, never a
+        bare IndexError — at every cut point of the container."""
+        from event_streamer_spark.operators.multimodal_gif import (
+            count_gif_frames,
+            decode_gif,
+            make_patterned_gif,
+        )
+
+        payload = make_patterned_gif(3)
+        for cut in (8, 12, 300, 785, 790, 800, len(payload) - 2):
+            chopped = payload[:cut]
+            with pytest.raises(ValueError):
+                decode_gif(chopped)
+            try:
+                count_gif_frames(chopped)
+            except ValueError:
+                pass  # allowed; IndexError is not
+
+    def test_lzw_coincidental_eoi_tail_rejected(self):
+        """ADVICE r7: a stream truncated mid-code whose leftover bits
+        happen to spell EOI must raise, not silently return truncated
+        pixels — the zero-extended EOI is only legal at the encoder's
+        (width-1)-bit width."""
+        from event_streamer_spark.operators.multimodal_gif import (
+            _lzw_decode,
+        )
+
+        # mcs=2: clear=4, eoi=5, width starts at 3. Emit clear + 14
+        # literals, mirroring the decoder's table growth so the width
+        # reaches 5 and the bit count lands 3 short of a byte boundary;
+        # then a 3-bit 0b101 tail (== eoi) byte-aligns the stream with
+        # NO flush padding, leaving the decoder nbits=3 < width-1=4.
+        # The old `nbits > 0` check accepted it, returning truncated
+        # data; the tightened check must raise.
+        acc = nbits = 0
+        out = bytearray()
+
+        def emit(code, width):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        width, next_code, total = 3, 6, 0
+
+        def emit_t(code):
+            nonlocal total
+            emit(code, width)
+            total += width
+
+        emit_t(4)  # CLEAR
+        for i in range(14):
+            emit_t(i % 4)
+            if i > 0:  # first post-clear code adds no table entry
+                next_code += 1
+                if next_code == (1 << width) - 1 and width < 12:
+                    width += 1
+        assert width == 5 and total % 8 == 5, (width, total)
+        emit(5, 3)  # truncated tail that coincidentally spells EOI
+        assert nbits == 0, "stream must byte-align with no flush padding"
+        with pytest.raises(ValueError, match="EOI"):
+            _lzw_decode(bytes(out), 2)
 
     def test_skips_unknown_extensions(self):
         from event_streamer_spark.operators.multimodal_gif import (
@@ -519,3 +642,33 @@ class TestLzwProperty:
             assert _lzw_decode(self._compress(data, 4), 4) == data
 
         check()
+
+
+class TestGifSignatureUdf:
+    def test_corrupt_payload_yields_null_not_poison_pill(self, spark):
+        """ADVICE r7: one corrupt GIF in a micro-batch must map to a
+        NULL signature (dead-letterable), not raise inside the pandas
+        UDF and wedge the stream on deterministic retry."""
+        import pyspark.sql.functions as F
+
+        from event_streamer_spark.operators.multimodal_gif import (
+            gif_signature_udf,
+            make_patterned_gif,
+        )
+
+        good = make_patterned_gif(4)
+        rows = [
+            (1, bytearray(good)),
+            (2, bytearray(good[: len(good) // 2])),  # truncated
+            (3, bytearray(b"not a gif at all")),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        out = {
+            r["doc_id"]: r["sig"]
+            for r in df.select(
+                "doc_id", gif_signature_udf()(F.col("payload")).alias("sig")
+            ).collect()
+        }
+        assert out[1] is not None and len(out[1]) == 32
+        assert out[2] is None and out[3] is None and out[4] is None
