@@ -1053,3 +1053,135 @@ def b22_dow_parity(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("doy"),
     )
+
+
+@query(
+    "b21_left_neg_parity",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 5 - 2 < 0 THEN ''
+                ELSE LEFT(c_name, c_custkey % 5 - 2) END AS left_n,
+           LEFT(c_name, 3) AS left_3
+    FROM customer
+    """,
+)
+def b21_left_neg_parity(spark: SparkSession, sf: str) -> DataFrame:
+    """B21 regression (expression probe, round 8): ``LEFT(s, n)`` with
+    NEGATIVE n returns '' on Spark but drops the last |n| characters on
+    DuckDB (``LEFT('abcdef', -2)`` → '' vs 'abcd'). The portable
+    recipe, pinned over per-row varying n ∈ [-2, 2]: guard with
+    ``CASE WHEN n < 0 THEN '' ELSE LEFT(s, n) END`` (or
+    ``LEFT(s, GREATEST(n, 0))``) — n = 0 agrees ('') on both engines,
+    so only the negative branch needs the guard. ``LEFT(s, 3)`` rides
+    along as the positive-length control."""
+    return load(spark, sf, "customer").select(
+        "c_custkey",
+        F.expr("LEFT(c_name, CAST(c_custkey % 5 - 2 AS INT))").alias(
+            "left_n"
+        ),
+        F.expr("LEFT(c_name, 3)").alias("left_3"),
+    )
+
+
+@query(
+    "b21_substr_zero_parity",
+    oracle="""
+    SELECT c_custkey,
+           SUBSTR(c_name, GREATEST(CAST(c_custkey % 3 AS INT), 1), 4)
+             AS sub_n
+    FROM customer
+    """,
+)
+def b21_substr_zero_parity(spark: SparkSession, sf: str) -> DataFrame:
+    """B21 regression (expression probe, round 8): ``SUBSTR(s, 0, n)``
+    — Spark clamps start 0 to position 1 and returns n characters;
+    DuckDB treats position 0 as one-before-start and burns part of the
+    length window there (``SUBSTR('abcdef', 0, 3)`` → 'abc' vs 'ab').
+    Negative starts agree (both count from the end); only 0 splits.
+    The portable recipe, pinned over per-row start ∈ {0, 1, 2}:
+    ``GREATEST(start, 1)`` on the DuckDB side reproduces Spark's
+    clamp exactly."""
+    return load(spark, sf, "customer").select(
+        "c_custkey",
+        F.expr(
+            "SUBSTR(c_name, CAST(c_custkey % 3 AS INT), 4)"
+        ).alias("sub_n"),
+    )
+
+
+@query(
+    "b21_regexp_replace_global",
+    oracle=r"""
+    SELECT c_custkey,
+           REGEXP_REPLACE(c_name, '[0-9]', '#', 'g') AS masked,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits
+    FROM customer
+    """,
+)
+def b21_regexp_replace_global(spark: SparkSession, sf: str) -> DataFrame:
+    """B21 regression (expression probe, round 8): ``REGEXP_REPLACE``
+    replaces ALL matches on Spark but only the FIRST on DuckDB unless
+    the 'g' flag is passed ('a1b2' → 'axbx' vs 'axb2'). The portable
+    recipe, pinned over customer names (digit-bearing 'Customer#…'):
+    always spell the DuckDB side with the explicit 'g' flag.
+    ``REGEXP_EXTRACT`` (group 1, '' on no-match) agrees on both
+    engines — probed round 8 — and rides along as the control."""
+    return load(spark, sf, "customer").select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+    )
+
+
+@query(
+    "b24_array_index_base",
+    oracle="""
+    SELECT vec_id,
+           embedding[1] AS e0,
+           CAST(ARRAY_LENGTH(embedding) AS BIGINT) AS alen
+    FROM embeddings
+    """,
+)
+def b24_array_index_base(spark: SparkSession, sf: str) -> DataFrame:
+    """B24 regression (expression probe, round 8): bracket indexing is
+    ZERO-based on Spark (``arr[0]`` = first element) and ONE-based on
+    DuckDB (``arr[1]``) — ``[7,8,9][1]`` reads 8 vs 7. The portable
+    recipe, pinned over the real FLOAT[] embedding column: Spark
+    ``arr[i]`` == DuckDB ``arr[i + 1]`` (equivalently, use Spark's
+    1-based ``element_at``). Length spelling also differs —
+    ``ARRAY_SIZE`` (Spark) vs ``ARRAY_LENGTH`` (DuckDB) — and rides
+    along as the mapped control."""
+    return load(spark, sf, "embeddings").select(
+        "vec_id",
+        F.col("embedding")[0].alias("e0"),
+        F.array_size("embedding").cast("bigint").alias("alen"),
+    )
+
+
+@query(
+    "b24_array_distinct_order",
+    oracle="""
+    SELECT n_nationkey,
+           ARRAY_SORT(ARRAY_DISTINCT(
+             [n_nationkey % 3, n_nationkey % 5, n_nationkey % 3]
+           )) AS dedup_sorted
+    FROM nation
+    """,
+)
+def b24_array_distinct_order(spark: SparkSession, sf: str) -> DataFrame:
+    """B24 regression (expression probe, round 8): ``ARRAY_DISTINCT``
+    preserves first-occurrence order on Spark but returns elements in
+    hash order on DuckDB (``[1,2,1]`` → [1,2] vs [2,1]) — same set,
+    hash-divergent through the canonical formatter. The portable
+    recipe, pinned here: always wrap in ``ARRAY_SORT`` (NULLS LAST on
+    BOTH engines, probed round 8) before comparing dedup'd arrays.
+    Array construction itself is dialect-split (Spark ``ARRAY(…)`` vs
+    DuckDB ``[…]``) — the fuzzer's dialect-mapped renderer handles
+    that; oracles here just spell each side natively."""
+    k = F.col("n_nationkey")
+    return load(spark, sf, "nation").select(
+        "n_nationkey",
+        F.array_sort(
+            F.array_distinct(F.array(k % 3, k % 5, k % 3))
+        ).alias("dedup_sorted"),
+    )

@@ -56,6 +56,54 @@ portable recipe:
   form the grammar emits). ``DATEDIFF`` signatures are incompatible
   (Spark wants an unquoted unit keyword); excluded.
 
+Round-8 expression-library probe results (VERDICT r7 #1). Portable and
+IN the grammar: TRIM/LTRIM/RTRIM, REPLACE, REVERSE, LPAD/RPAD
+(non-empty pad; ``LPAD(s, n, '')`` returns s on Spark but ERRORS on
+DuckDB), REPEAT, LEFT/RIGHT (non-negative n), SPLIT_PART (incl.
+out-of-range → '' and absent-delimiter → whole string), ASCII, CHR,
+INSTR, POSITION(x IN y), CONTAINS, TRANSLATE, CONCAT_WS (skips NULLs
+on both), MD5, LIKE…ESCAPE, REGEXP_EXTRACT (group 0/1, '' on
+no-match), JSON extraction values (missing key → NULL, object value →
+compact JSON, both engines), ARRAY_CONTAINS / ARRAY_POSITION /
+ARRAY_SORT (NULLS LAST both) / SLICE-equivalents on identical inputs.
+NULL propagation through all of the above agrees.
+
+Round-8 divergences (probed, excluded from portable clauses, each
+pinned as a named registry query):
+
+- ``LEFT(s, n)`` with n < 0: Spark returns '', DuckDB drops the last
+  |n| chars. Recipe: ``CASE WHEN n < 0 THEN '' ELSE LEFT(s, n) END``
+  → ``b21_left_neg_parity``.
+- ``SUBSTR(s, 0, n)``: Spark clamps start 0 to 1 (n chars); DuckDB
+  spends part of the length window before position 1 (n-1 chars).
+  Negative starts agree. Recipe: ``GREATEST(start, 1)`` on the DuckDB
+  side → ``b21_substr_zero_parity``.
+- ``REGEXP_REPLACE``: Spark replaces ALL matches, DuckDB only the
+  FIRST without the 'g' flag. Recipe: always pass 'g' on the DuckDB
+  side → ``b21_regexp_replace_global`` (the dialect-mapped renderer
+  below emits exactly that).
+- ``arr[i]``: ZERO-based on Spark, ONE-based on DuckDB. Recipe: Spark
+  ``arr[i]`` == DuckDB ``arr[i+1]``; Spark ``ELEMENT_AT`` (1-based)
+  == DuckDB ``arr[i]`` → ``b24_array_index_base``.
+- ``ARRAY_DISTINCT`` ordering: Spark keeps first-occurrence order,
+  DuckDB hash order. Recipe: wrap in ``ARRAY_SORT`` before comparing
+  → ``b24_array_distinct_order``.
+- ``SPLIT_PART(s, d, 0)``: Spark raises INVALID_INDEX_OF_ZERO under
+  ANSI, DuckDB returns ''. The grammar emits part >= 1 only.
+- Missing outright in this DuckDB: INITCAP, REGEXP_LIKE,
+  REGEXP_COUNT, CARDINALITY-on-lists; Spark rejects bare
+  ``CAST(x AS VARCHAR)`` (needs a length) — use STRING. Excluded.
+
+Dialect-mapped clauses: some semantics are identical but SPELLED
+differently (array construction ``ARRAY(…)`` vs ``[…]``; ``RLIKE`` vs
+``REGEXP_MATCHES``; ``GET_JSON_OBJECT`` vs ``JSON_EXTRACT_STRING``;
+``ARRAY_SIZE`` vs ``ARRAY_LENGTH``; ``AGGREGATE`` lambda vs
+``LIST_SUM``; ``ARRAY_JOIN`` vs ``ARRAY_TO_STRING``; ``REVERSE`` vs
+``LIST_REVERSE`` on lists; ``SLICE(a, i, n)`` vs ``a[i:i+n-1]``).
+Shapes covering those return a (spark_sql, duckdb_sql) PAIR built
+from one skeleton — still one generated query, compared through the
+same canonicalizer; the harness accepts either form.
+
 Usage::
 
     python scripts/fuzz_oracles.py [sf_dir] [--n N] [--seed S]
@@ -163,8 +211,15 @@ TABLES = {
             "doc_id": "int",
             "lang": "str",
             "source": "str",
+            "text": "name",
             "n_chars": "int",
         },
+    },
+    # embeddings.embedding (FLOAT[]) is deliberately NOT in the generic
+    # column pool — only q_array touches it, with mapped index bases
+    "embeddings": {
+        "pk": ["vec_id"],
+        "cols": {"vec_id": "int", "label": "int"},
     },
 }
 
@@ -256,6 +311,69 @@ class Gen:
             return f"({base} % 10007) * {rng.randint(2, 9)}"
         return f"({base} {op} {other})"
 
+    # -- portable string-valued expression over table t (alias a) -------
+    def _frag(self, t: str, c: str, max_len: int = 4) -> str:
+        """A short literal fragment of a real pooled value of (t, c),
+        sanitized to quote-free text (safe inside '…' on both
+        engines and free of LIKE/regex metacharacters)."""
+        pool = self.pools.get((t, c)) or ["x"]
+        v = str(self.rng.choice(pool))
+        v = "".join(ch for ch in v if ch.isalnum() or ch == " ")
+        k = self.rng.randint(1, max_len)
+        start = self.rng.randint(0, max(0, len(v) - k))
+        frag = v[start : start + k].strip()
+        return frag or "x"
+
+    def str_expr(self, t: str, a: str, depth: int = 0) -> str:
+        """String-valued expression from the round-8 PORTABLE pool
+        (module docstring): identical spelling AND semantics on both
+        engines, NULL-propagating alike. Divergent forms (negative
+        LEFT, SUBSTR start 0, empty pad, INITCAP) never emitted."""
+        rng = self.rng
+        strs = _cols_of(t, ("str", "name"))
+        if not strs:
+            return "'x'"
+        c = rng.choice(strs)
+        base = (
+            self.str_expr(t, a, depth + 1)
+            if depth < 2 and rng.random() < 0.35
+            else f"{a}.{c}"
+        )
+        pick = rng.random()
+        if pick < 0.10:
+            return f"UPPER({base})"
+        if pick < 0.20:
+            return f"LOWER({base})"
+        if pick < 0.28:
+            fn = rng.choice(["TRIM", "LTRIM", "RTRIM", "REVERSE"])
+            return f"{fn}({base})"
+        if pick < 0.36:
+            # start >= 1 only: SUBSTR(s, 0, n) is a pinned divergence
+            return (
+                f"SUBSTR({base}, {rng.randint(1, 5)}, {rng.randint(1, 8)})"
+            )
+        if pick < 0.44:
+            fn = rng.choice(["LEFT", "RIGHT"])  # n >= 0 only (pin)
+            return f"{fn}({base}, {rng.randint(0, 6)})"
+        if pick < 0.52:
+            return f"REPLACE({base}, '{self._frag(t, c)}', '_')"
+        if pick < 0.58:
+            fn = rng.choice(["LPAD", "RPAD"])  # pad never '' (pin)
+            return f"{fn}({base}, {rng.randint(1, 12)}, 'xy')"
+        if pick < 0.64:
+            return f"SPLIT_PART({base}, ' ', {rng.randint(1, 4)})"
+        if pick < 0.70:
+            return f"TRANSLATE({base}, 'ae', '@3')"
+        if pick < 0.76:
+            return f"REPEAT(LEFT({base}, 2), {rng.randint(0, 3)})"
+        if pick < 0.84:
+            return f"{base} || '_' || '{self._frag(t, c)}'"
+        if pick < 0.92:
+            others = _cols_of(t, ("str", "name"))
+            o = rng.choice(others)
+            return f"CONCAT_WS('-', {base}, {a}.{o})"
+        return f"CHR(65 + ASCII(LEFT({base}, 1)) % 26)"
+
     # -- predicate over table t (alias a), depth-bounded ----------------
     def pred(self, t: str, a: str, depth: int = 0) -> str:
         rng = self.rng
@@ -285,13 +403,26 @@ class Gen:
                 )
                 neg = "NOT " if rng.random() < 0.3 else ""
                 return f"{col} {neg}IN ({vals})"
-            if choice < 0.8:
+            if choice < 0.72:
                 pool = self.pools.get((t, c)) or [""]
                 v = str(rng.choice(pool))
                 frag = v[: rng.randint(1, max(1, min(3, len(v))))]
                 frag = frag.replace("'", "''").replace("%", "").replace("_", "")
                 pat = rng.choice([f"{frag}%", f"%{frag}%"])
                 return f"{col} LIKE '{pat}'"
+            if choice < 0.8:
+                # round-8 portable string predicates (probed: NULL
+                # propagation and miss-behavior agree on both engines)
+                frag = self._frag(t, c, max_len=3)
+                return rng.choice(
+                    [
+                        f"CONTAINS({col}, '{frag}')",
+                        f"INSTR({col}, '{frag}') > 0",
+                        f"POSITION('{frag}' IN {col}) "
+                        f"{rng.choice(['=', '>', '<='])} "
+                        f"{rng.randint(0, 3)}",
+                    ]
+                )
             # 3VL: synthesize NULLs with NULLIF, then IS [NOT] NULL
             isnot = rng.choice(["", "NOT "])
             return (
@@ -732,6 +863,236 @@ def q_cte(g: Gen) -> str:
     )
 
 
+def q_string(g: Gen) -> str:
+    """Round-8 expression coverage: portable string-function clauses
+    (str_expr pool) projected and string predicates in WHERE — catches
+    padding/trim/case/split semantics drift on either engine."""
+    rng = g.rng
+    t = rng.choice(
+        [x for x in TABLES if _cols_of(x, ("str", "name"))]
+    )
+    pks = ", ".join(f"t.{p} AS pk{i}" for i, p in enumerate(TABLES[t]["pk"]))
+    projs = [pks]
+    for i in range(rng.randint(2, 4)):
+        se = g.str_expr(t, "t")
+        if rng.random() < 0.3:
+            projs.append(f"LENGTH({se}) AS n{i}")
+        elif rng.random() < 0.15:
+            projs.append(f"ASCII(LEFT({se}, 1)) AS n{i}")
+        else:
+            projs.append(f"{se} AS s{i}")
+    pred = g.pred(t, "t")
+    if rng.random() < 0.4:
+        # concentrate on the string predicate class
+        c = rng.choice(_cols_of(t, ("str", "name")))
+        pred = (
+            f"({pred}) AND INSTR(t.{c}, '{g._frag(t, c, 2)}') "
+            f"{rng.choice(['>', '='])} 0"
+        )
+    return f"SELECT {', '.join(projs)} FROM {t} t WHERE {pred}"
+
+
+def q_regexp(g: Gen) -> tuple[str, str]:
+    """Round-8 regexp clauses, dialect-mapped: Spark ``RLIKE`` ↔ DuckDB
+    ``REGEXP_MATCHES`` predicates, ``REGEXP_REPLACE`` with the 'g' flag
+    on the DuckDB side only (pinned divergence), portable
+    ``REGEXP_EXTRACT``. Patterns stay in the probed-portable subset:
+    literal frags, [a-z]/[0-9] classes, ., +, ?, {m,n}, |, anchors,
+    (?i) — no backslash classes (string-literal escaping differs)."""
+    rng = g.rng
+    t = rng.choice([x for x in TABLES if _cols_of(x, ("str", "name"))])
+    c = rng.choice(_cols_of(t, ("str", "name")))
+    col = f"t.{c}"
+    frag = g._frag(t, c, 3)
+    pat = rng.choice(
+        [
+            f"{frag}",
+            f"^{frag}",
+            f"{frag}$",
+            "[a-z]+[0-9]+",
+            "[0-9]{2,9}",
+            f"({frag}|[0-9]+)",
+            f"{frag[:1]}.{frag[1:2] or 'x'}",
+            f"(?i){frag.upper()}",
+            "[a-z]+ [a-z]+",
+        ]
+    )
+    pk = TABLES[t]["pk"][0]
+    extract = rng.choice(
+        [
+            f"REGEXP_EXTRACT({col}, '({pat})', 1)",
+            f"REGEXP_EXTRACT({col}, '{pat}', 0)",
+        ]
+    )
+    repl_s = f"REGEXP_REPLACE({col}, '{pat}', '#')"
+    repl_d = f"REGEXP_REPLACE({col}, '{pat}', '#', 'g')"
+    where_s = f"{col} RLIKE '{pat}'"
+    where_d = f"REGEXP_MATCHES({col}, '{pat}')"
+    neg = "NOT " if rng.random() < 0.3 else ""
+    agg = rng.random() < 0.35
+    if agg:
+        skeleton = (
+            "SELECT {repl} AS masked, COUNT(*) AS cnt, "
+            "CAST(SUM(LENGTH({ex})) AS BIGINT) AS s0 "
+            "FROM {t} t WHERE {base} GROUP BY masked"
+        )
+        return (
+            skeleton.format(repl=repl_s, ex=extract, t=t,
+                            base=f"{neg}({where_s})"),
+            skeleton.format(repl=repl_d, ex=extract, t=t,
+                            base=f"{neg}({where_d})"),
+        )
+    skeleton = (
+        "SELECT t.{pk} AS pk0, {ex} AS x0, {repl} AS masked "
+        "FROM {t} t WHERE {base} AND {p}"
+    )
+    base_pred = g.pred(t, "t", depth=1)
+    return (
+        skeleton.format(pk=pk, ex=extract, repl=repl_s, t=t,
+                        base=f"{neg}({where_s})", p=base_pred),
+        skeleton.format(pk=pk, ex=extract, repl=repl_d, t=t,
+                        base=f"{neg}({where_d})", p=base_pred),
+    )
+
+
+def q_json(g: Gen) -> tuple[str, str]:
+    """Round-8 JSON clauses, dialect-mapped: Spark ``GET_JSON_OBJECT``
+    ↔ DuckDB ``JSON_EXTRACT_STRING`` (values agree incl. missing-key →
+    NULL and object values → compact JSON, probed), portable
+    ``JSON_ARRAY_LENGTH``. Documents come from the REAL events.props
+    column or are synthesized from int expressions via CAST(… AS
+    STRING) concatenation (identical on both engines)."""
+    rng = g.rng
+
+    def mapped(doc: str, path: str) -> tuple[str, str]:
+        return (
+            f"GET_JSON_OBJECT({doc}, '{path}')",
+            f"JSON_EXTRACT_STRING({doc}, '{path}')",
+        )
+
+    if rng.random() < 0.45:
+        # real column: events.props is '{"k": <int>}'
+        path = rng.choice(["$.k", "$.zz"])
+        ex_s, ex_d = mapped("t.props", path)
+        pred = g.pred("events", "t", depth=1)
+        skeleton = (
+            "SELECT t.event_id AS pk0, {ex} AS x0, "
+            "CAST({ex} AS BIGINT) AS n0 "
+            "FROM events t WHERE {p}"
+        )
+        return (
+            skeleton.format(ex=ex_s, p=pred),
+            skeleton.format(ex=ex_d, p=pred),
+        )
+    # synthesized doc over any table: nested object + array
+    t = rng.choice([x for x in TABLES if x != "embeddings"])
+    e1 = g.int_expr(t, "t")
+    e2 = g.int_expr(t, "t")
+    doc = (
+        "'{\"a\": ' || CAST(" + e1 + " AS STRING) || "
+        "', \"o\": {\"x\": 7}, \"arr\": [' || CAST(" + e2 + " AS STRING)"
+        " || ', 11, 19]}'"
+    )
+    path, as_int = rng.choice(
+        [
+            ("$.a", True),
+            ("$.o.x", True),
+            ("$.o", False),
+            ("$.arr[0]", True),
+            ("$.arr[2]", True),
+            ("$.arr[5]", True),  # out of range → NULL on both
+            ("$.missing", False),
+        ]
+    )
+    ex_s, ex_d = mapped(doc, path)
+    pk = TABLES[t]["pk"][0]
+    cast = "CAST({ex} AS BIGINT)" if as_int else "{ex}"
+    arr_len = (
+        "JSON_ARRAY_LENGTH('[' || CAST(" + e2 + " AS STRING) ||"
+        " ', 1]')"
+    )
+    skeleton = (
+        "SELECT t.{pk} AS pk0, " + cast + " AS x0, {al} AS n0 "
+        "FROM {t} t WHERE {p}"
+    )
+    pred = g.pred(t, "t", depth=1)
+    return (
+        skeleton.format(pk=pk, ex=ex_s, al=arr_len, t=t, p=pred),
+        skeleton.format(pk=pk, ex=ex_d, al=arr_len, t=t, p=pred),
+    )
+
+
+def q_array(g: Gen) -> tuple[str, str]:
+    """Round-8 array clauses, dialect-mapped. Two sub-shapes: (a) the
+    REAL FLOAT[] embedding column — mapped element access (Spark
+    0-based ``[i]`` / 1-based ``ELEMENT_AT`` ↔ DuckDB 1-based ``[i]``),
+    mapped length spelling, slices; (b) synthesized INT arrays
+    (``ARRAY(…)`` ↔ ``[…]``) through the portable list-function pool
+    (CONTAINS/POSITION/SORT, sorted DISTINCT per the pinned ordering
+    divergence, mapped sum/join/reverse)."""
+    rng = g.rng
+    if rng.random() < 0.45:
+        i = rng.randint(0, 7)
+        j = rng.randint(1, 8)
+        n = rng.randint(2, 4)
+        sl = rng.randint(1, 6)
+        items_s = [
+            ("e0", f"t.embedding[{i}]"),
+            ("e1", f"ELEMENT_AT(t.embedding, {j})"),
+            ("alen", "ARRAY_SIZE(t.embedding)"),
+            ("sl", f"SLICE(t.embedding, {sl}, {n})"),
+        ]
+        items_d = [
+            ("e0", f"t.embedding[{i + 1}]"),
+            ("e1", f"t.embedding[{j}]"),
+            ("alen", "ARRAY_LENGTH(t.embedding)"),
+            ("sl", f"t.embedding[{sl}:{sl + n - 1}]"),
+        ]
+        keep = sorted(rng.sample(range(4), rng.randint(2, 4)))
+        sel_s = ", ".join(f"{items_s[k][1]} AS {items_s[k][0]}" for k in keep)
+        sel_d = ", ".join(f"{items_d[k][1]} AS {items_d[k][0]}" for k in keep)
+        # guard: every index the clause touches exists (ANSI Spark
+        # raises on ELEMENT_AT out-of-range; [i] returns NULL — the
+        # guard keeps both legal AND equal)
+        guard = max(i + 1, j, sl + n - 1)
+        return (
+            f"SELECT t.vec_id AS pk0, {sel_s} FROM embeddings t "
+            f"WHERE ARRAY_SIZE(t.embedding) >= {guard}",
+            f"SELECT t.vec_id AS pk0, {sel_d} FROM embeddings t "
+            f"WHERE ARRAY_LENGTH(t.embedding) >= {guard}",
+        )
+    t = rng.choice([x for x in TABLES if x != "embeddings"])
+    xs = [g.int_expr(t, "t") for _ in range(3)]
+    arr_s = f"ARRAY({xs[0]}, {xs[1]}, {xs[2]})"
+    arr_d = f"[{xs[0]}, {xs[1]}, {xs[2]}]"
+    lit = f"{xs[0]}"  # guaranteed hit for CONTAINS/POSITION sometimes
+    wraps = [
+        ("w0", f"ARRAY_CONTAINS({{a}}, {lit})",
+         f"ARRAY_CONTAINS({{a}}, {lit})"),
+        ("w1", f"ARRAY_POSITION({{a}}, {xs[1]})",
+         f"ARRAY_POSITION({{a}}, {xs[1]})"),
+        ("w2", "ARRAY_SORT({a})", "ARRAY_SORT({a})"),
+        ("w3", "ARRAY_SORT(ARRAY_DISTINCT({a}))",
+         "ARRAY_SORT(ARRAY_DISTINCT({a}))"),
+        ("w4", "AGGREGATE({a}, CAST(0 AS BIGINT), (acc, x) -> acc + x)",
+         "CAST(LIST_SUM({a}) AS BIGINT)"),
+        ("w5", "REVERSE(ARRAY_SORT({a}))", "LIST_REVERSE(ARRAY_SORT({a}))"),
+    ]
+    keep = sorted(rng.sample(range(len(wraps)), rng.randint(2, 3)))
+    sel_s = ", ".join(
+        wraps[k][1].format(a=arr_s) + f" AS {wraps[k][0]}" for k in keep
+    )
+    sel_d = ", ".join(
+        wraps[k][2].format(a=arr_d) + f" AS {wraps[k][0]}" for k in keep
+    )
+    pk = TABLES[t]["pk"][0]
+    pred = g.pred(t, "t", depth=1)
+    return (
+        f"SELECT t.{pk} AS pk0, {sel_s} FROM {t} t WHERE {pred}",
+        f"SELECT t.{pk} AS pk0, {sel_d} FROM {t} t WHERE {pred}",
+    )
+
+
 SHAPES = [
     (q_scan, 4),
     (q_agg, 4),
@@ -744,6 +1105,10 @@ SHAPES = [
     (q_rollup, 2),
     (q_join3, 3),
     (q_window_frame, 2),
+    (q_string, 3),
+    (q_regexp, 2),
+    (q_json, 2),
+    (q_array, 3),
 ]
 
 
@@ -822,10 +1187,15 @@ def run_fuzz(
     indices = [only] if only is not None else range(n)
     for i in indices:
         rng = random.Random(f"{seed}:{i}")
-        sql = gen_query(rng, pools)
+        q = gen_query(rng, pools)
+        # portable shapes emit ONE string run verbatim on both engines;
+        # dialect-mapped shapes (module docstring) emit a
+        # (spark_sql, duckdb_sql) pair built from one skeleton
+        ssql, dsql = (q, q) if isinstance(q, str) else q
+        sql = ssql if ssql == dsql else f"{ssql}\n      DUCK: {dsql}"
         reason = None
         try:
-            sdf = spark.sql(sql)
+            sdf = spark.sql(ssql)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
@@ -833,7 +1203,7 @@ def run_fuzz(
             srows = scols = None
         if reason is None:
             try:
-                rel = con.sql(sql)
+                rel = con.sql(dsql)
                 ocols = rel.columns
                 orows = rel.fetchall()
             except Exception as e:  # noqa: BLE001

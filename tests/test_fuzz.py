@@ -21,7 +21,7 @@ sys.path.insert(0, "/root/repo")
 
 from scripts.fuzz_oracles import run_fuzz  # noqa: E402
 
-FUZZ_SEED = "r7-ci"
+FUZZ_SEED = "r8-ci"
 FUZZ_N = 120
 
 
