@@ -4,7 +4,9 @@ the SAME declarative plans the batch oracles check, plus stateful ops.
 Pattern: events parquet → readStream(availableNow) → op → memory sink →
 compare against the batch evaluation of the identical expression."""
 
+import os
 import tempfile
+import zlib
 
 import pytest
 from pyspark.sql import functions as F
@@ -43,8 +45,16 @@ def write_split_files(df, src: str, key: str, n_splits: int, seed: str):
 
 
 # (n_splits, seed) grid for the boundary-independence parametrization:
-# the historical 2-way parity boundary + a seeded 4-way hash boundary
-BOUNDARY_SPLITS = [(2, "parity"), (4, "r7")]
+# the historical 2-way parity boundary + a SEEDED RANDOM 1..5-way hash
+# boundary (VERDICT r7 #5 — same repro protocol as the SQL fuzzer: the
+# seed appears in the pytest parametrize id; to reproduce a failure or
+# explore other boundaries run with
+# EVENT_STREAMER_BOUNDARY_SEED=<seed>, which also re-derives the split
+# count from the seed, covering the 1-way trivial boundary through
+# 5-way). Rotate the default when the incremental-index family changes.
+BOUNDARY_FUZZ_SEED = os.environ.get("EVENT_STREAMER_BOUNDARY_SEED", "r8")
+_n_fuzz = 1 + zlib.crc32(f"nsplits:{BOUNDARY_FUZZ_SEED}".encode()) % 5
+BOUNDARY_SPLITS = [(2, "parity"), (_n_fuzz, BOUNDARY_FUZZ_SEED)]
 
 
 def _events_stream(spark):
