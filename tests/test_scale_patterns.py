@@ -524,20 +524,28 @@ SF10_DIR = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/sf10")
 def test_sf10_auto_flips_at_default_threshold(spark):
     """The sf10 crossover proof, at REAL sizes (not extrapolation): the
     Catalyst estimate for the FULL-WIDTH sf10 lineitem scan exceeds the
-    DEFAULT 1 GiB threshold and ``mode='auto'`` emits the two-level
-    plan, while the same call at sf0.001 stays naive. (Catalyst prunes
-    the estimate by projected width, so b15's 5-column frame crosses
-    around sf20 — the decision input is whatever frame the caller
-    hands in.) Plan checks only — no job runs; timing lives in
-    scripts/prove_sf10.py."""
+    CLUSTER 1 GiB threshold, so with the engine conf pinned to the
+    cluster default ``mode='auto'`` emits the two-level plan — while
+    the LOCAL default (8 GiB on a local[*] master; the sf10 proof
+    measured naive 4× faster locally, where no cluster straggler
+    exists) keeps the very same sf10 call naive. sf0.001 stays naive
+    under both. (Catalyst prunes the estimate by projected width, so
+    b15's 5-column frame crosses around sf20 — the decision input is
+    whatever frame the caller hands in.) Plan checks only — no job
+    runs; timing lives in scripts/prove_sf10.py."""
     from event_streamer_spark.operators.distrank import (
         _NAIVE_MAX_BYTES,
+        _NAIVE_MAX_BYTES_CONF,
         _plan_size_bytes,
+        resolve_naive_max_bytes,
         two_level_row_number,
     )
 
     assert _plan_size_bytes(load(spark, SF10_DIR, "lineitem")) > _NAIVE_MAX_BYTES
     assert _plan_size_bytes(load(spark, SF, "lineitem")) < _NAIVE_MAX_BYTES
+    # this suite runs on a local master → the resolved default is the
+    # raised local threshold, above the sf10 estimate
+    assert resolve_naive_max_bytes(spark) > _NAIVE_MAX_BYTES
 
     def auto_plan(df):
         return explain_str(
@@ -553,5 +561,53 @@ def test_sf10_auto_flips_at_default_threshold(spark):
             "simple",
         )
 
-    assert "__bucket" in auto_plan(load(spark, SF10_DIR, "lineitem"))
-    assert "__bucket" not in auto_plan(load(spark, SF, "lineitem"))
+    # local default: sf10 stays naive (no __bucket) — the 4×-faster plan
+    assert "__bucket" not in auto_plan(load(spark, SF10_DIR, "lineitem"))
+    try:
+        # cluster rehearsal: pin the conf to the cluster crossover and
+        # the SAME sf10 call flips two-level
+        spark.conf.set(_NAIVE_MAX_BYTES_CONF, str(_NAIVE_MAX_BYTES))
+        assert "__bucket" in auto_plan(load(spark, SF10_DIR, "lineitem"))
+        assert "__bucket" not in auto_plan(load(spark, SF, "lineitem"))
+    finally:
+        spark.conf.unset(_NAIVE_MAX_BYTES_CONF)
+
+
+def test_distrank_threshold_conf_resolution(spark):
+    """VERDICT r7 #6: the auto-mode crossover is engine conf.
+    Resolution order: explicit ``naive_max_bytes`` argument > the
+    ``spark.event_streamer.distrank.naiveMaxBytes`` conf > the
+    master-dependent default (8 GiB local / 1 GiB cluster)."""
+    from event_streamer_spark.operators.distrank import (
+        _LOCAL_NAIVE_MAX_BYTES,
+        _NAIVE_MAX_BYTES_CONF,
+        resolve_naive_max_bytes,
+        two_level_row_number,
+    )
+
+    # this suite's master is local[*] → raised local default
+    assert resolve_naive_max_bytes(spark) == _LOCAL_NAIVE_MAX_BYTES
+    try:
+        spark.conf.set(_NAIVE_MAX_BYTES_CONF, "12345")
+        assert resolve_naive_max_bytes(spark) == 12345
+        # conf drives the auto decision: tiny threshold → two-level
+        # even for the tiny sf0.001 frame
+        df = load(spark, SF, "lineitem").select(
+            F.col("l_returnflag").alias("pk"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
+            F.col("l_extendedprice").alias("v"),
+        )
+        spark.conf.set(_NAIVE_MAX_BYTES_CONF, "0")
+        via_conf = two_level_row_number(
+            df, ["pk"], ["v", "uid"], bucket_value="v", out_col="rn",
+            mode="auto", n_buckets=8, cache=False,
+        )
+        assert "__bucket" in explain_str(via_conf, "simple")
+        # explicit argument outranks the conf
+        via_arg = two_level_row_number(
+            df, ["pk"], ["v", "uid"], bucket_value="v", out_col="rn",
+            mode="auto", naive_max_bytes=1 << 40, cache=False,
+        )
+        assert "__bucket" not in explain_str(via_arg, "simple")
+    finally:
+        spark.conf.unset(_NAIVE_MAX_BYTES_CONF)
