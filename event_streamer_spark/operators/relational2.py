@@ -1185,3 +1185,78 @@ def b24_array_distinct_order(spark: SparkSession, sf: str) -> DataFrame:
             F.array_distinct(F.array(k % 3, k % 5, k % 3))
         ).alias("dedup_sorted"),
     )
+
+
+@query(
+    "b23_xor_caret_parity",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(XOR(n_nationkey, 5) AS BIGINT) AS x_xor,
+           CAST(n_nationkey & 5 AS BIGINT) AS x_and,
+           CAST(n_nationkey | 5 AS BIGINT) AS x_or,
+           CAST(n_nationkey << 2 AS BIGINT) AS x_shl,
+           CAST(BIT_COUNT(n_nationkey) AS BIGINT) AS x_pop
+    FROM nation
+    """,
+)
+def b23_xor_caret_parity(spark: SparkSession, sf: str) -> DataFrame:
+    """B23 regression (expression probe, round 8): the ``^`` operator
+    is bitwise XOR on Spark but POWER on DuckDB — ``5 ^ 2`` silently
+    returns 7 vs 25.0 (different value AND type; no error on either
+    side, the worst divergence class). The portable recipe, pinned over
+    nation keys: spell XOR as DuckDB's ``XOR(a, b)`` function on the
+    oracle side and keep ``^`` on Spark (Spark has no XOR function;
+    DuckDB's caret is never XOR). The ``&``, ``|``, ``<<``, ``>>`` and
+    ``BIT_COUNT`` spellings agree on both engines and ride along as
+    controls."""
+    k = F.col("n_nationkey")
+    return load(spark, sf, "nation").select(
+        "n_nationkey",
+        F.expr("n_nationkey ^ 5").cast("bigint").alias("x_xor"),
+        k.bitwiseAND(5).cast("bigint").alias("x_and"),
+        k.bitwiseOR(5).cast("bigint").alias("x_or"),
+        F.shiftleft(k, 2).cast("bigint").alias("x_shl"),
+        F.bit_count(k).cast("bigint").alias("x_pop"),
+    )
+
+
+@query(
+    "b22_datediff_unit_parity",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM AGE(CAST(o_orderdate AS DATE),
+                                      DATE '1995-06-15')) AS INT)
+             AS yr_diff,
+           CAST(EXTRACT(YEAR FROM AGE(CAST(o_orderdate AS DATE),
+                                      DATE '1995-06-15')) * 12
+                + EXTRACT(MONTH FROM AGE(CAST(o_orderdate AS DATE),
+                                         DATE '1995-06-15')) AS INT)
+             AS mo_diff,
+           CAST(DATEDIFF('day', DATE '1995-06-15',
+                         CAST(o_orderdate AS DATE)) AS BIGINT) AS day_diff
+    FROM orders
+    """,
+)
+def b22_datediff_unit_parity(spark: SparkSession, sf: str) -> DataFrame:
+    """B22 regression (FOUND BY the round-8 extended fuzzer, seed
+    r8-dev4:46): ``DATEDIFF(YEAR|MONTH, a, b)`` counts COMPLETE elapsed
+    periods on Spark ('1995-08-15'→'2001-03-01' = 5 years) but calendar
+    BOUNDARY crossings on DuckDB (= 6); DAY agrees (elapsed days both).
+    The portable recipe, pinned over every order date against a
+    mid-corpus reference (both signs exercised; leap-day edge probed):
+    Spark ``DATEDIFF(YEAR, a, b)`` == DuckDB
+    ``EXTRACT(YEAR FROM AGE(b, a))`` and months via
+    ``year*12 + month`` of the same AGE interval — AGE yields complete
+    periods, matching Spark's semantics exactly."""
+    d = F.col("o_orderdate").cast("date")
+    ref = "DATE '1995-06-15'"
+    return load(spark, sf, "orders").select(
+        "o_orderkey",
+        F.expr(f"CAST(DATEDIFF(YEAR, {ref}, CAST(o_orderdate AS DATE))"
+               " AS INT)").alias("yr_diff"),
+        F.expr(f"CAST(DATEDIFF(MONTH, {ref}, CAST(o_orderdate AS DATE))"
+               " AS INT)").alias("mo_diff"),
+        F.datediff(d, F.lit("1995-06-15").cast("date"))
+        .cast("bigint")
+        .alias("day_diff"),
+    )

@@ -90,6 +90,33 @@ pinned as a named registry query):
   → ``b24_array_distinct_order``.
 - ``SPLIT_PART(s, d, 0)``: Spark raises INVALID_INDEX_OF_ZERO under
   ANSI, DuckDB returns ''. The grammar emits part >= 1 only.
+- ``a ^ b``: bitwise XOR on Spark, POWER on DuckDB — different value
+  AND type with no error on either side (5 ^ 2 → 7 vs 25.0), the worst
+  divergence class. Recipe: Spark ``^`` == DuckDB ``XOR(a, b)`` →
+  ``b23_xor_caret_parity``. ``&``, ``|``, ``<<``, ``>>``, ``%`` (incl.
+  negative dividends), ``BIT_COUNT``, and ``MOD`` agree and ARE in the
+  grammar, as are ABS / GREATEST / LEAST (both engines IGNORE NULL
+  arguments — probed), ROUND (half-away on both, scaled and unscaled),
+  POWER / SQRT / LN / EXP / LOG10 / LOG2 / FACTORIAL, and the date
+  family DATE_ADD(d, n) / MAKE_DATE / DATE_PART / QUARTER /
+  GREATEST-over-dates. Dialect-mapped: WEEKOFYEAR ↔ EXTRACT(WEEK),
+  DATEDIFF(DAY, a, b) ↔ DATEDIFF('day', a, b), DATE_FORMAT(d,
+  'EEEE') ↔ STRFTIME(d, '%A'). Excluded (missing on one engine or
+  float-repr-divergent): XOR()/GCD/1-arg TRUNC on Spark;
+  INITCAP/ADD_MONTHS/MONTHS_BETWEEN/UNIX_DATE on DuckDB; CBRT
+  (3.0 vs 3.0000000000000004 — use POWER(x, 1.0/3) with ROUND).
+  Negative-operand bitwise: ``&``/``|``/``>>`` agree on negatives, but
+  ``x << k`` with negative x ERRORS on DuckDB (Spark returns the
+  two's-complement shift) and ``BIT_COUNT(-1)`` is width-dependent
+  (64 vs 32) — the grammar ABS-guards both.
+- ``DATEDIFF(YEAR|MONTH, a, b)`` — FOUND BY THE EXTENDED FUZZER's
+  first seed (r8-dev4:46): Spark counts COMPLETE elapsed periods
+  ('1995-08-15'→'2001-03-01' = 5 years) while DuckDB counts calendar
+  BOUNDARY crossings (= 6). DAY agrees (both are elapsed days).
+  Recipe: Spark ``DATEDIFF(YEAR, a, b)`` == DuckDB
+  ``EXTRACT(YEAR FROM AGE(b, a))`` (AGE yields complete periods);
+  months via ``year*12 + month`` of AGE → ``b22_datediff_unit_parity``.
+  The grammar emits DAY only.
 - Missing outright in this DuckDB: INITCAP, REGEXP_LIKE,
   REGEXP_COUNT, CARDINALITY-on-lists; Spark rejects bare
   ``CAST(x AS VARCHAR)`` (needs a length) — use STRING. Excluded.
@@ -302,9 +329,28 @@ class Gen:
             _cents(f"{a}.{c}") for c in moneys
         ]
         base = rng.choice(base_choices)
-        if depth >= 1 or rng.random() < 0.45:
+        if depth >= 1 or rng.random() < 0.40:
             return base
         other = rng.choice(base_choices)
+        pick = rng.random()
+        if pick < 0.12:
+            # round-8 portable math/bitwise pool (module docstring);
+            # ^ is NEVER emitted (XOR vs POWER — pinned divergence)
+            return rng.choice(
+                [
+                    f"ABS({base} - {other})",
+                    f"GREATEST({base}, {other})",
+                    f"LEAST({base}, {other})",
+                    f"({base} & {other})",
+                    f"({base} | {other})",
+                    # ABS-guarded: only non-negative operands probed
+                    # for BIT_COUNT and shifts
+                    f"BIT_COUNT(ABS({base}))",
+                    f"((ABS({base}) % 10007) << {rng.randint(1, 4)})",
+                    f"(ABS({base}) >> {rng.randint(1, 4)})",
+                    f"MOD({base}, {rng.randint(2, 97)})",
+                ]
+            )
         op = rng.choice(["+", "-", "+", "*"])
         if op == "*":
             # keep magnitudes far below 2^63 (ANSI overflow errors on Spark 4)
@@ -514,6 +560,10 @@ class Gen:
                             f" AS DATE)",
                             f"CAST(DATE_TRUNC('MONTH', {d}) AS DATE)",
                             f"LAST_DAY({d})",
+                            # round-8 probed portable date arithmetic
+                            f"DATE_ADD({d}, {rng.randint(1, 60)})",
+                            f"GREATEST({d}, DATE "
+                            f"'199{rng.randint(2, 8)}-06-15')",
                         ]
                     )
                     out.append(f"{expr} AS c{i}")
@@ -1093,6 +1143,51 @@ def q_array(g: Gen) -> tuple[str, str]:
     )
 
 
+def q_datemath(g: Gen) -> tuple[str, str]:
+    """Round-8 date clauses, dialect-mapped: WEEKOFYEAR ↔
+    EXTRACT(WEEK), DATEDIFF unit spelling (unquoted keyword vs quoted
+    string), day-name formatting (DATE_FORMAT 'EEEE' ↔ STRFTIME '%A'),
+    plus portable QUARTER / DATE_PART / DATE_ADD riding along."""
+    rng = g.rng
+    t = rng.choice([x for x in TABLES if _cols_of(x, ("date",))])
+    c = rng.choice(_cols_of(t, ("date",)))
+    d = f"CAST(t.{c} AS DATE)"
+    pk = TABLES[t]["pk"][0]
+    items = []
+    if rng.random() < 0.6:
+        items.append(
+            ("wk", f"CAST(WEEKOFYEAR({d}) AS INT)",
+             f"CAST(EXTRACT(WEEK FROM {d}) AS INT)")
+        )
+    if rng.random() < 0.6:
+        ref = f"DATE '199{rng.randint(2, 8)}-0{rng.randint(1, 9)}-15'"
+        # DAY only: YEAR/MONTH units count complete periods on Spark
+        # but calendar-boundary crossings on DuckDB — found BY this
+        # shape's first seed and pinned by b22_datediff_unit_parity
+        items.append(
+            ("dd", f"CAST(DATEDIFF(DAY, {ref}, {d}) AS BIGINT)",
+             f"CAST(DATEDIFF('day', {ref}, {d}) AS BIGINT)")
+        )
+    if rng.random() < 0.5:
+        items.append(
+            ("dn", f"DATE_FORMAT({d}, 'EEEE')", f"STRFTIME({d}, '%A')")
+        )
+    items.append(
+        ("q", f"CAST(QUARTER({d}) AS INT)", f"CAST(QUARTER({d}) AS INT)")
+    )
+    items.append(
+        ("yr", f"CAST(DATE_PART('year', {d}) AS BIGINT)",
+         f"CAST(DATE_PART('year', {d}) AS BIGINT)")
+    )
+    pred = g.pred(t, "t", depth=1)
+    sel_s = ", ".join(f"{s} AS {al}" for al, s, _ in items)
+    sel_d = ", ".join(f"{dd} AS {al}" for al, _, dd in items)
+    return (
+        f"SELECT t.{pk} AS pk0, {sel_s} FROM {t} t WHERE {pred}",
+        f"SELECT t.{pk} AS pk0, {sel_d} FROM {t} t WHERE {pred}",
+    )
+
+
 SHAPES = [
     (q_scan, 4),
     (q_agg, 4),
@@ -1109,6 +1204,7 @@ SHAPES = [
     (q_regexp, 2),
     (q_json, 2),
     (q_array, 3),
+    (q_datemath, 2),
 ]
 
 
