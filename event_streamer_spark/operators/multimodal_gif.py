@@ -541,8 +541,23 @@ def d5_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
             )
 
     @pandas_udf("binary")
-    def encode(n_chars: pd.Series) -> pd.Series:
-        return n_chars.map(lambda nc: make_patterned_gif(1 + int(nc) % 40))
+    def encode(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        def one(did, nc):
+            # rotate the sampled docs through the three wire layouts —
+            # progressive, interlaced, rotated-local-palette — so the
+            # batch oracle exercises deinterlacing and LCT resolution
+            # on REAL payload bytes (decoded frames are identical by
+            # the codec round-trip tests, so the oracle is unchanged)
+            k = int(did) // 8
+            return make_patterned_gif(
+                1 + int(nc) % 40,
+                interlace=(k % 3 == 1),
+                local_rot=77 if k % 3 == 2 else None,
+            )
+
+        return pd.Series(
+            [one(d, n) for d, n in zip(doc_id, n_chars)]
+        )
 
     def sample_payload(
         batches: Iterator[pd.DataFrame],
@@ -569,7 +584,7 @@ def d5_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
     sampled = F.col("doc_id") % 8 == 0
     via_payload = (
         d.filter(sampled)
-        .withColumn("payload", encode("n_chars"))
+        .withColumn("payload", encode("doc_id", "n_chars"))
         .drop("n_chars")
         .mapInPandas(sample_payload, out_schema)
     )
