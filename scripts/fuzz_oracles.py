@@ -109,6 +109,16 @@ pinned as a named registry query):
   ``x << k`` with negative x ERRORS on DuckDB (Spark returns the
   two's-complement shift) and ``BIT_COUNT(-1)`` is width-dependent
   (64 vs 32) — the grammar ABS-guards both.
+- Spark parser quirk (found by seed r8-dev7:20): ``>>`` ANYWHERE
+  inside an ``ARRAY(…)`` or ``STRUCT(…)`` constructor is a parse error
+  — the ``>`` tokens are consumed as type-parameter brackets
+  (``array<…>``), regardless of parenthesization; ``<<`` is fine.
+  Worse (seed r8-dev9:112): the re-tokenization applies to the REST of
+  the statement — ``SELECT ARRAY(1,2), (5 >> 1) > 2`` fails while the
+  reversed projection order parses. DuckDB has no SHIFTRIGHT function
+  to map to, so array/struct shapes generate the ENTIRE statement
+  shift-right-free (``no_shr=True`` threads through int_expr AND
+  pred).
 - ``DATEDIFF(YEAR|MONTH, a, b)`` — FOUND BY THE EXTENDED FUZZER's
   first seed (r8-dev4:46): Spark counts COMPLETE elapsed periods
   ('1995-08-15'→'2001-03-01' = 5 years) while DuckDB counts calendar
@@ -321,7 +331,10 @@ class Gen:
         return _lit(kind, self.rng.choice(pool))
 
     # -- scalar int expression over table t (alias a) -------------------
-    def int_expr(self, t: str, a: str, depth: int = 0) -> str:
+    # no_shr: suppress ``>>`` — unparseable inside Spark ARRAY()/
+    # STRUCT() constructors (type-bracket ambiguity; module docstring)
+    def int_expr(self, t: str, a: str, depth: int = 0,
+                 no_shr: bool = False) -> str:
         rng = self.rng
         ints = _cols_of(t, ("int",))
         moneys = _cols_of(t, ("money",))
@@ -336,21 +349,21 @@ class Gen:
         if pick < 0.12:
             # round-8 portable math/bitwise pool (module docstring);
             # ^ is NEVER emitted (XOR vs POWER — pinned divergence)
-            return rng.choice(
-                [
-                    f"ABS({base} - {other})",
-                    f"GREATEST({base}, {other})",
-                    f"LEAST({base}, {other})",
-                    f"({base} & {other})",
-                    f"({base} | {other})",
-                    # ABS-guarded: only non-negative operands probed
-                    # for BIT_COUNT and shifts
-                    f"BIT_COUNT(ABS({base}))",
-                    f"((ABS({base}) % 10007) << {rng.randint(1, 4)})",
-                    f"(ABS({base}) >> {rng.randint(1, 4)})",
-                    f"MOD({base}, {rng.randint(2, 97)})",
-                ]
-            )
+            pool = [
+                f"ABS({base} - {other})",
+                f"GREATEST({base}, {other})",
+                f"LEAST({base}, {other})",
+                f"({base} & {other})",
+                f"({base} | {other})",
+                # ABS-guarded: only non-negative operands probed
+                # for BIT_COUNT and shifts
+                f"BIT_COUNT(ABS({base}))",
+                f"((ABS({base}) % 10007) << {rng.randint(1, 4)})",
+                f"MOD({base}, {rng.randint(2, 97)})",
+            ]
+            if not no_shr:
+                pool.append(f"(ABS({base}) >> {rng.randint(1, 4)})")
+            return rng.choice(pool)
         op = rng.choice(["+", "-", "+", "*"])
         if op == "*":
             # keep magnitudes far below 2^63 (ANSI overflow errors on Spark 4)
@@ -421,13 +434,16 @@ class Gen:
         return f"CHR(65 + ASCII(LEFT({base}, 1)) % 26)"
 
     # -- predicate over table t (alias a), depth-bounded ----------------
-    def pred(self, t: str, a: str, depth: int = 0) -> str:
+    # no_shr: see int_expr — array/struct shapes must keep ``>>`` out
+    # of the whole statement, predicates included
+    def pred(self, t: str, a: str, depth: int = 0,
+             no_shr: bool = False) -> str:
         rng = self.rng
         kind_pick = rng.random()
         cols = TABLES[t]["cols"]
         if depth < 2 and kind_pick < 0.30:
-            left = self.pred(t, a, depth + 1)
-            right = self.pred(t, a, depth + 1)
+            left = self.pred(t, a, depth + 1, no_shr=no_shr)
+            right = self.pred(t, a, depth + 1, no_shr=no_shr)
             conj = rng.choice(["AND", "OR"])
             neg = "NOT " if rng.random() < 0.2 else ""
             return f"{neg}({left} {conj} {right})"
@@ -482,7 +498,10 @@ class Gen:
         choice = rng.random()
         if choice < 0.5:
             op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
-            return f"{self.int_expr(t, a)} {op} {self.pick_lit(t, c, 'int')}"
+            return (
+                f"{self.int_expr(t, a, no_shr=no_shr)} {op} "
+                f"{self.pick_lit(t, c, 'int')}"
+            )
         if choice < 0.75:
             lo = self.pick_lit(t, c, "int")
             hi = self.pick_lit(t, c, "int")
@@ -779,6 +798,24 @@ def q_window_frame(g: Gen) -> str:
     val = g.int_expr(t, "t")
     pk_order = ", ".join(f"t.{p} ASC" for p in TABLES[t]["pk"])
     lo = rng.randint(1, 4)
+    fn = rng.choice([f"SUM({val})", f"MIN({val})", f"MAX({val})",
+                     "COUNT(*)", f"AVG({val})"])
+    pks = ", ".join(f"t.{p} AS pk{i}" for i, p in enumerate(TABLES[t]["pk"]))
+    if rng.random() < 0.25:
+        # RANGE value frame (round-8 probe: agrees on both engines):
+        # single numeric order key, no tiebreak — peers are all
+        # included by definition, so the frame aggregate is
+        # deterministic even over ties
+        frame = (
+            f"RANGE BETWEEN {rng.randint(1, 500)} PRECEDING AND "
+            f"CURRENT ROW"
+        )
+        return (
+            f"SELECT {pks}, {part} AS g0, {val} AS v0, "
+            f"{fn} OVER (PARTITION BY {part} ORDER BY {val} ASC "
+            f"{frame}) AS w0 "
+            f"FROM {t} t WHERE {g.pred(t, 't')}"
+        )
     frame = rng.choice(
         [
             f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW",
@@ -786,9 +823,6 @@ def q_window_frame(g: Gen) -> str:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
         ]
     )
-    fn = rng.choice([f"SUM({val})", f"MIN({val})", f"MAX({val})",
-                     "COUNT(*)", f"AVG({val})"])
-    pks = ", ".join(f"t.{p} AS pk{i}" for i, p in enumerate(TABLES[t]["pk"]))
     return (
         f"SELECT {pks}, {part} AS g0, {val} AS v0, "
         f"{fn} OVER (PARTITION BY {part} ORDER BY {val} ASC NULLS FIRST, "
@@ -1112,7 +1146,7 @@ def q_array(g: Gen) -> tuple[str, str]:
             f"WHERE ARRAY_LENGTH(t.embedding) >= {guard}",
         )
     t = rng.choice([x for x in TABLES if x != "embeddings"])
-    xs = [g.int_expr(t, "t") for _ in range(3)]
+    xs = [g.int_expr(t, "t", no_shr=True) for _ in range(3)]
     arr_s = f"ARRAY({xs[0]}, {xs[1]}, {xs[2]})"
     arr_d = f"[{xs[0]}, {xs[1]}, {xs[2]}]"
     lit = f"{xs[0]}"  # guaranteed hit for CONTAINS/POSITION sometimes
@@ -1136,7 +1170,7 @@ def q_array(g: Gen) -> tuple[str, str]:
         wraps[k][2].format(a=arr_d) + f" AS {wraps[k][0]}" for k in keep
     )
     pk = TABLES[t]["pk"][0]
-    pred = g.pred(t, "t", depth=1)
+    pred = g.pred(t, "t", depth=1, no_shr=True)
     return (
         f"SELECT t.{pk} AS pk0, {sel_s} FROM {t} t WHERE {pred}",
         f"SELECT t.{pk} AS pk0, {sel_d} FROM {t} t WHERE {pred}",
@@ -1188,6 +1222,52 @@ def q_datemath(g: Gen) -> tuple[str, str]:
     )
 
 
+def q_struct(g: Gen) -> tuple[str, str]:
+    """Round-8 struct clauses, dialect-mapped construction
+    (``NAMED_STRUCT('a', x, …)`` ↔ ``STRUCT_PACK(a := x, …)``) with
+    portable field access (``.a``, nested), lexicographic struct
+    comparison, and struct-in-array element reads (mapped index
+    base). All probed identical round 8."""
+    rng = g.rng
+    t = rng.choice([x for x in TABLES if x != "embeddings"])
+    e1 = g.int_expr(t, "t", no_shr=True)
+    e2 = g.int_expr(t, "t", no_shr=True)
+    strs = _cols_of(t, ("str", "name"))
+    sv = f"t.{rng.choice(strs)}" if strs else "'x'"
+
+    def pack(fields_s: str, fields_d: str) -> tuple[str, str]:
+        return f"NAMED_STRUCT({fields_s})", f"STRUCT_PACK({fields_d})"
+
+    s1_s, s1_d = pack(f"'a', {e1}, 'b', {sv}", f"a := {e1}, b := {sv}")
+    s2_s, s2_d = pack(
+        f"'i', NAMED_STRUCT('j', {e2})", f"i := STRUCT_PACK(j := {e2})"
+    )
+    pk = TABLES[t]["pk"][0]
+    pick = rng.random()
+    pred = g.pred(t, "t", depth=1, no_shr=True)
+    if pick < 0.4:
+        # lexicographic struct comparison as a predicate
+        op = rng.choice(["<", "<=", ">", "="])
+        lit = rng.randint(0, 500)
+        return (
+            f"SELECT t.{pk} AS pk0, ({s1_s}).a AS x0, ({s2_s}).i.j AS x1 "
+            f"FROM {t} t WHERE {pred} AND "
+            f"NAMED_STRUCT('k', {e1}) {op} NAMED_STRUCT('k', {lit})",
+            f"SELECT t.{pk} AS pk0, ({s1_d}).a AS x0, ({s2_d}).i.j AS x1 "
+            f"FROM {t} t WHERE {pred} AND "
+            f"STRUCT_PACK(k := {e1}) {op} STRUCT_PACK(k := {lit})",
+        )
+    # struct-in-array with mapped element index (drawn ONCE — the two
+    # renderings must address the same element)
+    idx = rng.randint(0, 1)
+    return (
+        f"SELECT t.{pk} AS pk0, ARRAY({s1_s}, {s1_s})[{idx}].b"
+        f" AS x0, ({s2_s}).i.j AS x1 FROM {t} t WHERE {pred}",
+        f"SELECT t.{pk} AS pk0, [{s1_d}, {s1_d}][{idx + 1}].b"
+        f" AS x0, ({s2_d}).i.j AS x1 FROM {t} t WHERE {pred}",
+    )
+
+
 SHAPES = [
     (q_scan, 4),
     (q_agg, 4),
@@ -1205,6 +1285,7 @@ SHAPES = [
     (q_json, 2),
     (q_array, 3),
     (q_datemath, 2),
+    (q_struct, 2),
 ]
 
 
