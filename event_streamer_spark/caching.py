@@ -41,7 +41,8 @@ def _safe_unpersist(df: DataFrame) -> None:
 
 
 def bounded_persist(
-    df: DataFrame, slot: str, columnar_compressed: bool = True
+    df: DataFrame, slot: str, columnar_compressed: bool = True,
+    columnar_batch_size: Optional[int] = None,
 ) -> DataFrame:
     """``persist()`` with at most one live cached frame per ``slot``.
 
@@ -54,6 +55,16 @@ def bounded_persist(
     frames whose first materialization sits on the critical path;
     leave compression on for wide/string frames where memory footprint
     dominates (e.g. BPE's word tables).
+
+    ``columnar_batch_size`` overrides
+    ``spark.sql.inMemoryColumnarStorage.batchSize`` (default 10000
+    rows) for this persist, same scoping: measured round 8, 100k-row
+    batches cut the same frame's uncompressed build 2.37 s → 1.29 s
+    (fewer per-batch allocations and stat rows). The cost is coarser
+    cache-block granularity — only worth it for frames that are read
+    back whole (as distrank's counts/sort consumers do), and more
+    per-batch peak memory, so keep batches well under
+    rows-per-partition.
     """
     with _LOCK:
         prev = _SLOTS.get(slot)
@@ -64,24 +75,41 @@ def bounded_persist(
                 same = False
             if not same:
                 _safe_unpersist(prev)
-        conf_key = "spark.sql.inMemoryColumnarStorage.compressed"
         spark = df.sparkSession
-        # the conf is SESSION-global: a persist() on another thread
+        # the confs are SESSION-global: a persist() on another thread
         # during the flip window (foreachBatch sinks persist directly,
-        # outside _LOCK) would capture compressed=false too — a cache-
-        # size effect, never a correctness one, so skip the optimization
-        # entirely while streaming queries are live. Residual window: a
+        # outside _LOCK) would capture the flipped values too — a cache-
+        # size/speed effect, never a correctness one, so skip the
+        # optimizations entirely while streaming queries are live. A
         # stream STARTED between this check and the finally-restore
         # still captures the flipped conf for its per-batch persists —
         # accepted (same size-only blast radius; closing it would mean
         # locking stream starts, which this module has no authority over)
-        if not columnar_compressed and not spark.streams.active:
-            old = spark.conf.get(conf_key, "true")
-            spark.conf.set(conf_key, "false")
+        flips: list[tuple[str, str]] = []
+        if not spark.streams.active:
+            if not columnar_compressed:
+                flips.append(
+                    ("spark.sql.inMemoryColumnarStorage.compressed", "false")
+                )
+            if columnar_batch_size is not None:
+                flips.append(
+                    (
+                        "spark.sql.inMemoryColumnarStorage.batchSize",
+                        str(columnar_batch_size),
+                    )
+                )
+        if flips:
+            olds = [
+                (k, spark.conf.get(k, "true" if "compressed" in k else "10000"))
+                for k, _ in flips
+            ]
+            for k, v in flips:
+                spark.conf.set(k, v)
             try:
                 df = df.persist()
             finally:
-                spark.conf.set(conf_key, old)
+                for k, old in olds:
+                    spark.conf.set(k, old)
         else:
             df = df.persist()
         _SLOTS[slot] = df

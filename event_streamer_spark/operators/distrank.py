@@ -51,6 +51,17 @@ _PERCENTILE_ACCURACY = 100
 # sort share one build; ``caching.bounded_persist`` keeps at most ONE
 # live cached frame for this operator across calls (identical repeat
 # calls share the entry; a different input evicts the old one).
+#
+# Round-8 measurement of the ALTERNATIVE (persist only the tiny bounds
+# table, re-scan parquet per consumer — the design that wins at 100 TB
+# where caching the fact table would spill ≈ the input size to disk):
+# on local[32] at sf0.1 it LOST on both cold (3.4 s vs 2.6 s) and warm
+# (1.2-2.1 s vs 0.7 s), because the testdata parquet has only 3 row
+# groups — scan parallelism is capped at 3 tasks regardless of
+# minPartitionNum, so each consumer's re-scan + bucket-assign pass
+# costs ~1.3 s serial while a cache reread is 0.2-0.4 s. The full-frame
+# persist stays; ``cache=False`` remains the extreme-scale escape
+# hatch where the re-scan shape is the right one.
 _CACHE_SLOT = "distrank.bucketed"
 
 
@@ -205,8 +216,9 @@ def two_level_row_number(
     re-scanning the fact table. Both passes are scan+broadcast-join+
     partial-agg shaped — no stage ever sorts or holds a whole partition
     key on one task. At extreme input sizes where caching the full
-    bucketed frame is unwanted, ``cache=False`` trades it back for a
-    third scan.
+    bucketed frame is unwanted (persisting it spills ≈ the input size
+    to executor disk), ``cache=False`` trades it back for a third scan
+    — measured tradeoff at ``_CACHE_SLOT``.
     """
     part_cols = list(part_cols)
     if mode == "auto":
@@ -270,9 +282,13 @@ def two_level_row_number(
         from event_streamer_spark.caching import bounded_persist
 
         # narrow numeric frame on the cold critical path: skip columnar
-        # compression (2× faster first build, identical reread — see
-        # bounded_persist)
-        b = bounded_persist(b, _CACHE_SLOT, columnar_compressed=False)
+        # compression (2× faster first build, identical reread) and
+        # write 100k-row cache batches (another 1.8×: 2.37 s → 1.29 s
+        # measured round 8) — see bounded_persist for both tradeoffs
+        b = bounded_persist(
+            b, _CACHE_SLOT, columnar_compressed=False,
+            columnar_batch_size=100_000,
+        )
 
     # pass 1: per-bucket counts → cumulative base offsets (tiny table)
     counts = b.groupBy(*part_cols, "__bucket").agg(
