@@ -1260,3 +1260,42 @@ def b22_datediff_unit_parity(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("day_diff"),
     )
+
+
+@query(
+    "b25_map_extract_parity",
+    oracle="""
+    SELECT n_nationkey,
+           (MAP {'lo': n_nationkey % 7, 'hi': n_nationkey % 3})['lo'][1]
+             AS v_lo,
+           (MAP {'lo': n_nationkey % 7, 'hi': n_nationkey % 3})['zz'][1]
+             AS v_miss,
+           (MAP {n_name: n_nationkey})[n_name][1] AS v_dyn,
+           CAST(CARDINALITY(
+             MAP {'lo': n_nationkey % 7, 'hi': n_nationkey % 3}
+           ) AS INT) AS card
+    FROM nation
+    """,
+)
+def b25_map_extract_parity(spark: SparkSession, sf: str) -> DataFrame:
+    """B25 regression (expression probe, round 8): map extraction is a
+    SCALAR on Spark (``m['k']`` → value, missing key → NULL) but a
+    LIST on DuckDB 1.x (``m['k']`` → ``[value]``, missing → ``[]``) —
+    a silent schema + value divergence through any comparator. The
+    portable recipe, pinned over literal, missing, and dynamic
+    (column-valued) keys: append DuckDB's 1-based list index —
+    ``m['k'][1]`` — which unwraps hit → value, miss → NULL, and NULL
+    value → NULL, exactly Spark's bracket semantics (probed all three
+    cases). Construction is dialect-split (Spark ``MAP('k', v)`` vs
+    DuckDB ``MAP {'k': v}``) and ``CARDINALITY`` agrees on both; both
+    engines reject duplicate literal keys at runtime, so generated
+    keys must be distinct by construction."""
+    k = F.col("n_nationkey")
+    m = F.create_map(F.lit("lo"), k % 7, F.lit("hi"), k % 3)
+    return load(spark, sf, "nation").select(
+        "n_nationkey",
+        m["lo"].alias("v_lo"),
+        m["zz"].alias("v_miss"),
+        F.create_map(F.col("n_name"), k)[F.col("n_name")].alias("v_dyn"),
+        F.cardinality(m).cast("int").alias("card"),
+    )

@@ -127,6 +127,18 @@ pinned as a named registry query):
   ``EXTRACT(YEAR FROM AGE(b, a))`` (AGE yields complete periods);
   months via ``year*12 + month`` of AGE → ``b22_datediff_unit_parity``.
   The grammar emits DAY only.
+- Map extraction (round-8 probe): Spark ``m['k']`` is a SCALAR (value,
+  or NULL on a missing key) while DuckDB 1.x returns a LIST
+  (``[value]`` / ``[]``) — silent schema + value divergence. Recipe:
+  append DuckDB's 1-based list index, ``m['k'][1]``, which unwraps
+  hit → value, miss → NULL, NULL value → NULL (all three probed) →
+  ``b25_map_extract_parity``. Construction is dialect-split
+  (``MAP('k', v, …)`` ↔ ``MAP {'k': v, …}``); CARDINALITY /
+  MAP_KEYS / MAP_VALUES agree in spelling AND key order (both preserve
+  construction order for literal keys — probed); both engines REJECT
+  duplicate literal keys at runtime, so generated keys are distinct by
+  construction. Spark additionally rejects ``=`` on map types
+  (no ordering) — map equality is never emitted.
 - Missing outright in this DuckDB: INITCAP, REGEXP_LIKE,
   REGEXP_COUNT, CARDINALITY-on-lists; Spark rejects bare
   ``CAST(x AS VARCHAR)`` (needs a length) — use STRING. Excluded.
@@ -1268,6 +1280,67 @@ def q_struct(g: Gen) -> tuple[str, str]:
     )
 
 
+def q_map(g: Gen) -> tuple[str, str]:
+    """Round-8 map clauses, dialect-mapped (probe ledger in the module
+    docstring): construction ``MAP('k', v, …)`` ↔ ``MAP {'k': v, …}``,
+    extraction ``m['k']`` ↔ ``m['k'][1]`` (the 1-based index unwraps
+    DuckDB's list-valued extract; pinned as ``b25_map_extract_parity``),
+    CARDINALITY / MAP_KEYS / MAP_VALUES spelled identically with
+    construction-order keys on both. Sub-shapes: (a) literal
+    string-keyed maps over int exprs with hit + miss extraction;
+    (b) int-keyed maps; (c) a dynamic column-keyed map extracted by
+    the same column (NULL-key-guarded — both engines reject NULL map
+    keys at runtime). Literal keys distinct by construction."""
+    rng = g.rng
+    t = rng.choice([x for x in TABLES if x != "embeddings"])
+    pk = TABLES[t]["pk"][0]
+    pred = g.pred(t, "t", depth=1, no_shr=True)
+    e1 = g.int_expr(t, "t", no_shr=True)
+    e2 = g.int_expr(t, "t", no_shr=True)
+    pick = rng.random()
+    strs = _cols_of(t, ("str", "name"))
+    if pick < 0.3 and strs:
+        # dynamic column-valued key, extracted by the same column
+        c = rng.choice(strs)
+        return (
+            f"SELECT t.{pk} AS pk0, MAP(t.{c}, {e1})[t.{c}] AS m0 "
+            f"FROM {t} t WHERE ({pred}) AND t.{c} IS NOT NULL",
+            f"SELECT t.{pk} AS pk0, (MAP {{t.{c}: {e1}}})[t.{c}][1] AS m0 "
+            f"FROM {t} t WHERE ({pred}) AND t.{c} IS NOT NULL",
+        )
+    if pick < 0.55:
+        # int keys
+        k1, k2 = rng.sample([1, 3, 7, 9], 2)
+        m_s = f"MAP({k1}, {e1}, {k2}, {e2})"
+        m_d = f"MAP {{{k1}: {e1}, {k2}: {e2}}}"
+        hit, miss = k1, 5
+        return (
+            f"SELECT t.{pk} AS pk0, {m_s}[{hit}] AS m0, "
+            f"{m_s}[{miss}] AS m1 FROM {t} t WHERE {pred}",
+            f"SELECT t.{pk} AS pk0, ({m_d})[{hit}][1] AS m0, "
+            f"({m_d})[{miss}][1] AS m1 FROM {t} t WHERE {pred}",
+        )
+    # literal string keys: hit/miss extraction, cardinality, keys/values
+    k1, k2 = rng.sample(["aa", "bb", "cc", "dd"], 2)
+    m_s = f"MAP('{k1}', {e1}, '{k2}', {e2})"
+    m_d = f"MAP {{'{k1}': {e1}, '{k2}': {e2}}}"
+    pool = [
+        ("m0", f"{m_s}['{k1}']", f"({m_d})['{k1}'][1]"),
+        ("m1", f"{m_s}['zz']", f"({m_d})['zz'][1]"),
+        ("m2", f"CAST(CARDINALITY({m_s}) AS INT)",
+         f"CAST(CARDINALITY({m_d}) AS INT)"),
+        ("m3", f"MAP_KEYS({m_s})", f"MAP_KEYS({m_d})"),
+        ("m4", f"MAP_VALUES({m_s})", f"MAP_VALUES({m_d})"),
+    ]
+    keep = sorted(rng.sample(range(len(pool)), rng.randint(2, 3)))
+    sel_s = ", ".join(f"{pool[k][1]} AS {pool[k][0]}" for k in keep)
+    sel_d = ", ".join(f"{pool[k][2]} AS {pool[k][0]}" for k in keep)
+    return (
+        f"SELECT t.{pk} AS pk0, {sel_s} FROM {t} t WHERE {pred}",
+        f"SELECT t.{pk} AS pk0, {sel_d} FROM {t} t WHERE {pred}",
+    )
+
+
 SHAPES = [
     (q_scan, 4),
     (q_agg, 4),
@@ -1286,6 +1359,7 @@ SHAPES = [
     (q_array, 3),
     (q_datemath, 2),
     (q_struct, 2),
+    (q_map, 2),
 ]
 
 
