@@ -99,10 +99,9 @@ def bounded_persist(
                     )
                 )
         if flips:
-            olds = [
-                (k, spark.conf.get(k, "true" if "compressed" in k else "10000"))
-                for k, _ in flips
-            ]
+            # both are built-in SQL confs — get() always returns the
+            # effective (set-or-default) value, which restore re-sets
+            olds = [(k, spark.conf.get(k)) for k, _ in flips]
             for k, v in flips:
                 spark.conf.set(k, v)
             try:
