@@ -1299,3 +1299,45 @@ def b25_map_extract_parity(spark: SparkSession, sf: str) -> DataFrame:
         F.create_map(F.col("n_name"), k)[F.col("n_name")].alias("v_dyn"),
         F.cardinality(m).cast("int").alias("card"),
     )
+
+
+@query(
+    "b22_timestamp_parity",
+    oracle="""
+    SELECT event_id,
+           CAST(EXTRACT(SECOND FROM ts) AS INT) AS sec_i,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS epoch_s,
+           EPOCH_US(ts) AS epoch_us,
+           CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_t,
+           STRFTIME(ts, '%Y-%m-%d %H') AS hh
+    FROM events
+    """,
+)
+def b22_timestamp_parity(spark: SparkSession, sf: str) -> DataFrame:
+    """B22 regression (timestamp probes, round 8): four spelling/type
+    divergences over a raw TIMESTAMP column, each with its portable
+    recipe pinned per row of ``events.ts`` (itself probed per-row
+    hash-equal across engines — both truncate parquet nanos to the
+    same micros):
+
+    * ``EXTRACT(SECOND)`` — fractional DECIMAL(8,6) on Spark vs int
+      on DuckDB; recipe ``CAST(FLOOR(…) AS INT)`` (no-op on DuckDB).
+    * epoch seconds — Spark ``UNIX_TIMESTAMP`` is integral while
+      DuckDB ``EPOCH`` is a fractional DOUBLE; recipe
+      ``CAST(FLOOR(EPOCH(…)) AS BIGINT)`` (floor == truncation for
+      the positive-epoch data here).
+    * epoch micros — spelling-mapped ``UNIX_MICROS`` ↔ ``EPOCH_US``.
+    * ``DATE_TRUNC('day')`` — TIMESTAMP on Spark vs DATE on DuckDB;
+      recipe ``CAST(… AS TIMESTAMP)`` (no-op on Spark).
+    * format strings — ``DATE_FORMAT`` pattern letters (``yyyy``,
+      ``HH``) ↔ ``STRFTIME`` percent codes (``%Y``, ``%H``)."""
+    ts = F.col("ts")
+    return load(spark, sf, "events").select(
+        "event_id",
+        F.floor(F.expr("EXTRACT(SECOND FROM ts)")).cast("int")
+        .alias("sec_i"),
+        F.unix_timestamp(ts).alias("epoch_s"),
+        F.unix_micros(ts).alias("epoch_us"),
+        F.date_trunc("day", ts).alias("day_t"),
+        F.date_format(ts, "yyyy-MM-dd HH").alias("hh"),
+    )

@@ -26,8 +26,24 @@ difference the grammar must not trip over, verified here once so the
   while DuckDB defaults to NULLS LAST everywhere.
 - string concat uses ``||`` (NULL-propagating on both), never CONCAT
   (DuckDB treats NULL as '' there).
-- timestamp columns enter only as ``CAST(col AS DATE)`` — nanos vs
-  micros encodings differ per table (see ``tables.load``).
+- "date"-kind columns (o_orderdate, l_shipdate) enter only as
+  ``CAST(col AS DATE)`` — their timestamp encodings differ per table
+  (see ``tables.load``). ``events.ts`` ("ts" kind) is the exception:
+  probed per-row hash-equal across engines at sf0.001 AND sf0.01
+  (both truncate the parquet nanos to identical micros), so raw
+  comparisons, BETWEEN, sampled TIMESTAMP literals, EXTRACT ints,
+  MIN/MAX, COUNT DISTINCT, and ts+INTERVAL are emitted directly.
+  Portable-spelling notes (round-8 probes): DuckDB
+  ``DATE_TRUNC('day'|'month', ts)`` returns DATE while Spark returns
+  TIMESTAMP — ``CAST(DATE_TRUNC(…) AS TIMESTAMP)`` is a no-op on
+  Spark and fixes DuckDB (same text, both engines);
+  ``EXTRACT(SECOND)`` is fractional DECIMAL(8,6) on Spark vs int on
+  DuckDB — ``CAST(FLOOR(…) AS INT)`` aligns both; epoch seconds are
+  dialect-mapped ``UNIX_TIMESTAMP`` ↔ ``CAST(FLOOR(EPOCH(…)) AS
+  BIGINT)`` (EPOCH is a fractional double; positive-epoch data only),
+  micros ``UNIX_MICROS`` ↔ ``EPOCH_US``, formats ``DATE_FORMAT``
+  pattern letters ↔ ``STRFTIME`` percent codes (q_timestamp). The
+  whole family is pinned by ``b22_timestamp_parity``.
 - window ORDER BY is total within its partition (PK tiebreak) so
   rank/lag/sum-frames are deterministic.
 
@@ -252,6 +268,12 @@ TABLES = {
             "user_id": "int",
             "event_type": "str",
             "value": "money",
+            # raw TIMESTAMP: per-row hash-equal across engines (probed
+            # round 8 at sf0.001 AND sf0.01 — both engines truncate the
+            # parquet nanos to identical micros), so ts participates in
+            # predicates/projections/aggregates directly; ts-specific
+            # clause pool in projections()/pred()/q_timestamp
+            "ts": "ts",
         },
     },
     "documents": {
@@ -315,6 +337,8 @@ def build_literal_pools(con: duckdb.DuckDBPyConnection) -> dict:
 def _lit(kind: str, v) -> str:
     if kind == "date":
         return f"DATE '{v}'"
+    if kind == "ts":
+        return f"TIMESTAMP '{v}'"
     if kind in ("str", "name"):
         return "'" + str(v).replace("'", "''") + "'"
     if kind == "money":
@@ -464,6 +488,27 @@ class Gen:
         if kind == "date":
             op = rng.choice(["<", "<=", ">", ">=", "="])
             return f"CAST({col} AS DATE) {op} {self.pick_lit(t, c, kind)}"
+        if kind == "ts":
+            choice = rng.random()
+            if choice < 0.5:
+                # raw timestamp comparison — portable (per-row equal,
+                # module docstring); '=' included: literals are sampled
+                # from the data so equality actually selects rows
+                op = rng.choice(["<", "<=", ">", ">=", "="])
+                return f"{col} {op} {self.pick_lit(t, c, kind)}"
+            if choice < 0.8:
+                lo = self.pick_lit(t, c, kind)
+                hi = self.pick_lit(t, c, kind)
+                return (
+                    f"{col} BETWEEN LEAST({lo}, {hi})"
+                    f" AND GREATEST({lo}, {hi})"
+                )
+            part = rng.choice(["HOUR", "MINUTE", "DAY", "MONTH"])
+            cap = {"HOUR": 23, "MINUTE": 59, "DAY": 28, "MONTH": 12}[part]
+            op = rng.choice(["<", "<=", ">=", "="])
+            return (
+                f"EXTRACT({part} FROM {col}) {op} {rng.randint(0, cap)}"
+            )
         if kind in ("str", "name"):
             choice = rng.random()
             if choice < 0.35:
@@ -598,6 +643,31 @@ class Gen:
                         ]
                     )
                     out.append(f"{expr} AS c{i}")
+                elif _cols_of(t, ("ts",)) and pick2 < 0.7:
+                    # round-8 portable timestamp clauses (probed; the
+                    # CAST AS TIMESTAMP is a no-op on Spark and fixes
+                    # DuckDB's DATE_TRUNC('day') returning DATE; the
+                    # FLOOR+INT cast aligns Spark's fractional
+                    # DECIMAL(8,6) EXTRACT(SECOND) with DuckDB's int)
+                    ts = f"{a}.{rng.choice(_cols_of(t, ('ts',)))}"
+                    g = rng.choice(["minute", "hour", "day", "month"])
+                    part = rng.choice(["HOUR", "MINUTE", "DAY", "MONTH",
+                                       "YEAR", "DOY"])
+                    expr = rng.choice(
+                        [
+                            ts,
+                            f"CAST(DATE_TRUNC('{g}', {ts}) AS TIMESTAMP)",
+                            f"EXTRACT({part} FROM {ts})",
+                            f"CAST(FLOOR(EXTRACT(SECOND FROM {ts}))"
+                            f" AS INT)",
+                            f"{ts} + INTERVAL {rng.randint(1, 300)}"
+                            f" MINUTE",
+                            f"CAST({ts} AS DATE)",
+                            f"GREATEST({ts}, TIMESTAMP "
+                            f"'2024-01-{rng.randint(10, 28)} 12:00:00')",
+                        ]
+                    )
+                    out.append(f"{expr} AS c{i}")
                 elif len(strs) >= 2:
                     s1, s2 = rng.sample(strs, 2)
                     # || is NULL-propagating on BOTH engines (CONCAT not)
@@ -635,15 +705,22 @@ class Gen:
             elif pick < 0.4:
                 out.append(f"{rng.choice(['MIN', 'MAX'])}({e}) AS a{i}")
             elif pick < 0.5:
-                # non-date columns only: raw timestamps are the one
-                # column class the module invariant keeps out of the
-                # grammar (nanos-vs-micros encodings could split counts)
+                # non-date columns only: the "date"-kind columns are
+                # timestamp-encoded differently per table (tables.load)
+                # and enter the grammar only as CAST(col AS DATE).
+                # events.ts ("ts" kind) IS eligible — per-row
+                # hash-equal across engines (round-8 probe)
                 cols = [
                     c
                     for c, k in TABLES[t]["cols"].items()
                     if k != "date"
                 ]
                 out.append(f"COUNT(DISTINCT {a}.{rng.choice(cols)}) AS a{i}")
+            elif pick < 0.55 and _cols_of(t, ("ts",)):
+                ts = f"{a}.{rng.choice(_cols_of(t, ('ts',)))}"
+                out.append(
+                    f"{rng.choice(['MIN', 'MAX'])}({ts}) AS a{i}"
+                )
             elif pick < 0.6:
                 out.append(f"AVG({e}) AS a{i}")
             elif pick < 0.68:
@@ -1341,6 +1418,47 @@ def q_map(g: Gen) -> tuple[str, str]:
     )
 
 
+def q_timestamp(g: Gen) -> tuple[str, str]:
+    """Round-8 timestamp clauses needing DIALECT-mapped spellings
+    (the same-text-portable ones — raw comparisons, EXTRACT ints,
+    DATE_TRUNC+CAST, intervals, MIN/MAX — live in the generic
+    projections()/pred()/aggs() pools): epoch seconds
+    (``UNIX_TIMESTAMP`` ↔ ``CAST(FLOOR(EPOCH(…)) AS BIGINT)`` — DuckDB
+    EPOCH is a fractional double; positive-epoch data only, where
+    truncation == floor), epoch micros (``UNIX_MICROS`` ↔
+    ``EPOCH_US``), and hour-format strings (``DATE_FORMAT`` pattern
+    letters ↔ ``STRFTIME`` percent codes). Plus a trunc-bucket
+    GROUP BY leg exercising the portable DATE_TRUNC recipe through an
+    aggregate."""
+    rng = g.rng
+    t = "events"
+    ts = "t.ts"
+    pred = g.pred(t, "t", depth=1)
+    if rng.random() < 0.45:
+        g_gran = rng.choice(["minute", "hour", "day"])
+        return (
+            f"SELECT CAST(DATE_TRUNC('{g_gran}', {ts}) AS TIMESTAMP)"
+            f" AS g0, COUNT(*) AS cnt, MIN(t.event_id) AS a0"
+            f" FROM events t WHERE {pred}"
+            f" GROUP BY CAST(DATE_TRUNC('{g_gran}', {ts}) AS TIMESTAMP)",
+        ) * 2
+    items = [
+        ("u0", f"UNIX_TIMESTAMP({ts})",
+         f"CAST(FLOOR(EPOCH({ts})) AS BIGINT)"),
+        ("u1", f"UNIX_MICROS({ts})", f"EPOCH_US({ts})"),
+        ("u2", f"DATE_FORMAT({ts}, 'yyyy-MM-dd HH')",
+         f"STRFTIME({ts}, '%Y-%m-%d %H')"),
+        ("u3", f"DATE_FORMAT({ts}, 'HH:mm')", f"STRFTIME({ts}, '%H:%M')"),
+    ]
+    keep = sorted(rng.sample(range(len(items)), rng.randint(2, 3)))
+    sel_s = ", ".join(f"{items[k][1]} AS {items[k][0]}" for k in keep)
+    sel_d = ", ".join(f"{items[k][2]} AS {items[k][0]}" for k in keep)
+    return (
+        f"SELECT t.event_id AS pk0, {sel_s} FROM events t WHERE {pred}",
+        f"SELECT t.event_id AS pk0, {sel_d} FROM events t WHERE {pred}",
+    )
+
+
 SHAPES = [
     (q_scan, 4),
     (q_agg, 4),
@@ -1360,6 +1478,7 @@ SHAPES = [
     (q_datemath, 2),
     (q_struct, 2),
     (q_map, 2),
+    (q_timestamp, 2),
 ]
 
 
