@@ -304,6 +304,10 @@ FKS = [
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem", "l_partkey", "part", "p_partkey"),
     ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    # user_id values are a subset of customer keys (probed round 8:
+    # [0,14] ⊆ [0,149] at sf0.001; generator keys scale together) —
+    # joins pull the timestamp-carrying table into q_join/q_join3
+    ("events", "user_id", "customer", "c_custkey"),
 ]
 
 
@@ -1442,6 +1446,19 @@ def q_timestamp(g: Gen) -> tuple[str, str]:
             f" FROM events t WHERE {pred}"
             f" GROUP BY CAST(DATE_TRUNC('{g_gran}', {ts}) AS TIMESTAMP)",
         ) * 2
+    if rng.random() < 0.3:
+        # the sessionization shape: per-user inter-event gap via
+        # LAG over (ts, pk) — total order, NULL first-row on both
+        w = ("OVER (PARTITION BY t.user_id "
+             "ORDER BY t.ts ASC, t.event_id ASC)")
+        return (
+            f"SELECT t.event_id AS pk0, UNIX_MICROS(t.ts)"
+            f" - UNIX_MICROS(LAG({ts}, 1) {w}) AS gap_us"
+            f" FROM events t WHERE {pred}",
+            f"SELECT t.event_id AS pk0, EPOCH_US(t.ts)"
+            f" - EPOCH_US(LAG({ts}, 1) {w}) AS gap_us"
+            f" FROM events t WHERE {pred}",
+        )
     items = [
         ("u0", f"UNIX_TIMESTAMP({ts})",
          f"CAST(FLOOR(EPOCH({ts})) AS BIGINT)"),
