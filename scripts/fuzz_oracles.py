@@ -1446,7 +1446,23 @@ def q_timestamp(g: Gen) -> tuple[str, str]:
             f" FROM events t WHERE {pred}"
             f" GROUP BY CAST(DATE_TRUNC('{g_gran}', {ts}) AS TIMESTAMP)",
         ) * 2
-    if rng.random() < 0.3:
+    pick = rng.random()
+    if pick < 0.2:
+        # time-based RANGE frame — same text both engines (probed);
+        # peers are frame-included by definition so tied ts stay
+        # deterministic without a tiebreak
+        n = rng.randint(5, 180)
+        unit = rng.choice(["MINUTE", "HOUR"])
+        fn = rng.choice(["COUNT(*)", "SUM(t.event_id)",
+                         "MIN(t.event_id)"])
+        return (
+            f"SELECT t.event_id AS pk0, {fn} OVER ("
+            f"PARTITION BY t.user_id ORDER BY t.ts "
+            f"RANGE BETWEEN INTERVAL {n} {unit} PRECEDING"
+            f" AND CURRENT ROW) AS w0"
+            f" FROM events t WHERE {pred}",
+        ) * 2
+    if pick < 0.45:
         # the sessionization shape: per-user inter-event gap via
         # LAG over (ts, pk) — total order, NULL first-row on both
         w = ("OVER (PARTITION BY t.user_id "
