@@ -1032,6 +1032,40 @@ def q_scalar_subq(g: Gen) -> str:
     )
 
 
+def q_exists(g: Gen) -> str:
+    """Round-8 quantified subqueries along FK edges: correlated
+    [NOT] EXISTS from the parent side, uncorrelated [NOT] IN from the
+    child side, and the classic 3VL trap — NOT IN whose subquery
+    yields a NULLIF-synthesized NULL (standard semantics: one NULL
+    empties the NOT IN result; both engines implement it — fuzzed so
+    a regression in either engine's null-aware anti-join surfaces)."""
+    rng = g.rng
+    child, ckey, parent, pkey = rng.choice(FKS)
+    pick = rng.random()
+    neg = rng.choice(["", "NOT "])
+    if pick < 0.4:
+        projs = ", ".join(g.projections(parent, "t"))
+        return (
+            f"SELECT {projs} FROM {parent} t WHERE {neg}EXISTS ("
+            f"SELECT 1 FROM {child} s WHERE s.{ckey} = t.{pkey}"
+            f" AND {g.pred(child, 's')})"
+        )
+    projs = ", ".join(g.projections(child, "t"))
+    if pick < 0.75:
+        return (
+            f"SELECT {projs} FROM {child} t WHERE t.{ckey} {neg}IN ("
+            f"SELECT s.{pkey} FROM {parent} s WHERE {g.pred(parent, 's')})"
+        )
+    # NOT IN + NULL in the subquery list: empties the result whenever
+    # the NULLIF fires for any subquery row (3VL; agrees both engines)
+    lit = g.pick_lit(parent, pkey, "int")
+    return (
+        f"SELECT {projs} FROM {child} t WHERE t.{ckey} NOT IN ("
+        f"SELECT NULLIF(s.{pkey}, {lit}) FROM {parent} s"
+        f" WHERE {g.pred(parent, 's')})"
+    )
+
+
 def q_cte(g: Gen) -> str:
     inner = q_agg(g)
     return (
@@ -1512,6 +1546,7 @@ SHAPES = [
     (q_struct, 2),
     (q_map, 2),
     (q_timestamp, 2),
+    (q_exists, 2),
 ]
 
 
