@@ -59,6 +59,10 @@ SAMPLE = [
     "d3_topk_cosine",
     "d4_quality_score",
     "b34_equidepth_histogram",
+    # round-8 parity pins: timestamp + map expressions run through
+    # genuinely different code paths when whole-stage codegen is off
+    "b22_timestamp_parity",
+    "b25_map_extract_parity",
 ]
 
 REGIMES = {
