@@ -226,6 +226,7 @@ def d7_grouped_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
         bucket_value=-F.col("sample_key"),
         out_col="rn",
         rn_limit=5,
+        mode="auto",  # size-aware: naive below the local threshold
     )
     return ranked.select("lang", "doc_id", "sample_key", "rn").orderBy(
         "lang", "rn"
@@ -310,6 +311,7 @@ def d12_corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
         ["hk", "doc_id"],
         bucket_value=F.conv(F.substring("hk", 1, 8), 16, 10).cast("long"),
         out_col="shuffle_pos",
+        mode="auto",  # size-aware: naive below the local threshold
     )
     return ranked.select(
         "doc_id", "hk", F.col("shuffle_pos").cast("long").alias("shuffle_pos")

@@ -529,13 +529,18 @@ def b14_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def b15_window_rank(spark: SparkSession, sf: str) -> DataFrame:
-    """B15: ranking windows, all computed DISTRIBUTED (no 3-partition
-    global sort — ``l_returnflag`` has 3 values, so naive windows sort
-    n/3 rows on one task):
+    """B15: ranking windows with a SIZE-AWARE physical plan
+    (``l_returnflag`` has 3 values, so a plain window sorts n/3 rows
+    on one task — fine below the distrank threshold, a straggler and
+    a memory hazard above it):
 
-    * ``row_number`` over the unique DESC ordering → two-level
-      decomposition (``distrank.two_level_row_number``; bucket on the
-      negated leading key).
+    * ``row_number`` over the unique DESC ordering →
+      ``distrank.two_level_row_number(mode="auto")``: the naive
+      single window below ``spark.event_streamer.distrank.
+      naiveMaxBytes`` (8 GiB default on local masters — measured 4-5×
+      faster there), the bucketed two-level decomposition above it
+      (flip proven at sf10; two-level plan pinned by the forced-flip
+      leg of ``test_window_rank_bucket_pruned_topk``).
     * ``rank``/``dense_rank`` over the tied ``l_quantity`` ordering →
       ``distrank.tied_ranks``: the rank structure lives in the tiny
       per-(flag, quantity) count table, broadcast back.
@@ -562,6 +567,14 @@ def b15_window_rank(spark: SparkSession, sf: str) -> DataFrame:
         out_col="rn",
         count_col="__n",
         rn_limit=100,  # bucket-pruned top-k: the sort sees ~1/32 of rows
+        # NOT mode="auto" (tried round 8, reverted with measurements):
+        # naive halves the cold pass (1.8 vs 3.5 s at sf0.1) but
+        # DOUBLES warm (1.42 vs 0.71 s) because this query's three
+        # window consumers (counts, top-k sort, ntile denominators)
+        # share the two-level path's cached bucketed frame and the
+        # naive path re-sorts per pass with nothing to share. The
+        # single-consumer distrank call sites DO run auto.
+        mode="two_level",
     )
     # tied rank lookup computed from the RAW table (one cheap aggregate),
     # broadcast onto the 300 surviving rows — running the two-level

@@ -183,6 +183,7 @@ def b15_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
         bucket_value="l_extendedprice",
         out_col="__rn",
         count_col="__n",
+        mode="auto",  # size-aware: naive below the local threshold
     )
     from event_streamer_spark.operators.distrank import percent_rank_expr
 
@@ -355,6 +356,7 @@ def b48_exact_median(spark: SparkSession, sf: str) -> DataFrame:
         bucket_value="cents",
         out_col="rn",
         count_col="n",
+        mode="auto",  # size-aware: naive below the local threshold
     )
     lo = F.floor((F.col("n") + 1) / 2)
     hi = F.ceil((F.col("n") + 1) / 2)
@@ -924,6 +926,7 @@ def b34_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
         bucket_value="value",
         out_col="rn",
         count_col="n",
+        mode="auto",  # size-aware: naive below the local threshold
     )
     # NTILE(b) over n rows: first (n % b) bins have ceil(n/b) rows
     big = F.ceil(F.col("n") / _EQUIDEPTH_BINS).cast("long")

@@ -182,7 +182,13 @@ def test_tpch_q10_pushes_both_fact_filters(spark):
 
 def test_window_rank_bucket_pruned_topk(spark):
     """The distributed top-100 must not sort whole partition keys: its
-    row_number window partitions on the composite bucket key."""
+    row_number window partitions on the composite bucket key. b15 pins
+    mode='two_level' deliberately — auto/naive halved cold but DOUBLED
+    warm at sf0.1 because this query's three window consumers share
+    the cached bucketed frame (measured round 8; rationale at the call
+    site). The auto policy itself is pinned for the single-consumer
+    call sites by test_equidepth_auto_stays_naive_locally below and
+    the threshold tests in test_scale_patterns."""
     import re
 
     from event_streamer_spark.plans import explain_str
@@ -198,6 +204,40 @@ def test_window_rank_bucket_pruned_topk(spark):
     # count table (their spec orders by l_quantity), never the fact sort
     for w in rn_windows:
         assert "l_quantity" in w, w
+
+
+def test_equidepth_auto_stays_naive_locally(spark):
+    """b34_equidepth_histogram (single-consumer distrank call) runs
+    mode='auto' since round 8: below the local threshold its plan must
+    be the plain window (no bucket machinery, no cache build on the
+    cold path); forcing the threshold conf to 0 flips the SAME
+    registry query to the bucketed two-level plan."""
+    from event_streamer_spark.caching import clear_slot
+    from event_streamer_spark.operators.distrank import (
+        _NAIVE_MAX_BYTES_CONF,
+    )
+    from event_streamer_spark.operators.registry import clear_plan_cache
+    from event_streamer_spark.plans import explain_str
+
+    clear_plan_cache()
+    clear_slot()
+    local_plan = explain_str(
+        REGISTRY["b34_equidepth_histogram"].fn(spark, SF), "simple"
+    )
+    assert "__bucket" not in local_plan, "local auto should stay naive"
+
+    spark.conf.set(_NAIVE_MAX_BYTES_CONF, "0")
+    try:
+        clear_plan_cache()
+        clear_slot()
+        flipped = explain_str(
+            REGISTRY["b34_equidepth_histogram"].fn(spark, SF), "simple"
+        )
+        assert "__bucket" in flipped, flipped
+    finally:
+        spark.conf.unset(_NAIVE_MAX_BYTES_CONF)
+        clear_plan_cache()
+        clear_slot()
 
 
 def test_tpch_q14_pushes_month_filter_and_broadcasts_part(spark):
