@@ -1074,6 +1074,26 @@ def q_cte(g: Gen) -> str:
     )
 
 
+def q_derived(g: Gen) -> str:
+    """Round-8 derived tables: an aggregate subquery in FROM with an
+    outer filter/aggregate re-applied over its aliased columns — the
+    shape optimizers rewrite most aggressively (subquery pull-up,
+    predicate pushdown THROUGH the derived table, partial-agg
+    reordering). Portable single-text (no dialect split needed)."""
+    rng = g.rng
+    inner = q_agg(g)
+    if rng.random() < 0.5:
+        return (
+            f"SELECT * FROM ({inner}) d WHERE d.cnt"
+            f" {rng.choice(['>=', '>', '='])} {rng.randint(1, 3)}"
+        )
+    return (
+        f"SELECT COUNT(*) AS n, SUM(d.cnt) AS total,"
+        f" {rng.choice(['MIN', 'MAX'])}(d.cnt) AS m"
+        f" FROM ({inner}) d"
+    )
+
+
 def q_string(g: Gen) -> str:
     """Round-8 expression coverage: portable string-function clauses
     (str_expr pool) projected and string predicates in WHERE — catches
@@ -1547,6 +1567,7 @@ SHAPES = [
     (q_map, 2),
     (q_timestamp, 2),
     (q_exists, 2),
+    (q_derived, 2),
 ]
 
 
