@@ -208,7 +208,17 @@ def two_level_row_number(
     :func:`resolve_naive_max_bytes` — the
     ``spark.event_streamer.distrank.naiveMaxBytes`` engine conf, else
     8 GiB on a local master / 1 GiB on a cluster (measured crossover
-    rationale at ``_NAIVE_MAX_BYTES``).
+    rationale at ``_NAIVE_MAX_BYTES``). Auto resolves the conf at plan
+    BUILD time: registry-memoized frames keep the mode they were built
+    with, so after flipping the conf mid-session call
+    ``registry.clear_plan_cache()`` (and ``clear_cache()`` here) to
+    re-resolve — the conf-flip plan tests model this.
+
+    Multi-consumer caveat (measured round 8 on b15_window_rank): a
+    query that reuses the ranked frame across SEVERAL window consumers
+    amortizes the two-level path's cached bucketed frame; auto's naive
+    pick re-sorts per consumer with nothing to share and can LOSE
+    below the threshold. Pass an explicit ``mode='two_level'`` there.
 
     Two passes over the input: the bounds aggregate, then ONE build of
     the bucketed frame which is ``persist()``-ed (``cache=True``) so the
