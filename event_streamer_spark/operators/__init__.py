@@ -24,6 +24,7 @@ from event_streamer_spark.operators import analytics  # noqa: F401
 from event_streamer_spark.operators import tpch  # noqa: F401
 from event_streamer_spark.operators import sketches  # noqa: F401
 from event_streamer_spark.operators import bpe  # noqa: F401
+from event_streamer_spark.operators import validation  # noqa: F401
 # hybrid composes registered operators: import it LAST
 from event_streamer_spark.operators import hybrid  # noqa: F401
 
