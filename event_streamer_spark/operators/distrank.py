@@ -86,7 +86,16 @@ def _bucket_assign(value: Column, bounds: Column, n_bounds: int) -> Column:
     comparison chain stays inside whole-stage codegen — measured ~15%
     faster on the full-row evaluation that feeds the cache build, the
     single largest cold-path cost (round 8; earlier rounds measured
-    ``size(filter())`` 25% over ``aggregate()``, both interpreted)."""
+    ``size(filter())`` 25% over ``aggregate()``, both interpreted).
+
+    Each term's WHEN/OTHERWISE absorbs a NULL ``bounds`` array (missing
+    bounds row → condition NULL → 0), so the sum — and therefore the
+    bucket id — is always non-NULL; callers may rely on that.
+
+    ``n_bounds == 0`` (``n_buckets=1``) degenerates to a single global
+    bucket."""
+    if n_bounds == 0:
+        return F.lit(0)
     terms = [
         F.when(value > bounds[i], 1).otherwise(0) for i in range(n_bounds)
     ]
@@ -133,6 +142,13 @@ _LOCAL_NAIVE_MAX_BYTES = 8 << 30
 _NAIVE_MAX_BYTES_CONF = "spark.event_streamer.distrank.naiveMaxBytes"
 
 
+def _is_local_master(master: str) -> bool:
+    """'local' / 'local[N]' / 'local[*]' only — NOT 'local-cluster[...]',
+    which runs real separate executor JVMs and needs the cluster
+    threshold's memory-headroom protection."""
+    return master == "local" or master.startswith("local[")
+
+
 def resolve_naive_max_bytes(spark) -> int:
     """The effective auto-mode crossover: explicit engine conf if set,
     else 8 GiB on a ``local[*]`` master / 1 GiB on a cluster (see the
@@ -146,7 +162,7 @@ def resolve_naive_max_bytes(spark) -> int:
         master = ""
     return (
         _LOCAL_NAIVE_MAX_BYTES
-        if master.startswith("local")
+        if _is_local_master(master)
         else _NAIVE_MAX_BYTES
     )
 
@@ -249,11 +265,13 @@ def two_level_row_number(
     # bounds come from a 25% SAMPLE: they steer bucket BALANCE only
     # (never correctness — any boundary set yields the right ranks), and
     # the percentile sketch's per-row update cost was the bulk of the
-    # bounds pass. seed fixed → deterministic plan. The LEFT join +
-    # COALESCE(bucket, 0) below guards the sampling edge where a tiny
-    # partition key draws zero sample rows (its bounds row is then
-    # missing and ALL its rows share bucket 0 — still correct, just
-    # unbalanced for that key).
+    # bounds pass. seed fixed → deterministic plan. Sampling edge: a
+    # tiny partition key can draw zero sample rows, so the LEFT join
+    # leaves its __bounds NULL and _bucket_assign's WHEN/OTHERWISE
+    # null-absorption puts ALL its rows in bucket 0 — still correct,
+    # just unbalanced for that key. The COALESCE below is a backstop
+    # for that contract only (it never fires today); keep it if
+    # _bucket_assign is ever rewritten as a NULL-propagating fold.
     bounds = (
         b.sample(fraction=0.25, seed=42)
         .groupBy(*part_cols)

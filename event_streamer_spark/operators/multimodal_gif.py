@@ -269,7 +269,8 @@ def count_gif_frames(payload: bytes) -> int:
     no LZW decode, O(#blocks) not O(#pixels). Used by
     ``multimodal.decode_media`` to fill ``n_frames`` for GIFs as cheaply
     as the WAV header path does for audio. Truncated input raises
-    ``ValueError('truncated GIF')``."""
+    ``ValueError('truncated GIF')`` — including input that runs out
+    BEFORE the 0x3B trailer (a partial count would read as valid)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     packed = _u8(payload, 10)
@@ -281,7 +282,7 @@ def count_gif_frames(payload: bytes) -> int:
         b0 = payload[pos]
         pos += 1
         if b0 == 0x3B:
-            break
+            return n
         if b0 == 0x21:
             pos = _skip_subblocks(payload, pos + 1)  # +1 skips the label
         elif b0 == 0x2C:
@@ -293,7 +294,7 @@ def count_gif_frames(payload: bytes) -> int:
             n += 1
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
-    return n
+    raise ValueError("truncated GIF")  # ran out before the 0x3B trailer
 
 
 def decode_gif(payload: bytes) -> dict:
@@ -326,16 +327,20 @@ def decode_gif(payload: bytes) -> dict:
     delays: list[int] = []
     palettes: list[bytes | None] = []
     pending_delay = 0
+    saw_trailer = False
     while pos < len(payload):
         b0 = payload[pos]
         pos += 1
         if b0 == 0x3B:  # trailer
+            saw_trailer = True
             break
         if b0 == 0x21:  # extension block
             label = _u8(payload, pos)
             pos += 1
             if label == 0xF9:  # Graphic Control Extension
                 size = _u8(payload, pos)
+                if size < 3:  # delay lives in bytes 1:3 (spec size: 4)
+                    raise ValueError("malformed GCE")
                 if pos + 1 + size > len(payload):
                     raise ValueError("truncated GIF")
                 block = payload[pos + 1 : pos + 1 + size]
@@ -387,6 +392,8 @@ def decode_gif(payload: bytes) -> dict:
             pending_delay = 0
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    if not saw_trailer:
+        raise ValueError("truncated GIF")  # partial frames are not a GIF
     return {
         "width": w,
         "height": h,
@@ -410,6 +417,10 @@ def frame_gray(decoded: dict, f: int) -> bytes:
     if pal is None:
         raise ValueError("GIF frame has no color table")
     frame = decoded["frames"][f]
+    if frame and 3 * max(frame) >= len(pal):
+        # a pixel indexes past the color table: data error, same
+        # ValueError contract as the decoder (not an IndexError)
+        raise ValueError("GIF palette index out of range")
     return bytes(pal[3 * i] for i in frame)
 
 
@@ -467,8 +478,13 @@ def gif_signature_udf():
         def one(b):
             try:
                 _, sums = keyframe_sums(decode_gif(bytes(b)))
-            except (ValueError, NotImplementedError, TypeError):
-                return None  # corrupt payload → dead-letter, not a wedge
+            except Exception:
+                # corrupt payload → dead-letter, not a wedge. Decode
+                # errors are normalized to ValueError, but THIS catch
+                # must be total: any corruption class that slipped the
+                # normalization would otherwise fail the micro-batch
+                # deterministically on every retry — a poison pill
+                return None
             return hashlib.md5(
                 ",".join(str(s) for s in sums).encode()
             ).hexdigest()

@@ -494,9 +494,9 @@ class TestGifCodec:
         assert meta["format"] == "gif"
         assert (meta["width"], meta["height"]) == (GIF_W, GIF_H)
         assert meta["n_frames"] == 17
-        # truncated payload → only COMPLETE image blocks are counted
-        # (lenient, like a player rendering what arrived); header fields
-        # survive either way
+        # truncated payload → count_gif_frames raises (no-trailer input
+        # is a data error, round 8) and decode_media maps that to
+        # n_frames=None; header fields survive either way
         meta2 = decode_media(payload[: len(payload) // 2])
         assert meta2["format"] == "gif"
         assert meta2["n_frames"] is None or meta2["n_frames"] < 17
@@ -803,3 +803,80 @@ class TestCodecHypothesis:
                     assert v == samples[off]
 
         check()
+
+
+class TestGifHardeningRound8:
+    """Review r8: corruption classes that escaped the ValueError
+    normalization (struct.error from a short GCE, IndexError from a
+    too-small color table, silent partial results on missing-trailer
+    input) — each is now a ValueError at the decoder and a NULL at the
+    streaming signature UDF."""
+
+    def test_short_gce_raises_valueerror_not_struct_error(self):
+        from event_streamer_spark.operators.multimodal_gif import (
+            decode_gif,
+            make_patterned_gif,
+        )
+
+        payload = bytearray(make_patterned_gif(3))
+        idx = payload.find(b"\x21\xF9\x04")
+        assert idx > 0
+        payload[idx + 2] = 0x02  # GCE declares 2 bytes: delay truncated
+        with pytest.raises(ValueError):  # used to escape as struct.error
+            decode_gif(bytes(payload))
+
+    def test_missing_trailer_raises(self):
+        from event_streamer_spark.operators.multimodal_gif import (
+            count_gif_frames,
+            decode_gif,
+            make_patterned_gif,
+        )
+
+        payload = make_patterned_gif(3)
+        assert payload[-1] == 0x3B
+        # cut at the exact block boundary before the trailer: every
+        # block walks cleanly, but the stream never terminates — a
+        # partial frame count used to return as if valid
+        chopped = payload[:-1]
+        with pytest.raises(ValueError, match="truncated"):
+            count_gif_frames(chopped)
+        with pytest.raises(ValueError, match="truncated"):
+            decode_gif(chopped)
+        # cut inside the 768-byte global color table: the GCT skip
+        # jumps past end-of-payload and the walk loop never runs —
+        # count_gif_frames used to return 0 as if the GIF had no frames
+        with pytest.raises(ValueError, match="truncated"):
+            count_gif_frames(payload[:300])
+
+    def test_palette_index_out_of_range_is_valueerror(self):
+        from event_streamer_spark.operators.multimodal_gif import frame_gray
+
+        decoded = {
+            "frames": [bytes([0, 1, 5])],  # index 5 vs 2-entry palette
+            "frame_palettes": [None],
+            "palette": bytes(6),
+        }
+        with pytest.raises(ValueError, match="palette"):
+            frame_gray(decoded, 0)
+
+    def test_signature_udf_dead_letters_short_gce(self, spark):
+        import pyspark.sql.functions as F
+
+        from event_streamer_spark.operators.multimodal_gif import (
+            gif_signature_udf,
+            make_patterned_gif,
+        )
+
+        bad = bytearray(make_patterned_gif(4))
+        idx = bad.find(b"\x21\xF9\x04")
+        bad[idx + 2] = 0x02
+        rows = [(1, bytearray(make_patterned_gif(4))), (2, bad)]
+        df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        out = {
+            r["doc_id"]: r["sig"]
+            for r in df.select(
+                "doc_id", gif_signature_udf()(F.col("payload")).alias("sig")
+            ).collect()
+        }
+        assert out[1] is not None
+        assert out[2] is None  # dead-letter, not a poison pill

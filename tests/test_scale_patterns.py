@@ -663,3 +663,57 @@ def test_sf1_growth_sublinear(spark):
             f"{name}: sf1 {t1:.2f}s vs sf0.1 {t01:.2f}s exceeds "
             f"~linear bound {bound:.2f}s"
         )
+
+
+def test_is_local_master_excludes_local_cluster():
+    """Review r8: 'local-cluster[...]' runs real separate executor JVMs
+    — it must resolve the 1 GiB CLUSTER threshold, not the raised local
+    one a bare startswith('local') would have granted it."""
+    from event_streamer_spark.operators.distrank import _is_local_master
+
+    assert _is_local_master("local")
+    assert _is_local_master("local[8]")
+    assert _is_local_master("local[*]")
+    assert not _is_local_master("local-cluster[2,1,1024]")
+    assert not _is_local_master("spark://host:7077")
+    assert not _is_local_master("yarn")
+    assert not _is_local_master("")
+
+
+def test_two_level_single_bucket_degenerates(spark):
+    """Review r8: n_buckets=1 (zero boundaries) must degenerate to one
+    global bucket per key — the unrolled bucket assignment used to
+    IndexError on the empty term list at plan-build time."""
+    from pyspark.sql import Window
+
+    from event_streamer_spark.operators.distrank import (
+        clear_cache,
+        two_level_row_number,
+    )
+
+    li = load(spark, SF, "lineitem")
+    order = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    try:
+        ranked = two_level_row_number(
+            li, ["l_returnflag"], order, bucket_value="l_extendedprice",
+            out_col="rn", n_buckets=1, mode="two_level",
+        )
+        got = {
+            (r["l_orderkey"], r["l_linenumber"]): r["rn"]
+            for r in ranked.select(
+                "l_orderkey", "l_linenumber", "rn"
+            ).collect()
+        }
+    finally:
+        clear_cache()
+    naive = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number()
+        .over(Window.partitionBy("l_returnflag").orderBy(*order))
+        .alias("rn"),
+    )
+    exp = {
+        (r["l_orderkey"], r["l_linenumber"]): r["rn"] for r in naive.collect()
+    }
+    assert got == exp
