@@ -107,6 +107,67 @@ _PSI_BINS = 10
 _PSI_WIDTH = 64
 
 
+def psi_bin_counts(d: DataFrame) -> DataFrame:
+    """One scan of a documents-shaped frame → (bin, n_ref, n_cur)
+    conditional histogram counts. Counts ADD across shards, so the
+    streaming leg (``streaming.drift.drift_bins_batch``) appends each
+    micro-batch's output of THIS function and merges with SUM at read —
+    the same merge-is-addition contract as the count-min/HLL indexes."""
+    bin_col = F.least(
+        F.floor(F.col("n_chars") / _PSI_WIDTH).cast("int"),
+        F.lit(_PSI_BINS - 1),
+    )
+    return (
+        d.select(bin_col.alias("bin"), "lang")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_ref"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("n_cur"),
+        )
+    )
+
+
+def psi_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """(bin, n_ref, n_cur) histogram → the PSI term table: full
+    ``_PSI_BINS``-row spine (empty bins as deterministic rows), Laplace
+    smoothing (+0.5 per bin) keeping log ratios finite, per-bin
+    ``(p_cur - p_ref) * ln(p_cur / p_ref)`` terms that sum to the PSI."""
+    spine = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    # totals as unpartitioned window sums over the 10-row joined frame,
+    # NOT a separate counts.agg(): that spelling duplicated the whole
+    # counts subtree (two parquet scans in the plan — caught round 8 by
+    # .explain); the window runs on 10 rows on one task, free
+    joined = spine.join(F.broadcast(counts), "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+    )
+    from pyspark.sql import Window
+
+    whole = Window.partitionBy()
+    p = joined.select(
+        "bin",
+        (
+            (F.col("n_ref") + 0.5)
+            / (F.sum("n_ref").over(whole) + 0.5 * _PSI_BINS)
+        ).alias("p_ref"),
+        (
+            (F.col("n_cur") + 0.5)
+            / (F.sum("n_cur").over(whole) + 0.5 * _PSI_BINS)
+        ).alias("p_cur"),
+    )
+    return p.select(
+        "bin",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(
+            (F.col("p_cur") - F.col("p_ref"))
+            * F.log(F.col("p_cur") / F.col("p_ref")),
+            6,
+        ).alias("psi_term"),
+    )
+
+
 @query(
     "d14_column_drift",
     oracle=f"""
@@ -142,52 +203,174 @@ def d14_column_drift(spark: SparkSession, sf: str) -> DataFrame:
     deterministic rows, and Laplace smoothing (+0.5 per bin) keeps the
     log ratio finite where a bin is empty on one side. The per-bin
     ``psi_term`` rows sum to the PSI; at 100 TB this is the same one
-    scan + two tiny broadcasts.
+    scan + two tiny broadcasts. Body = :func:`psi_bin_counts` →
+    :func:`psi_from_counts`, THE two pieces the incremental leg
+    (``streaming.drift``) reuses so it can never drift from this
+    batch definition.
     """
-    d = load(spark, sf, "documents")
-    bin_col = F.least(
-        F.floor(F.col("n_chars") / _PSI_WIDTH).cast("int"),
-        F.lit(_PSI_BINS - 1),
+    return psi_from_counts(spark, psi_bin_counts(load(spark, sf, "documents")))
+
+
+@query(
+    "d14_ks_drift",
+    oracle="""
+    WITH v AS (
+      SELECT n_chars AS v,
+             COUNT(*) FILTER (WHERE lang = 'en') AS ca,
+             COUNT(*) FILTER (WHERE lang <> 'en') AS cb
+      FROM documents GROUP BY 1
+    ), c AS (
+      SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+             SUM(cb) OVER (ORDER BY v) AS cum_b,
+             SUM(ca) OVER () AS tot_a,
+             SUM(cb) OVER () AS tot_b
+      FROM v
     )
-    counts = (
-        d.select(bin_col.alias("bin"), "lang")
-        .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).alias("n_ref"),
-            F.count(F.when(F.col("lang") == "en", 1)).alias("n_cur"),
-        )
-    )
-    spine = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
-    # totals as unpartitioned window sums over the 10-row joined frame,
-    # NOT a separate counts.agg(): that spelling duplicated the whole
-    # counts subtree (two parquet scans in the plan — caught round 8 by
-    # .explain); the window runs on 10 rows on one task, free
-    joined = spine.join(F.broadcast(counts), "bin", "left").select(
-        "bin",
-        F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
-        F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
-    )
+    SELECT ROUND(MAX(ABS(CAST(cum_a AS DOUBLE) / tot_a
+                         - CAST(cum_b AS DOUBLE) / tot_b)), 6) AS ks_stat,
+           CAST(MAX(tot_a) AS BIGINT) AS n_en,
+           CAST(MAX(tot_b) AS BIGINT) AS n_other
+    FROM c
+    """,
+)
+def d14_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """D14: EXACT two-sample Kolmogorov–Smirnov statistic between the
+    ``n_chars`` distributions of the 'en' slice and the rest of the
+    corpus — sup over values of |CDF_en − CDF_other|, the
+    scale-free complement to PSI's binned view (PSI needs a bin width;
+    KS is distribution-free).
+
+    Scale shape: the per-row work is ONE map-side-combinable
+    ``GROUP BY value`` (the only pass over the corpus); the ordered
+    cumulative-sum window then runs over the DISTINCT-value table —
+    bounded by the column's cardinality (~hundreds here; document
+    lengths, not documents), so the single-task ordered window is over
+    an already-reduced frame, same shape as ``b34_histogram``. For an
+    unbounded-cardinality double column, pre-bucket (quantize) first or
+    rank with ``distrank`` — the sup over a quantized grid lower-bounds
+    KS with error ≤ the max bin mass.
+    """
     from pyspark.sql import Window
 
-    whole = Window.partitionBy()
-    p = joined.select(
-        "bin",
-        (
-            (F.col("n_ref") + 0.5)
-            / (F.sum("n_ref").over(whole) + 0.5 * _PSI_BINS)
-        ).alias("p_ref"),
-        (
-            (F.col("n_cur") + 0.5)
-            / (F.sum("n_cur").over(whole) + 0.5 * _PSI_BINS)
-        ).alias("p_cur"),
+    d = load(spark, sf, "documents")
+    v = (
+        d.groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.count(F.when(F.col("lang") == "en", 1)).alias("ca"),
+            F.count(F.when(F.col("lang") != "en", 1)).alias("cb"),
+        )
     )
-    return p.select(
-        "bin",
-        F.round("p_ref", 6).alias("p_ref"),
-        F.round("p_cur", 6).alias("p_cur"),
+    w_ord = Window.orderBy("v")  # |distinct values| rows, one task
+    w_all = Window.partitionBy()
+    c = v.select(
+        F.sum("ca").over(w_ord).alias("cum_a"),
+        F.sum("cb").over(w_ord).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("tot_a"),
+        F.sum("cb").over(w_all).alias("tot_b"),
+    )
+    return c.agg(
         F.round(
-            (F.col("p_cur") - F.col("p_ref"))
-            * F.log(F.col("p_cur") / F.col("p_ref")),
+            F.max(
+                F.abs(
+                    F.col("cum_a").cast("double") / F.col("tot_a")
+                    - F.col("cum_b").cast("double") / F.col("tot_b")
+                )
+            ),
             6,
-        ).alias("psi_term"),
+        ).alias("ks_stat"),
+        F.max("tot_a").cast("bigint").alias("n_en"),
+        F.max("tot_b").cast("bigint").alias("n_other"),
+    )
+
+
+@query(
+    "d15_anomaly_mad",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type,
+             2 * CAST(ROUND(value * 100) AS BIGINT) AS c2
+      FROM events
+    ), m AS (
+      SELECT event_type, CAST(MEDIAN(c2) AS BIGINT) AS med2
+      FROM c GROUP BY 1
+    ), d AS (
+      SELECT c.event_type, 2 * ABS(c.c2 - m.med2) AS d4, m.med2
+      FROM c JOIN m USING (event_type)
+    ), md AS (
+      SELECT event_type, CAST(MEDIAN(d4) AS BIGINT) AS mad4
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           MAX(d.med2) AS med2,
+           MAX(md.mad4) AS mad4,
+           COUNT(*) FILTER (WHERE d.d4 > 4.4478 * md.mad4) AS n_anomalies
+    FROM d JOIN md USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def d15_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """D15: robust per-group anomaly detection — flag events whose
+    ``value`` deviates from its event-type median by more than
+    3 × 1.4826 × MAD (the normal-consistency robust z-score; 4.4478 is
+    that product written once so both engines parse the same double).
+
+    EXACT medians at scale: both median passes run through
+    ``distrank.two_level_row_number`` (``mode='auto'``) — the same
+    distributed order-statistic as ``b48_exact_median`` — never
+    Catalyst's ``percentile``/``median`` aggregate, which buffers every
+    value of a group in one executor's memory (the 100 TB killer for
+    hot groups). All statistics stay in DOUBLED integer cents so each
+    median (avg of two integral middles) is integral and float-exact:
+    ``med2`` = 2×median cents, ``d4`` = 4×|deviation| cents,
+    ``mad4`` = 4×MAD cents. The med/MAD dimension tables are
+    group-cardinality-sized → broadcast joins; the flag predicate
+    compares the SAME doubles on both engines.
+    """
+    from event_streamer_spark.operators.distrank import two_level_row_number
+
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        (F.lit(2) * F.round(F.col("value") * 100).cast("long")).alias("c2"),
+    )
+    mid = lambda: (  # noqa: E731 — the b48 even-n middle-rank rule
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.ceil((F.col("n") + 1) / 2))
+    )
+    ranked = two_level_row_number(
+        ev, ["event_type"], ["c2", "event_id"], bucket_value="c2",
+        out_col="rn", count_col="n", mode="auto",
+    )
+    med = (
+        ranked.filter(mid())
+        .groupBy("event_type")
+        .agg(F.avg("c2").cast("bigint").alias("med2"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "med2",
+        (F.lit(2) * F.abs(F.col("c2") - F.col("med2"))).alias("d4"),
+    )
+    ranked2 = two_level_row_number(
+        dev, ["event_type"], ["d4", "event_id"], bucket_value="d4",
+        out_col="rn", count_col="n", mode="auto",
+    )
+    mad = (
+        ranked2.filter(mid())
+        .groupBy("event_type")
+        .agg(F.avg("d4").cast("bigint").alias("mad4"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med2").alias("med2"),
+            F.max("mad4").alias("mad4"),
+            F.count(
+                F.when(F.col("d4") > F.lit(4.4478) * F.col("mad4"), 1)
+            ).alias("n_anomalies"),
+        )
     )

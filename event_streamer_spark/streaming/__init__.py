@@ -27,6 +27,10 @@ from event_streamer_spark.streaming.dedup import (
     read_windowed_heavy_hitters,
     read_hll,
 )
+from event_streamer_spark.streaming.drift import (
+    drift_bins_batch,
+    read_psi_drift,
+)
 from event_streamer_spark.streaming.ann import (
     ivf_ingest_batch,
     ivf_probe_cells,
@@ -66,6 +70,8 @@ __all__ = [
     "read_count_min",
     "ddsketch_batch",
     "read_ddsketch",
+    "drift_bins_batch",
+    "read_psi_drift",
     "hll_batch",
     "read_hll",
     "heavy_hitters_batch",

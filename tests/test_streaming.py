@@ -1891,3 +1891,43 @@ def test_incremental_gif_keyframe_dedup_matches_batch(spark, tmp_path):
     }
     # same signature groups, same keepers (in-order arrival)
     assert emitted == {fp: kid for fp, (kid, _) in batch.items()}
+
+
+@pytest.mark.parametrize("n_splits,bseed", BOUNDARY_SPLITS)
+def test_incremental_psi_drift_equals_batch(spark, tmp_path, n_splits, bseed):
+    """D14 streaming leg: PSI bin counts add, so the drift index
+    accumulated over any seeded micro-batch boundary must reproduce the
+    batch d14_column_drift term table EXACTLY — same smoothed
+    probabilities, same psi_term per bin."""
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.streaming import drift_bins_batch, read_psi_drift
+
+    exact = {
+        r["bin"]: (r["p_ref"], r["p_cur"], r["psi_term"])
+        for r in REGISTRY["d14_column_drift"].fn(spark, SF).collect()
+    }
+    assert len(exact) == 10
+
+    docs = load(spark, SF, "documents").select("doc_id", "lang", "n_chars")
+    src = str(tmp_path / "drift_src")
+    write_split_files(docs, src, "doc_id", n_splits, bseed)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, lang string, n_chars bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "drift_state")
+    q = (
+        stream.writeStream.foreachBatch(drift_bins_batch(state))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "drift_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["bin"]: (r["p_ref"], r["p_cur"], r["psi_term"])
+        for r in read_psi_drift(spark, state).collect()
+    }
+    assert got == exact

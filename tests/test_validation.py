@@ -61,3 +61,64 @@ def test_psi_properties(spark):
     # each term (p-q)*ln(p/q) is non-negative, so PSI is too; finite
     assert all(r["psi_term"] >= 0 for r in rows)
     assert math.isfinite(psi) and psi >= 0
+
+
+def test_ks_drift_matches_first_principles(spark):
+    """Independent re-derivation: collect the sf0.001 documents and
+    compute the two-sample KS statistic in plain Python — the query's
+    distributed CDF merge must agree to the rounding pin."""
+    from event_streamer_spark.tables import load
+
+    rows = load(spark, SF, "documents").select("lang", "n_chars").collect()
+    a = sorted(r["n_chars"] for r in rows if r["lang"] == "en")
+    b = sorted(r["n_chars"] for r in rows if r["lang"] != "en")
+    values = sorted(set(a) | set(b))
+    import bisect
+
+    ks = max(
+        abs(
+            bisect.bisect_right(a, v) / len(a)
+            - bisect.bisect_right(b, v) / len(b)
+        )
+        for v in values
+    )
+    got = REGISTRY["d14_ks_drift"].fn(spark, SF).collect()[0]
+    assert got["n_en"] == len(a) and got["n_other"] == len(b)
+    assert abs(got["ks_stat"] - ks) < 1e-6
+    assert 0.0 <= got["ks_stat"] <= 1.0
+
+
+def test_anomaly_mad_matches_first_principles(spark):
+    """Independent re-derivation of the robust z-score flags: per-type
+    median and MAD computed in plain Python over the collected events
+    must reproduce the query's med2/mad4/n_anomalies exactly."""
+    import statistics
+
+    from event_streamer_spark.tables import load
+
+    rows = (
+        load(spark, SF, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            2 * round(r["value"] * 100)
+        )
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["d15_anomaly_mad"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(by_type)
+    for et, c2s in by_type.items():
+        med2 = statistics.median(c2s)
+        assert med2 == int(med2)  # doubled cents keep the median integral
+        d4s = [2 * abs(c2 - int(med2)) for c2 in c2s]
+        mad4 = statistics.median(d4s)
+        assert mad4 == int(mad4)
+        n_anom = sum(1 for d4 in d4s if d4 > 4.4478 * mad4)
+        g = got[et]
+        assert (g["n"], g["med2"], g["mad4"], g["n_anomalies"]) == (
+            len(c2s), int(med2), int(mad4), n_anom,
+        ), et
