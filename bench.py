@@ -47,6 +47,11 @@ HEADLINE = [
     # toolkit surface in BENCH, not just the oracles
     "b53_tpch_q9",
     "b33_retention_cohorts_salted",
+    # round-8 breadth: the validation family — the double-distrank
+    # robust anomaly scan and the one-scan PSI drift table — so the
+    # dataset-quality path's cost is tracked in BENCH, not just oracled
+    "d15_anomaly_mad",
+    "d14_column_drift",
 ]
 
 

@@ -374,3 +374,169 @@ def d15_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("n_anomalies"),
         )
     )
+
+
+# Benford expected first-digit probabilities, computed ONCE in Python
+# and injected as identical double literals into BOTH engines' SQL —
+# no dependence on each engine's libm LOG10 agreeing.
+_BENFORD_P = [__import__("math").log10(1 + 1 / d) for d in range(1, 10)]
+
+
+@query(
+    "d14_benford",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(LEFT(CAST(CAST(ROUND(value * 100) AS BIGINT)
+                            AS VARCHAR), 1) AS INT) AS digit
+      FROM events WHERE value > 0
+    ), obs AS (
+      SELECT digit, COUNT(*) AS n_obs FROM c GROUP BY 1
+    ), spine(digit, p_benford) AS (
+      VALUES {", ".join(f"({d}, {p!r})" for d, p in enumerate(_BENFORD_P, 1))}
+    ), t AS (
+      SELECT SUM(n_obs) AS n FROM obs
+    )
+    SELECT s.digit,
+           COALESCE(o.n_obs, 0) AS n_obs,
+           ROUND(CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / t.n, 6) AS p_obs,
+           ROUND(s.p_benford, 6) AS p_benford,
+           ROUND(POWER(COALESCE(o.n_obs, 0) - s.p_benford * t.n, 2)
+                 / (s.p_benford * t.n), 6) AS chi2_term
+    FROM spine s LEFT JOIN obs o ON s.digit = o.digit CROSS JOIN t
+    """,
+)
+def d14_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """D14: Benford's-law first-digit audit of ``events.value`` — the
+    classic fabricated-numbers screen. The first significant digit is
+    read off the INTEGER cents string (leading digit is invariant under
+    the ×100 scaling), so neither engine's ``LOG10`` is in the digit
+    path, and the nine expected Benford probabilities are injected as
+    the SAME Python-computed double literals on both sides. Per-digit
+    ``chi2_term`` rows sum to the chi-square statistic (8 dof).
+
+    Scale shape: one map-side-combinable 9-group aggregate over the
+    scan; the spine join and totals run on 9 rows.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").filter(F.col("value") > 0)
+    obs = (
+        ev.select(
+            F.substring(
+                F.round(F.col("value") * 100).cast("long").cast("string"),
+                1, 1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spine = spark.createDataFrame(
+        [(d, p) for d, p in enumerate(_BENFORD_P, 1)],
+        "digit int, p_benford double",
+    )
+    joined = spine.join(F.broadcast(obs), "digit", "left").select(
+        "digit",
+        F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+        "p_benford",
+    )
+    n = F.sum("n_obs").over(Window.partitionBy())  # 9-row frame, free
+    return joined.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs").cast("double") / n, 6).alias("p_obs"),
+        F.round("p_benford", 6).alias("p_benford"),
+        F.round(
+            F.pow(F.col("n_obs") - F.col("p_benford") * n, 2)
+            / (F.col("p_benford") * n),
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+# CUSUM decision threshold (in value units) — part of the declared
+# monitor, as the constraint thresholds above are.
+_CUSUM_H = 5.0
+
+
+@query(
+    "d15_changepoint_cusum",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT d,
+             CAST(cents AS DOUBLE) / cnt / 100 AS day_mean,
+             CAST(SUM(cents) OVER () AS DOUBLE)
+               / SUM(cnt) OVER () / 100 AS target
+      FROM daily
+    ), s AS (
+      SELECT d, day_mean,
+             SUM(day_mean - target) OVER (ORDER BY d) AS cum
+      FROM m
+    )
+    SELECT d, ROUND(day_mean, 6) AS day_mean,
+           ROUND(cum - LEAST(0.0, MIN(cum) OVER (ORDER BY d)), 6)
+             AS cusum_pos,
+           (cum - LEAST(0.0, MIN(cum) OVER (ORDER BY d)))
+             > {_CUSUM_H!r} AS shifted
+    FROM s
+    """,
+)
+def d15_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """D15: one-sided CUSUM change-point monitor over the daily mean of
+    ``events.value``. The textbook recursion
+    ``S_t = max(0, S_{{t-1}} + y_t)`` is NOT a plain window sum, but its
+    closed form is: ``S_t = cum_t - min(0, cum_1..cum_t)`` (the 0 is the
+    EMPTY prefix — dropping it understates S on an immediate upward
+    shift, caught by the first-principles recursion test) — two
+    cumulative windows, no recursion, no UDF. A day flags ``shifted`` when the
+    upward drift since the best historical baseline exceeds the declared
+    threshold.
+
+    Float parity by construction: per-day totals are EXACT bigint cents
+    (shuffle-merge-order-proof), each mean is one double division, and
+    both engines accumulate the ordered prefix sums left-to-right over
+    the same day order. Scale shape: the corpus pass is one map-side-
+    combinable daily aggregate; the ordered windows run over the
+    #distinct-days table (bounded by the calendar, not the data).
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    w_all = Window.partitionBy()
+    m = daily.select(
+        "d",
+        (F.col("cents").cast("double") / F.col("cnt") / 100).alias(
+            "day_mean"
+        ),
+        (
+            F.sum("cents").over(w_all).cast("double")
+            / F.sum("cnt").over(w_all)
+            / 100
+        ).alias("target"),
+    )
+    w_ord = Window.orderBy("d")  # #days rows, one task
+    s = m.select(
+        "d",
+        "day_mean",
+        F.sum(F.col("day_mean") - F.col("target")).over(w_ord).alias("cum"),
+    )
+    cusum = F.col("cum") - F.least(F.lit(0.0), F.min("cum").over(w_ord))
+    return s.select(
+        "d",
+        F.round("day_mean", 6).alias("day_mean"),
+        F.round(cusum, 6).alias("cusum_pos"),
+        (cusum > _CUSUM_H).alias("shifted"),
+    )

@@ -63,6 +63,10 @@ SAMPLE = [
     # genuinely different code paths when whole-stage codegen is off
     "b22_timestamp_parity",
     "b25_map_extract_parity",
+    # round-8 validation family: the double-distrank MAD scan exercises
+    # mode='auto' + broadcast med/MAD dims across regimes (AQE off
+    # changes the join planning; shuffle7 moves the rank boundaries)
+    "d15_anomaly_mad",
 ]
 
 REGIMES = {

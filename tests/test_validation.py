@@ -122,3 +122,69 @@ def test_anomaly_mad_matches_first_principles(spark):
         assert (g["n"], g["med2"], g["mad4"], g["n_anomalies"]) == (
             len(c2s), int(med2), int(mad4), n_anom,
         ), et
+
+
+def test_benford_matches_first_principles(spark):
+    """Independent re-derivation: first digits and chi-square terms
+    computed in plain Python over the collected events."""
+    import math
+
+    from event_streamer_spark.tables import load
+
+    vals = [
+        r["value"]
+        for r in load(spark, SF, "events").select("value").collect()
+        if r["value"] > 0
+    ]
+    digits = [int(str(round(v * 100))[0]) for v in vals]
+    n = len(digits)
+    got = {r["digit"]: r for r in
+           REGISTRY["d14_benford"].fn(spark, SF).collect()}
+    assert set(got) == set(range(1, 10))  # full spine
+    chi2 = 0.0
+    for d in range(1, 10):
+        obs = digits.count(d)
+        exp = math.log10(1 + 1 / d) * n
+        assert got[d]["n_obs"] == obs
+        assert abs(got[d]["p_obs"] - obs / n) < 1e-6
+        term = (obs - exp) ** 2 / exp
+        assert abs(got[d]["chi2_term"] - term) < 1e-5
+        chi2 += term
+    # p_obs is a distribution over the spine
+    assert abs(sum(r["p_obs"] for r in got.values()) - 1.0) < 1e-4
+    assert chi2 >= 0
+
+
+def test_cusum_matches_first_principles(spark):
+    """Independent re-derivation: the closed form
+    S_t = cum_t - min(cum_<=t) must equal the textbook recursion
+    S_t = max(0, S_{t-1} + y_t) computed in plain Python."""
+    import pyspark.sql.functions as F
+
+    from event_streamer_spark.tables import load
+
+    rows = (
+        load(spark, SF, "events")
+        .select(F.to_date("ts").alias("d"), "value")
+        .collect()
+    )
+    daily = {}
+    for r in rows:
+        c, n = daily.get(r["d"], (0, 0))
+        daily[r["d"]] = (c + round(r["value"] * 100), n + 1)
+    days = sorted(daily)
+    means = {d: daily[d][0] / daily[d][1] / 100 for d in days}
+    target = sum(c for c, _ in daily.values()) / sum(
+        n for _, n in daily.values()
+    ) / 100
+    s, expect = 0.0, {}
+    for d in days:
+        s = max(0.0, s + (means[d] - target))
+        expect[d] = s
+    got = {r["d"]: r for r in
+           REGISTRY["d15_changepoint_cusum"].fn(spark, SF).collect()}
+    assert sorted(got) == days
+    for d in days:
+        assert abs(got[d]["cusum_pos"] - expect[d]) < 1e-6, d
+        assert got[d]["shifted"] == (expect[d] > 5.0)
+        assert abs(got[d]["day_mean"] - means[d]) < 1e-6
