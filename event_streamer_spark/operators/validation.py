@@ -326,7 +326,15 @@ def d15_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     ``mad4`` = 4×MAD cents. The med/MAD dimension tables are
     group-cardinality-sized → broadcast joins; the flag predicate
     compares the SAME doubles on both engines.
+
+    Scan budget: exact median-of-deviations is inherently two-pass, and
+    this plan pays exactly two fact scans — the median rank pass reads
+    the raw table, then the deviation frame is ``bounded_persist``-ed so
+    BOTH its consumers (the MAD rank pass and the final flag aggregate)
+    read the cache instead of re-scanning (4 scans → 2, audited via
+    ``executedPlan``).
     """
+    from event_streamer_spark.caching import bounded_persist
     from event_streamer_spark.operators.distrank import two_level_row_number
 
     ev = load(spark, sf, "events").select(
@@ -352,6 +360,11 @@ def d15_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         "med2",
         (F.lit(2) * F.abs(F.col("c2") - F.col("med2"))).alias("d4"),
+    )
+    # narrow numeric frame on the critical path → uncompressed build
+    dev = bounded_persist(
+        dev, "d15_anomaly_dev", columnar_compressed=False,
+        columnar_batch_size=100_000,
     )
     ranked2 = two_level_row_number(
         dev, ["event_type"], ["d4", "event_id"], bucket_value="d4",

@@ -188,3 +188,17 @@ def test_cusum_matches_first_principles(spark):
         assert abs(got[d]["cusum_pos"] - expect[d]) < 1e-6, d
         assert got[d]["shifted"] == (expect[d] > 5.0)
         assert abs(got[d]["day_mean"] - means[d]) < 1e-6
+
+
+def test_anomaly_mad_consumers_read_cache(spark):
+    """Plan pin for the scan budget: exact median-of-deviations is
+    two-pass, and both post-median consumers (MAD rank pass + final
+    flag aggregate) must read the persisted deviation frame — the
+    4-scans-to-2 rewrite stays in place."""
+    from event_streamer_spark.caching import clear_slot
+
+    clear_slot("d15_anomaly_dev")
+    df = REGISTRY["d15_anomaly_mad"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    clear_slot("d15_anomaly_dev")
