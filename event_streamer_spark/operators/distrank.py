@@ -408,6 +408,18 @@ def tied_ranks(
     return df.join(F.broadcast(table), list(part_cols) + [value_col])
 
 
+def middle_ranks(rn: Column, n: Column) -> Column:
+    """Filter predicate selecting the middle rank(s) of an ``n``-row
+    group — rank ``(n+1)/2`` rounded both ways, so an odd group keeps
+    one row and an even group keeps the two whose average is the exact
+    median (DuckDB's ``MEDIAN`` interpolation rule). THE one copy of
+    the even-n rule, shared by ``b48_exact_median`` and
+    ``d15_anomaly_mad`` so the two median definitions cannot drift."""
+    lo = F.floor((n + 1) / 2)
+    hi = F.ceil((n + 1) / 2)
+    return (rn == lo) | (rn == hi)
+
+
 def percent_rank_expr(rn: Column, n: Column, decimals: int = 6) -> Column:
     """SQL ``percent_rank()`` from a global row number and partition row
     count: ``(rn-1)/(n-1)``, with the single-row-partition case pinned

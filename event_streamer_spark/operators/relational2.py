@@ -341,7 +341,10 @@ def b48_exact_median(spark: SparkSession, sf: str) -> DataFrame:
     one WITHOUT sorting a whole 3-value partition key on one task.
     Integer cents so the even-n midpoint average is float-exact.
     """
-    from event_streamer_spark.operators.distrank import two_level_row_number
+    from event_streamer_spark.operators.distrank import (
+        middle_ranks,
+        two_level_row_number,
+    )
 
     li = load(spark, sf, "lineitem").select(
         "l_returnflag",
@@ -358,10 +361,8 @@ def b48_exact_median(spark: SparkSession, sf: str) -> DataFrame:
         count_col="n",
         mode="auto",  # size-aware: naive below the local threshold
     )
-    lo = F.floor((F.col("n") + 1) / 2)
-    hi = F.ceil((F.col("n") + 1) / 2)
     return (
-        ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        ranked.filter(middle_ranks(F.col("rn"), F.col("n")))
         .groupBy("l_returnflag")
         .agg(F.avg("cents").alias("median_cents"))
     )

@@ -18,6 +18,8 @@ spine. Both are exactly SQL-expressible and DuckDB-oracled.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -112,13 +114,26 @@ def psi_bin_counts(d: DataFrame) -> DataFrame:
     conditional histogram counts. Counts ADD across shards, so the
     streaming leg (``streaming.drift.drift_bins_batch``) appends each
     micro-batch's output of THIS function and merges with SUM at read —
-    the same merge-is-addition contract as the count-min/HLL indexes."""
-    bin_col = F.least(
-        F.floor(F.col("n_chars") / _PSI_WIDTH).cast("int"),
-        F.lit(_PSI_BINS - 1),
+    the same merge-is-addition contract as the count-min/HLL indexes.
+
+    Binning is TOTAL over non-NULL values (review r8, both confirmed by
+    differential runs on perturbed fixtures): negative ``n_chars``
+    clamps into bin 0 — an out-of-spine bin would silently desync the
+    two engines' denominators in :func:`psi_from_counts` — and NULL
+    ``n_chars`` rows are EXCLUDED rather than riding ``LEAST``'s
+    NULL-skip into the top bin (a completeness collapse must read as
+    missing data, not as drift toward long documents; the
+    ``d14_data_quality`` completeness check is the alarm for that)."""
+    bin_col = F.greatest(
+        F.least(
+            F.floor(F.col("n_chars") / _PSI_WIDTH).cast("int"),
+            F.lit(_PSI_BINS - 1),
+        ),
+        F.lit(0),
     )
     return (
-        d.select(bin_col.alias("bin"), "lang")
+        d.filter(F.col("n_chars").isNotNull())
+        .select(bin_col.alias("bin"), "lang")
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n_ref"),
@@ -172,11 +187,11 @@ def psi_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
     "d14_column_drift",
     oracle=f"""
     WITH counts AS (
-      SELECT LEAST(CAST(FLOOR(n_chars / {_PSI_WIDTH}) AS INT),
-                   {_PSI_BINS - 1}) AS bin,
+      SELECT GREATEST(LEAST(CAST(FLOOR(n_chars / {_PSI_WIDTH}) AS INT),
+                            {_PSI_BINS - 1}), 0) AS bin,
              COUNT(*) AS n_ref,
              COUNT(*) FILTER (WHERE lang = 'en') AS n_cur
-      FROM documents GROUP BY 1
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
     ), tot AS (
       SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts
     ), spine AS (
@@ -218,7 +233,7 @@ def d14_column_drift(spark: SparkSession, sf: str) -> DataFrame:
       SELECT n_chars AS v,
              COUNT(*) FILTER (WHERE lang = 'en') AS ca,
              COUNT(*) FILTER (WHERE lang <> 'en') AS cb
-      FROM documents GROUP BY 1
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
     ), c AS (
       SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
              SUM(cb) OVER (ORDER BY v) AS cum_b,
@@ -253,8 +268,14 @@ def d14_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf, "documents")
+    # NULL n_chars is excluded on BOTH engines: the KS sup is over
+    # observed values, and an unfiltered NULL row would sort NULLS
+    # FIRST under Spark's window vs NULLS LAST under DuckDB's,
+    # shifting the two CDFs differently (review r8, confirmed by a
+    # differential run on a perturbed fixture)
     v = (
-        d.groupBy(F.col("n_chars").alias("v"))
+        d.filter(F.col("n_chars").isNotNull())
+        .groupBy(F.col("n_chars").alias("v"))
         .agg(
             F.count(F.when(F.col("lang") == "en", 1)).alias("ca"),
             F.count(F.when(F.col("lang") != "en", 1)).alias("cb"),
@@ -335,17 +356,19 @@ def d15_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     ``executedPlan``).
     """
     from event_streamer_spark.caching import bounded_persist
-    from event_streamer_spark.operators.distrank import two_level_row_number
+    from event_streamer_spark.operators.distrank import (
+        middle_ranks,
+        two_level_row_number,
+    )
 
     ev = load(spark, sf, "events").select(
         "event_id",
         "event_type",
         (F.lit(2) * F.round(F.col("value") * 100).cast("long")).alias("c2"),
     )
-    mid = lambda: (  # noqa: E731 — the b48 even-n middle-rank rule
-        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
-        | (F.col("rn") == F.ceil((F.col("n") + 1) / 2))
-    )
+    def mid():
+        return middle_ranks(F.col("rn"), F.col("n"))
+
     ranked = two_level_row_number(
         ev, ["event_type"], ["c2", "event_id"], bucket_value="c2",
         out_col="rn", count_col="n", mode="auto",
@@ -392,7 +415,7 @@ def d15_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
 # Benford expected first-digit probabilities, computed ONCE in Python
 # and injected as identical double literals into BOTH engines' SQL —
 # no dependence on each engine's libm LOG10 agreeing.
-_BENFORD_P = [__import__("math").log10(1 + 1 / d) for d in range(1, 10)]
+_BENFORD_P = [math.log10(1 + 1 / d) for d in range(1, 10)]
 
 
 @query(
@@ -401,7 +424,7 @@ _BENFORD_P = [__import__("math").log10(1 + 1 / d) for d in range(1, 10)]
     WITH c AS (
       SELECT CAST(LEFT(CAST(CAST(ROUND(value * 100) AS BIGINT)
                             AS VARCHAR), 1) AS INT) AS digit
-      FROM events WHERE value > 0
+      FROM events WHERE ROUND(value * 100) >= 1
     ), obs AS (
       SELECT digit, COUNT(*) AS n_obs FROM c GROUP BY 1
     ), spine(digit, p_benford) AS (
@@ -427,12 +450,23 @@ def d14_benford(spark: SparkSession, sf: str) -> DataFrame:
     the SAME Python-computed double literals on both sides. Per-digit
     ``chi2_term`` rows sum to the chi-square statistic (8 dof).
 
+    Declared domain: the screen runs at CENTS precision — rows whose
+    amount rounds below one cent are excluded on BOTH engines (their
+    first significant digit is not recoverable from the cents integer;
+    without this filter they'd misclassify as digit '0' AND put the two
+    engines' denominators out of sync — review r8 finding, confirmed by
+    a differential run on a perturbed fixture). With the filter, every
+    observed digit is 1-9, so the spine covers all observations and the
+    spine-side total equals the observed total.
+
     Scale shape: one map-side-combinable 9-group aggregate over the
     scan; the spine join and totals run on 9 rows.
     """
     from pyspark.sql import Window
 
-    ev = load(spark, sf, "events").filter(F.col("value") > 0)
+    ev = load(spark, sf, "events").filter(
+        F.round(F.col("value") * 100) >= 1
+    )
     obs = (
         ev.select(
             F.substring(

@@ -202,3 +202,64 @@ def test_anomaly_mad_consumers_read_cache(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 2, plan
     clear_slot("d15_anomaly_dev")
+
+
+def test_validation_parity_on_dirty_fixture(spark, tmp_path):
+    """Review r8 regression: the three CONFIRMED Spark-vs-DuckDB
+    divergences on dirty data — sub-cent Benford rows, NULL n_chars
+    under the engines' opposite NULL orderings, out-of-spine PSI bins
+    from negative n_chars — must stay fixed. Replays the reviewer's
+    perturbations and requires the full d14/d15 oracle sweep to
+    hash-match on the dirty corpus, not just the clean fixture."""
+    import os
+    import shutil
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    from check_oracles import run_sweep
+
+    from event_streamer_spark.tables import TABLES
+
+    dirty = tmp_path / "dirty_sf"
+    dirty.mkdir()
+    for t in TABLES:
+        shutil.copy(f"{SF}/{t}.parquet", dirty / f"{t}.parquet")
+
+    docs = pq.read_table(dirty / "documents.parquet")
+    extra_docs = pa.table(
+        {
+            "doc_id": [10**9, 10**9 + 1],
+            "text": ["dirty-null-nchars", "dirty-negative-nchars"],
+            "lang": ["en", "fr"],
+            "source": ["dirty", "dirty"],
+            "n_chars": pa.array([None, -5], type=pa.int64()),
+        },
+        schema=docs.schema,
+    )
+    pq.write_table(
+        pa.concat_tables([docs, extra_docs]), dirty / "documents.parquet"
+    )
+
+    ev = pq.read_table(dirty / "events.parquet")
+    extra_ev = pa.table(
+        {
+            "event_id": [10**9],
+            "ts": pa.array([1704067200_000_000], type=ev.schema.field("ts").type),
+            "user_id": [1],
+            "event_type": ["view"],
+            "value": [0.004],  # rounds below one cent
+            "props": ['{"k": 1}'],
+        },
+        schema=ev.schema,
+    )
+    pq.write_table(pa.concat_tables([ev, extra_ev]), dirty / "events.parquet")
+
+    total, failures = run_sweep(
+        spark, str(dirty), ["d14_", "d15_"], quiet=True
+    )
+    assert total >= 6 and failures == [], failures
