@@ -310,7 +310,7 @@ def d14_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
     WITH c AS (
       SELECT event_id, event_type,
              2 * CAST(ROUND(value * 100) AS BIGINT) AS c2
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ), m AS (
       SELECT event_type, CAST(MEDIAN(c2) AS BIGINT) AS med2
       FROM c GROUP BY 1
@@ -354,6 +354,12 @@ def d15_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     BOTH its consumers (the MAD rank pass and the final flag aggregate)
     read the cache instead of re-scanning (4 scans → 2, audited via
     ``executedPlan``).
+
+    NULL ``value`` rows are excluded on BOTH engines: DuckDB's
+    ``MEDIAN`` skips NULLs while a Spark rank over the unfiltered frame
+    would COUNT them (NULLS FIRST), silently shifting which rows are
+    the middle ranks — the same dirty-data parity class the review-r8
+    differential runs caught in the drift queries.
     """
     from event_streamer_spark.caching import bounded_persist
     from event_streamer_spark.operators.distrank import (
@@ -361,7 +367,7 @@ def d15_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
         two_level_row_number,
     )
 
-    ev = load(spark, sf, "events").select(
+    ev = load(spark, sf, "events").filter(F.col("value").isNotNull()).select(
         "event_id",
         "event_type",
         (F.lit(2) * F.round(F.col("value") * 100).cast("long")).alias("c2"),
@@ -514,7 +520,7 @@ _CUSUM_H = 5.0
       SELECT CAST(ts AS DATE) AS d,
              SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents,
              COUNT(*) AS cnt
-      FROM events GROUP BY 1
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
     ), m AS (
       SELECT d,
              CAST(cents AS DOUBLE) / cnt / 100 AS day_mean,
@@ -551,11 +557,17 @@ def d15_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
     the same day order. Scale shape: the corpus pass is one map-side-
     combinable daily aggregate; the ordered windows run over the
     #distinct-days table (bounded by the calendar, not the data).
+
+    NULL ``value``/``ts`` rows are excluded on BOTH engines: SUM skips
+    a NULL value but COUNT(*) would still count its row, silently
+    diluting that day's mean — and a NULL day would become its own
+    group-key row with engine-specific placement in the ordered CDF.
     """
     from pyspark.sql import Window
 
     daily = (
         load(spark, sf, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .groupBy(F.to_date("ts").alias("d"))
         .agg(
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),

@@ -246,14 +246,19 @@ def test_validation_parity_on_dirty_fixture(spark, tmp_path):
     )
 
     ev = pq.read_table(dirty / "events.parquet")
+    ts_type = ev.schema.field("ts").type
     extra_ev = pa.table(
         {
-            "event_id": [10**9],
-            "ts": pa.array([1704067200_000_000], type=ev.schema.field("ts").type),
-            "user_id": [1],
-            "event_type": ["view"],
-            "value": [0.004],  # rounds below one cent
-            "props": ['{"k": 1}'],
+            "event_id": [10**9, 10**9 + 1, 10**9 + 2],
+            "ts": pa.array(
+                [1704067200_000_000, 1704067200_000_000, None], type=ts_type
+            ),
+            "user_id": [1, 1, 1],
+            "event_type": ["view", "view", "view"],
+            # sub-cent amount; NULL value (MEDIAN skips it, a naive rank
+            # would count it); NULL ts (would become its own day key)
+            "value": pa.array([0.004, None, 1.0], type=pa.float64()),
+            "props": ['{"k": 1}', '{"k": 2}', '{"k": 3}'],
         },
         schema=ev.schema,
     )
