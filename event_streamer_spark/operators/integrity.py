@@ -1,0 +1,288 @@
+"""Referential-integrity and reconciliation audits (D16).
+
+The checks a warehouse team runs before trusting a 100 TB drop: foreign
+keys that dangle (a child row whose parent was lost upstream), primary
+keys that collide (a replayed partition double-writing rows), and money
+columns that no longer reconcile with their line-level source of truth.
+All three are pure relational compositions — keyed joins and two-level
+aggregates, no UDFs, no driver state — and each returns a small audit
+report, never the offending rows themselves (at 100 TB the report is
+what pages a human; the row dump is a follow-up query).
+
+Scale posture: every check shuffles once on the audited key and
+pre-aggregates map-side before the exchange. The FK probe joins the
+child against the parent's *distinct key projection* (column-pruned to
+one column at scan time), so the parent side of the exchange is its key
+cardinality, not its row width; tiny dims (nation) broadcast under AQE.
+Money reconciliation runs in exact integer micro-dollars so partial-
+aggregation order can never perturb the verdict.
+
+No counterpart in the reference (comparaonline/event-streamer has no
+relational surface); the A13 validation hooks (``src/index.ts`` reject
+rules) are the closest analog — these are their dataset-level siblings.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_streamer_spark.operators.registry import query
+from event_streamer_spark.tables import load
+
+# (edge label, child table, child FK column, parent table, parent PK).
+# Every declared FK edge of the fixture schema.
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+]
+
+
+def _fk_edge_sql(edge: str, child: str, fk: str, parent: str,
+                 pk: str) -> str:
+    return f"""
+    SELECT '{edge}' AS edge,
+           CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(COALESCE(SUM(CASE WHEN c.{fk} IS NOT NULL
+                                       AND p.{pk} IS NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_orphans,
+           CAST(COALESCE(SUM(CASE WHEN c.{fk} IS NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_null_fk
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p ON c.{fk} = p.{pk}
+    """
+
+
+@query(
+    "d16_fk_orphans",
+    oracle="""
+    SELECT edge, n_child, n_orphans, n_null_fk,
+           ROUND(CAST(n_orphans AS DOUBLE) / n_child, 6) AS orphan_rate
+    FROM (
+    """ + "\nUNION ALL\n".join(
+        _fk_edge_sql(*e) for e in _FK_EDGES
+    ) + """
+    )
+    """,
+)
+def d16_fk_orphans(spark: SparkSession, sf: str) -> DataFrame:
+    """D16: dangling-foreign-key audit over every declared FK edge.
+
+    Per edge: child rows, children whose non-NULL key has no parent
+    (orphans), and children with a NULL key (reported separately — a
+    NULL FK is a modelling decision, an orphan is corruption). One left
+    join per edge against the parent's distinct key projection so a
+    duplicated parent PK can never inflate ``n_child``; the distinct is
+    a map-combinable pre-aggregate on the parent's own key. At 100 TB
+    each edge is one co-partitioned shuffle on the key; the audit
+    aggregate itself is a single map-side-combinable pass over the
+    joined frame.
+    """
+    frames = []
+    for edge, child, fk, parent, pk in _FK_EDGES:
+        c = load(spark, sf, child).select(F.col(fk).alias("fk"))
+        p = (
+            load(spark, sf, parent)
+            .select(F.col(pk).alias("pk"))
+            .distinct()
+        )
+        joined = c.join(p, c.fk == p.pk, "left")
+        frames.append(
+            joined.agg(
+                F.lit(edge).alias("edge"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("fk").isNotNull() & F.col("pk").isNull(),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("n_orphans"),
+                F.coalesce(
+                    F.sum(F.when(F.col("fk").isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("n_null_fk"),
+            )
+        )
+    out = reduce(DataFrame.unionByName, frames)
+    return out.withColumn(
+        "orphan_rate",
+        F.round(F.col("n_orphans").cast("double") / F.col("n_child"), 6),
+    )
+
+
+# (table, PK column) pairs audited for duplicate keys.
+_PK_TABLES = [
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+    ("documents", "doc_id"),
+    ("events", "event_id"),
+]
+
+
+def _dup_key_sql(table: str, pk: str) -> str:
+    return f"""
+    SELECT '{table}.{pk}' AS key_name,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_dup_keys,
+           CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0)
+                AS BIGINT) AS n_rows_in_dups,
+           CAST(MAX(cnt) AS BIGINT) AS max_multiplicity
+    FROM (SELECT {pk}, COUNT(*) AS cnt FROM {table} GROUP BY {pk})
+    """
+
+
+@query(
+    "d16_dup_keys",
+    oracle="\nUNION ALL\n".join(_dup_key_sql(*t) for t in _PK_TABLES),
+)
+def d16_dup_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """D16: primary-key-collision audit across every declared PK.
+
+    Two-level aggregate per table: count per key (map-side combinable,
+    one shuffle on the PK — the natural partitioning), then one global
+    roll-up of the key histogram. Reports duplicate keys, rows trapped
+    in duplicates, and the worst multiplicity — the number that tells
+    you whether a replay double-wrote one partition (max=2 across many
+    keys) or a hot key exploded (max large, few keys). NULL PKs group
+    into one key like any other value on both engines.
+    """
+    frames = []
+    for table, pk in _PK_TABLES:
+        per_key = (
+            load(spark, sf, table)
+            .groupBy(F.col(pk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        frames.append(
+            per_key.agg(
+                F.lit(f"{table}.{pk}").alias("key_name"),
+                F.sum("cnt").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.coalesce(
+                    F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("n_dup_keys"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("n_rows_in_dups"),
+                F.max("cnt").alias("max_multiplicity"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+@query(
+    "d16_order_reconcile",
+    oracle="""
+    WITH line AS (
+      SELECT l_orderkey,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                 * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)))
+               AS recomputed_e6,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey),
+    per_order AS (
+      SELECT o.o_orderstatus,
+             l.n_lines,
+             l.recomputed_e6
+               - CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * 10000
+               AS diff_e6
+      FROM orders o LEFT JOIN line l ON o.o_orderkey = l.l_orderkey)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CASE WHEN n_lines IS NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_no_lines,
+           CAST(COALESCE(SUM(CASE WHEN diff_e6 = 0
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_exact,
+           CAST(COALESCE(MAX(ABS(diff_e6)), 0) AS BIGINT)
+             AS max_abs_diff_e6,
+           ROUND(CAST(SUM(CAST(ABS(diff_e6) AS DECIMAL(38, 0)))
+                      AS DOUBLE)
+                 / 1000000 / COUNT(diff_e6), 6) AS mean_abs_diff_usd
+    FROM per_order
+    GROUP BY o_orderstatus
+    """,
+)
+def d16_order_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    """D16: money reconciliation — does ``o_totalprice`` equal the
+    lineitem-level ``sum(extendedprice * (1-discount) * (1+tax))``?
+
+    All arithmetic is exact integers in micro-dollars (price in cents ×
+    discount in hundredths × tax in hundredths = 1e-6 USD units), so
+    the verdict is independent of aggregation order on both engines;
+    the only doubles are the final report columns, produced from an
+    exact DECIMAL(38,0) sum (BIGINT would overflow the corpus-level
+    |diff| sum near petabyte scale — per-order values stay < 2^63).
+    Shape: one map-combinable aggregate per order on lineitem, one
+    co-partitioned join to orders on the same key, one tiny roll-up by
+    status. Orders with no lineitems are counted, not scored.
+    """
+    li = load(spark, sf, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_h = F.round(F.col("l_discount") * 100).cast("long")
+    tax_h = F.round(F.col("l_tax") * 100).cast("long")
+    line = li.groupBy("l_orderkey").agg(
+        F.sum(cents * (F.lit(100) - disc_h) * (F.lit(100) + tax_h)).alias(
+            "recomputed_e6"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.round(F.col("o_totalprice") * 100).cast("long") * 10000).alias(
+            "expected_e6"
+        ),
+    )
+    per_order = orders.join(
+        line, orders.o_orderkey == line.l_orderkey, "left"
+    ).select(
+        "o_orderstatus",
+        "n_lines",
+        (F.col("recomputed_e6") - F.col("expected_e6")).alias("diff_e6"),
+    )
+    return per_order.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_lines").isNull(), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_no_lines"),
+        F.coalesce(
+            F.sum(F.when(F.col("diff_e6") == 0, 1).otherwise(0)), F.lit(0)
+        ).alias("n_exact"),
+        F.coalesce(F.max(F.abs(F.col("diff_e6"))), F.lit(0)).alias(
+            "max_abs_diff_e6"
+        ),
+        F.round(
+            F.sum(F.abs(F.col("diff_e6")).cast("decimal(38,0)"))
+            .cast("double")
+            / 1000000
+            / F.count("diff_e6"),
+            6,
+        ).alias("mean_abs_diff_usd"),
+    )
