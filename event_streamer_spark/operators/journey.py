@@ -1,0 +1,261 @@
+"""User-journey analytics (B60-B62): attribution, Markov transitions,
+and top session paths.
+
+The marketing/product questions an event stream exists to answer:
+which first touch brings the users who buy (B60), how does behavior
+flow step-to-step (B61), and what do sessions actually look like
+(B62). All three are window + aggregate compositions over the same
+``(user_id)`` partitioning — no UDFs, no driver state, and every
+ordered window is pinned deterministic with the ``(ts, event_id)``
+tiebreak. NULL timestamps are excluded on both engines (ordered-window
+NULL placement diverges: Spark NULLS FIRST vs DuckDB NULLS LAST).
+
+Scale posture: one shuffle on ``user_id`` feeds every per-user window
+(work per partition bounded by events-per-user); the roll-ups after it
+group on tiny keys (event-type pairs, truncated paths) and combine
+map-side. The reference has no analytics surface; these extend the
+funnel/retention family (``analytics.py``) along the journey axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from event_streamer_spark.operators.registry import query
+from event_streamer_spark.tables import load
+
+# Session gap for path analysis (micro-seconds) and the path-length cap
+# that keeps a runaway session from emitting an unbounded group key.
+_PATH_GAP_US = 30 * 60 * 1_000_000
+_PATH_MAX_EVENTS = 8
+_PATH_TOP_K = 20
+
+
+@query(
+    "b60_attribution",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_f,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_l
+      FROM events WHERE ts IS NOT NULL),
+    rev AS (
+      SELECT user_id,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS revenue_cents
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY user_id),
+    f AS (SELECT user_id, event_type AS first_touch
+          FROM ranked WHERE rn_f = 1),
+    l AS (SELECT user_id, event_type AS last_touch
+          FROM ranked WHERE rn_l = 1)
+    SELECT f.first_touch, l.last_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COALESCE(SUM(COALESCE(r.revenue_cents, 0)), 0) AS BIGINT)
+             AS revenue_cents
+    FROM f JOIN l ON f.user_id = l.user_id
+    LEFT JOIN rev r ON f.user_id = r.user_id
+    GROUP BY f.first_touch, l.last_touch
+    """,
+)
+def b60_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """B60: first-/last-touch attribution — per (first event type,
+    last event type) pair, how many users follow that arc and how much
+    purchase revenue they generate.
+
+    Both row_numbers (ascending and descending) ride the SAME user_id
+    exchange, and the touch pair comes out of ONE conditional aggregate
+    over that window pass — filtering rn=1 twice and self-joining would
+    recompute the whole window subtree (plan-audited: 3 scans → 2).
+    Revenue aggregates from its own unfiltered scan because a purchase
+    with a NULL timestamp still earns money even though it cannot be
+    ordered; the join stays co-partitioned on user_id. Revenue is
+    integer cents per the money protocol; users who never purchase
+    attribute 0, not NULL.
+    """
+    e = load(spark, sf, "events").filter(F.col("ts").isNotNull())
+    w_f = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_l = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    touches = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w_f).alias("rn_f"),
+            F.row_number().over(w_l).alias("rn_l"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("rn_f") == 1, F.col("event_type"))
+            ).alias("first_touch"),
+            F.max(
+                F.when(F.col("rn_l") == 1, F.col("event_type"))
+            ).alias("last_touch"),
+        )
+    )
+    rev = (
+        load(spark, sf, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "revenue_cents"
+            )
+        )
+    )
+    return (
+        touches.join(rev, "user_id", "left")
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.coalesce(
+                F.sum(F.coalesce(F.col("revenue_cents"), F.lit(0))),
+                F.lit(0),
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "b61_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE ts IS NOT NULL)
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6)
+             AS prob
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def b61_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """B61: first-order Markov transition matrix over event types —
+    the behavioral bigram counts and row-normalized probabilities.
+
+    One LAG window on the user_id exchange, then a group on the
+    (prev, next) pair; the row normalization is a window over the
+    #event-types² aggregate, not the events. The probability divides
+    two exact BIGINTs and rounds, so it hashes identically on both
+    engines.
+    """
+    e = load(spark, sf, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_norm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_norm),
+            6,
+        ).alias("prob"),
+    )
+
+
+@query(
+    "b62_session_paths",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w)
+                          > {_PATH_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM ordered),
+    numbered AS (
+      SELECT user_id, session_seq, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                                ORDER BY ts, event_id) AS rn
+      FROM sess),
+    paths AS (
+      SELECT user_id, session_seq,
+             STRING_AGG(event_type, '>' ORDER BY rn) AS path
+      FROM numbered WHERE rn <= {_PATH_MAX_EVENTS}
+      GROUP BY user_id, session_seq)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {_PATH_TOP_K}
+    """,
+)
+def b62_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """B62: top-20 session event paths — sessionize per user with a
+    30-minute gap (gaps-and-islands), truncate each session to its
+    first 8 events (the cap bounds the group key; a runaway session
+    cannot emit an unbounded string), and rank the resulting paths.
+
+    All three windows (gap flag, running session id, within-session
+    rank) share the single user_id exchange. The path itself is built
+    from ``array_sort`` over ``collect_list(struct(rn, event_type))``
+    — struct order makes the concat deterministic without trusting
+    collect order — and the final top-k is a TakeOrdered over the
+    #distinct-paths aggregate with the (count DESC, path) total order
+    pinning the cut.
+    """
+    e = load(spark, sf, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            prev_us.isNull() | ((us - prev_us) > _PATH_GAP_US), 1
+        ).otherwise(0).alias("is_new"),
+    )
+    sess = ordered.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w_s = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    numbered = sess.withColumn("rn", F.row_number().over(w_s)).filter(
+        F.col("rn") <= _PATH_MAX_EVENTS
+    )
+    paths = numbered.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_PATH_TOP_K)
+    )

@@ -1,0 +1,104 @@
+"""B60-B62 journey analytics: semantic invariants on the clean fixture
+plus the dirty-fixture differential sweep (NULL ts is the known
+ordered-window parity hazard: Spark NULLS FIRST vs DuckDB NULLS LAST)."""
+
+import os
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from event_streamer_spark.operators import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_attribution_partitions_users(spark):
+    rows = REGISTRY["b60_attribution"].fn(spark, SF).collect()
+    from event_streamer_spark.tables import load
+
+    n_users = load(spark, SF, "events").select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    # total attributed revenue == total purchase revenue in cents
+    total = (
+        load(spark, SF, "events")
+        .filter("event_type = 'purchase'")
+        .selectExpr("CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) s")
+        .collect()[0]["s"]
+    )
+    assert sum(r["revenue_cents"] for r in rows) == total
+
+
+def test_markov_rows_normalize(spark):
+    rows = REGISTRY["b61_markov_transitions"].fn(spark, SF).collect()
+    from collections import defaultdict
+
+    by_prev = defaultdict(float)
+    for r in rows:
+        by_prev[r["prev_type"]] += r["prob"]
+        assert r["n_transitions"] > 0
+    for prev, s in by_prev.items():
+        assert abs(s - 1.0) < 1e-4, (prev, s)
+    # each user contributes (n_events - 1) transitions
+    from event_streamer_spark.tables import load
+
+    e = load(spark, SF, "events")
+    expected = e.count() - e.select("user_id").distinct().count()
+    assert sum(r["n_transitions"] for r in rows) == expected
+
+
+def test_session_paths_shape(spark):
+    rows = REGISTRY["b62_session_paths"].fn(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    counts = [r["n_sessions"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        steps = r["path"].split(">")
+        assert 1 <= len(steps) <= 8
+        assert all(
+            s in {"click", "view", "purchase", "signup", "error"}
+            for s in steps
+        )
+
+
+def test_journey_parity_on_dirty_fixture(spark, tmp_path):
+    """NULL ts and NULL value rows ride every ordered window in the
+    family; the sweep must hash-match DuckDB on the perturbed corpus."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    from check_oracles import run_sweep
+
+    from event_streamer_spark.tables import TABLES
+
+    dirty = tmp_path / "dirty_sf"
+    dirty.mkdir()
+    for t in TABLES:
+        shutil.copy(f"{SF}/{t}.parquet", dirty / f"{t}.parquet")
+
+    ev = pq.read_table(dirty / "events.parquet")
+    ts_type = ev.schema.field("ts").type
+    extra = pa.table(
+        {
+            "event_id": [10**9, 10**9 + 1, 10**9 + 2],
+            # NULL ts on a purchase (revenue still counts, ordering
+            # excluded); tie on (ts) resolved by event_id; NULL value
+            # purchase attributes zero revenue
+            "ts": pa.array(
+                [None, 1704067200_000_000, 1704067200_000_000],
+                type=ts_type,
+            ),
+            "user_id": [1, 2, 2],
+            "event_type": ["purchase", "signup", "purchase"],
+            "value": pa.array([5.0, None, None], type=pa.float64()),
+            "props": ["{}", "{}", "{}"],
+        },
+        schema=ev.schema,
+    )
+    pq.write_table(pa.concat_tables([ev, extra]), dirty / "events.parquet")
+
+    total, failures = run_sweep(
+        spark, str(dirty), ["b60_", "b61_", "b62_"], quiet=True
+    )
+    assert total == 3 and failures == [], failures
