@@ -52,6 +52,8 @@ HEADLINE = [
     # dataset-quality path's cost is tracked in BENCH, not just oracled
     "d15_anomaly_mad",
     "d14_column_drift",
+    "d16_order_reconcile",
+    "b62_session_paths",
 ]
 
 
