@@ -150,6 +150,28 @@ def _dup_key_sql(table: str, pk: str) -> str:
     """
 
 
+def dup_key_histogram(per_key: DataFrame, key_name: str) -> DataFrame:
+    """Roll a ``(k, cnt)`` per-key count table up to the one-row
+    collision report. Shared by the batch audit and the streaming
+    index's read side (``streaming/integrity.py``) so the incremental
+    verdict can never drift from the batch definition — per-key counts
+    ADD across micro-batches, and this roll-up is what both run last.
+    """
+    return per_key.agg(
+        F.lit(key_name).alias("key_name"),
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)), F.lit(0)
+        ).alias("n_dup_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)),
+            F.lit(0),
+        ).alias("n_rows_in_dups"),
+        F.max("cnt").alias("max_multiplicity"),
+    )
+
+
 @query(
     "d16_dup_keys",
     oracle="\nUNION ALL\n".join(_dup_key_sql(*t) for t in _PK_TABLES),
@@ -172,24 +194,7 @@ def d16_dup_keys(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy(F.col(pk).alias("k"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        frames.append(
-            per_key.agg(
-                F.lit(f"{table}.{pk}").alias("key_name"),
-                F.sum("cnt").alias("n_rows"),
-                F.count(F.lit(1)).alias("n_keys"),
-                F.coalesce(
-                    F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)),
-                    F.lit(0),
-                ).alias("n_dup_keys"),
-                F.coalesce(
-                    F.sum(
-                        F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)
-                    ),
-                    F.lit(0),
-                ).alias("n_rows_in_dups"),
-                F.max("cnt").alias("max_multiplicity"),
-            )
-        )
+        frames.append(dup_key_histogram(per_key, f"{table}.{pk}"))
     return reduce(DataFrame.unionByName, frames)
 
 

@@ -31,6 +31,10 @@ from event_streamer_spark.streaming.drift import (
     drift_bins_batch,
     read_psi_drift,
 )
+from event_streamer_spark.streaming.integrity import (
+    dup_key_counts_batch,
+    read_dup_key_audit,
+)
 from event_streamer_spark.streaming.ann import (
     ivf_ingest_batch,
     ivf_probe_cells,
@@ -72,6 +76,8 @@ __all__ = [
     "read_ddsketch",
     "drift_bins_batch",
     "read_psi_drift",
+    "dup_key_counts_batch",
+    "read_dup_key_audit",
     "hll_batch",
     "read_hll",
     "heavy_hitters_batch",

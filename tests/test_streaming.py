@@ -1931,3 +1931,68 @@ def test_incremental_psi_drift_equals_batch(spark, tmp_path, n_splits, bseed):
         for r in read_psi_drift(spark, state).collect()
     }
     assert got == exact
+
+
+@pytest.mark.parametrize("n_splits,bseed", BOUNDARY_SPLITS)
+def test_incremental_dup_key_audit_equals_batch(
+    spark, tmp_path, n_splits, bseed
+):
+    """D16 streaming leg: per-key counts add, so the collision index
+    accumulated over any seeded micro-batch boundary must reproduce the
+    batch dup_key_histogram verdict EXACTLY — including cross-batch
+    duplicates (the replay double-write case a single batch's audit
+    cannot see). The source is the events table corrupted with a
+    re-ingested slice plus one triple-written key, and the split key is
+    an independent row id so duplicate copies scatter across batches."""
+    from pyspark.sql import Window
+
+    from event_streamer_spark.operators.integrity import dup_key_histogram
+    from event_streamer_spark.streaming import (
+        dup_key_counts_batch,
+        read_dup_key_audit,
+    )
+
+    ev = load(spark, SF, "events").select("event_id", "event_type")
+    replayed = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+        "copy", F.lit(1)
+    )
+    triple = ev.orderBy("event_id").limit(1).withColumn("copy", F.lit(2))
+    corrupted = (
+        ev.withColumn("copy", F.lit(0))
+        .unionByName(replayed)
+        .unionByName(triple)
+        .unionByName(triple.withColumn("copy", F.lit(3)))
+    )
+    corrupted = corrupted.withColumn(
+        "rid", F.row_number().over(Window.orderBy("event_id", "copy"))
+    ).select("event_id", "event_type", "rid")
+
+    expect = dup_key_histogram(
+        corrupted.groupBy(F.col("event_id").alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        "events.event_id",
+    ).collect()[0]
+    assert expect["n_dup_keys"] > 0 and expect["max_multiplicity"] >= 3
+
+    src = str(tmp_path / "dupkey_src")
+    write_split_files(corrupted, src, "rid", n_splits, bseed)
+
+    stream = (
+        spark.readStream.schema("event_id bigint, event_type string, rid int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "dupkey_state")
+    q = (
+        stream.writeStream.foreachBatch(
+            dup_key_counts_batch(state, "event_id")
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dupkey_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = read_dup_key_audit(spark, state, "events.event_id").collect()[0]
+    assert got.asDict() == expect.asDict()
