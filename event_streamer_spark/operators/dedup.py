@@ -196,6 +196,93 @@ def d2_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_EDITDIST_MIN_SHINGLES = 5
+_EDITDIST_MIN_SIM = 0.9
+
+
+@query(
+    "d2_editdist_verify",
+    oracle=f"""
+    WITH {shingle_ctes()},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    cand AS (SELECT doc_a, doc_b FROM inter
+             WHERE cnt >= {_EDITDIST_MIN_SHINGLES}),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+             GREATEST(LENGTH(da.text), LENGTH(db.text)) AS max_len
+      FROM cand c
+      JOIN documents da ON da.doc_id = c.doc_a
+      JOIN documents db ON db.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, edit_dist,
+           ROUND(1.0 - CAST(edit_dist AS DOUBLE) / max_len, 6) AS sim
+    FROM scored
+    WHERE 1.0 - CAST(edit_dist AS DOUBLE) / max_len
+          >= {_EDITDIST_MIN_SIM}
+    """,
+)
+def d2_editdist_verify(spark: SparkSession, sf: str) -> DataFrame:
+    """D2 (exact verify path): edit-distance near-dup confirmation —
+    shingle-overlap candidate pruning, then Levenshtein ONLY on the
+    surviving pairs.
+
+    The O(len²) distance never touches the corpus cross product: the
+    DF-capped shingle self-join (same machinery as d2_ngram_jaccard —
+    no key carries more than 256 rows) nominates pairs sharing ≥5
+    shingles, and the quadratic work runs per-candidate. Both engines'
+    ``levenshtein`` agree exactly (probed: unit insert/delete/replace
+    and empty-string edges), so the similarity
+    ``1 − dist / max(len)`` is an exact oracle, unlike the estimate
+    legs. At 100 TB the candidate count is bounded by the banding /
+    DF-cap geometry, not the corpus size squared.
+    """
+    docs = load(spark, sf, "documents")
+    shingles = shingle_sets(docs)
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= _EDITDIST_MIN_SHINGLES)
+        .select("doc_a", "doc_b")
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    scored = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("long").alias(
+                "edit_dist"
+            ),
+            F.greatest(
+                F.length("text_a"), F.length("text_b")
+            ).alias("max_len"),
+        )
+    )
+    sim = F.lit(1.0) - F.col("edit_dist").cast("double") / F.col("max_len")
+    return scored.filter(sim >= _EDITDIST_MIN_SIM).select(
+        "doc_a", "doc_b", "edit_dist", F.round(sim, 6).alias("sim")
+    )
+
+
 def _minhash_signatures(df: DataFrame) -> DataFrame:
     """doc_id → (sig array<long>, bands array<long>) in ONE Arrow pass.
 

@@ -259,3 +259,82 @@ def b62_session_paths(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_PATH_TOP_K)
     )
+
+
+@query(
+    "b63_running_distinct_users",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS d, user_id
+      FROM events WHERE ts IS NOT NULL),
+    first_day AS (
+      SELECT event_type, user_id, MIN(d) AS d0
+      FROM active GROUP BY event_type, user_id),
+    new_users AS (
+      SELECT event_type, d0 AS d, COUNT(*) AS n_new
+      FROM first_day GROUP BY event_type, d0),
+    days AS (SELECT DISTINCT event_type, d FROM active),
+    daily AS (
+      SELECT event_type, d, COUNT(*) AS n_active
+      FROM active GROUP BY event_type, d)
+    SELECT dy.event_type, strftime(dy.d, '%Y-%m-%d') AS d,
+           da.n_active,
+           CAST(SUM(COALESCE(nu.n_new, 0))
+                OVER (PARTITION BY dy.event_type ORDER BY dy.d
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_distinct_users
+    FROM days dy
+    JOIN daily da ON da.event_type = dy.event_type AND da.d = dy.d
+    LEFT JOIN new_users nu
+      ON nu.event_type = dy.event_type AND nu.d = dy.d
+    """,
+)
+def b63_running_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """B63: running distinct-user counts per event type by day — the
+    portable rewrite of ``COUNT(DISTINCT) OVER``, which neither engine
+    supports in a window.
+
+    Recipe: a user contributes to the cumulative count exactly once,
+    on their first active day — so distinct-so-far = running SUM of
+    first-day counts. Three map-combinable aggregates (active days,
+    first day per user, new-user counts) plus one cumulative window
+    over the #types × #days table — never over the events. Daily
+    active counts ride the same ``active`` dedup. At 100 TB this is
+    the difference between a per-day DISTINCT re-scan (quadratic in
+    history) and one pass.
+    """
+    e = load(spark, sf, "events").filter(F.col("ts").isNotNull())
+    active = e.select(
+        "event_type", F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    first_day = active.groupBy("event_type", "user_id").agg(
+        F.min("d").alias("d0")
+    )
+    new_users = first_day.groupBy(
+        "event_type", F.col("d0").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    daily = active.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        daily.join(new_users, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            "n_active",
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w)
+            .alias("cum_distinct_users"),
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "n_active",
+            "cum_distinct_users",
+        )
+    )

@@ -590,3 +590,29 @@ def test_temperature_sample_rebalances_toward_alpha_shares(spark):
     # realized keep fraction within 25% relative of the declared rate
     # (hash thresholding is exact in expectation; fixture is small)
     assert abs(after[top] / before[top] - rates[top]) <= 0.25 * rates[top]
+
+
+def test_editdist_verify_confirms_planted_neardups(spark):
+    """The generator plants near-dup pairs (word-level edits); the
+    edit-distance verify leg must confirm them with high similarity,
+    and every emitted pair must clear both the shingle-candidate gate
+    and the similarity threshold."""
+    rows = REGISTRY["d2_editdist_verify"].fn(spark, SF).collect()
+    assert rows, "no near-dup pairs confirmed on a fixture with planted dups"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF, "documents").collect()
+    }
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["sim"] >= 0.9
+        la, lb = len(docs[r["doc_a"]]), len(docs[r["doc_b"]])
+        assert abs(r["sim"] - (1.0 - r["edit_dist"] / max(la, lb))) < 1e-6
+    # the verify leg agrees with the exact jaccard leg on the planted
+    # pairs: every high-sim edit pair also has jaccard >= 0.1
+    jacc = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["d2_ngram_jaccard"].fn(spark, SF).collect()
+    }
+    confirmed = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert confirmed <= jacc

@@ -102,3 +102,34 @@ def test_journey_parity_on_dirty_fixture(spark, tmp_path):
         spark, str(dirty), ["b60_", "b61_", "b62_"], quiet=True
     )
     assert total == 3 and failures == [], failures
+
+
+def test_running_distinct_users_invariants(spark):
+    """cum_distinct_users is the portable COUNT(DISTINCT) OVER rewrite:
+    nondecreasing per type, >= daily active, and its final value equals
+    the type's true distinct-user count."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from event_streamer_spark.tables import load
+
+    rows = REGISTRY["b63_running_distinct_users"].fn(spark, SF).collect()
+    by_type = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["d"])):
+        by_type[r["event_type"]].append(r)
+    truth = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(by_type) == set(truth)
+    for t, seq in by_type.items():
+        cums = [r["cum_distinct_users"] for r in seq]
+        assert cums == sorted(cums), t
+        assert all(
+            r["cum_distinct_users"] >= r["n_active"] for r in seq
+        ), t
+        assert cums[-1] == truth[t], t
