@@ -1,0 +1,59 @@
+"""D17 graph analytics: PageRank fixed-point invariants."""
+
+from pyspark.sql import functions as F
+
+from event_streamer_spark.operators import REGISTRY
+from event_streamer_spark.operators.graph import _PR_SCALE
+from event_streamer_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pagerank_mass_and_shape(spark):
+    rows = REGISTRY["d17_pagerank"].fn(spark, SF).collect()
+    # node set: every customer and supplier that appears in a trade pair
+    pairs = (
+        load(spark, SF, "orders")
+        .join(
+            load(spark, SF, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    n_cust = pairs.select("o_custkey").distinct().count()
+    n_supp = pairs.select("l_suppkey").distinct().count()
+    assert len(rows) == n_cust + n_supp
+    assert all(r["pr_scaled"] > 0 for r in rows)
+    assert all(r["degree"] >= 1 for r in rows)
+    # rank mass is conserved up to integer-floor leakage: each of the
+    # three iterations floors one division per node plus the two /100
+    # terms, so the total stays within a few N units of the scale
+    total = sum(r["pr_scaled"] for r in rows)
+    assert 0.95 * _PR_SCALE <= total <= _PR_SCALE
+    # undirected bipartite graph: the two sides carry equal edge mass,
+    # so each side's total degree matches the pair count
+    n_pairs = pairs.count()
+    assert (
+        sum(r["degree"] for r in rows if r["node"].startswith("c:"))
+        == n_pairs
+    )
+    assert (
+        sum(r["degree"] for r in rows if r["node"].startswith("s:"))
+        == n_pairs
+    )
+
+
+def test_pagerank_favors_connected_suppliers(spark):
+    """With ~10 suppliers serving ~150 customers, supplier ranks must
+    dominate: every supplier outranks every customer, and the
+    top-degree supplier holds the top rank."""
+    rows = REGISTRY["d17_pagerank"].fn(spark, SF).collect()
+    supp = [r for r in rows if r["node"].startswith("s:")]
+    cust = [r for r in rows if r["node"].startswith("c:")]
+    assert min(r["pr_scaled"] for r in supp) > max(
+        r["pr_scaled"] for r in cust
+    )
+    top_by_pr = max(supp, key=lambda r: r["pr_scaled"])
+    top_by_deg = max(supp, key=lambda r: r["degree"])
+    assert top_by_pr["degree"] == top_by_deg["degree"]
