@@ -33,7 +33,8 @@ from event_streamer_spark.operators.registry import query
 from event_streamer_spark.tables import load
 
 # (edge label, child table, child FK column, parent table, parent PK).
-# Every declared FK edge of the fixture schema.
+# Every declared FK edge of the fixture schema (FIXTURES.md), including
+# both nation references and the nation->region closure.
 _FK_EDGES = [
     ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
      "orders", "o_orderkey"),
@@ -45,6 +46,10 @@ _FK_EDGES = [
      "customer", "c_custkey"),
     ("customer.c_nationkey->nation", "customer", "c_nationkey",
      "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
 ]
 
 
@@ -82,40 +87,64 @@ def d16_fk_orphans(spark: SparkSession, sf: str) -> DataFrame:
 
     Per edge: child rows, children whose non-NULL key has no parent
     (orphans), and children with a NULL key (reported separately — a
-    NULL FK is a modelling decision, an orphan is corruption). One left
-    join per edge against the parent's distinct key projection so a
+    NULL FK is a modelling decision, an orphan is corruption). Each
+    join runs against the parent's distinct key projection so a
     duplicated parent PK can never inflate ``n_child``; the distinct is
-    a map-combinable pre-aggregate on the parent's own key. At 100 TB
-    each edge is one co-partitioned shuffle on the key; the audit
-    aggregate itself is a single map-side-combinable pass over the
-    joined frame.
+    a map-combinable pre-aggregate on the parent's own key.
+
+    Scan budget (review r8): a child table is scanned ONCE no matter
+    how many edges leave it — lineitem's three edges chain their
+    parent-key left joins over a single fact scan and come out of one
+    aggregate, unpivoted by ``stack`` (the same N-scans→1 treatment
+    d15_anomaly_mad documents). Distinct parent keys can never
+    multiply the chained rows, so the shared ``COUNT(*)`` stays the
+    child row count. At 100 TB each edge's key shuffle is inherent;
+    the redundant fact scans were not.
     """
+    by_child: dict[str, list] = {}
+    for e in _FK_EDGES:
+        by_child.setdefault(e[1], []).append(e)
     frames = []
-    for edge, child, fk, parent, pk in _FK_EDGES:
-        c = load(spark, sf, child).select(F.col(fk).alias("fk"))
-        p = (
-            load(spark, sf, parent)
-            .select(F.col(pk).alias("pk"))
-            .distinct()
+    for child, edges in by_child.items():
+        c = load(spark, sf, child).select(
+            *sorted({e[2] for e in edges})
         )
-        joined = c.join(p, c.fk == p.pk, "left")
-        frames.append(
-            joined.agg(
-                F.lit(edge).alias("edge"),
-                F.count(F.lit(1)).alias("n_child"),
+        for i, (_, _, fk, parent, pk) in enumerate(edges):
+            p = (
+                load(spark, sf, parent)
+                .select(F.col(pk).alias(f"pk_{i}"))
+                .distinct()
+            )
+            c = c.join(p, F.col(fk) == F.col(f"pk_{i}"), "left")
+        aggs = [F.count(F.lit(1)).alias("n_child")]
+        for i, (_, _, fk, _, _) in enumerate(edges):
+            aggs.append(
                 F.coalesce(
                     F.sum(
                         F.when(
-                            F.col("fk").isNotNull() & F.col("pk").isNull(),
+                            F.col(fk).isNotNull()
+                            & F.col(f"pk_{i}").isNull(),
                             1,
                         ).otherwise(0)
                     ),
                     F.lit(0),
-                ).alias("n_orphans"),
+                ).alias(f"orph_{i}")
+            )
+            aggs.append(
                 F.coalesce(
-                    F.sum(F.when(F.col("fk").isNull(), 1).otherwise(0)),
+                    F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0)),
                     F.lit(0),
-                ).alias("n_null_fk"),
+                ).alias(f"nullfk_{i}")
+            )
+        one_row = c.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{edge}', n_child, orph_{i}, nullfk_{i}"
+            for i, (edge, _, _, _, _) in enumerate(edges)
+        )
+        frames.append(
+            one_row.selectExpr(
+                f"stack({len(edges)}, {stack_args})"
+                " AS (edge, n_child, n_orphans, n_null_fk)"
             )
         )
     out = reduce(DataFrame.unionByName, frames)
@@ -125,20 +154,34 @@ def d16_fk_orphans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# (table, PK column) pairs audited for duplicate keys.
+# (table, PK column list) audited for duplicate keys — every declared
+# key including the single-column dims and lineitem's COMPOSITE PK
+# (l_orderkey, l_linenumber). NULL key components group like any value
+# on both engines, so no string-concat encoding (whose NULL semantics
+# diverge engine-wise) is needed.
 _PK_TABLES = [
-    ("orders", "o_orderkey"),
-    ("customer", "c_custkey"),
-    ("part", "p_partkey"),
-    ("supplier", "s_suppkey"),
-    ("documents", "doc_id"),
-    ("events", "event_id"),
+    ("orders", ["o_orderkey"]),
+    ("customer", ["c_custkey"]),
+    ("part", ["p_partkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("nation", ["n_nationkey"]),
+    ("region", ["r_regionkey"]),
+    ("documents", ["doc_id"]),
+    ("events", ["event_id"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
 ]
 
 
-def _dup_key_sql(table: str, pk: str) -> str:
+def _pk_key_name(table: str, cols: list) -> str:
+    if len(cols) == 1:
+        return f"{table}.{cols[0]}"
+    return f"{table}.({','.join(cols)})"
+
+
+def _dup_key_sql(table: str, cols: list) -> str:
+    key_list = ", ".join(cols)
     return f"""
-    SELECT '{table}.{pk}' AS key_name,
+    SELECT '{_pk_key_name(table, cols)}' AS key_name,
            CAST(SUM(cnt) AS BIGINT) AS n_rows,
            CAST(COUNT(*) AS BIGINT) AS n_keys,
            CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END), 0)
@@ -146,7 +189,7 @@ def _dup_key_sql(table: str, pk: str) -> str:
            CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0)
                 AS BIGINT) AS n_rows_in_dups,
            CAST(MAX(cnt) AS BIGINT) AS max_multiplicity
-    FROM (SELECT {pk}, COUNT(*) AS cnt FROM {table} GROUP BY {pk})
+    FROM (SELECT COUNT(*) AS cnt FROM {table} GROUP BY {key_list})
     """
 
 
@@ -185,16 +228,19 @@ def d16_dup_keys(spark: SparkSession, sf: str) -> DataFrame:
     in duplicates, and the worst multiplicity — the number that tells
     you whether a replay double-wrote one partition (max=2 across many
     keys) or a hot key exploded (max large, few keys). NULL PKs group
-    into one key like any other value on both engines.
+    into one key like any other value on both engines. On this
+    synthetic fixture the lineitem COMPOSITE key genuinely collides
+    (the generator does not enforce it) — the audit reports that
+    truth; see ``test_dup_keys_clean_fixture``.
     """
     frames = []
-    for table, pk in _PK_TABLES:
+    for table, cols in _PK_TABLES:
         per_key = (
             load(spark, sf, table)
-            .groupBy(F.col(pk).alias("k"))
+            .groupBy(*cols)
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        frames.append(dup_key_histogram(per_key, f"{table}.{pk}"))
+        frames.append(dup_key_histogram(per_key, _pk_key_name(table, cols)))
     return reduce(DataFrame.unionByName, frames)
 
 

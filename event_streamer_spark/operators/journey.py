@@ -51,14 +51,16 @@ _PATH_TOP_K = 20
     f AS (SELECT user_id, event_type AS first_touch
           FROM ranked WHERE rn_f = 1),
     l AS (SELECT user_id, event_type AS last_touch
-          FROM ranked WHERE rn_l = 1)
-    SELECT f.first_touch, l.last_touch,
+          FROM ranked WHERE rn_l = 1),
+    touches AS (
+      SELECT f.user_id, f.first_touch, l.last_touch
+      FROM f JOIN l ON f.user_id = l.user_id)
+    SELECT t.first_touch, t.last_touch,
            CAST(COUNT(*) AS BIGINT) AS n_users,
            CAST(COALESCE(SUM(COALESCE(r.revenue_cents, 0)), 0) AS BIGINT)
              AS revenue_cents
-    FROM f JOIN l ON f.user_id = l.user_id
-    LEFT JOIN rev r ON f.user_id = r.user_id
-    GROUP BY f.first_touch, l.last_touch
+    FROM touches t FULL JOIN rev r ON t.user_id = r.user_id
+    GROUP BY t.first_touch, t.last_touch
     """,
 )
 def b60_attribution(spark: SparkSession, sf: str) -> DataFrame:
@@ -72,9 +74,13 @@ def b60_attribution(spark: SparkSession, sf: str) -> DataFrame:
     recompute the whole window subtree (plan-audited: 3 scans → 2).
     Revenue aggregates from its own unfiltered scan because a purchase
     with a NULL timestamp still earns money even though it cannot be
-    ordered; the join stays co-partitioned on user_id. Revenue is
-    integer cents per the money protocol; users who never purchase
-    attribute 0, not NULL.
+    ordered — and the revenue join is FULL outer (review r8): a user
+    whose EVERY event has a NULL timestamp has no touch pair at all,
+    and a left join would silently drop their money; they report under
+    the (NULL, NULL) touch arc instead, keeping the output's revenue
+    total equal to the corpus's. The join stays co-partitioned on
+    user_id. Revenue is integer cents per the money protocol; users
+    who never purchase attribute 0, not NULL.
     """
     e = load(spark, sf, "events").filter(F.col("ts").isNotNull())
     w_f = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -112,7 +118,7 @@ def b60_attribution(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return (
-        touches.join(rev, "user_id", "left")
+        touches.join(rev, "user_id", "full")
         .groupBy("first_touch", "last_touch")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
@@ -273,20 +279,18 @@ def b62_session_paths(spark: SparkSession, sf: str) -> DataFrame:
     new_users AS (
       SELECT event_type, d0 AS d, COUNT(*) AS n_new
       FROM first_day GROUP BY event_type, d0),
-    days AS (SELECT DISTINCT event_type, d FROM active),
     daily AS (
       SELECT event_type, d, COUNT(*) AS n_active
       FROM active GROUP BY event_type, d)
-    SELECT dy.event_type, strftime(dy.d, '%Y-%m-%d') AS d,
+    SELECT da.event_type, strftime(da.d, '%Y-%m-%d') AS d,
            da.n_active,
            CAST(SUM(COALESCE(nu.n_new, 0))
-                OVER (PARTITION BY dy.event_type ORDER BY dy.d
+                OVER (PARTITION BY da.event_type ORDER BY da.d
                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
              AS cum_distinct_users
-    FROM days dy
-    JOIN daily da ON da.event_type = dy.event_type AND da.d = dy.d
+    FROM daily da
     LEFT JOIN new_users nu
-      ON nu.event_type = dy.event_type AND nu.d = dy.d
+      ON nu.event_type = da.event_type AND nu.d = da.d
     """,
 )
 def b63_running_distinct_users(spark: SparkSession, sf: str) -> DataFrame:

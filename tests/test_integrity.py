@@ -18,7 +18,7 @@ SF = "/root/testdata/sf0.001"
 def test_fk_orphans_clean_fixture_is_clean(spark):
     rows = {r["edge"]: r for r in
             REGISTRY["d16_fk_orphans"].fn(spark, SF).collect()}
-    assert len(rows) == 5
+    assert len(rows) == 7  # all declared edges incl. both nation refs
     for edge, r in rows.items():
         assert r["n_orphans"] == 0, edge
         assert r["n_null_fk"] == 0, edge
@@ -26,14 +26,39 @@ def test_fk_orphans_clean_fixture_is_clean(spark):
         assert r["n_child"] > 0, edge
 
 
-def test_dup_keys_clean_fixture_unique(spark):
+def test_fk_orphans_single_fact_scan(spark):
+    """Review r8: lineitem's three edges must share ONE fact scan —
+    the chained-join + stack shape, not three independent scans."""
+    plan = (
+        REGISTRY["d16_fk_orphans"]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    import re
+
+    # l_partkey appears only in the lineitem relation; the optimized
+    # logical plan prints each scan once (the executed-plan string
+    # duplicates subtrees under AQE)
+    li_scans = len(re.findall(r"Relation \[[^\]]*l_partkey", plan))
+    assert li_scans == 1, f"lineitem scanned {li_scans}x:\n{plan}"
+
+
+def test_dup_keys_clean_fixture(spark):
     rows = {r["key_name"]: r for r in
             REGISTRY["d16_dup_keys"].fn(spark, SF).collect()}
-    assert len(rows) == 6
+    assert len(rows) == 9  # 8 single-column PKs + lineitem composite
+    composite = rows.pop("lineitem.(l_orderkey,l_linenumber)")
     for key, r in rows.items():
         assert r["n_rows"] == r["n_keys"], key
         assert r["n_dup_keys"] == 0, key
         assert r["max_multiplicity"] == 1, key
+    # the synthetic generator does NOT enforce the composite lineitem
+    # key — the audit must report that truth, not assume cleanliness
+    assert composite["n_rows"] > composite["n_keys"]
+    assert composite["n_dup_keys"] > 0
+    assert composite["max_multiplicity"] >= 2
 
 
 def test_order_reconcile_report_shape(spark):
@@ -113,6 +138,21 @@ def test_integrity_parity_on_dirty_fixture(spark, tmp_path):
     pq.write_table(pa.concat_tables([orders, extra_orders]),
                    dirty / "orders.parquet")
 
+    # orphan the supplier->nation edge: a supplier pointing at a
+    # nation that does not exist
+    supp = pq.read_table(dirty / "supplier.parquet")
+    extra_supp = pa.table(
+        {
+            "s_suppkey": pa.array([10**9], type=pa.int64()),
+            "s_name": ["dirty-supplier"],
+            "s_nationkey": pa.array([10**6], type=pa.int32()),
+            "s_acctbal": [0.0],
+        },
+        schema=supp.schema,
+    )
+    pq.write_table(pa.concat_tables([supp, extra_supp]),
+                   dirty / "supplier.parquet")
+
     total, failures = run_sweep(spark, str(dirty), ["d16_"], quiet=True)
     assert total == 3 and failures == [], failures
 
@@ -122,6 +162,8 @@ def test_integrity_parity_on_dirty_fixture(spark, tmp_path):
     assert fk["lineitem.l_orderkey->orders"]["n_null_fk"] == 1
     assert fk["lineitem.l_partkey->part"]["n_orphans"] == 1
     assert fk["orders.o_custkey->customer"]["n_orphans"] == 1
+    assert fk["supplier.s_nationkey->nation"]["n_orphans"] == 1
+    assert fk["nation.n_regionkey->region"]["n_orphans"] == 0
 
     dup = {r["key_name"]: r for r in
            REGISTRY["d16_dup_keys"].fn(spark, str(dirty)).collect()}

@@ -81,27 +81,39 @@ def test_journey_parity_on_dirty_fixture(spark, tmp_path):
     ts_type = ev.schema.field("ts").type
     extra = pa.table(
         {
-            "event_id": [10**9, 10**9 + 1, 10**9 + 2],
+            "event_id": [10**9, 10**9 + 1, 10**9 + 2, 10**9 + 3],
             # NULL ts on a purchase (revenue still counts, ordering
             # excluded); tie on (ts) resolved by event_id; NULL value
-            # purchase attributes zero revenue
+            # purchase attributes zero revenue; and a user whose ONLY
+            # event is a NULL-ts purchase (review r8: no touch pair at
+            # all — must surface via the FULL join, not vanish)
             "ts": pa.array(
-                [None, 1704067200_000_000, 1704067200_000_000],
+                [None, 1704067200_000_000, 1704067200_000_000, None],
                 type=ts_type,
             ),
-            "user_id": [1, 2, 2],
-            "event_type": ["purchase", "signup", "purchase"],
-            "value": pa.array([5.0, None, None], type=pa.float64()),
-            "props": ["{}", "{}", "{}"],
+            "user_id": [1, 2, 2, 10**6],
+            "event_type": ["purchase", "signup", "purchase", "purchase"],
+            "value": pa.array([5.0, None, None, 7.0], type=pa.float64()),
+            "props": ["{}", "{}", "{}", "{}"],
         },
         schema=ev.schema,
     )
     pq.write_table(pa.concat_tables([ev, extra]), dirty / "events.parquet")
 
     total, failures = run_sweep(
-        spark, str(dirty), ["b60_", "b61_", "b62_"], quiet=True
+        spark, str(dirty), ["b60_", "b61_", "b62_", "b63_"], quiet=True
     )
-    assert total == 3 and failures == [], failures
+    assert total == 4 and failures == [], failures
+
+    # the NULL-ts-only user's 700 cents land in the (NULL, NULL) arc
+    rows = REGISTRY["b60_attribution"].fn(spark, str(dirty)).collect()
+    null_arc = [
+        r for r in rows
+        if r["first_touch"] is None and r["last_touch"] is None
+    ]
+    assert len(null_arc) == 1
+    assert null_arc[0]["n_users"] == 1
+    assert null_arc[0]["revenue_cents"] == 700
 
 
 def test_running_distinct_users_invariants(spark):
