@@ -138,3 +138,98 @@ def d17_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         F.col("pr").cast("long").alias("pr_scaled"),
     )
 
+
+
+# Degree cap for the common-neighbor self-join: a customer connected to
+# more than this many suppliers is excluded from pair generation (the
+# same hot-key treatment as the shingle DF cap in dedup.py) — at scale
+# one promiscuous hub otherwise contributes O(degree²) pairs.
+_CN_MAX_DEGREE = 32
+
+
+@query(
+    "d17_common_neighbors",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    cust_deg AS (
+      SELECT ck FROM pairs GROUP BY ck
+      HAVING COUNT(*) <= {_CN_MAX_DEGREE}),
+    e AS (SELECT p.ck, p.sk FROM pairs p JOIN cust_deg d ON p.ck = d.ck),
+    deg AS (SELECT sk, COUNT(*) AS deg FROM e GROUP BY sk),
+    shared AS (
+      SELECT a.sk AS supp_a, b.sk AS supp_b, COUNT(*) AS shared_customers
+      FROM e a JOIN e b ON a.ck = b.ck AND a.sk < b.sk
+      GROUP BY a.sk, b.sk)
+    SELECT s.supp_a, s.supp_b,
+           CAST(s.shared_customers AS BIGINT) AS shared_customers,
+           ROUND(CAST(s.shared_customers AS DOUBLE)
+                 / (da.deg + db.deg - s.shared_customers), 6) AS jaccard
+    FROM shared s
+    JOIN deg da ON da.sk = s.supp_a
+    JOIN deg db ON db.sk = s.supp_b
+    """,
+)
+def d17_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
+    """D17: related-supplier discovery — supplier pairs ranked by
+    shared customers, with neighbor-set Jaccard.
+
+    The classic common-neighbor link prediction, shaped for scale the
+    same way the shingle join is: customers above the degree cap are
+    excluded BEFORE the self-join (one map-combinable degree count +
+    a broadcast-friendly semi join), so no hub customer can contribute
+    a quadratic pair burst; after the cap, every join key carries at
+    most ``_CN_MAX_DEGREE`` rows. Degrees for the Jaccard denominator
+    come from the SAME capped edge set, keeping the metric internally
+    consistent. Two shuffles: the pair self-join on customer, the
+    shared-count aggregate on the supplier pair.
+    """
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    ok = (
+        pairs.groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("cd"))
+        .filter(F.col("cd") <= _CN_MAX_DEGREE)
+        .select("ck")
+    )
+    e = pairs.join(ok, "ck")
+    deg = e.groupBy("sk").agg(F.count(F.lit(1)).alias("deg"))
+    a = e.alias("a")
+    b = e.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.sk") < F.col("b.sk")),
+        )
+        .groupBy(
+            F.col("a.sk").alias("supp_a"), F.col("b.sk").alias("supp_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_customers"))
+    )
+    da = deg.select(F.col("sk").alias("supp_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("sk").alias("supp_b"), F.col("deg").alias("deg_b"))
+    return (
+        shared.join(da, "supp_a")
+        .join(db, "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "shared_customers",
+            F.round(
+                F.col("shared_customers").cast("double")
+                / (
+                    F.col("deg_a")
+                    + F.col("deg_b")
+                    - F.col("shared_customers")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

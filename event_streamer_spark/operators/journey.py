@@ -179,10 +179,11 @@ def b61_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "b62_session_paths",
-    oracle=f"""
-    WITH ordered AS (
+# The sessionize→path CTE chain, shared by the b62 ranking and b64
+# pattern-match oracles (one definition, two consumers — the engine
+# pair can't drift between the queries).
+_SESSION_PATHS_CTES = f"""
+    ordered AS (
       SELECT user_id, event_type, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w)
@@ -205,26 +206,13 @@ def b61_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
              STRING_AGG(event_type, '>' ORDER BY rn) AS path
       FROM numbered WHERE rn <= {_PATH_MAX_EVENTS}
       GROUP BY user_id, session_seq)
-    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
-    FROM paths GROUP BY path
-    ORDER BY n_sessions DESC, path
-    LIMIT {_PATH_TOP_K}
-    """,
-)
-def b62_session_paths(spark: SparkSession, sf: str) -> DataFrame:
-    """B62: top-20 session event paths — sessionize per user with a
-    30-minute gap (gaps-and-islands), truncate each session to its
-    first 8 events (the cap bounds the group key; a runaway session
-    cannot emit an unbounded string), and rank the resulting paths.
+"""
 
-    All three windows (gap flag, running session id, within-session
-    rank) share the single user_id exchange. The path itself is built
-    from ``array_sort`` over ``collect_list(struct(rn, event_type))``
-    — struct order makes the concat deterministic without trusting
-    collect order — and the final top-k is a TakeOrdered over the
-    #distinct-paths aggregate with the (count DESC, path) total order
-    pinning the cut.
-    """
+
+def _session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """``(user_id, session_seq, path)`` — the Spark twin of
+    :data:`_SESSION_PATHS_CTES`; see ``b62_session_paths`` for the
+    determinism notes."""
     e = load(spark, sf, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
@@ -248,7 +236,7 @@ def b62_session_paths(spark: SparkSession, sf: str) -> DataFrame:
     numbered = sess.withColumn("rn", F.row_number().over(w_s)).filter(
         F.col("rn") <= _PATH_MAX_EVENTS
     )
-    paths = numbered.groupBy("user_id", "session_seq").agg(
+    return numbered.groupBy("user_id", "session_seq").agg(
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -259,11 +247,95 @@ def b62_session_paths(spark: SparkSession, sf: str) -> DataFrame:
             ">",
         ).alias("path")
     )
+
+
+@query(
+    "b62_session_paths",
+    oracle=f"""
+    WITH {_SESSION_PATHS_CTES}
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {_PATH_TOP_K}
+    """,
+)
+def b62_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """B62: top-20 session event paths — sessionize per user with a
+    30-minute gap (gaps-and-islands), truncate each session to its
+    first 8 events (the cap bounds the group key; a runaway session
+    cannot emit an unbounded string), and rank the resulting paths.
+
+    All three windows (gap flag, running session id, within-session
+    rank) share the single user_id exchange. The path itself is built
+    from ``array_sort`` over ``collect_list(struct(rn, event_type))``
+    — struct order makes the concat deterministic without trusting
+    collect order — and the final top-k is a TakeOrdered over the
+    #distinct-paths aggregate with the (count DESC, path) total order
+    pinning the cut.
+    """
     return (
-        paths.groupBy("path")
+        _session_paths(spark, sf)
+        .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_PATH_TOP_K)
+    )
+
+
+_CONVERSION_PATTERN = "signup(>[a-z]+)*>purchase"
+
+
+@query(
+    "b64_session_conversion",
+    oracle=f"""
+    WITH {_SESSION_PATHS_CTES}
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COALESCE(SUM(CASE WHEN REGEXP_MATCHES(path,
+                '{_CONVERSION_PATTERN}') THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_converting,
+           ROUND(CAST(COALESCE(SUM(CASE WHEN REGEXP_MATCHES(path,
+                '{_CONVERSION_PATTERN}') THEN 1 ELSE 0 END), 0)
+                AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+    FROM paths GROUP BY user_id
+    """,
+)
+def b64_session_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """B64: MATCH_RECOGNIZE-lite — per user, the share of sessions
+    whose event sequence matches signup→…→purchase (any events
+    between, within the same session).
+
+    Sequence matching over a distributed event log without a pattern
+    engine: sessionize, serialize each session to its path string
+    (shared machinery with B62 — one definition, both oracles), and
+    run an ordinary regexp over the bounded string. Spark ``RLIKE``
+    and DuckDB ``REGEXP_MATCHES`` are both unanchored contains-matches
+    (the dialect pair pinned by the round-8 fuzzer), and the 8-event
+    cap bounds the regexp input. One user_id exchange end-to-end; the
+    per-user roll-up stays on the same partitioning.
+    """
+    return (
+        _session_paths(spark, sf)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("path").rlike(_CONVERSION_PATTERN), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_converting"),
+        )
+        .withColumn(
+            "conversion_rate",
+            F.round(
+                F.col("n_converting").cast("double")
+                / F.col("n_sessions"),
+                6,
+            ),
+        )
     )
 
 

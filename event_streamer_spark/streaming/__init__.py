@@ -35,6 +35,10 @@ from event_streamer_spark.streaming.integrity import (
     dup_key_counts_batch,
     read_dup_key_audit,
 )
+from event_streamer_spark.streaming.journey import (
+    attribution_batch,
+    read_attribution,
+)
 from event_streamer_spark.streaming.ann import (
     ivf_ingest_batch,
     ivf_probe_cells,
@@ -78,6 +82,8 @@ __all__ = [
     "read_psi_drift",
     "dup_key_counts_batch",
     "read_dup_key_audit",
+    "attribution_batch",
+    "read_attribution",
     "hll_batch",
     "read_hll",
     "heavy_hitters_batch",

@@ -57,3 +57,12 @@ def test_pagerank_favors_connected_suppliers(spark):
     top_by_pr = max(supp, key=lambda r: r["pr_scaled"])
     top_by_deg = max(supp, key=lambda r: r["degree"])
     assert top_by_pr["degree"] == top_by_deg["degree"]
+
+
+def test_common_neighbors_shape(spark):
+    rows = REGISTRY["d17_common_neighbors"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["supp_a"] < r["supp_b"]
+        assert r["shared_customers"] >= 1
+        assert 0.0 < r["jaccard"] <= 1.0

@@ -145,3 +145,18 @@ def test_running_distinct_users_invariants(spark):
             r["cum_distinct_users"] >= r["n_active"] for r in seq
         ), t
         assert cums[-1] == truth[t], t
+
+
+def test_session_conversion_shape(spark):
+    rows = REGISTRY["b64_session_conversion"].fn(spark, SF).collect()
+    assert rows
+    assert any(r["n_converting"] > 0 for r in rows), (
+        "no converting session on a fixture with signup+purchase events"
+    )
+    for r in rows:
+        assert 0 <= r["n_converting"] <= r["n_sessions"]
+        assert 0.0 <= r["conversion_rate"] <= 1.0
+        assert (
+            abs(r["conversion_rate"] - r["n_converting"] / r["n_sessions"])
+            < 1e-6
+        )

@@ -1996,3 +1996,77 @@ def test_incremental_dup_key_audit_equals_batch(
 
     got = read_dup_key_audit(spark, state, "events.event_id").collect()[0]
     assert got.asDict() == expect.asDict()
+
+
+@pytest.mark.parametrize("n_splits,bseed", BOUNDARY_SPLITS)
+def test_incremental_attribution_equals_batch(
+    spark, tmp_path, n_splits, bseed
+):
+    """B60 streaming leg: first/last touch fold as struct MIN/MAX and
+    revenue as SUM, so the attribution index accumulated over any
+    seeded micro-batch boundary must reproduce the batch
+    b60_attribution arcs EXACTLY — including a NULL-ts-only purchaser
+    (the FULL-join (NULL, NULL) arc) and a user whose first and last
+    events land in different micro-batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.streaming import (
+        attribution_batch,
+        read_attribution,
+    )
+
+    dirty = tmp_path / "attr_fixture"
+    dirty.mkdir()
+    ev = pq.read_table(f"{SF}/events.parquet")
+    ts_type = ev.schema.field("ts").type
+    extra = pa.table(
+        {
+            "event_id": [10**9, 10**9 + 1],
+            # NULL-ts purchase for an existing user + a user whose ONLY
+            # event is a NULL-ts purchase
+            "ts": pa.array([None, None], type=ts_type),
+            "user_id": [1, 10**6],
+            "event_type": ["purchase", "purchase"],
+            "value": pa.array([5.0, 7.0], type=pa.float64()),
+            "props": ["{}", "{}"],
+        },
+        schema=ev.schema,
+    )
+    pq.write_table(pa.concat_tables([ev, extra]), dirty / "events.parquet")
+
+    expect = {
+        (r["first_touch"], r["last_touch"]): (
+            r["n_users"], r["revenue_cents"])
+        for r in REGISTRY["b60_attribution"].fn(spark, str(dirty)).collect()
+    }
+    assert (None, None) in expect
+
+    src = str(tmp_path / "attr_src")
+    write_split_files(
+        load(spark, str(dirty), "events"), src, "event_id", n_splits, bseed
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "attr_state")
+    q = (
+        stream.writeStream.foreachBatch(attribution_batch(state))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["first_touch"], r["last_touch"]): (
+            r["n_users"], r["revenue_cents"])
+        for r in read_attribution(spark, state).collect()
+    }
+    assert got == expect
