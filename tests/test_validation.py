@@ -268,3 +268,30 @@ def test_validation_parity_on_dirty_fixture(spark, tmp_path):
         spark, str(dirty), ["d14_", "d15_"], quiet=True
     )
     assert total >= 6 and failures == [], failures
+
+
+def test_ewma_monitor_first_principles(spark):
+    """Recompute the integer EWMA recursion independently from the
+    daily cents and require exact agreement, including the flag."""
+    from pyspark.sql import functions as F
+
+    from event_streamer_spark.tables import load
+
+    daily = {
+        r["d"].strftime("%Y-%m-%d"): r["cents"]
+        for r in load(spark, SF, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .collect()
+    }
+    got = {r["d"]: r for r in
+           REGISTRY["d15_ewma_monitor"].fn(spark, SF).collect()}
+    assert sorted(got) == sorted(daily)
+    ewma = None
+    for d in sorted(daily):
+        x = daily[d]
+        ewma = x if ewma is None else (20 * x + 80 * ewma) // 100
+        assert got[d]["day_cents"] == x, d
+        assert got[d]["ewma_cents"] == ewma, d
+        assert got[d]["flagged"] == (4 * abs(x - ewma) > ewma), d
