@@ -158,6 +158,88 @@ def d8_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Fuzzy decontamination: exact-gram overlap misses PARAPHRASED leaks —
+# a benchmark answer reworded keeps most of its 3-gram shingles but few
+# exact 5-grams. Flag train docs whose shingle Jaccard against ANY
+# held-out doc clears this threshold.
+_NEARDUP_DECON_JACCARD = 0.3
+
+
+def _neardup_decon_oracle() -> str:
+    from event_streamer_spark.operators.dedup import shingle_ctes
+
+    return f"""
+    WITH {shingle_ctes()},
+    tr AS (SELECT doc_id, s FROM sh WHERE doc_id % {_EVAL_MOD} != 0),
+    ev AS (SELECT doc_id, s FROM sh WHERE doc_id % {_EVAL_MOD} = 0),
+    inter AS (
+      SELECT a.doc_id AS t, b.doc_id AS e, COUNT(*) AS cnt
+      FROM tr a JOIN ev b ON a.s = b.s GROUP BY 1, 2),
+    jac AS (
+      SELECT i.t, i.e,
+             CAST(i.cnt AS DOUBLE) / (st.n + se.n - i.cnt) AS j
+      FROM inter i
+      JOIN sizes st ON st.doc_id = i.t
+      JOIN sizes se ON se.doc_id = i.e)
+    SELECT t AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_contaminating,
+           ROUND(MAX(j), 6) AS best_jaccard
+    FROM jac WHERE j >= {_NEARDUP_DECON_JACCARD}
+    GROUP BY t
+    """
+
+
+@query("d8_decontaminate_neardup", oracle=_neardup_decon_oracle())
+def d8_decontaminate_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """D8 (fuzzy leg): near-duplicate decontamination — train docs
+    whose 3-gram shingle Jaccard against ANY held-out doc reaches the
+    threshold, with the count of contaminating benchmarks and the
+    worst overlap.
+
+    Exact-gram decontamination (``d8_decontaminate``) misses
+    paraphrased leaks; this leg reuses the DF-capped shingle machinery
+    from the near-dup family (``dedup.shingle_sets`` — no shingle key
+    carries more than 256 rows into the cross-corpus join, so a
+    boilerplate trigram cannot go quadratic against the benchmark
+    side). The held-out side is benchmark-sized: the join's right side
+    is small by construction, and at 100 TB the same Bloom pre-prune
+    as ``d8_decontaminate_bloom`` applies upstream. Jaccard uses the
+    capped shingle sets on BOTH engines, keeping the metric
+    definitionally identical to ``d2_ngram_jaccard``.
+    """
+    from event_streamer_spark.operators.dedup import shingle_sets
+
+    shingles = shingle_sets(load(spark, sf, "documents"))
+    sizes = shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tr = shingles.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    ev = shingles.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    inter = (
+        tr.alias("a")
+        .join(ev.alias("b"), F.col("a.s") == F.col("b.s"))
+        .groupBy(
+            F.col("a.doc_id").alias("t"), F.col("b.doc_id").alias("e")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    st = sizes.select(F.col("doc_id").alias("t"), F.col("n").alias("nt"))
+    se = sizes.select(F.col("doc_id").alias("e"), F.col("n").alias("ne"))
+    jac = F.col("cnt").cast("double") / (
+        F.col("nt") + F.col("ne") - F.col("cnt")
+    )
+    return (
+        inter.join(st, "t")
+        .join(se, "e")
+        .filter(jac >= _NEARDUP_DECON_JACCARD)
+        .groupBy(F.col("t").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminating"),
+            F.round(F.max(jac), 6).alias("best_jaccard"),
+        )
+    )
+
+
 def md5_threshold(rate_col: F.Column) -> F.Column:
     """Fixed-width lowercase-hex keep threshold for a [0, 1] rate — the
     shared primitive behind every deterministic hash sampler here

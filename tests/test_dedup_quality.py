@@ -616,3 +616,65 @@ def test_editdist_verify_confirms_planted_neardups(spark):
     }
     confirmed = {(r["doc_a"], r["doc_b"]) for r in rows}
     assert confirmed <= jacc
+
+
+def test_neardup_decontamination_catches_paraphrase(spark, tmp_path):
+    """Plant a paraphrased copy of a held-out doc as a training doc:
+    the exact-gram leg's blind spot, the fuzzy leg's reason to exist.
+    The planted doc must be flagged with high Jaccard AND the oracle
+    must hash-match on the contaminated corpus."""
+    import os
+    import shutil
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    from check_oracles import run_sweep
+
+    from event_streamer_spark.tables import TABLES
+
+    dirty = tmp_path / "contaminated_sf"
+    dirty.mkdir()
+    for t in TABLES:
+        shutil.copy(f"{SF}/{t}.parquet", dirty / f"{t}.parquet")
+
+    docs = pq.read_table(dirty / "documents.parquet")
+    texts = {
+        r["doc_id"]: r["text"] for r in docs.to_pylist() if r["doc_id"] == 97
+    }
+    eval_text = texts[97]  # doc_id % 97 == 0 → held-out benchmark doc
+    words = eval_text.split(" ")
+    words[len(words) // 2] = "reworded"  # paraphrase: one word swapped
+    planted_id = 10**9  # 10**9 % 97 != 0 → training side
+    assert planted_id % 97 != 0
+    extra = pa.table(
+        {
+            "doc_id": [planted_id],
+            "text": [" ".join(words)],
+            "lang": ["en"],
+            "source": ["paraphrase-leak"],
+            "n_chars": [len(" ".join(words))],
+        },
+        schema=docs.schema,
+    )
+    pq.write_table(pa.concat_tables([docs, extra]),
+                   dirty / "documents.parquet")
+
+    total, failures = run_sweep(
+        spark, str(dirty), ["d8_decontaminate_neardup"], quiet=True
+    )
+    assert total == 1 and failures == [], failures
+
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["d8_decontaminate_neardup"]
+        .fn(spark, str(dirty))
+        .collect()
+    }
+    assert planted_id in rows
+    assert rows[planted_id]["best_jaccard"] >= 0.8
+    assert rows[planted_id]["n_contaminating"] >= 1
