@@ -91,7 +91,15 @@ def d17_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     (nodes keep the damping base even if an iteration leaves them
     contribution-less). Iterations are a constant: the plan is a
     fixed-depth DAG, safe for Catalyst at any corpus size.
+
+    The edge list and node table are ``bounded_persist``-ed: every
+    iteration references both, and without the cache Catalyst inlines
+    the whole fact-join subtree at each reference (plan-audited: 88
+    parquet scans for 3 iterations → 4 with the caches; at 100 TB
+    that is the difference between one fact join and a dozen).
     """
+    from event_streamer_spark.caching import bounded_persist
+
     o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -101,8 +109,11 @@ def d17_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
     ck = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
     sk = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
-    edges = pairs.select(ck.alias("src"), sk.alias("dst")).unionAll(
-        pairs.select(sk.alias("src"), ck.alias("dst"))
+    edges = bounded_persist(
+        pairs.select(ck.alias("src"), sk.alias("dst")).unionAll(
+            pairs.select(sk.alias("src"), ck.alias("dst"))
+        ),
+        "graph.pr_edges",
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -110,7 +121,9 @@ def d17_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
     # node table with the broadcast 1-row count: every iteration's base
     # term and the final projection read it co-located, no collect
-    nodes = deg.crossJoin(F.broadcast(nn))
+    nodes = bounded_persist(
+        deg.crossJoin(F.broadcast(nn)), "graph.pr_nodes"
+    )
     pr = nodes.withColumn("pr", F.expr(f"{_PR_SCALE} DIV n"))
     for _ in range(_PR_ITERS):
         contrib = pr.select(
@@ -183,8 +196,13 @@ def d17_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     most ``_CN_MAX_DEGREE`` rows. Degrees for the Jaccard denominator
     come from the SAME capped edge set, keeping the metric internally
     consistent. Two shuffles: the pair self-join on customer, the
-    shared-count aggregate on the supplier pair.
+    shared-count aggregate on the supplier pair. The capped edge set
+    feeds three consumers (degrees + both self-join sides), so it is
+    ``bounded_persist``-ed — without the cache each reference inlines
+    the fact-join subtree (plan-audited: 32 parquet scans → 4).
     """
+    from event_streamer_spark.caching import bounded_persist
+
     o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -198,7 +216,7 @@ def d17_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("cd") <= _CN_MAX_DEGREE)
         .select("ck")
     )
-    e = pairs.join(ok, "ck")
+    e = bounded_persist(pairs.join(ok, "ck"), "graph.cn_edges")
     deg = e.groupBy("sk").agg(F.count(F.lit(1)).alias("deg"))
     a = e.alias("a")
     b = e.alias("b")

@@ -205,11 +205,19 @@ def d8_decontaminate_neardup(spark: SparkSession, sf: str) -> DataFrame:
     is small by construction, and at 100 TB the same Bloom pre-prune
     as ``d8_decontaminate_bloom`` applies upstream. Jaccard uses the
     capped shingle sets on BOTH engines, keeping the metric
-    definitionally identical to ``d2_ngram_jaccard``.
+    definitionally identical to ``d2_ngram_jaccard``. The shingle
+    frame feeds four consumers (sizes + both corpus sides), so it is
+    ``bounded_persist``-ed — each unpersisted reference re-runs the
+    shingle explode and DF-cap anti-join (plan-audited: 16 parquet
+    scans → 4).
     """
+    from event_streamer_spark.caching import bounded_persist
     from event_streamer_spark.operators.dedup import shingle_sets
 
-    shingles = shingle_sets(load(spark, sf, "documents"))
+    shingles = bounded_persist(
+        shingle_sets(load(spark, sf, "documents")),
+        "pipeline.decon_shingles",
+    )
     sizes = shingles.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n")
     )

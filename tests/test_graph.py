@@ -66,3 +66,19 @@ def test_common_neighbors_shape(spark):
         assert r["supp_a"] < r["supp_b"]
         assert r["shared_customers"] >= 1
         assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_pagerank_iterations_read_cached_graph(spark):
+    """Plan pin for the scan budget: every iteration must read the
+    persisted edge list and node table, not re-derive the fact join
+    (review r8: 88 parquet scans → cached)."""
+    from event_streamer_spark.caching import clear_slot
+
+    clear_slot("graph.pr_edges")
+    clear_slot("graph.pr_nodes")
+    df = REGISTRY["d17_pagerank"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # 3 iterations x (edges + nodes) + final projection read the caches
+    assert plan.count("InMemoryTableScan") >= 6, plan
+    clear_slot("graph.pr_edges")
+    clear_slot("graph.pr_nodes")
