@@ -67,6 +67,14 @@ SAMPLE = [
     # mode='auto' + broadcast med/MAD dims across regimes (AQE off
     # changes the join planning; shuffle7 moves the rank boundaries)
     "d15_anomaly_mad",
+    # late round 8: iterative integer PageRank (cached graph frames
+    # rebuilt per regime; DIV chains through interpreted expressions
+    # when codegen is off), the chained-join FK audit, and the
+    # session-paths triple window (collect_list merge order moves with
+    # the partition boundaries; array_sort must absorb it)
+    "d17_pagerank",
+    "d16_fk_orphans",
+    "b62_session_paths",
 ]
 
 REGIMES = {
