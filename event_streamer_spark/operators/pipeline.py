@@ -634,3 +634,102 @@ def d7_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
     return stream_rate_sample(
         d, thr, key_col="lang", salt="#T", keep_rate=True
     ).select("doc_id", "lang", F.round("rate", 6).alias("rate"))
+
+
+# Neyman (optimal) stratified allocation: sample size per stratum
+# proportional to N_h * sigma_h — high-variance strata get more budget
+# than proportional allocation would give them.
+_NEYMAN_TARGET = 100
+
+
+@query(
+    "d7_neyman_sample",
+    oracle=f"""
+    WITH stats AS (
+      SELECT lang,
+             COUNT(*) AS nh,
+             SUM(n_chars) AS s1,
+             SUM(n_chars * n_chars) AS s2
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY lang),
+    -- N_h * sigma_h = sqrt(N_h * S2 - S1^2) exactly; floor to integer
+    -- micro-units so the cross-stratum total is an EXACT BIGINT sum
+    -- (a float total's merge order could flip the last ulp and with it
+    -- the sampling threshold)
+    w AS (
+      SELECT lang, nh,
+             CAST(FLOOR(SQRT(CAST(nh * s2 - s1 * s1 AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS w_micro
+      FROM stats),
+    tot AS (SELECT SUM(w_micro) AS sw FROM w),
+    rates AS (
+      SELECT lang,
+             LEAST(1.0,
+                   CAST({_NEYMAN_TARGET} * w_micro AS DOUBLE) / sw / nh)
+               AS rate
+      FROM w CROSS JOIN tot),
+    thr AS (
+      SELECT lang, rate,
+             CASE WHEN rate >= 1.0 THEN 'g'
+                  ELSE lpad(lower(to_hex(LEAST(CAST(FLOOR(rate * 4294967296.0)
+                                               AS BIGINT),
+                                          4294967295))), 8, '0') END AS h
+      FROM rates)
+    SELECT d.doc_id, d.lang, ROUND(thr.rate, 6) AS rate
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE d.n_chars IS NOT NULL
+      AND substr(md5(CAST(d.doc_id AS VARCHAR) || '@' || d.lang), 1, 8)
+          < thr.h
+    """,
+)
+def d7_neyman_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """D7: Neyman-allocation stratified sampling — per-stratum rates
+    proportional to ``N_h·σ_h``, the variance-optimal budget split for
+    estimating a corpus mean from a fixed sample size.
+
+    Determinism protocol: the per-stratum variance comes from EXACT
+    integer moments (``N·S2 − S1²`` in BIGINT — one deterministic
+    ``SQRT`` per stratum, no float accumulation), the weight is
+    floored to integer micro-units so the cross-stratum normalizer is
+    an exact BIGINT sum (a float total's merge order could flip the
+    last ulp and with it a threshold hex digit), and row selection is
+    the shared salted-md5 threshold. One map-combinable stats pass,
+    a #strata-row broadcast, one filter scan — the d7 family shape.
+    """
+    d = load(spark, sf, "documents").filter(F.col("n_chars").isNotNull())
+    stats = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    w = stats.select(
+        "lang",
+        "nh",
+        F.floor(
+            F.sqrt(
+                (F.col("nh") * F.col("s2") - F.col("s1") * F.col("s1"))
+                .cast("double")
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    tot = w.agg(F.sum("w_micro").alias("sw"))
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.lit(_NEYMAN_TARGET) * F.col("w_micro")).cast("double")
+            / F.col("sw")
+            / F.col("nh"),
+        ).alias("rate"),
+    )
+    thr = rates.select("lang", "rate", md5_threshold(F.col("rate")).alias("h"))
+    key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit("@"), F.col("lang"))
+    )
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .filter(F.substring(key, 1, 8) < F.col("h"))
+        .select("doc_id", "lang", F.round("rate", 6).alias("rate"))
+    )

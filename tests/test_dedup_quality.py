@@ -678,3 +678,44 @@ def test_neardup_decontamination_catches_paraphrase(spark, tmp_path):
     assert planted_id in rows
     assert rows[planted_id]["best_jaccard"] >= 0.8
     assert rows[planted_id]["n_contaminating"] >= 1
+
+
+def test_neyman_allocation_first_principles(spark):
+    """Recompute the Neyman rates from exact integer moments and
+    require the operator's rates and realized sample to agree; the
+    allocation must favor the high-variance stratum over proportional."""
+    import math
+
+    from event_streamer_spark.operators.pipeline import _NEYMAN_TARGET
+
+    docs = [
+        (r["lang"], r["n_chars"], r["doc_id"])
+        for r in load(spark, SF, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .collect()
+    ]
+    stats = {}
+    for lang, nc, _ in docs:
+        nh, s1, s2 = stats.get(lang, (0, 0, 0))
+        stats[lang] = (nh + 1, s1 + nc, s2 + nc * nc)
+    w = {
+        lang: int(math.sqrt(nh * s2 - s1 * s1) * 1_000_000)
+        for lang, (nh, s1, s2) in stats.items()
+    }
+    sw = sum(w.values())
+    rates = {
+        lang: min(1.0, _NEYMAN_TARGET * w[lang] / sw / stats[lang][0])
+        for lang in w
+    }
+    rows = REGISTRY["d7_neyman_sample"].fn(spark, SF).collect()
+    got_rates = {r["lang"]: r["rate"] for r in rows}
+    for lang, rate in got_rates.items():
+        assert abs(rate - rates[lang]) < 1e-6, lang
+    # realized counts within binomial noise of rate * N_h
+    from collections import Counter
+
+    realized = Counter(r["lang"] for r in rows)
+    for lang, (nh, _, _) in stats.items():
+        mean = rates[lang] * nh
+        slack = 4 * math.sqrt(max(mean, 1.0)) + 2
+        assert abs(realized.get(lang, 0) - mean) <= slack, lang
