@@ -774,3 +774,132 @@ def d5_audio_fingerprint_dedup(spark: SparkSession, sf: str) -> DataFrame:
         "keeper",
         (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
     )
+
+
+# -- BMP: the third REAL pixel codec (PNG, GIF, now BMP) ---------------
+#
+# 24-bit uncompressed BITMAPINFOHEADER BMPs: rows stored BOTTOM-UP and
+# padded to 4-byte boundaries — the two quirks a fake decoder would
+# skip and a real corpus would punish.
+
+
+def make_patterned_bmp(doc_id: int) -> bytes:
+    """Fixture BMP: 24-bit, ``(8 + doc_id % 5) × (6 + doc_id % 4)`` so
+    the row stride's 4-byte padding varies per doc; pixel gray is the
+    arithmetic pattern ``(x·7 + y·11 + doc_id) % 256`` on all three
+    channels (the DuckDB oracle recomputes sums from this formula)."""
+    w, h = 8 + doc_id % 5, 6 + doc_id % 4
+    stride = (3 * w + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage order
+        line = bytearray()
+        for x in range(w):
+            g = (x * 7 + y * 11 + doc_id) % 256
+            line += bytes((g, g, g))  # BGR, equal channels
+        line += b"\x00" * (stride - 3 * w)
+        rows.append(bytes(line))
+    pixel_data = b"".join(rows)
+    header_size = 14 + 40
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", header_size + len(pixel_data), 0, 0, header_size
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + pixel_data
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL 24-bit BMP decode: ``{width, height, pixel_sum}`` where
+    ``pixel_sum`` is the sum of all channel bytes in TOP-DOWN pixel
+    order with the row padding stripped. Raises
+    ``ValueError('truncated BMP')`` on any out-of-bounds read and
+    ``ValueError`` on unsupported variants (compression, bpp≠24) —
+    the same error contract as the GIF decoder."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP")
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    bi_size = struct.unpack_from("<I", payload, 14)[0]
+    if bi_size < 40:
+        raise ValueError(f"unsupported BMP header size {bi_size}")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant bpp={bpp} comp={comp}")
+    if w <= 0 or h == 0:
+        raise ValueError("unsupported BMP dimensions")
+    top_down = h < 0
+    h = abs(h)
+    stride = (3 * w + 3) & ~3
+    if data_off + stride * h > len(payload):
+        raise ValueError("truncated BMP")
+    total = 0
+    for row in range(h):
+        stored = row if top_down else h - 1 - row
+        base = data_off + stored * stride
+        total += sum(payload[base:base + 3 * w])
+    return {"width": w, "height": h, "pixel_sum": total}
+
+
+@query(
+    "d5_bmp_pixels",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 5 AS BIGINT) AS width,
+           CAST(6 + doc_id % 4 AS BIGINT) AS height,
+           CAST(3 * list_sum(list_transform(
+                  range(0, (8 + doc_id % 5) * (6 + doc_id % 4)),
+                  p -> ((p % (8 + doc_id % 5)) * 7
+                        + (p // (8 + doc_id % 5)) * 11 + doc_id) % 256))
+             AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+)
+def d5_bmp_pixels(spark: SparkSession, sf: str) -> DataFrame:
+    """D5: real BMP pixel statistics with payload bytes flowing
+    through the decoder — encode stage writes a BINARY column, decode
+    stage parses THOSE bytes (bottom-up row order, 4-byte stride
+    padding), so a payload-side corruption breaks the oracle rather
+    than a fixture shortcut hiding it (the round-7 GIF lesson). The
+    oracle recomputes each doc's channel sum from the pattern formula
+    from first principles.
+
+    Scale: two narrow Arrow-batched map stages, no shuffle at all —
+    the decode-heavy pipeline shape where Spark's job is pure
+    partition parallelism.
+    """
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        make_patterned_bmp(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_bmp(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "pixel_sum": [d["pixel_sum"] for d in decoded],
+                }
+            )
+
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id")
+        .mapInPandas(encode, "doc_id long, payload binary")
+        .mapInPandas(
+            decode, "doc_id long, width long, height long, pixel_sum long"
+        )
+    )

@@ -880,3 +880,88 @@ class TestGifHardeningRound8:
         }
         assert out[1] is not None
         assert out[2] is None  # dead-letter, not a poison pill
+
+
+class TestBmpCodec:
+    def _encode(self, w, h, grays, top_down=False):
+        """Test-local 24-bit BMP encoder (independent of the fixture
+        generator): grays is w*h values in top-down pixel order."""
+        import struct
+
+        stride = (3 * w + 3) & ~3
+        row_ids = range(h) if top_down else range(h - 1, -1, -1)
+        data = b"".join(
+            b"".join(
+                bytes((grays[y * w + x],) * 3) for x in range(w)
+            ).ljust(stride, b"\x00")
+            for y in row_ids
+        )
+        fh = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+        ih = struct.pack(
+            "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+            len(data), 2835, 2835, 0, 0,
+        )
+        return fh + ih + data
+
+    def test_hypothesis_round_trip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from event_streamer_spark.operators.multimodal import decode_bmp
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            w=st.integers(1, 12),
+            h=st.integers(1, 8),
+            data=st.data(),
+            top_down=st.booleans(),
+        )
+        def run(w, h, data, top_down):
+            grays = data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h, max_size=w * h
+                )
+            )
+            out = decode_bmp(self._encode(w, h, grays, top_down))
+            assert out["width"] == w and out["height"] == h
+            assert out["pixel_sum"] == 3 * sum(grays)
+
+        run()
+
+    def test_fixture_matches_formula(self):
+        from event_streamer_spark.operators.multimodal import (
+            decode_bmp,
+            make_patterned_bmp,
+        )
+
+        for doc_id in (0, 1, 7, 123, 9999):
+            w, h = 8 + doc_id % 5, 6 + doc_id % 4
+            expect = 3 * sum(
+                (x * 7 + y * 11 + doc_id) % 256
+                for y in range(h)
+                for x in range(w)
+            )
+            out = decode_bmp(make_patterned_bmp(doc_id))
+            assert (out["width"], out["height"]) == (w, h)
+            assert out["pixel_sum"] == expect
+
+    def test_truncation_and_variants_raise(self):
+        import pytest
+
+        from event_streamer_spark.operators.multimodal import (
+            decode_bmp,
+            make_patterned_bmp,
+        )
+
+        good = make_patterned_bmp(5)
+        with pytest.raises(ValueError, match="truncated BMP"):
+            decode_bmp(good[: len(good) - 4])
+        with pytest.raises(ValueError, match="truncated BMP"):
+            decode_bmp(good[:20])
+        with pytest.raises(ValueError, match="not a BMP"):
+            decode_bmp(b"PNG" + good[3:])
+        # 8-bpp variant must be rejected, not mis-decoded
+        bad_bpp = bytearray(good)
+        bad_bpp[28] = 8
+        with pytest.raises(ValueError, match="unsupported BMP variant"):
+            decode_bmp(bytes(bad_bpp))
