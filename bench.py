@@ -54,6 +54,7 @@ HEADLINE = [
     "d14_column_drift",
     "d16_order_reconcile",
     "b62_session_paths",
+    "d17_pagerank",
 ]
 
 

@@ -282,7 +282,12 @@ def b62_session_paths(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_CONVERSION_PATTERN = "signup(>[a-z]+)*>purchase"
+# Token-boundary-anchored conversion pattern (review r8): `(^|>)` and
+# `($|>)` pin `signup`/`purchase` to whole path tokens — an unanchored
+# `signup.*purchase` would false-match a `presignup` token and a
+# `[a-z]+` intermediate class would miss event types containing `_` or
+# digits. `(>.*)?>` allows ANY events (or none) between the two.
+_CONVERSION_PATTERN = "(^|>)signup(>.*)?>purchase($|>)"
 
 
 @query(

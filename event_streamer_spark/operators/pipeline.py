@@ -687,27 +687,36 @@ def d7_neyman_sample(spark: SparkSession, sf: str) -> DataFrame:
     estimating a corpus mean from a fixed sample size.
 
     Determinism protocol: the per-stratum variance comes from EXACT
-    integer moments (``N·S2 − S1²`` in BIGINT — one deterministic
-    ``SQRT`` per stratum, no float accumulation), the weight is
-    floored to integer micro-units so the cross-stratum normalizer is
-    an exact BIGINT sum (a float total's merge order could flip the
-    last ulp and with it a threshold hex digit), and row selection is
-    the shared salted-md5 threshold. One map-combinable stats pass,
-    a #strata-row broadcast, one filter scan — the d7 family shape.
+    integer moments — ``N·S2 − S1²`` computed in DECIMAL(38,0) on the
+    Spark side and HUGEINT on DuckDB's (review r8: at the family's
+    stated 10⁹-docs-per-stratum regime ``S1²`` ≈ 10²⁶ silently wraps a
+    64-bit long; both exact types hold it, same treatment as
+    ``d16_order_reconcile``'s corpus sums) — then one deterministic
+    ``SQRT`` per stratum, no float accumulation. The weight is floored
+    to integer micro-units so the cross-stratum normalizer is an exact
+    BIGINT sum (a float total's merge order could flip the last ulp
+    and with it a threshold hex digit), and row selection is the
+    shared salted-md5 threshold. One map-combinable stats pass, a
+    #strata-row broadcast, one filter scan — the d7 family shape.
     """
     d = load(spark, sf, "documents").filter(F.col("n_chars").isNotNull())
+    dec = "decimal(38,0)"
     stats = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("nh"),
-        F.sum("n_chars").alias("s1"),
-        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+        F.sum(F.col("n_chars").cast(dec)).alias("s1"),
+        F.sum(
+            F.col("n_chars").cast(dec) * F.col("n_chars").cast(dec)
+        ).alias("s2"),
     )
     w = stats.select(
         "lang",
         "nh",
         F.floor(
             F.sqrt(
-                (F.col("nh") * F.col("s2") - F.col("s1") * F.col("s1"))
-                .cast("double")
+                (
+                    F.col("nh").cast(dec) * F.col("s2")
+                    - F.col("s1") * F.col("s1")
+                ).cast("double")
             )
             * 1_000_000
         )

@@ -621,9 +621,17 @@ _EWMA_ALPHA_PCT = 20
     ew(i, d, cents, ewma) AS (
       SELECT i, d, cents, cents FROM idx WHERE i = 1
       UNION ALL
+      -- FLOOR division, spelled exactly: DuckDB's // truncates toward
+      -- zero on negatives (probed: -107 // 100 = -1) while the Spark
+      -- side's Python fold floors (-2); subtracting the floor-mod
+      -- first makes the numerator exactly divisible, so // agrees.
+      -- Net-refund days make negative numerators an in-domain case.
       SELECT x.i, x.d, x.cents,
-             ({_EWMA_ALPHA_PCT} * x.cents
-              + {100 - _EWMA_ALPHA_PCT} * e.ewma) // 100
+             (({_EWMA_ALPHA_PCT} * x.cents
+               + {100 - _EWMA_ALPHA_PCT} * e.ewma)
+              - ((({_EWMA_ALPHA_PCT} * x.cents
+                   + {100 - _EWMA_ALPHA_PCT} * e.ewma) % 100) + 100) % 100
+             ) // 100
       FROM ew e JOIN idx x ON x.i = e.i + 1)
     SELECT strftime(d, '%Y-%m-%d') AS d,
            cents AS day_cents,
@@ -639,9 +647,13 @@ def d15_ewma_monitor(spark: SparkSession, sf: str) -> DataFrame:
 
     The float closed form ``Σ α(1−α)^(t−j) x_j`` is order-stable but
     engine-divergent in the last bits; the integer recursion
-    ``e_t = (20·x_t + 80·e_{{t−1}}) // 100`` is bit-exact on both
-    engines (integer division probed identical), so the monitor —
-    including the 25%-deviation boolean — carries a full hash oracle.
+    ``e_t = floor((20·x_t + 80·e_{{t−1}}) / 100)`` is bit-exact on
+    both engines, so the monitor — including the 25%-deviation boolean
+    — carries a full hash oracle. FLOOR division specifically (review
+    r8): Python's ``//`` floors but DuckDB's truncates toward zero, so
+    the oracle subtracts the floor-mod before dividing; net-refund
+    days make negative numerators an in-domain case, not a
+    hypothetical.
 
     Shape: ONE map-combinable daily aggregate over the corpus; the
     sequential fold then runs DRIVER-SIDE over the collected daily

@@ -160,3 +160,41 @@ def test_session_conversion_shape(spark):
             abs(r["conversion_rate"] - r["n_converting"] / r["n_sessions"])
             < 1e-6
         )
+
+
+def test_conversion_pattern_token_boundaries(spark):
+    """Review r8: the conversion regex must match whole path tokens on
+    BOTH engines — `presignup` must not false-match, `page_view`-style
+    intermediates must not break the chain."""
+    import duckdb
+
+    from event_streamer_spark.operators.journey import _CONVERSION_PATTERN
+
+    cases = {
+        "signup>purchase": True,
+        "signup>page_view>purchase": True,
+        "view>signup>click>error>purchase>view": True,
+        "view>presignup>purchase": False,
+        "signup>purchasex": False,
+        "purchase>signup": False,
+        "signup": False,
+        "signup2>purchase": False,
+    }
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(p,) for p in cases], "path string")
+    got_spark = {
+        r["path"]: r["m"]
+        for r in df.select(
+            "path", F.col("path").rlike(_CONVERSION_PATTERN).alias("m")
+        ).collect()
+    }
+    con = duckdb.connect()
+    got_duck = {
+        p: con.execute(
+            "SELECT REGEXP_MATCHES(?, ?)", [p, _CONVERSION_PATTERN]
+        ).fetchone()[0]
+        for p in cases
+    }
+    assert got_spark == cases
+    assert got_duck == cases

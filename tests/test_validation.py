@@ -249,16 +249,27 @@ def test_validation_parity_on_dirty_fixture(spark, tmp_path):
     ts_type = ev.schema.field("ts").type
     extra_ev = pa.table(
         {
-            "event_id": [10**9, 10**9 + 1, 10**9 + 2],
+            "event_id": [10**9, 10**9 + 1, 10**9 + 2, 10**9 + 3],
             "ts": pa.array(
-                [1704067200_000_000, 1704067200_000_000, None], type=ts_type
+                [
+                    1704067200_000_000,
+                    1704067200_000_000,
+                    None,
+                    1704067200_000_000,
+                ],
+                type=ts_type,
             ),
-            "user_id": [1, 1, 1],
-            "event_type": ["view", "view", "view"],
+            "user_id": [1, 1, 1, 1],
+            "event_type": ["view", "view", "view", "refund"],
             # sub-cent amount; NULL value (MEDIAN skips it, a naive rank
-            # would count it); NULL ts (would become its own day key)
-            "value": pa.array([0.004, None, 1.0], type=pa.float64()),
-            "props": ['{"k": 1}', '{"k": 2}', '{"k": 3}'],
+            # would count it); NULL ts (would become its own day key);
+            # a refund large enough to drive that day's total NEGATIVE
+            # (review r8: negative EWMA numerators hit the Python-floor
+            # vs DuckDB-truncate division divergence)
+            "value": pa.array(
+                [0.004, None, 1.0, -10**7], type=pa.float64()
+            ),
+            "props": ['{"k": 1}', '{"k": 2}', '{"k": 3}', '{"k": 4}'],
         },
         schema=ev.schema,
     )
