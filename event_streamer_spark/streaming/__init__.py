@@ -51,6 +51,7 @@ from event_streamer_spark.streaming.sampling import (
 )
 from event_streamer_spark.streaming.state import (
     funnel_with_state,
+    markov_with_state,
     running_stats_tws,
     running_stats_with_state,
     sessionize_with_state,
@@ -69,6 +70,7 @@ __all__ = [
     "stream_stream_join",
     "sessionize_with_state",
     "funnel_with_state",
+    "markov_with_state",
     "running_stats_with_state",
     "running_stats_tws",
     "minhash_neardup_batch",

@@ -340,3 +340,82 @@ def funnel_with_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MARKOV_OUTPUT_SCHEMA = (
+    "user_id long, prev_type string, next_type string, n long"
+)
+MARKOV_STATE_SCHEMA = "ts_us long, event_id long, event_type string"
+
+
+def _markov_fold(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user last-event state; emit this batch's transition-count
+    DELTAS (the read side SUMs them). Sorting by (ts, event_id) inside
+    the batch is mandatory — applyInPandasWithState gives no
+    intra-group row order — and the stored last event stitches the
+    batch boundary so a transition spanning two micro-batches is
+    counted exactly once."""
+    (user_id,) = key
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch[batch["ts"].notna()]
+    if len(batch) == 0:
+        yield from ()
+        return
+    batch = batch.assign(
+        ts_us=batch["ts"].astype("datetime64[us]").astype("int64")
+    ).sort_values(["ts_us", "event_id"])
+    types = list(batch["event_type"])
+    if state.exists:
+        _, _, last_type = state.get
+        prevs = [last_type] + types[:-1]
+    else:
+        prevs = [None] + types[:-1]
+    from collections import Counter
+
+    counts = Counter(
+        (p, t) for p, t in zip(prevs, types) if p is not None
+    )
+    tail = batch.iloc[-1]
+    state.update((int(tail["ts_us"]), int(tail["event_id"]), tail["event_type"]))
+    if not counts:
+        yield from ()
+        return
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(counts),
+            "prev_type": [p for p, _ in counts],
+            "next_type": [t for _, t in counts],
+            "n": list(counts.values()),
+        }
+    )
+
+
+def markov_with_state(events: DataFrame) -> DataFrame:
+    """C8 (fourth shape): the B61 Markov transition matrix as an
+    arbitrary-stateful streaming operator — per-user state is ONE
+    (ts, event_id, event_type) triple, and each micro-batch emits
+    transition-count deltas in append mode (the consumer SUMs deltas
+    by (prev, next); counts add, so the merge is an aggregation like
+    every index in the family).
+
+    Exactness contract: equals the batch ``b61_markov_transitions``
+    whenever each user's events arrive in event-time order across
+    micro-batches (the append-only log-shipping model); within a batch
+    any order is fine — the fold sorts. An out-of-order event that
+    arrives after a later event was folded would need the full history
+    to re-link transitions — the standard bounded-state trade. NULL
+    timestamps are excluded, matching the batch operator's ordering
+    frame. State: O(1) per user, horizontally partitioned.
+    """
+    ev = events.select("user_id", "ts", "event_id", "event_type")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _markov_fold,
+        outputStructType=MARKOV_OUTPUT_SCHEMA,
+        stateStructType=MARKOV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2070,3 +2070,63 @@ def test_incremental_attribution_equals_batch(
         for r in read_attribution(spark, state).collect()
     }
     assert got == expect
+
+
+def test_markov_with_state_equals_batch(spark, tmp_path):
+    """C8 fourth shape: streamed per-user transition deltas, SUMmed
+    across micro-batches, must equal the batch b61 transition counts —
+    including transitions that SPAN the micro-batch boundary (the
+    stored last-event state stitches them). The split is a time
+    prefix: the in-order log-shipping model the operator's exactness
+    contract names."""
+    from pyspark.sql import Window
+
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.streaming import markov_with_state
+
+    ev = load(spark, SF, "events")
+    expect = {
+        (r["prev_type"], r["next_type"]): r["n_transitions"]
+        for r in REGISTRY["b61_markov_transitions"].fn(spark, SF).collect()
+    }
+
+    # two time-ordered chunks: every user's events straddle the cut
+    ordered = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    half = ordered.count() // 2
+    src = str(tmp_path / "mk_src")
+    ordered.filter(F.col("rn") <= half).drop("rn").coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    ordered.filter(F.col("rn") > half).drop("rn").coalesce(1).write.parquet(
+        src, mode="append"
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        markov_with_state(stream)
+        .writeStream.format("memory")
+        .queryName("t_markov")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "mk_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in spark.sql(
+            "SELECT prev_type, next_type, SUM(n) AS n FROM t_markov"
+            " GROUP BY prev_type, next_type"
+        ).collect()
+    }
+    assert got == expect
