@@ -33,7 +33,9 @@ from event_streamer_spark.streaming.drift import (
 )
 from event_streamer_spark.streaming.integrity import (
     dup_key_counts_batch,
+    fk_monitor_batch,
     read_dup_key_audit,
+    read_fk_orphans,
 )
 from event_streamer_spark.streaming.journey import (
     attribution_batch,
@@ -84,6 +86,8 @@ __all__ = [
     "read_psi_drift",
     "dup_key_counts_batch",
     "read_dup_key_audit",
+    "fk_monitor_batch",
+    "read_fk_orphans",
     "attribution_batch",
     "read_attribution",
     "hll_batch",

@@ -61,3 +61,74 @@ def read_dup_key_audit(spark, state_dir: str, key_name: str) -> DataFrame:
         .agg(F.sum("cnt").alias("cnt"))
     )
     return dup_key_histogram(per_key, key_name)
+
+
+def fk_monitor_batch(
+    state_root: str, pk_col: str, fk_col: str, kind_col: str = "kind"
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` body for a streaming referential-integrity
+    monitor over ONE mixed stream of parent and child rows (tagged by
+    ``kind_col`` = 'parent' | 'child').
+
+    Per batch: (1) append this batch's parent keys to the key index;
+    (2) anti-join the batch's child FKs against the index INCLUDING
+    step 1's keys, and append only the still-unmatched ``(fk, cnt)``
+    counts to the pending set. Under append-only parents a matched
+    child can never become an orphan again, so pruning at write time
+    is safe — and a parent arriving LATER than its children is healed
+    at read time, where the pending set anti-joins the then-current
+    index (:func:`read_fk_orphans`). State is bounded by true orphans
+    plus in-flight children, not the corpus.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _migrate_legacy_state(spark, f"{state_root}/parents")
+        _migrate_legacy_state(spark, f"{state_root}/pending")
+        parents = (
+            batch_df.filter(F.col(kind_col) == "parent")
+            .select(F.col(pk_col).alias("pk"))
+            .distinct()
+        )
+        _write_batch_partition(parents, batch_id, f"{state_root}/parents")
+        children = (
+            batch_df.filter(F.col(kind_col) == "child")
+            .select(F.col(fk_col).alias("fk"))
+        )
+        known = spark.read.parquet(f"{state_root}/parents").select("pk")
+        unmatched = (
+            children.join(known, children.fk == known.pk, "left_anti")
+            .groupBy("fk")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        _write_batch_partition(unmatched, batch_id, f"{state_root}/pending")
+
+    return process
+
+
+def read_fk_orphans(spark, state_root: str, edge: str) -> DataFrame:
+    """The current orphan report: SUM-merge the pending shards, drop
+    every key a (possibly later-arriving) parent has since covered,
+    and roll up — NULL FKs reported separately, mirroring the batch
+    ``d16_fk_orphans`` row shape for one edge."""
+    from event_streamer_spark.helpers import hadoop_path_exists
+
+    pending = (
+        spark.read.parquet(f"{state_root}/pending")
+        .groupBy("fk")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    if hadoop_path_exists(spark, f"{state_root}/parents"):
+        known = spark.read.parquet(f"{state_root}/parents").select("pk")
+        pending = pending.join(
+            known, pending.fk == known.pk, "left_anti"
+        )
+    return pending.agg(
+        F.lit(edge).alias("edge"),
+        F.coalesce(
+            F.sum(F.when(F.col("fk").isNotNull(), F.col("cnt"))), F.lit(0)
+        ).alias("n_orphans"),
+        F.coalesce(
+            F.sum(F.when(F.col("fk").isNull(), F.col("cnt"))), F.lit(0)
+        ).alias("n_null_fk"),
+    )

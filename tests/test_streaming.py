@@ -2130,3 +2130,82 @@ def test_markov_with_state_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+@pytest.mark.parametrize("n_splits,bseed", BOUNDARY_SPLITS)
+def test_streaming_fk_monitor_heals_late_parents(
+    spark, tmp_path, n_splits, bseed
+):
+    """D16 streaming leg #2: the referential-integrity monitor over a
+    mixed parent/child stream. Children arriving BEFORE their parents
+    go pending and are healed at read; a parent that never arrives
+    stays an orphan; NULL FKs report separately. The final report must
+    equal the batch audit on the full data under ANY seeded
+    micro-batch boundary — the monitor makes no arrival-order
+    assumption."""
+    from event_streamer_spark.streaming import (
+        fk_monitor_batch,
+        read_fk_orphans,
+    )
+
+    orders = load(spark, SF, "orders").select(
+        F.lit("parent").alias("kind"),
+        F.col("o_orderkey").alias("pk"),
+        F.lit(None).cast("bigint").alias("fk"),
+    )
+    li = load(spark, SF, "lineitem").select(
+        F.lit("child").alias("kind"),
+        F.lit(None).cast("bigint").alias("pk"),
+        F.col("l_orderkey").alias("fk"),
+    )
+    corrupt = spark.createDataFrame(
+        [("child", None, 10**9), ("child", None, 10**9),
+         ("child", None, None)],
+        "kind string, pk bigint, fk bigint",
+    )
+    mixed = orders.unionByName(li).unionByName(corrupt)
+    from pyspark.sql import Window
+
+    mixed = mixed.withColumn(
+        "rid", F.row_number().over(Window.orderBy("kind", "pk", "fk"))
+    )
+
+    # batch truth: orphans = child FKs with no parent key anywhere
+    pkeys = orders.select("pk").distinct()
+    children = mixed.filter("kind = 'child'").select("fk")
+    expect_orphans = (
+        children.filter(F.col("fk").isNotNull())
+        .join(pkeys, children.fk == pkeys.pk, "left_anti")
+        .count()
+    )
+    expect_null = children.filter(F.col("fk").isNull()).count()
+    assert expect_orphans == 2 and expect_null == 1
+
+    src = str(tmp_path / "fkmon_src")
+    write_split_files(
+        mixed.withColumn("rid", F.col("rid").cast("long")),
+        src, "rid", n_splits, bseed,
+    )
+    stream = (
+        spark.readStream.schema(
+            "kind string, pk bigint, fk bigint, rid long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "fkmon_state")
+    q = (
+        stream.writeStream.foreachBatch(
+            fk_monitor_batch(state, "pk", "fk")
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "fkmon_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = read_fk_orphans(
+        spark, state, "lineitem.l_orderkey->orders"
+    ).collect()[0]
+    assert got["n_orphans"] == expect_orphans
+    assert got["n_null_fk"] == expect_null
