@@ -125,6 +125,12 @@ pinned as a named registry query):
   ``x << k`` with negative x ERRORS on DuckDB (Spark returns the
   two's-complement shift) and ``BIT_COUNT(-1)`` is width-dependent
   (64 vs 32) — the grammar ABS-guards both.
+- Integer division: Spark ``DIV`` ↔ DuckDB ``//`` BOTH truncate toward
+  zero on negative dividends (probed: -107/10 → -10 on each), and
+  signed ``%`` is truncated-mod on both — the q_intdiv shape keeps the
+  pair proven. Python's ``//`` FLOORS (-107//10 → -11): any operator
+  whose Spark side is a driver-side Python fold must spell floor
+  division explicitly in its DuckDB oracle (see d15_ewma_monitor).
 - Spark parser quirk (found by seed r8-dev7:20): ``>>`` ANYWHERE
   inside an ``ARRAY(…)`` or ``STRUCT(…)`` constructor is a parse error
   — the ``>`` tokens are consumed as type-parameter brackets
@@ -1546,6 +1552,32 @@ def q_timestamp(g: Gen) -> tuple[str, str]:
     )
 
 
+def q_intdiv(g: Gen) -> tuple[str, str]:
+    """Round-8 (late) integer division, dialect-mapped: Spark ``DIV``
+    ↔ DuckDB ``//`` — probed to agree on NEGATIVE dividends (both
+    truncate toward zero: -107/10 → -10), as does signed ``%``
+    (truncated mod: -107 % 10 = -7). Pinned here because the EWMA
+    review bug showed this exact class diverging between DuckDB and
+    PYTHON floor division — the SQL pair is safe, the Python twin is
+    not, and this shape keeps the SQL pair proven. The subtraction
+    makes the dividend genuinely signed on fixture data."""
+    rng = g.rng
+    t = rng.choice(["lineitem", "orders", "events"])
+    ints = _cols_of(t, ("int",))
+    a = rng.choice(ints)
+    b = rng.choice(ints)
+    n = rng.randint(2, 97)
+    pk = TABLES[t]["pk"][0]
+    pred = g.pred(t, "t", depth=1)
+    expr = f"(t.{a} - 3 * t.{b})"
+    return (
+        f"SELECT t.{pk} AS pk0, {expr} DIV {n} AS q0,"
+        f" {expr} % {n} AS r0 FROM {t} t WHERE {pred}",
+        f"SELECT t.{pk} AS pk0, {expr} // {n} AS q0,"
+        f" {expr} % {n} AS r0 FROM {t} t WHERE {pred}",
+    )
+
+
 SHAPES = [
     (q_scan, 4),
     (q_agg, 4),
@@ -1568,6 +1600,7 @@ SHAPES = [
     (q_timestamp, 2),
     (q_exists, 2),
     (q_derived, 2),
+    (q_intdiv, 2),
 ]
 
 
