@@ -382,3 +382,56 @@ def read_pruned(
         # preserve schema for the empty result
         return spark.read.format(fmt).load(path).limit(0)
     return spark.read.format(fmt).load(keep)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Keyed CDC diff between two snapshot frames: one row per changed
+    key with ``change_type`` ∈ {'insert', 'delete', 'update'} — the
+    companion read to :func:`merge_upsert`'s write (what changed
+    between yesterday's drop and today's?).
+
+    Shape, at any scale: each side is reduced to
+    ``(key…, row_hash)`` — the hash (``xxhash64`` over the compared
+    columns, NULLs disambiguated from empty strings by a typed sentinel
+    concat) travels through the shuffle instead of the row width — then
+    ONE full outer join on the key partitions both snapshots the same
+    way. Unchanged keys (both sides present, hashes equal) are filtered
+    BEFORE any wide-row materialization; callers join the keys back to
+    whichever side they need details from. Assumes unique keys per
+    snapshot (duplicate keys make the diff ill-defined — run the D16
+    dup-key audit first).
+    """
+    compare = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new.columns if c not in key_cols]
+    )
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        cols = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in compare
+        ]
+        return df.select(
+            *[F.col(k) for k in key_cols],
+            F.xxhash64(*cols).alias(f"{side}_hash"),
+        )
+
+    o = hashed(old, "old")
+    n = hashed(new, "new")
+    joined = o.join(n, list(key_cols), "full")
+    return joined.filter(
+        F.col("old_hash").isNull()
+        | F.col("new_hash").isNull()
+        | (F.col("old_hash") != F.col("new_hash"))
+    ).select(
+        *key_cols,
+        F.when(F.col("old_hash").isNull(), F.lit("insert"))
+        .when(F.col("new_hash").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+    )

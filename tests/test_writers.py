@@ -424,3 +424,43 @@ def test_read_pruned_keeps_statless_empty_file(spark, tmp_path):
         F.col("v").between(10.0, 20.0)
     )
     assert got.count() == 11
+
+
+class TestSnapshotDiff:
+    def test_insert_delete_update_and_null_sentinel(self, spark):
+        from event_streamer_spark.writers import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0),
+             (4, "", 40.0), (5, "e", None)],
+            "k int, s string, v double",
+        )
+        new = spark.createDataFrame(
+            [(2, "b", 20.0),        # unchanged
+             (3, "", 30.0),         # NULL -> '' must read as update
+             (4, "", 41.0),         # value update
+             (5, "e", None),        # unchanged with NULL value
+             (6, "f", 60.0)],       # insert
+            "k int, s string, v double",
+        )
+        got = {
+            r["k"]: r["change_type"]
+            for r in snapshot_diff(old, new, ["k"]).collect()
+        }
+        assert got == {
+            1: "delete",
+            3: "update",
+            4: "update",
+            6: "insert",
+        }
+
+    def test_compare_cols_scopes_the_diff(self, spark):
+        from event_streamer_spark.writers import snapshot_diff
+
+        old = spark.createDataFrame([(1, "a", 1)], "k int, s string, v int")
+        new = spark.createDataFrame([(1, "a", 2)], "k int, s string, v int")
+        assert snapshot_diff(old, new, ["k"], ["s"]).count() == 0
+        assert (
+            snapshot_diff(old, new, ["k"], ["v"]).collect()[0]["change_type"]
+            == "update"
+        )
