@@ -419,3 +419,63 @@ def b63_running_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
             "cum_distinct_users",
         )
     )
+
+
+@query(
+    "b65_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM orders),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN ROUND(o_totalprice + 1.0, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, 'O', 1.23 FROM orders
+      WHERE o_orderkey % 25 = 0)
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type
+    FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus <> n.o_orderstatus
+       OR ROUND(o.o_totalprice * 100) <> ROUND(n.o_totalprice * 100)
+    """,
+)
+def b65_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """B65: keyed snapshot CDC diff (`writers.snapshot_diff`) as a
+    registered query — "new" is a deterministic perturbation of the
+    orders snapshot (every 10th key deleted, every 3rd repriced by a
+    dollar, every 25th re-inserted under a shifted key), so the oracle
+    can state the expected insert/delete/update classification as
+    plain relational algebra while the Spark side exercises the
+    library's hash-reduced full-outer-join path. Money compared at
+    integer cents on the oracle side to match the hash's string-cast
+    exactness.
+    """
+    from event_streamer_spark.writers import snapshot_diff
+
+    base = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        base.filter(F.col("o_orderkey") % 10 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 3 == 0,
+                F.round(F.col("o_totalprice") + 1.0, 2),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 25 == 0).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+                F.lit("O").alias("o_orderstatus"),
+                F.lit(1.23).alias("o_totalprice"),
+            )
+        )
+    )
+    return snapshot_diff(base, new, ["o_orderkey"])
