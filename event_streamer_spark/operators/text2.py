@@ -393,3 +393,87 @@ def d4_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn(
         "too_compressible", F.col("compression_ratio") < 0.3
     )
+
+
+# Jelinek-Mercer interpolation weight for the bigram LM score.
+_JM_LAMBDA = 0.7
+
+
+@query(
+    "d4_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, i AS pos, t.toks[i] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents) t,
+           UNNEST(range(1, len(t.toks) + 1)) AS u(i)),
+    seq AS (
+      SELECT doc_id, tok,
+             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM toks),
+    uni AS (SELECT tok, COUNT(*) AS cu FROM toks GROUP BY tok),
+    ctx AS (SELECT prev, COUNT(*) AS cc FROM seq
+            WHERE prev IS NOT NULL GROUP BY prev),
+    bi AS (SELECT prev, tok, COUNT(*) AS cb FROM seq
+           WHERE prev IS NOT NULL GROUP BY prev, tok),
+    tot AS (SELECT SUM(cu) AS n FROM uni)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN({_JM_LAMBDA} * (CAST(b.cb AS DOUBLE) / c.cc)
+                        + {1 - _JM_LAMBDA}
+                          * (CAST(u.cu AS DOUBLE) / t.n))), 6)
+             AS avg_logprob
+    FROM seq s
+    JOIN bi b ON b.prev = s.prev AND b.tok = s.tok
+    JOIN ctx c ON c.prev = s.prev
+    JOIN uni u ON u.tok = s.tok
+    CROSS JOIN tot t
+    WHERE s.prev IS NOT NULL
+    GROUP BY s.doc_id
+    """,
+)
+def d4_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: interpolated bigram language-model score — the step up from
+    ``d4_unigram_logprob`` toward the KenLM-style filter:
+    ``score(doc) = mean over bigrams of
+    ln(λ·c(prev,tok)/c(prev) + (1−λ)·c(tok)/N)``, Jelinek-Mercer
+    smoothed so unseen-context mass falls back to the unigram (every
+    bigram scored here IS seen — the corpus is the model — but the
+    interpolation is what makes the score a smooth quality signal
+    rather than a seen/unseen cliff).
+
+    Scale: the bigram and context tables are data-bounded (≤ corpus
+    bigrams, heavy-tailed on raw web text), so all three probability
+    joins are LEFT TO AQE like the unigram's (broadcast when small,
+    shuffle on the token key when not); the sequence derivation is one
+    window over the (doc_id, pos) partitioning; per-doc scoring is a
+    single aggregate. ln() runs on the same libm both engines use and
+    the mean rounds to the repo's 6-decimal grain.
+    """
+    toks = load(spark, sf, "documents").select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.select(
+        "doc_id", "tok", F.lag("tok").over(w).alias("prev")
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    pairs = seq.filter(F.col("prev").isNotNull())
+    ctx = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("cc"))
+    bi = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))
+    tot = uni.agg(F.sum("cu").alias("n"))
+    p = F.lit(_JM_LAMBDA) * (
+        F.col("cb").cast("double") / F.col("cc")
+    ) + F.lit(1 - _JM_LAMBDA) * (F.col("cu").cast("double") / F.col("n"))
+    return (
+        pairs.join(bi, ["prev", "tok"])
+        .join(ctx, "prev")
+        .join(uni, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+        )
+    )

@@ -31,3 +31,43 @@ class TestCompressionRatio:
         for r in a:
             assert 0 < r["compression_ratio"] <= 1.5  # deflate overhead cap
             assert r["too_compressible"] == (r["compression_ratio"] < 0.3)
+
+
+def test_bigram_logprob_invariants(spark):
+    """Interpolated bigram LM: every score is a log of a probability
+    (<= 0), each doc contributes exactly len(toks)-1 bigrams, and a
+    doc's bigram score is at least its unigram score intuition-wise on
+    a self-trained corpus — checked exactly via first principles on a
+    sample of docs."""
+    import math
+    from collections import Counter
+
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.tables import load
+
+    rows = {r["doc_id"]: r for r in
+            REGISTRY["d4_bigram_logprob"].fn(spark, SF).collect()}
+    docs = {r["doc_id"]: r["text"].split(" ")
+            for r in load(spark, SF, "documents").collect()}
+    assert set(rows) == {d for d, t in docs.items() if len(t) >= 2}
+    for d, r in rows.items():
+        assert r["n_bigrams"] == len(docs[d]) - 1, d
+        assert r["avg_logprob"] <= 0, d
+
+    # first-principles recomputation for 5 docs
+    uni = Counter(t for toks in docs.values() for t in toks)
+    n = sum(uni.values())
+    bi = Counter()
+    ctx = Counter()
+    for toks in docs.values():
+        for p, t in zip(toks, toks[1:]):
+            bi[(p, t)] += 1
+            ctx[p] += 1
+    for d in sorted(docs)[:5]:
+        toks = docs[d]
+        scores = [
+            math.log(0.7 * bi[(p, t)] / ctx[p] + 0.3 * uni[t] / n)
+            for p, t in zip(toks, toks[1:])
+        ]
+        assert abs(rows[d]["avg_logprob"]
+                   - round(sum(scores) / len(scores), 6)) <= 1e-6, d
