@@ -742,3 +742,75 @@ def d7_neyman_sample(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.substring(key, 1, 8) < F.col("h"))
         .select("doc_id", "lang", F.round("rate", 6).alias("rate"))
     )
+
+
+# Systematic (deterministic) weighted sampling target.
+_SYSTEMATIC_N = 100
+
+
+@query(
+    "d7_systematic_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, n_chars AS wt FROM documents WHERE n_chars > 0),
+    c AS (
+      SELECT doc_id, wt,
+             SUM(wt) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - wt AS cum0,
+             SUM(wt) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum1
+      FROM w),
+    tot AS (SELECT SUM(wt) AS tw FROM w)
+    SELECT doc_id, CAST(wt AS BIGINT) AS weight,
+           CAST(((2 * {_SYSTEMATIC_N} * cum1 + tw - 1) // (2 * tw))
+                - ((2 * {_SYSTEMATIC_N} * cum0 + tw - 1) // (2 * tw))
+             AS BIGINT) AS multiplicity
+    FROM c CROSS JOIN tot
+    WHERE ((2 * {_SYSTEMATIC_N} * cum1 + tw - 1) // (2 * tw))
+          - ((2 * {_SYSTEMATIC_N} * cum0 + tw - 1) // (2 * tw)) > 0
+    """,
+)
+def d7_systematic_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """D7: systematic weighted sampling WITH replacement — n=100 draws
+    at deterministic equal strides through the cumulative weight line
+    (offsets at ``(2k+1)·W/2n``), so every run, partition count, and
+    engine produces the IDENTICAL sample and each doc's multiplicity
+    is provably ``floor`` or ``ceil`` of its proportional share
+    ``n·w/W`` (the low-variance property random multinomial sampling
+    lacks). All arithmetic is exact integers: a doc's draw count is
+    the number of odd multiples of W inside its scaled interval
+    ``[2n·cum₀, 2n·cum₁)``, counted by the closed form
+    ``g(x) = (x + W − 1) div 2W`` — every argument non-negative, so
+    trunc and floor division agree on both engines.
+
+    Scale: the cumulative line comes from the same three-level
+    ``exclusive_prefix_sum`` scan as D9 sequence packing (no
+    unpartitioned window in the Spark plan — the oracle's plain
+    window is DuckDB-side only); the total is a 1-row broadcast; the
+    multiplicity is then a per-row expression. ``2n·W`` must fit
+    BIGINT — at 100 TB of text (~10¹⁴ chars) that is ~2×10¹⁶, three
+    orders inside the 9.2×10¹⁸ ceiling.
+    """
+    w = (
+        load(spark, sf, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", F.col("n_chars").alias("wt"))
+    )
+    c = exclusive_prefix_sum(w, "doc_id", "wt", out_col="cum0")
+    c = c.withColumn("cum1", F.col("cum0") + F.col("wt"))
+    tot = w.agg(F.sum("wt").alias("tw"))
+    n2 = 2 * _SYSTEMATIC_N
+    mult = F.expr(
+        f"(({n2} * cum1 + tw - 1) DIV (2 * tw))"
+        f" - (({n2} * cum0 + tw - 1) DIV (2 * tw))"
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("multiplicity", mult)
+        .filter(F.col("multiplicity") > 0)
+        .select(
+            "doc_id",
+            F.col("wt").cast("long").alias("weight"),
+            F.col("multiplicity").cast("long"),
+        )
+    )

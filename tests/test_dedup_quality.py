@@ -719,3 +719,27 @@ def test_neyman_allocation_first_principles(spark):
         mean = rates[lang] * nh
         slack = 4 * math.sqrt(max(mean, 1.0)) + 2
         assert abs(realized.get(lang, 0) - mean) <= slack, lang
+
+
+def test_systematic_sample_exact_properties(spark):
+    """Systematic weighted sampling: multiplicities sum to EXACTLY n,
+    and every doc's count is floor or ceil of its proportional share
+    n*w/W — the low-variance guarantee multinomial sampling lacks."""
+    import math
+
+    from event_streamer_spark.operators.pipeline import _SYSTEMATIC_N
+
+    rows = REGISTRY["d7_systematic_sample"].fn(spark, SF).collect()
+    weights = {
+        r["doc_id"]: r["n_chars"]
+        for r in load(spark, SF, "documents")
+        .filter(F.col("n_chars") > 0)
+        .collect()
+    }
+    W = sum(weights.values())
+    assert sum(r["multiplicity"] for r in rows) == _SYSTEMATIC_N
+    out = {r["doc_id"]: r["multiplicity"] for r in rows}
+    for d, w in weights.items():
+        share = _SYSTEMATIC_N * w / W
+        m = out.get(d, 0)
+        assert math.floor(share) <= m <= math.ceil(share), (d, share, m)
