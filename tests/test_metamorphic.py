@@ -75,6 +75,12 @@ SAMPLE = [
     "d17_pagerank",
     "d16_fk_orphans",
     "b62_session_paths",
+    # float AVG-of-logs across merge orders (6-dec grain must absorb),
+    # the prefix-sum-backed integer sampler, and the hash-reduced CDC
+    # full outer join
+    "d4_bigram_logprob",
+    "d7_systematic_sample",
+    "b65_snapshot_diff",
 ]
 
 REGIMES = {
