@@ -445,20 +445,30 @@ def d4_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     Scale: the bigram and context tables are data-bounded (≤ corpus
     bigrams, heavy-tailed on raw web text), so all three probability
     joins are LEFT TO AQE like the unigram's (broadcast when small,
-    shuffle on the token key when not); the sequence derivation is one
-    window over the (doc_id, pos) partitioning; per-doc scoring is a
+    shuffle on the token key when not); the sequence derivation is ONE
+    window over the (doc_id, pos) partitioning, ``bounded_persist``-ed
+    because four consumers read it (unigram, context, and bigram
+    counts plus the scoring probe — unpersisted, Catalyst would inline
+    the explode+window subtree into each, re-scanning documents ~5×;
+    the PageRank/common-neighbors review lesson); per-doc scoring is a
     single aggregate. ln() runs on the same libm both engines use and
     the mean rounds to the repo's 6-decimal grain.
     """
+    from event_streamer_spark.caching import bounded_persist
+
     toks = load(spark, sf, "documents").select(
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "tok"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    seq = toks.select(
-        "doc_id", "tok", F.lag("tok").over(w).alias("prev")
+    seq = bounded_persist(
+        toks.select(
+            "doc_id", "tok", F.lag("tok").over(w).alias("prev")
+        ),
+        "text2.bigram_seq",
     )
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    # one row per token, so the unigram counts read the cache too
+    uni = seq.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
     pairs = seq.filter(F.col("prev").isNotNull())
     ctx = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("cc"))
     bi = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))

@@ -34,6 +34,7 @@ from event_streamer_spark.streaming.drift import (
 from event_streamer_spark.streaming.integrity import (
     dup_key_counts_batch,
     fk_monitor_batch,
+    prune_healed,
     read_dup_key_audit,
     read_fk_orphans,
 )
@@ -88,6 +89,7 @@ __all__ = [
     "read_dup_key_audit",
     "fk_monitor_batch",
     "read_fk_orphans",
+    "prune_healed",
     "attribution_batch",
     "read_attribution",
     "hll_batch",

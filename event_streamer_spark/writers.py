@@ -396,15 +396,18 @@ def snapshot_diff(
     between yesterday's drop and today's?).
 
     Shape, at any scale: each side is reduced to
-    ``(key…, row_hash)`` — the hash (``xxhash64`` over the compared
-    columns, NULLs disambiguated from empty strings by a typed sentinel
-    concat) travels through the shuffle instead of the row width — then
-    ONE full outer join on the key partitions both snapshots the same
-    way. Unchanged keys (both sides present, hashes equal) are filtered
-    BEFORE any wide-row materialization; callers join the keys back to
-    whichever side they need details from. Assumes unique keys per
-    snapshot (duplicate keys make the diff ill-defined — run the D16
-    dup-key audit first).
+    ``(key…, row_hash)`` — the hash (``xxhash64`` over, per compared
+    column, an is-null flag plus the string-cast value, so a genuine
+    NULL can never collide with any string payload, sentinel-looking
+    or otherwise) travels through the shuffle instead of the row width
+    — then ONE full outer join on the key partitions both snapshots
+    the same way. Unchanged keys (both sides present, hashes equal)
+    are filtered BEFORE any wide-row materialization; callers join the
+    keys back to whichever side they need details from. An EMPTY
+    compare set is the existence-only diff: present-in-both is
+    unchanged, and only inserts/deletes emerge. Assumes unique keys
+    per snapshot (duplicate keys make the diff ill-defined — run the
+    D16 dup-key audit first).
     """
     compare = list(
         compare_cols
@@ -413,12 +416,17 @@ def snapshot_diff(
     )
     def hashed(df: DataFrame, side: str) -> DataFrame:
         cols = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            f
             for c in compare
+            for f in (
+                F.col(c).isNull(),
+                F.coalesce(F.col(c).cast("string"), F.lit("")),
+            )
         ]
+        h = F.xxhash64(*cols) if cols else F.lit(0)
         return df.select(
             *[F.col(k) for k in key_cols],
-            F.xxhash64(*cols).alias(f"{side}_hash"),
+            h.alias(f"{side}_hash"),
         )
 
     o = hashed(old, "old")

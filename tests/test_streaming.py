@@ -2209,3 +2209,55 @@ def test_streaming_fk_monitor_heals_late_parents(
     ).collect()[0]
     assert got["n_orphans"] == expect_orphans
     assert got["n_null_fk"] == expect_null
+
+
+def test_fk_monitor_healthy_and_child_first_states(spark, tmp_path):
+    """Review r8 #3: the monitor must not crash in its advertised
+    states — a child-only first batch (dataless parents partition), a
+    fully healthy stream (dataless pending partitions), and a
+    before-any-batch read. Then prune_healed folds healed keys out of
+    the pending set, restoring the bounded-state claim."""
+    from event_streamer_spark.streaming import (
+        fk_monitor_batch,
+        prune_healed,
+        read_fk_orphans,
+    )
+
+    state = str(tmp_path / "fkhealthy_state")
+
+    # child-first batch: zero parent rows -> dataless parents shard
+    b0 = spark.createDataFrame(
+        [("child", None, 7), ("child", None, 8)],
+        "kind string, pk bigint, fk bigint",
+    )
+    fk_monitor_batch(state, "pk", "fk")(b0, 0)
+    r0 = read_fk_orphans(spark, state, "e").collect()[0]
+    assert (r0["n_orphans"], r0["n_null_fk"]) == (2, 0)
+
+    # the parents arrive late: healed at read, pending still 2 rows
+    b1 = spark.createDataFrame(
+        [("parent", 7, None), ("parent", 8, None)],
+        "kind string, pk bigint, fk bigint",
+    )
+    fk_monitor_batch(state, "pk", "fk")(b1, 1)
+    r1 = read_fk_orphans(spark, state, "e").collect()[0]
+    assert (r1["n_orphans"], r1["n_null_fk"]) == (0, 0)
+
+    # healthy batch: every child matched -> dataless pending shard
+    b2 = spark.createDataFrame(
+        [("child", None, 7), ("child", None, 8)],
+        "kind string, pk bigint, fk bigint",
+    )
+    fk_monitor_batch(state, "pk", "fk")(b2, 2)
+    r2 = read_fk_orphans(spark, state, "e").collect()[0]
+    assert (r2["n_orphans"], r2["n_null_fk"]) == (0, 0)
+
+    # prune: the healed early-arrival keys leave the pending shards
+    assert prune_healed(spark, state) == 0
+    r3 = read_fk_orphans(spark, state, "e").collect()[0]
+    assert (r3["n_orphans"], r3["n_null_fk"]) == (0, 0)
+
+    # before-any-batch read on a fresh root reads as all-zero health
+    fresh = str(tmp_path / "fkfresh_state")
+    r4 = read_fk_orphans(spark, fresh, "e").collect()[0]
+    assert (r4["edge"], r4["n_orphans"], r4["n_null_fk"]) == ("e", 0, 0)

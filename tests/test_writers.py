@@ -464,3 +464,24 @@ class TestSnapshotDiff:
             snapshot_diff(old, new, ["k"], ["v"]).collect()[0]["change_type"]
             == "update"
         )
+
+
+class TestSnapshotDiffEdges:
+    def test_existence_only_diff(self, spark):
+        """Review r8: an empty compare set is the existence diff —
+        inserts/deletes only, never a crash from a zero-arg hash."""
+        from event_streamer_spark.writers import snapshot_diff
+
+        old = spark.createDataFrame([(1,), (2,)], "k int")
+        new = spark.createDataFrame([(2,), (3,)], "k int")
+        got = {r["k"]: r["change_type"]
+               for r in snapshot_diff(old, new, ["k"]).collect()}
+        assert got == {1: "delete", 3: "insert"}
+
+    def test_null_never_collides_with_sentinel_string(self, spark):
+        from event_streamer_spark.writers import snapshot_diff
+
+        old = spark.createDataFrame([(1, None)], "k int, s string")
+        new = spark.createDataFrame([(1, "\x00null")], "k int, s string")
+        rows = snapshot_diff(old, new, ["k"]).collect()
+        assert [r["change_type"] for r in rows] == ["update"]
