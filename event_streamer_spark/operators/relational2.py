@@ -1345,3 +1345,76 @@ def b22_timestamp_parity(spark: SparkSession, sf: str) -> DataFrame:
         F.date_trunc("day", ts).alias("day_t"),
         F.date_format(ts, "yyyy-MM-dd HH").alias("hh"),
     )
+
+
+@query(
+    "b66_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS f,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+             l_orderkey, l_linenumber
+      FROM lineitem WHERE l_quantity > 0),
+    c AS (
+      SELECT f, cents, qty,
+             SUM(qty) OVER (PARTITION BY f
+                            ORDER BY cents, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(qty) OVER (PARTITION BY f) AS tw
+      FROM w),
+    q AS (SELECT f, cents, cum, tw FROM c WHERE 2 * cum >= tw)
+    SELECT f AS l_returnflag,
+           CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM q GROUP BY f
+    """,
+)
+def b66_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """B66: exact weighted median — the quantity-weighted median unit
+    price per return flag: the smallest price whose cumulative
+    quantity reaches half the group's total (lower weighted median,
+    the deterministic convention; ties in price break on the composite
+    line key so the cumulative line is identical on both engines).
+
+    All arithmetic is exact integers (price in cents, quantity
+    rounded to units), so the crossing point cannot move with float
+    merge order. Shape: one partitioned ordered window per group (no
+    global sort — work per partition bounded by the group), one total
+    window on the same exchange, then a min-aggregate over the
+    qualifying suffix. The plain median (B48) is the qty=1 special
+    case; this is its volume-aware sibling (VWAP-style robust center).
+    """
+    w = (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .select(
+            F.col("l_returnflag").alias("f"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.round(F.col("l_quantity")).cast("long").alias("qty"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    win = (
+        Window.partitionBy("f")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("f")
+    c = w.select(
+        "f",
+        "cents",
+        F.sum("qty").over(win).alias("cum"),
+        F.sum("qty").over(tot).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tw"))
+        .groupBy(F.col("f").alias("l_returnflag"))
+        .agg(
+            F.min("cents").alias("wmedian_cents"),
+            F.max("tw").alias("total_weight"),
+        )
+    )

@@ -177,3 +177,46 @@ def test_integrity_parity_on_dirty_fixture(spark, tmp_path):
         sum(r["n_no_lines"] for r in rec)
         == sum(r["n_no_lines"] for r in base) + 1
     )
+
+
+def test_weighted_median_first_principles(spark):
+    """Recompute the lower weighted median in Python from the sorted
+    (cents, qty) lines and require exact agreement; qty=1 degenerates
+    to the plain lower median."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.tables import load
+
+    li = (
+        load(spark, SF, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+            F.round(F.col("l_quantity")).cast("long").alias("q"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in li:
+        groups[r["l_returnflag"]].append(
+            (r["c"], r["l_orderkey"], r["l_linenumber"], r["q"])
+        )
+    got = {r["l_returnflag"]: r for r in
+           REGISTRY["b66_weighted_median"].fn(spark, SF).collect()}
+    assert set(got) == set(groups)
+    for f, rows in groups.items():
+        rows.sort()
+        tw = sum(q for *_, q in rows)
+        cum = 0
+        for c, _, _, q in rows:
+            cum += q
+            if 2 * cum >= tw:
+                assert got[f]["wmedian_cents"] == c, f
+                break
+        assert got[f]["total_weight"] == tw, f
