@@ -699,3 +699,73 @@ def d15_ewma_monitor(spark: SparkSession, sf: str) -> DataFrame:
         out,
         "d string, day_cents long, ewma_cents long, flagged boolean",
     )
+
+
+@query(
+    "d14_json_key_census",
+    oracle="""
+    WITH kv AS (
+      SELECT e.event_id, u.k,
+             json_extract_string(e.props, '$.' || u.k) AS v
+      FROM events e,
+           UNNEST(CASE WHEN e.props IS NOT NULL AND json_valid(e.props)
+                       THEN json_keys(e.props) ELSE [] END) AS u(k)),
+    tot AS (
+      SELECT COUNT(*) AS n FROM events
+      WHERE props IS NOT NULL AND json_valid(props))
+    SELECT k AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_present,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot), 6)
+             AS presence_rate,
+           CAST(COALESCE(SUM(CASE WHEN TRY_CAST(v AS DOUBLE)
+                                       IS NOT NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_numeric,
+           CAST(MIN(CAST(ROUND(TRY_CAST(v AS DOUBLE) * 100) AS BIGINT))
+             AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(ROUND(TRY_CAST(v AS DOUBLE) * 100) AS BIGINT))
+             AS BIGINT) AS max_cents
+    FROM kv GROUP BY k
+    """,
+)
+def d14_json_key_census(spark: SparkSession, sf: str) -> DataFrame:
+    """D14: semi-structured schema census over the JSON ``props``
+    column — per top-level key: how many valid-JSON events carry it,
+    its presence rate, how many values parse as numbers, and the
+    numeric range in integer cents. The audit that catches producer
+    schema drift (a renamed key, a number that became a string) before
+    a downstream extract silently NULLs out.
+
+    Engine parity: Spark parses via ``from_json`` to
+    ``map<string,string>`` (malformed → NULL map → zero keys), DuckDB
+    via CASE-guarded ``json_keys`` + ``json_extract_string`` (its
+    ``json_keys`` THROWS on malformed input even behind a WHERE, so
+    the guard must be inside the expression); numeric-ness uses
+    TRY_CAST on both — representation differences for non-numeric
+    values ('x' vs '"x"') never reach the output, only the cast
+    verdict and the cents-rounded numeric range do. Shape: one narrow
+    explode, one map-combinable aggregate on the key; presence
+    denominator is a broadcast 1-row count.
+    """
+    e = load(spark, sf, "events")
+    m = e.select(
+        "event_id", F.from_json("props", "map<string,string>").alias("m")
+    ).filter(F.col("m").isNotNull())
+    kv = m.select("event_id", F.explode("m").alias("key", "v"))
+    tot = m.agg(F.count(F.lit(1)).alias("n"))
+    num = F.expr("TRY_CAST(v AS DOUBLE)")
+    return (
+        kv.crossJoin(F.broadcast(tot))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.first("n"), 6
+            ).alias("presence_rate"),
+            F.coalesce(
+                F.sum(F.when(num.isNotNull(), 1).otherwise(0)), F.lit(0)
+            ).alias("n_numeric"),
+            F.min(F.round(num * 100).cast("long")).alias("min_cents"),
+            F.max(F.round(num * 100).cast("long")).alias("max_cents"),
+        )
+    )

@@ -269,7 +269,16 @@ def test_validation_parity_on_dirty_fixture(spark, tmp_path):
             "value": pa.array(
                 [0.004, None, 1.0, -10**7], type=pa.float64()
             ),
-            "props": ['{"k": 1}', '{"k": 2}', '{"k": 3}', '{"k": 4}'],
+            # diverse props for the JSON key census: an extra string
+            # key, a renamed numeric key, MALFORMED JSON (Spark
+            # from_json -> NULL map; DuckDB json_valid guard), and a
+            # NULL — the schema-drift classes the census audits
+            "props": [
+                '{"k": 1, "extra": "x"}',
+                '{"other": 2.5}',
+                "{oops",
+                None,
+            ],
         },
         schema=ev.schema,
     )
