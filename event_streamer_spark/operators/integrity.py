@@ -337,3 +337,120 @@ def d16_order_reconcile(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("mean_abs_diff_usd"),
     )
+
+
+@query(
+    "d16_consistency_audit",
+    oracle="""
+    SELECT 'documents.n_chars==length(text)' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(COALESCE(SUM(CASE WHEN n_chars IS NULL OR text IS NULL
+                                       OR n_chars <> LENGTH(text)
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_violations
+    FROM documents
+    UNION ALL
+    SELECT 'lineitem.discount_in_[0,1]',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN l_discount IS NULL
+                                       OR l_discount < 0
+                                       OR l_discount > 1
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.tax_in_[0,1]',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN l_tax IS NULL OR l_tax < 0
+                                       OR l_tax > 1
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.shipdate>=orderdate',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def d16_consistency_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """D16: cross-column and cross-table consistency rules — derived
+    columns that must agree (``n_chars`` vs the text it summarizes),
+    domain ranges (discount/tax rates inside [0,1]), and temporal
+    ordering across the FK edge (a line cannot ship before its order
+    was placed). NULLs in a checked column count as violations: a rule
+    that cannot be evaluated is not satisfied. On this synthetic
+    fixture the temporal rule genuinely fails for ~47% of lines (the
+    generator draws dates independently) — the audit reports that
+    truth; see the test.
+
+    Shape: the three single-table rules come from one scan per table
+    (documents once, lineitem once via ``stack``); the temporal rule
+    is one co-partitioned join on the order key — identical physical
+    shape to the FK-orphan audit's edges.
+    """
+    docs = load(spark, sf, "documents").agg(
+        F.lit("documents.n_chars==length(text)").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("n_chars").isNull()
+                    | F.col("text").isNull()
+                    | (F.col("n_chars") != F.length("text")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_violations"),
+    )
+    li = load(spark, sf, "lineitem").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("l_discount").isNull()
+                    | (F.col("l_discount") < 0)
+                    | (F.col("l_discount") > 1),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("disc_bad"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("l_tax").isNull()
+                    | (F.col("l_tax") < 0)
+                    | (F.col("l_tax") > 1),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("tax_bad"),
+    ).selectExpr(
+        """stack(2,
+             'lineitem.discount_in_[0,1]', n, disc_bad,
+             'lineitem.tax_in_[0,1]', n, tax_bad
+           ) AS (rule, n_checked, n_violations)"""
+    )
+    joined = (
+        load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .join(
+            load(spark, sf, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .agg(
+            F.lit("lineitem.shipdate>=orderdate").alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("l_shipdate") < F.col("o_orderdate"), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_violations"),
+        )
+    )
+    return docs.unionByName(li).unionByName(joined)

@@ -154,7 +154,7 @@ def test_integrity_parity_on_dirty_fixture(spark, tmp_path):
                    dirty / "supplier.parquet")
 
     total, failures = run_sweep(spark, str(dirty), ["d16_"], quiet=True)
-    assert total == 3 and failures == [], failures
+    assert total == 4 and failures == [], failures
 
     fk = {r["edge"]: r for r in
           REGISTRY["d16_fk_orphans"].fn(spark, str(dirty)).collect()}
@@ -220,3 +220,17 @@ def test_weighted_median_first_principles(spark):
                 assert got[f]["wmedian_cents"] == c, f
                 break
         assert got[f]["total_weight"] == tw, f
+
+
+def test_consistency_audit_reports_fixture_truth(spark):
+    rows = {r["rule"]: r for r in
+            REGISTRY["d16_consistency_audit"].fn(spark, SF).collect()}
+    assert len(rows) == 4
+    # derived column and rate domains hold on the clean fixture
+    assert rows["documents.n_chars==length(text)"]["n_violations"] == 0
+    assert rows["lineitem.discount_in_[0,1]"]["n_violations"] == 0
+    assert rows["lineitem.tax_in_[0,1]"]["n_violations"] == 0
+    # the generator draws dates independently: the temporal rule
+    # genuinely fails for roughly half the lines — report, not assume
+    t = rows["lineitem.shipdate>=orderdate"]
+    assert 0 < t["n_violations"] < t["n_checked"]
