@@ -367,7 +367,9 @@ def d16_order_reconcile(spark: SparkSession, sf: str) -> DataFrame:
     UNION ALL
     SELECT 'lineitem.shipdate>=orderdate',
            CAST(COUNT(*) AS BIGINT),
-           CAST(COALESCE(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+           CAST(COALESCE(SUM(CASE WHEN l.l_shipdate IS NULL
+                                       OR o.o_orderdate IS NULL
+                                       OR l.l_shipdate < o.o_orderdate
                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     """,
@@ -377,8 +379,11 @@ def d16_consistency_audit(spark: SparkSession, sf: str) -> DataFrame:
     columns that must agree (``n_chars`` vs the text it summarizes),
     domain ranges (discount/tax rates inside [0,1]), and temporal
     ordering across the FK edge (a line cannot ship before its order
-    was placed). NULLs in a checked column count as violations: a rule
-    that cannot be evaluated is not satisfied. On this synthetic
+    was placed). NULLs in a checked column count as violations — a
+    rule that cannot be evaluated is not satisfied — including a NULL
+    date on either side of the temporal rule (review r8 #4); lines
+    whose order key is NULL or dangling are the FK audit's finding and
+    are by design outside this rule's checked set. On this synthetic
     fixture the temporal rule genuinely fails for ~47% of lines (the
     generator draws dates independently) — the audit reports that
     truth; see the test.
@@ -446,7 +451,10 @@ def d16_consistency_audit(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(
                 F.sum(
                     F.when(
-                        F.col("l_shipdate") < F.col("o_orderdate"), 1
+                        F.col("l_shipdate").isNull()
+                        | F.col("o_orderdate").isNull()
+                        | (F.col("l_shipdate") < F.col("o_orderdate")),
+                        1,
                     ).otherwise(0)
                 ),
                 F.lit(0),

@@ -279,15 +279,25 @@ def d4_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
     MTLD family's cheap sibling). Low diversity flags boilerplate and
     template spam that pass the stopword/length filters.
 
-    Shape: one explode, two map-combinable aggregates (per-segment and
-    per-doc — the COUNT DISTINCT is Spark's standard two-stage
-    expand), one co-partitioned join on doc_id. Ratios divide exact
-    integers; the segment mean averages ≤ len/50 per-doc terms and
-    rounds at the repo grain.
+    Shape: ONE explode — the token frame is ``bounded_persist``-ed
+    because both aggregates read it (review r8 #4: unpersisted,
+    Catalyst inlines the scan+split+explode subtree into each) — then
+    two map-combinable aggregates (the COUNT DISTINCT is Spark's
+    standard two-stage expand) and one co-partitioned join on doc_id.
+    Ratios divide exact integers; the segment mean averages ≤ len/50
+    per-doc DOUBLE terms and rounds at the repo grain — the one float
+    mean in the family, following the unigram-logprob precedent
+    (cross-regime stability pinned by the metamorphic suite for that
+    class).
     """
-    toks = load(spark, sf, "documents").select(
-        "doc_id",
-        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    from event_streamer_spark.caching import bounded_persist
+
+    toks = bounded_persist(
+        load(spark, sf, "documents").select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        ),
+        "text.ttr_toks",
     )
     seg = toks.groupBy(
         "doc_id", (F.col("pos") / _TTR_SEG).cast("long").alias("s")

@@ -704,56 +704,78 @@ def d15_ewma_monitor(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "d14_json_key_census",
     oracle="""
-    WITH kv AS (
-      SELECT e.event_id, u.k,
-             json_extract_string(e.props, '$.' || u.k) AS v
-      FROM events e,
-           UNNEST(CASE WHEN e.props IS NOT NULL AND json_valid(e.props)
-                       THEN json_keys(e.props) ELSE [] END) AS u(k)),
-    tot AS (
-      SELECT COUNT(*) AS n FROM events
-      WHERE props IS NOT NULL AND json_valid(props))
+    WITH ok AS (
+      SELECT event_id, props FROM events
+      WHERE props IS NOT NULL AND json_valid(props)
+            AND json_type(props) = 'OBJECT'
+            AND len(json_keys(props)) = len(list_distinct(json_keys(props)))),
+    kv AS (
+      SELECT o.event_id, u.k,
+             TRY_CAST(json_extract_string(o.props, '$.' || u.k)
+                      AS DOUBLE) AS d
+      FROM ok o, UNNEST(json_keys(o.props)) AS u(k)),
+    tot AS (SELECT COUNT(*) AS n FROM ok)
     SELECT k AS key,
            CAST(COUNT(*) AS BIGINT) AS n_present,
            ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot), 6)
              AS presence_rate,
-           CAST(COALESCE(SUM(CASE WHEN TRY_CAST(v AS DOUBLE)
-                                       IS NOT NULL
+           CAST(COALESCE(SUM(CASE WHEN d IS NOT NULL
                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
              AS n_numeric,
-           CAST(MIN(CAST(ROUND(TRY_CAST(v AS DOUBLE) * 100) AS BIGINT))
+           CAST(MIN(CASE WHEN d IS NOT NULL AND NOT isnan(d)
+                              AND ABS(d) <= 1e12
+                         THEN CAST(ROUND(d * 100) AS BIGINT) END)
              AS BIGINT) AS min_cents,
-           CAST(MAX(CAST(ROUND(TRY_CAST(v AS DOUBLE) * 100) AS BIGINT))
+           CAST(MAX(CASE WHEN d IS NOT NULL AND NOT isnan(d)
+                              AND ABS(d) <= 1e12
+                         THEN CAST(ROUND(d * 100) AS BIGINT) END)
              AS BIGINT) AS max_cents
     FROM kv GROUP BY k
     """,
 )
 def d14_json_key_census(spark: SparkSession, sf: str) -> DataFrame:
     """D14: semi-structured schema census over the JSON ``props``
-    column — per top-level key: how many valid-JSON events carry it,
+    column — per top-level key: how many valid-object events carry it,
     its presence rate, how many values parse as numbers, and the
     numeric range in integer cents. The audit that catches producer
     schema drift (a renamed key, a number that became a string) before
     a downstream extract silently NULLs out.
 
-    Engine parity: Spark parses via ``from_json`` to
-    ``map<string,string>`` (malformed → NULL map → zero keys), DuckDB
-    via CASE-guarded ``json_keys`` + ``json_extract_string`` (its
-    ``json_keys`` THROWS on malformed input even behind a WHERE, so
-    the guard must be inside the expression); numeric-ness uses
-    TRY_CAST on both — representation differences for non-numeric
-    values ('x' vs '"x"') never reach the output, only the cast
-    verdict and the cents-rounded numeric range do. Shape: one narrow
-    explode, one map-combinable aggregate on the key; presence
-    denominator is a broadcast 1-row count.
+    Validity contract, identical on BOTH engines (review r8 #4 aligned
+    three divergent acceptance sets): an event enters the census iff
+    its props is a strict-JSON OBJECT with no duplicate top-level keys
+    — non-object JSON (arrays/scalars, which DuckDB's ``json_valid``
+    accepts but a map parse nulls), single-quoted pseudo-JSON (which
+    Spark's lenient parser accepts — ``allowSingleQuotes`` is
+    explicitly disabled), and duplicate-key objects (where path
+    extraction and map explosion see different values) are ALL
+    excluded as malformed. The numeric range is guarded against NaN
+    and |v| > 1e12 (an unguarded cents cast would crash the audit on
+    exactly the drifted data it exists to flag); such values still
+    count in ``n_numeric``, they just don't bound the range. Shape:
+    one narrow explode, one map-combinable aggregate on the key;
+    presence denominator is a broadcast 1-row count.
     """
     e = load(spark, sf, "events")
     m = e.select(
-        "event_id", F.from_json("props", "map<string,string>").alias("m")
-    ).filter(F.col("m").isNotNull())
+        "event_id",
+        F.from_json(
+            "props",
+            "map<string,string>",
+            {"allowSingleQuotes": "false"},
+        ).alias("m"),
+    ).filter(
+        F.col("m").isNotNull()
+        & (
+            F.size(F.map_keys("m"))
+            == F.size(F.array_distinct(F.map_keys("m")))
+        )
+    )
     kv = m.select("event_id", F.explode("m").alias("key", "v"))
     tot = m.agg(F.count(F.lit(1)).alias("n"))
     num = F.expr("TRY_CAST(v AS DOUBLE)")
+    in_range = num.isNotNull() & ~F.isnan(num) & (F.abs(num) <= 1e12)
+    cents = F.when(in_range, F.round(num * 100).cast("long"))
     return (
         kv.crossJoin(F.broadcast(tot))
         .groupBy("key")
@@ -765,7 +787,7 @@ def d14_json_key_census(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(
                 F.sum(F.when(num.isNotNull(), 1).otherwise(0)), F.lit(0)
             ).alias("n_numeric"),
-            F.min(F.round(num * 100).cast("long")).alias("min_cents"),
-            F.max(F.round(num * 100).cast("long")).alias("max_cents"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
         )
     )

@@ -282,7 +282,32 @@ def test_validation_parity_on_dirty_fixture(spark, tmp_path):
         },
         schema=ev.schema,
     )
-    pq.write_table(pa.concat_tables([ev, extra_ev]), dirty / "events.parquet")
+    # review-r8 validity-contract classes: non-object JSON (DuckDB
+    # json_valid accepts, a map parse nulls), single-quoted pseudo-JSON
+    # (Spark's lenient parser accepts unless disabled), duplicate-key
+    # objects (path extraction vs map explosion disagree), and
+    # NaN/overflow numerics (an unguarded cents cast would crash) —
+    # ALL must be treated identically by both engines
+    extra_ev2 = pa.table(
+        {
+            "event_id": [10**9 + 10, 10**9 + 11, 10**9 + 12, 10**9 + 13],
+            "ts": pa.array([1704067200_000_000] * 4, type=ts_type),
+            "user_id": [2, 2, 2, 2],
+            "event_type": ["view"] * 4,
+            "value": pa.array([1.0, 1.0, 1.0, 1.0], type=pa.float64()),
+            "props": [
+                "[1, 2]",
+                "{'k': 1}",
+                '{"a": 1, "a": 2}',
+                '{"big": 1e20, "nan": "NaN", "k": 3}',
+            ],
+        },
+        schema=ev.schema,
+    )
+    pq.write_table(
+        pa.concat_tables([ev, extra_ev, extra_ev2]),
+        dirty / "events.parquet",
+    )
 
     total, failures = run_sweep(
         spark, str(dirty), ["d14_", "d15_"], quiet=True
