@@ -8,6 +8,7 @@ of truth consumed by ``__spark_entry__.queries()`` / ``oracle_sql()``.
 from event_streamer_spark.operators import registry  # noqa: F401
 from event_streamer_spark.operators import relational  # noqa: F401
 from event_streamer_spark.operators import relational2  # noqa: F401
+from event_streamer_spark.operators import relational3  # noqa: F401
 from event_streamer_spark.operators import events  # noqa: F401
 from event_streamer_spark.operators import windows  # noqa: F401
 from event_streamer_spark.operators import dedup  # noqa: F401

@@ -1,0 +1,158 @@
+"""Entity resolution / record linkage (D18): multi-pass blocking →
+per-field scored matching → survivorship golden records.
+
+The classic large-scale data-integration workload the reference's users
+run NEXT once events land in a warehouse: two sources describe the same
+real-world entities with typos and missing fields; link them WITHOUT an
+all-pairs comparison, score candidate pairs field-by-field
+(Fellegi–Sunter-shaped additive agreement weights, integer arithmetic so
+the result is hash-exact), and merge matched records into one golden
+record per entity (survivorship).
+
+Deterministic dirty-record fixture, derivable identically in Spark and
+DuckDB SQL (same recipe style as the d14/d16 audit families):
+
+- entity key = ``c_custkey``; two records per entity, one per source.
+- ``f1`` (the "name"): source A holds ``md5(custkey)`` (32 hex chars,
+  high entropy — adjacent custkeys differ in ~29 edit ops, probed, so
+  cross-entity false matches are impossible at edit-distance 1);
+  source B drops ONE character at position ``custkey % 32`` (a typo).
+- ``f2`` (a secondary identifier): ``md5(custkey || 'x')``; source B
+  loses it entirely when ``custkey % 5 = 0`` (missing field).
+- ``f3``: the entity's nation key (always agrees — a low-weight field).
+
+Multi-pass blocking (the recall trick real ER systems use): a record
+enters TWO blocks — first-8 and last-8 chars of ``f1``. A single-char
+deletion at position p preserves the prefix block iff p ≥ 8 and the
+suffix block iff p ≤ 23, so the UNION of passes covers every p in
+0..31 — single-pass blocking would silently lose ~25% of true matches.
+Candidates found by both passes are deduplicated before scoring.
+
+Scale posture: no all-pairs stage anywhere — candidates come from
+equi-joins on block keys (md5 prefixes are uniform, so blocks stay
+O(corpus/16^8) — no hot key); scoring is a projection; dedup and the
+golden-record merge are one shuffle each on bounded keys. This is the
+petabyte ER shape: blocking bounds the candidate set, verification
+touches candidates only (same contract as d2_lsh_verified).
+
+Reference parity note: the reference (comparaonline/event-streamer,
+``src/``) has no relational/ER surface; this extends SURVEY §2.D's
+training-data-pipeline mandate (dedup/linkage family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from event_streamer_spark.operators.registry import query
+from event_streamer_spark.tables import register_views
+
+# Fellegi–Sunter-shaped additive agreement weights (integers: exact on
+# both engines). f1 exact > f1 fuzzy >> f2 exact > f3; threshold set so
+# (f1 fuzzy) alone matches but (f2 + f3) without f1 agreement does not.
+_W_F1_EXACT = 60
+_W_F1_FUZZY = 40  # levenshtein <= 1
+_W_F2_EXACT = 30
+_W_F3_EXACT = 10
+_THRESHOLD = 40
+
+# The shared fixture + blocking + scoring pipeline, written once in
+# portable SQL: every construct below is pinned by the fuzz grammar's
+# portability ledger (md5, substr, length, levenshtein, CASE, ||).
+_RECORDS_SQL = """
+    recs AS (
+      SELECT c_custkey * 2 AS rec_id, 'A' AS src,
+             md5(CAST(c_custkey AS VARCHAR)) AS f1,
+             md5(CAST(c_custkey AS VARCHAR) || 'x') AS f2,
+             c_nationkey AS f3
+      FROM customer
+      UNION ALL
+      SELECT c_custkey * 2 + 1 AS rec_id, 'B' AS src,
+             substr(md5(CAST(c_custkey AS VARCHAR)), 1,
+                    CAST(c_custkey % 32 AS INTEGER))
+               || substr(md5(CAST(c_custkey AS VARCHAR)),
+                         CAST(c_custkey % 32 AS INTEGER) + 2) AS f1,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL
+                  ELSE md5(CAST(c_custkey AS VARCHAR) || 'x') END AS f2,
+             c_nationkey AS f3
+      FROM customer),
+    keyed AS (
+      SELECT rec_id, src, f1, f2, f3, 'p' AS pass,
+             substr(f1, 1, 8) AS bkey FROM recs
+      UNION ALL
+      SELECT rec_id, src, f1, f2, f3, 's' AS pass,
+             substr(f1, length(f1) - 7) AS bkey FROM recs),
+    cand AS (
+      SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b,
+             a.f1 AS f1_a, b.f1 AS f1_b, a.f2 AS f2_a, b.f2 AS f2_b,
+             a.f3 AS f3_a, b.f3 AS f3_b
+      FROM keyed a JOIN keyed b
+        ON a.bkey = b.bkey AND a.pass = b.pass
+       AND a.src = 'A' AND b.src = 'B'),
+    scored AS (
+      SELECT rec_a, rec_b,
+             CAST(levenshtein(f1_a, f1_b) AS BIGINT) AS f1_dist,
+             CAST(CASE WHEN f1_a = f1_b THEN {w1e}
+                       WHEN levenshtein(f1_a, f1_b) <= 1 THEN {w1f}
+                       ELSE 0 END
+                + CASE WHEN f2_a IS NOT NULL AND f2_a = f2_b
+                       THEN {w2} ELSE 0 END
+                + CASE WHEN f3_a = f3_b THEN {w3} ELSE 0 END
+               AS BIGINT) AS score
+      FROM cand)
+""".format(w1e=_W_F1_EXACT, w1f=_W_F1_FUZZY, w2=_W_F2_EXACT, w3=_W_F3_EXACT)
+
+_MATCH_SQL = f"""
+    WITH {_RECORDS_SQL}
+    SELECT rec_a, rec_b, f1_dist, score
+    FROM scored WHERE score >= {_THRESHOLD}
+"""
+
+_GOLDEN_SQL = f"""
+    WITH {_RECORDS_SQL},
+    matches AS (
+      SELECT rec_a, rec_b FROM scored WHERE score >= {_THRESHOLD}),
+    members AS (
+      SELECT m.rec_a AS entity_id, r.rec_id, r.f1, r.f2, r.f3
+      FROM matches m JOIN recs r ON r.rec_id = m.rec_a
+      UNION ALL
+      SELECT m.rec_a AS entity_id, r.rec_id, r.f1, r.f2, r.f3
+      FROM matches m JOIN recs r ON r.rec_id = m.rec_b)
+    SELECT entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           MAX(CASE WHEN length(f1) = 32 THEN f1 END) AS golden_f1,
+           MAX(f2) AS golden_f2,
+           MIN(f3) AS golden_f3
+    FROM members
+    GROUP BY entity_id
+"""
+
+
+@query("d18_er_blocked_match", oracle=_MATCH_SQL)
+def d18_er_blocked_match(spark: SparkSession, sf: str) -> DataFrame:
+    """D18: record linkage — multi-pass blocked candidate generation
+    (first-8/last-8 ``f1`` blocks, union, dedup) scored with additive
+    per-field agreement weights; emit pairs at or above threshold.
+
+    Catalyst plan: two equi-joins on block keys (one per pass, unioned
+    by the ``pass`` column riding the same join), a distinct on the
+    pair, and a scoring projection — no cross join, no all-pairs
+    stage. Blocking recall is structural: a deletion at position p
+    survives the prefix pass iff p ≥ 8 and the suffix pass iff p ≤ 23,
+    so the union covers all 32 positions (module docstring).
+    """
+    register_views(spark, sf)
+    return spark.sql(_MATCH_SQL)
+
+
+@query("d18_er_golden", oracle=_GOLDEN_SQL)
+def d18_er_golden(spark: SparkSession, sf: str) -> DataFrame:
+    """D18: survivorship — merge each matched pair's records into one
+    golden record: ``f1`` from the untruncated source (length-32
+    wins), ``f2`` from whichever record still has it (MAX over NULL),
+    ``f3`` by MIN (all agree; MIN makes the rule total). One shuffle
+    on the entity id; every aggregate is map-side combinable, so the
+    merge scales as a plain groupBy at any corpus size.
+    """
+    register_views(spark, sf)
+    return spark.sql(_GOLDEN_SQL)
