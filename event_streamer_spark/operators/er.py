@@ -51,10 +51,10 @@ from event_streamer_spark.tables import register_views
 # both engines). f1 exact > f1 fuzzy >> f2 exact > f3; threshold set so
 # (f1 fuzzy) alone matches but (f2 + f3) without f1 agreement does not.
 _W_F1_EXACT = 60
-_W_F1_FUZZY = 40  # levenshtein <= 1
+_W_F1_FUZZY = 45  # levenshtein <= 1
 _W_F2_EXACT = 30
 _W_F3_EXACT = 10
-_THRESHOLD = 40
+_THRESHOLD = 45  # strictly above W_F2 + W_F3: f1 agreement is REQUIRED
 
 # The shared fixture + blocking + scoring pipeline, written once in
 # portable SQL: every construct below is pinned by the fuzz grammar's
@@ -62,18 +62,18 @@ _THRESHOLD = 40
 _RECORDS_SQL = """
     recs AS (
       SELECT c_custkey * 2 AS rec_id, 'A' AS src,
-             md5(CAST(c_custkey AS VARCHAR)) AS f1,
-             md5(CAST(c_custkey AS VARCHAR) || 'x') AS f2,
+             md5(CAST(c_custkey AS STRING)) AS f1,
+             md5(CAST(c_custkey AS STRING) || 'x') AS f2,
              c_nationkey AS f3
       FROM customer
       UNION ALL
       SELECT c_custkey * 2 + 1 AS rec_id, 'B' AS src,
-             substr(md5(CAST(c_custkey AS VARCHAR)), 1,
+             substr(md5(CAST(c_custkey AS STRING)), 1,
                     CAST(c_custkey % 32 AS INTEGER))
-               || substr(md5(CAST(c_custkey AS VARCHAR)),
+               || substr(md5(CAST(c_custkey AS STRING)),
                          CAST(c_custkey % 32 AS INTEGER) + 2) AS f1,
              CASE WHEN c_custkey % 5 = 0 THEN NULL
-                  ELSE md5(CAST(c_custkey AS VARCHAR) || 'x') END AS f2,
+                  ELSE md5(CAST(c_custkey AS STRING) || 'x') END AS f2,
              c_nationkey AS f3
       FROM customer),
     keyed AS (
