@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_streamer_spark.operators.registry import query
-from event_streamer_spark.tables import load
+from event_streamer_spark.tables import load, register_views
 
 # Fixed-point scale, damping = 85/100, and the unrolled iteration count.
 _PR_SCALE = 1_000_000_000_000
@@ -250,4 +250,153 @@ def d17_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+# Co-purchase edge threshold for the triangle graph: supplier pairs
+# sharing fewer customers than this are noise edges; the threshold
+# sparsifies the graph BEFORE enumeration (both engines apply it
+# identically, so it is a semantics knob, not an approximation).
+_TRI_MIN_SHARED = 2
+
+# One portable SQL string (runs verbatim on Spark AND DuckDB): the
+# degree-oriented "forward" triangle algorithm. rnk packs (degree,
+# suppkey) into one BIGINT so edge orientation and the wedge ordering
+# are single integer comparisons; suppkey < 10^7 at any TPC-H sf this
+# repo targets, so the packing is collision-free.
+_TRIANGLES_SQL = f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    cust_deg AS (
+      SELECT ck FROM pairs GROUP BY ck
+      HAVING COUNT(*) <= {_CN_MAX_DEGREE}),
+    e AS (SELECT p.ck, p.sk FROM pairs p JOIN cust_deg d ON p.ck = d.ck),
+    shared AS (
+      SELECT a.sk AS s_lo, b.sk AS s_hi
+      FROM e a JOIN e b ON a.ck = b.ck AND a.sk < b.sk
+      GROUP BY a.sk, b.sk
+      HAVING COUNT(*) >= {_TRI_MIN_SHARED}),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT s_lo AS node FROM shared
+        UNION ALL
+        SELECT s_hi AS node FROM shared) u
+      GROUP BY node),
+    rnk AS (SELECT node, deg * 10000000 + node AS r FROM deg),
+    oriented AS (
+      SELECT CASE WHEN rl.r < rh.r THEN s.s_lo ELSE s.s_hi END AS src,
+             CASE WHEN rl.r < rh.r THEN s.s_hi ELSE s.s_lo END AS dst,
+             CASE WHEN rl.r < rh.r THEN rh.r ELSE rl.r END AS dst_r
+      FROM shared s
+      JOIN rnk rl ON rl.node = s.s_lo
+      JOIN rnk rh ON rh.node = s.s_hi),
+    tri AS (
+      SELECT w.a, w.b, w.c
+      FROM (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+            FROM oriented o1 JOIN oriented o2
+              ON o1.src = o2.src AND o1.dst_r < o2.dst_r) w
+      JOIN oriented o3 ON o3.src = w.b AND o3.dst = w.c),
+    members AS (
+      SELECT a AS suppkey FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    SELECT suppkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM members GROUP BY suppkey
+"""
+
+
+@query("d17_triangles", oracle=_TRIANGLES_SQL)
+def d17_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """D17: per-node triangle counts on the supplier co-purchase graph
+    (suppliers joined by an edge when they share >= {m} customers,
+    after the same hub-customer cap as ``d17_common_neighbors``).
+
+    Degree-oriented "forward" enumeration — the scale-correct triangle
+    algorithm: every edge is oriented from its lower-(degree, key)
+    endpoint to the higher, so each triangle is generated EXACTLY once
+    (as the wedge at its lowest-rank vertex plus one closing-edge
+    probe) and the wedge join's fan-out per vertex is its OUT-degree,
+    which orientation bounds by O(sqrt(E)) — the naive a<b<c self-join
+    instead fans out on raw degree and melts on hub nodes. Three
+    shuffles beyond the edge build: the wedge self-join on src, the
+    closing-edge hash join on (b, c), the member aggregate.
+
+    The Spark leg is DataFrame-built rather than the oracle's SQL text
+    because ``shared`` and ``oriented`` are each referenced three
+    times — Catalyst INLINES an unpersisted CTE subtree at every
+    reference (the plan-explosion gotcha this repo pins with
+    InMemoryTableScan tests), re-running the fact join ~9x;
+    ``bounded_persist`` caps both at one materialization each.
+    """.format(m=_TRI_MIN_SHARED)
+    from event_streamer_spark.caching import bounded_persist
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    ok = (
+        pairs.groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("cd"))
+        .filter(F.col("cd") <= _CN_MAX_DEGREE)
+        .select("ck")
+    )
+    e = pairs.join(ok, "ck")
+    a, b = e.alias("a"), e.alias("b")
+    shared = bounded_persist(
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck")) & (F.col("a.sk") < F.col("b.sk")),
+        )
+        .groupBy(F.col("a.sk").alias("s_lo"), F.col("b.sk").alias("s_hi"))
+        .agg(F.count(F.lit(1)).alias("shared_customers"))
+        .filter(F.col("shared_customers") >= _TRI_MIN_SHARED)
+        .select("s_lo", "s_hi"),
+        "graph.tri_shared",
+    )
+    deg = (
+        shared.select(F.col("s_lo").alias("node"))
+        .unionAll(shared.select(F.col("s_hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    rnk = deg.select("node", (F.col("deg") * 10000000 + F.col("node")).alias("r"))
+    lo = rnk.select(F.col("node").alias("s_lo"), F.col("r").alias("r_lo"))
+    hi = rnk.select(F.col("node").alias("s_hi"), F.col("r").alias("r_hi"))
+    fwd = F.col("r_lo") < F.col("r_hi")
+    oriented = bounded_persist(
+        shared.join(lo, "s_lo")
+        .join(hi, "s_hi")
+        .select(
+            F.when(fwd, F.col("s_lo")).otherwise(F.col("s_hi")).alias("src"),
+            F.when(fwd, F.col("s_hi")).otherwise(F.col("s_lo")).alias("dst"),
+            F.when(fwd, F.col("r_hi")).otherwise(F.col("r_lo")).alias("dst_r"),
+        ),
+        "graph.tri_oriented",
+    )
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.dst_r") < F.col("o2.dst_r")),
+    ).select(
+        F.col("o1.src").alias("a"),
+        F.col("o1.dst").alias("b"),
+        F.col("o2.dst").alias("c"),
+    )
+    tri = wedges.join(
+        o3,
+        (F.col("b") == F.col("o3.src")) & (F.col("c") == F.col("o3.dst")),
+    ).select("a", "b", "c")
+    # ONE reference to tri (explode, not a 3-way union) — a third
+    # triple-reference inline of the wedge join would cost more than
+    # the two persisted frames just saved
+    members = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("suppkey")
+    )
+    return members.groupBy("suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )

@@ -82,3 +82,43 @@ def test_pagerank_iterations_read_cached_graph(spark):
     assert plan.count("InMemoryTableScan") >= 6, plan
     clear_slot("graph.pr_edges")
     clear_slot("graph.pr_nodes")
+
+
+def test_triangles_match_naive_enumeration(spark):
+    """The degree-oriented forward algorithm must count EXACTLY the
+    triangles the naive a<b<c triple self-join finds — orientation is
+    a plan optimization, never a semantics change. Also pins that
+    every triangle contributes once to each of its three corners
+    (sum of per-node counts = 3 x triangle count)."""
+    from event_streamer_spark.tables import register_views
+
+    rows = REGISTRY["d17_triangles"].fn(spark, SF).collect()
+    per_node = {r["suppkey"]: r["n_triangles"] for r in rows}
+    register_views(spark, SF)
+    naive = spark.sql(
+        """
+        WITH pairs AS (
+          SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        cust_deg AS (
+          SELECT ck FROM pairs GROUP BY ck HAVING COUNT(*) <= 32),
+        e AS (SELECT p.ck, p.sk FROM pairs p JOIN cust_deg d ON p.ck = d.ck),
+        shared AS (
+          SELECT a.sk AS s_lo, b.sk AS s_hi
+          FROM e a JOIN e b ON a.ck = b.ck AND a.sk < b.sk
+          GROUP BY a.sk, b.sk HAVING COUNT(*) >= 2)
+        SELECT e1.s_lo AS a, e1.s_hi AS b, e2.s_hi AS c
+        FROM shared e1
+        JOIN shared e2 ON e2.s_lo = e1.s_hi
+        JOIN shared e3 ON e3.s_lo = e1.s_lo AND e3.s_hi = e2.s_hi
+        """
+    ).collect()
+    assert sum(per_node.values()) == 3 * len(naive)
+    from collections import Counter
+
+    naive_per_node = Counter()
+    for t in naive:
+        naive_per_node[t["a"]] += 1
+        naive_per_node[t["b"]] += 1
+        naive_per_node[t["c"]] += 1
+    assert per_node == dict(naive_per_node)
