@@ -43,9 +43,10 @@ training-data-pipeline mandate (dedup/linkage family).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from event_streamer_spark.operators.registry import query
-from event_streamer_spark.tables import register_views
+from event_streamer_spark.tables import load
 
 # Fellegi–Sunter-shaped additive agreement weights (integers: exact on
 # both engines). f1 exact > f1 fuzzy >> f2 exact > f3; threshold set so
@@ -128,21 +129,102 @@ _GOLDEN_SQL = f"""
 """
 
 
+def _records(spark: SparkSession, sf: str):
+    """(recs, keyed) DataFrames, both ``bounded_persist``-ed: ``keyed``
+    feeds BOTH sides of the candidate self-join and ``recs`` is read
+    again by survivorship — unpersisted, Catalyst would inline the
+    source scan at every reference (the plan-explosion gotcha; the SQL
+    spelling of this module re-ran the scoring pipeline twice and
+    scanned customer 12x, caught by plan audit)."""
+    from event_streamer_spark.caching import bounded_persist
+
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    a = c.selectExpr(
+        "c_custkey * 2 AS rec_id",
+        "'A' AS src",
+        "md5(CAST(c_custkey AS STRING)) AS f1",
+        "md5(CAST(c_custkey AS STRING) || 'x') AS f2",
+        "c_nationkey AS f3",
+    )
+    b = c.selectExpr(
+        "c_custkey * 2 + 1 AS rec_id",
+        "'B' AS src",
+        "substr(md5(CAST(c_custkey AS STRING)), 1,"
+        " CAST(c_custkey % 32 AS INTEGER))"
+        " || substr(md5(CAST(c_custkey AS STRING)),"
+        " CAST(c_custkey % 32 AS INTEGER) + 2) AS f1",
+        "CASE WHEN c_custkey % 5 = 0 THEN NULL"
+        " ELSE md5(CAST(c_custkey AS STRING) || 'x') END AS f2",
+        "c_nationkey AS f3",
+    )
+    recs = bounded_persist(a.unionByName(b), "er.recs")
+    keyed = bounded_persist(
+        recs.selectExpr(
+            "rec_id", "src", "f1", "f2", "f3",
+            "'p' AS pass", "substr(f1, 1, 8) AS bkey",
+        ).unionByName(
+            recs.selectExpr(
+                "rec_id", "src", "f1", "f2", "f3",
+                "'s' AS pass", "substr(f1, length(f1) - 7) AS bkey",
+            )
+        ),
+        "er.keyed",
+    )
+    return recs, keyed
+
+
+def _scored(keyed: DataFrame) -> DataFrame:
+    """Blocked candidates with per-field agreement scores (the shared
+    stage of both D18 queries), over the persisted keyed table."""
+    a = keyed.filter(F.col("src") == "A").alias("a")
+    b = keyed.filter(F.col("src") == "B").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.pass") == F.col("b.pass")),
+        )
+        .select(
+            F.col("a.rec_id").alias("rec_a"),
+            F.col("b.rec_id").alias("rec_b"),
+            F.col("a.f1").alias("f1_a"),
+            F.col("b.f1").alias("f1_b"),
+            F.col("a.f2").alias("f2_a"),
+            F.col("b.f2").alias("f2_b"),
+            F.col("a.f3").alias("f3_a"),
+            F.col("b.f3").alias("f3_b"),
+        )
+        .distinct()
+    )
+    return cand.selectExpr(
+        "rec_a",
+        "rec_b",
+        "CAST(levenshtein(f1_a, f1_b) AS BIGINT) AS f1_dist",
+        f"""CAST(CASE WHEN f1_a = f1_b THEN {_W_F1_EXACT}
+                 WHEN levenshtein(f1_a, f1_b) <= 1 THEN {_W_F1_FUZZY}
+                 ELSE 0 END
+           + CASE WHEN f2_a IS NOT NULL AND f2_a = f2_b
+                  THEN {_W_F2_EXACT} ELSE 0 END
+           + CASE WHEN f3_a = f3_b THEN {_W_F3_EXACT} ELSE 0 END
+          AS BIGINT) AS score""",
+    )
+
+
 @query("d18_er_blocked_match", oracle=_MATCH_SQL)
 def d18_er_blocked_match(spark: SparkSession, sf: str) -> DataFrame:
     """D18: record linkage — multi-pass blocked candidate generation
     (first-8/last-8 ``f1`` blocks, union, dedup) scored with additive
     per-field agreement weights; emit pairs at or above threshold.
 
-    Catalyst plan: two equi-joins on block keys (one per pass, unioned
-    by the ``pass`` column riding the same join), a distinct on the
-    pair, and a scoring projection — no cross join, no all-pairs
-    stage. Blocking recall is structural: a deletion at position p
-    survives the prefix pass iff p ≥ 8 and the suffix pass iff p ≤ 23,
-    so the union covers all 32 positions (module docstring).
+    Catalyst plan: one equi-join on (block key, pass) over the
+    persisted keyed table, a distinct on the pair, and a scoring
+    projection — no cross join, no all-pairs stage. Blocking recall
+    is structural: a deletion at position p survives the prefix pass
+    iff p ≥ 8 and the suffix pass iff p ≤ 23, so the union covers all
+    32 positions (module docstring).
     """
-    register_views(spark, sf)
-    return spark.sql(_MATCH_SQL)
+    _, keyed = _records(spark, sf)
+    return _scored(keyed).filter(F.col("score") >= _THRESHOLD)
 
 
 @query("d18_er_golden", oracle=_GOLDEN_SQL)
@@ -150,9 +232,29 @@ def d18_er_golden(spark: SparkSession, sf: str) -> DataFrame:
     """D18: survivorship — merge each matched pair's records into one
     golden record: ``f1`` from the untruncated source (length-32
     wins), ``f2`` from whichever record still has it (MAX over NULL),
-    ``f3`` by MIN (all agree; MIN makes the rule total). One shuffle
-    on the entity id; every aggregate is map-side combinable, so the
-    merge scales as a plain groupBy at any corpus size.
+    ``f3`` by MIN (all agree; MIN makes the rule total).
+
+    The match list is referenced ONCE (explode of the pair, not a
+    two-branch union — a second reference would re-run the whole
+    blocked-scoring pipeline, plan-audited), then one hash join back
+    to the persisted records table and one map-side-combinable
+    groupBy on the entity id.
     """
-    register_views(spark, sf)
-    return spark.sql(_GOLDEN_SQL)
+    recs, keyed = _records(spark, sf)
+    matches = _scored(keyed).filter(F.col("score") >= _THRESHOLD)
+    members = matches.select(
+        F.col("rec_a").alias("entity_id"),
+        F.explode(F.array("rec_a", "rec_b")).alias("rec_id"),
+    )
+    return (
+        members.join(recs, "rec_id")
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_records"),
+            F.max(F.when(F.length("f1") == 32, F.col("f1"))).alias(
+                "golden_f1"
+            ),
+            F.max("f2").alias("golden_f2"),
+            F.min("f3").alias("golden_f3"),
+        )
+    )

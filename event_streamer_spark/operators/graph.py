@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_streamer_spark.operators.registry import query
-from event_streamer_spark.tables import load, register_views
+from event_streamer_spark.tables import load
 
 # Fixed-point scale, damping = 85/100, and the unrolled iteration count.
 _PR_SCALE = 1_000_000_000_000
@@ -309,8 +309,8 @@ _TRIANGLES_SQL = f"""
 @query("d17_triangles", oracle=_TRIANGLES_SQL)
 def d17_triangles(spark: SparkSession, sf: str) -> DataFrame:
     """D17: per-node triangle counts on the supplier co-purchase graph
-    (suppliers joined by an edge when they share >= {m} customers,
-    after the same hub-customer cap as ``d17_common_neighbors``).
+    (suppliers joined by an edge when they share ``_TRI_MIN_SHARED``
+    customers, after the same hub cap as ``d17_common_neighbors``).
 
     Degree-oriented "forward" enumeration — the scale-correct triangle
     algorithm: every edge is oriented from its lower-(degree, key)
@@ -328,7 +328,7 @@ def d17_triangles(spark: SparkSession, sf: str) -> DataFrame:
     reference (the plan-explosion gotcha this repo pins with
     InMemoryTableScan tests), re-running the fact join ~9x;
     ``bounded_persist`` caps both at one materialization each.
-    """.format(m=_TRI_MIN_SHARED)
+    """
     from event_streamer_spark.caching import bounded_persist
 
     o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")

@@ -65,7 +65,7 @@ def b67_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     Spark's ``DataFrame.unpivot`` compiles to a single Expand node — a
     narrow map-side row multiplication (no shuffle until the final
     aggregate), so the reshape itself costs one pass at any scale; the
-    aggregate shuffles on (returnflag, measure), a 8-key space. NULL
+    aggregate shuffles on (returnflag, measure), a 12-key space. NULL
     measure values are filtered explicitly because DuckDB's UNPIVOT
     excludes them while Spark keeps them (module ledger).
     """

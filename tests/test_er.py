@@ -50,3 +50,22 @@ def test_er_golden_survivorship_rules(spark):
         assert len(r["golden_f1"]) == 32
         assert r["golden_f2"] is not None  # source A always has f2
         assert r["golden_f3"] is not None
+
+
+def test_er_golden_scores_once_and_reads_caches(spark):
+    """Plan pin for the review-found double execution: survivorship
+    must reference the match list ONCE (explode, not a two-branch
+    union) so the blocked-scoring pipeline appears a single time in
+    the optimized plan, reading the persisted records/keyed tables."""
+    from event_streamer_spark.caching import clear_slot
+
+    clear_slot("er.recs")
+    clear_slot("er.keyed")
+    df = REGISTRY["d18_er_golden"].fn(spark, SF)
+    op = df._jdf.queryExecution().optimizedPlan().toString()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    # one scoring projection (the SQL spelling had two), caches read
+    assert op.count("levenshtein") <= 2, op
+    assert ep.count("InMemoryTableScan") >= 2, ep
+    clear_slot("er.recs")
+    clear_slot("er.keyed")

@@ -166,6 +166,31 @@ def test_relational3_parity_on_dirty_fixture(spark, tmp_path):
     )
     pq.write_table(pa.concat_tables([ev, extra]), dirty / "events.parquet")
 
+    li = pq.read_table(dirty / "lineitem.parquet")
+    extra_li = pa.table(
+        {
+            # NULL measures: Spark's unpivot KEEPS null values while
+            # DuckDB's UNPIVOT excludes them — the explicit isNotNull
+            # filter in b67 is what reconciles the engines, and only a
+            # NULL-measure row exercises it (module ledger)
+            "l_orderkey": [10**9, 10**9],
+            "l_partkey": [1, 1],
+            "l_suppkey": [1, 1],
+            "l_linenumber": [1, 2],
+            "l_quantity": pa.array([None, 5.0], type=pa.float64()),
+            "l_extendedprice": pa.array([100.0, None], type=pa.float64()),
+            "l_discount": pa.array([None, None], type=pa.float64()),
+            "l_tax": pa.array([0.01, None], type=pa.float64()),
+            "l_returnflag": ["N", "A"],
+            "l_linestatus": ["O", "F"],
+            "l_shipdate": pa.array(
+                [None, None], type=li.schema.field("l_shipdate").type
+            ),
+        },
+        schema=li.schema,
+    )
+    pq.write_table(pa.concat_tables([li, extra_li]), dirty / "lineitem.parquet")
+
     orders = pq.read_table(dirty / "orders.parquet")
     extra_o = pa.table(
         {
