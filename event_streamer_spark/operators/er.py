@@ -129,15 +129,11 @@ _GOLDEN_SQL = f"""
 """
 
 
-def _records(spark: SparkSession, sf: str):
-    """(recs, keyed) DataFrames, both ``bounded_persist``-ed: ``keyed``
-    feeds BOTH sides of the candidate self-join and ``recs`` is read
-    again by survivorship — unpersisted, Catalyst would inline the
-    source scan at every reference (the plan-explosion gotcha; the SQL
-    spelling of this module re-ran the scoring pipeline twice and
-    scanned customer 12x, caught by plan audit)."""
-    from event_streamer_spark.caching import bounded_persist
-
+def synth_records(spark: SparkSession, sf: str) -> DataFrame:
+    """The deterministic two-source dirty-record table (module
+    docstring), UNPERSISTED — the raw input both the batch queries and
+    the streaming linkage leg consume (the streaming tests replay this
+    exact table through micro-batches)."""
     c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
     a = c.selectExpr(
         "c_custkey * 2 AS rec_id",
@@ -157,27 +153,46 @@ def _records(spark: SparkSession, sf: str):
         " ELSE md5(CAST(c_custkey AS STRING) || 'x') END AS f2",
         "c_nationkey AS f3",
     )
-    recs = bounded_persist(a.unionByName(b), "er.recs")
-    keyed = bounded_persist(
+    return a.unionByName(b)
+
+
+def blocking_keys(recs: DataFrame) -> DataFrame:
+    """Multi-pass block keys for a records frame (rec_id, src, f1, f2,
+    f3): each record enters the prefix-8 AND suffix-8 blocks — THE one
+    copy of the blocking rule, shared by the batch queries and the
+    streaming index so the two legs cannot drift."""
+    return recs.selectExpr(
+        "rec_id", "src", "f1", "f2", "f3",
+        "'p' AS pass", "substr(f1, 1, 8) AS bkey",
+    ).unionByName(
         recs.selectExpr(
             "rec_id", "src", "f1", "f2", "f3",
-            "'p' AS pass", "substr(f1, 1, 8) AS bkey",
-        ).unionByName(
-            recs.selectExpr(
-                "rec_id", "src", "f1", "f2", "f3",
-                "'s' AS pass", "substr(f1, length(f1) - 7) AS bkey",
-            )
-        ),
-        "er.keyed",
+            "'s' AS pass", "substr(f1, length(f1) - 7) AS bkey",
+        )
     )
+
+
+def _records(spark: SparkSession, sf: str):
+    """(recs, keyed) DataFrames, both ``bounded_persist``-ed: ``keyed``
+    feeds BOTH sides of the candidate self-join and ``recs`` is read
+    again by survivorship — unpersisted, Catalyst would inline the
+    source scan at every reference (the plan-explosion gotcha; the SQL
+    spelling of this module re-ran the scoring pipeline twice and
+    scanned customer 12x, caught by plan audit)."""
+    from event_streamer_spark.caching import bounded_persist
+
+    recs = bounded_persist(synth_records(spark, sf), "er.recs")
+    keyed = bounded_persist(blocking_keys(recs), "er.keyed")
     return recs, keyed
 
 
-def _scored(keyed: DataFrame) -> DataFrame:
-    """Blocked candidates with per-field agreement scores (the shared
-    stage of both D18 queries), over the persisted keyed table."""
-    a = keyed.filter(F.col("src") == "A").alias("a")
-    b = keyed.filter(F.col("src") == "B").alias("b")
+def score_pairs(a_keyed: DataFrame, b_keyed: DataFrame) -> DataFrame:
+    """Blocked candidates (source-A keyed rows x source-B keyed rows on
+    (block key, pass), deduplicated across passes) with per-field
+    agreement scores — THE one copy of the match rule, shared by the
+    batch queries and the streaming linkage (``streaming.er``)."""
+    a = a_keyed.filter(F.col("src") == "A").alias("a")
+    b = b_keyed.filter(F.col("src") == "B").alias("b")
     cand = (
         a.join(
             b,
@@ -224,7 +239,7 @@ def d18_er_blocked_match(spark: SparkSession, sf: str) -> DataFrame:
     32 positions (module docstring).
     """
     _, keyed = _records(spark, sf)
-    return _scored(keyed).filter(F.col("score") >= _THRESHOLD)
+    return score_pairs(keyed, keyed).filter(F.col("score") >= _THRESHOLD)
 
 
 @query("d18_er_golden", oracle=_GOLDEN_SQL)
@@ -241,7 +256,7 @@ def d18_er_golden(spark: SparkSession, sf: str) -> DataFrame:
     groupBy on the entity id.
     """
     recs, keyed = _records(spark, sf)
-    matches = _scored(keyed).filter(F.col("score") >= _THRESHOLD)
+    matches = score_pairs(keyed, keyed).filter(F.col("score") >= _THRESHOLD)
     members = matches.select(
         F.col("rec_a").alias("entity_id"),
         F.explode(F.array("rec_a", "rec_b")).alias("rec_id"),

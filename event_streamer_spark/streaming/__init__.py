@@ -38,6 +38,10 @@ from event_streamer_spark.streaming.integrity import (
     read_dup_key_audit,
     read_fk_orphans,
 )
+from event_streamer_spark.streaming.er import (
+    er_link_batch,
+    read_er_matches,
+)
 from event_streamer_spark.streaming.journey import (
     attribution_batch,
     read_attribution,
@@ -89,6 +93,8 @@ __all__ = [
     "read_dup_key_audit",
     "fk_monitor_batch",
     "read_fk_orphans",
+    "er_link_batch",
+    "read_er_matches",
     "prune_healed",
     "attribution_batch",
     "read_attribution",

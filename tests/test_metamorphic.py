@@ -81,6 +81,15 @@ SAMPLE = [
     "d4_bigram_logprob",
     "d7_systematic_sample",
     "b65_snapshot_diff",
+    # round-8 session 3: islands anchor arithmetic rides row_number
+    # partition boundaries; the gap-fill's IGNORE NULLS carries + DIV
+    # interpolation run interpreted under codegen_off; the ER pipeline
+    # and oriented triangle enumeration rebuild their cached frames
+    # per regime (AQE off replans the blocked/wedge joins)
+    "b69_gaps_islands",
+    "b70_gap_fill_interp",
+    "d18_er_golden",
+    "d17_triangles",
 ]
 
 REGIMES = {

@@ -2261,3 +2261,52 @@ def test_fk_monitor_healthy_and_child_first_states(spark, tmp_path):
     fresh = str(tmp_path / "fkfresh_state")
     r4 = read_fk_orphans(spark, fresh, "e").collect()[0]
     assert (r4["edge"], r4["n_orphans"], r4["n_null_fk"]) == ("e", 0, 0)
+
+
+@pytest.mark.parametrize("n_splits,bseed", BOUNDARY_SPLITS)
+def test_incremental_er_matches_batch(spark, tmp_path, n_splits, bseed):
+    """D18 streaming leg: replaying the record corpus in micro-batches
+    (any seeded boundary) through the durable blocked index yields
+    exactly the batch linkage's scored pairs — each pair emitted once,
+    in the batch where its LATER record arrives (new-A x all-B covers
+    new-A pairs, prior-A x new-B covers the rest; terms disjoint)."""
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.operators.er import synth_records
+    from event_streamer_spark.streaming import (
+        er_link_batch,
+        read_er_matches,
+    )
+
+    batch_pairs = {
+        (r["rec_a"], r["rec_b"]): (r["f1_dist"], r["score"])
+        for r in REGISTRY["d18_er_blocked_match"].fn(spark, SF).collect()
+    }
+    assert batch_pairs
+
+    src = str(tmp_path / "er_src")
+    write_split_files(synth_records(spark, SF), src, "rec_id", n_splits, bseed)
+
+    stream = (
+        spark.readStream.schema(
+            "rec_id bigint, src string, f1 string, f2 string, f3 int"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "er_state")
+    emit = str(tmp_path / "er_emit")
+    q = (
+        stream.writeStream.foreachBatch(er_link_batch(state, emit))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "er_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got_rows = read_er_matches(spark, emit).collect()
+    got = {
+        (r["rec_a"], r["rec_b"]): (r["f1_dist"], r["score"])
+        for r in got_rows
+    }
+    assert len(got_rows) == len(got), "a pair was emitted twice"
+    assert got == batch_pairs
