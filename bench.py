@@ -55,6 +55,13 @@ HEADLINE = [
     "d16_order_reconcile",
     "b62_session_paths",
     "d17_pagerank",
+    # round-8 session 3: blocked record linkage (equi-join + distinct +
+    # scoring over the persisted keyed table), the dense-grid linear
+    # interpolation resample (sequence explode + 4 running carries),
+    # and oriented triangle enumeration (wedge join over cached edges)
+    "d18_er_blocked_match",
+    "b70_gap_fill_interp",
+    "d17_triangles",
 ]
 
 

@@ -487,3 +487,59 @@ def d4_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "d4_readability",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS syllables,
+             CAST(len(regexp_extract_all(text, '[^ ]+'))
+               AS BIGINT) AS words,
+             CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS sents
+      FROM documents)
+    SELECT doc_id, words, sents, syllables,
+           CAST((39 * words) // sents + (1180 * syllables) // words - 1559
+             AS BIGINT) AS fk_grade_centi
+    FROM c
+    WHERE words > 0
+    """,
+)
+def d4_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: Flesch–Kincaid grade-level readability, exact fixed-point —
+    the quality-scoring sibling every training-data pipeline keeps
+    next to stopword/length heuristics. Syllables via the standard
+    vowel-GROUP heuristic (``[aeiouy]+`` runs never span whitespace,
+    so counting over the whole text equals the per-word sum without a
+    tokenize stage); sentences via terminal-punctuation runs with a
+    floor of 1. The grade formula ``0.39·W/S + 11.8·Y/W − 15.59`` is
+    computed ×100 in integer arithmetic — ``(39·W) DIV S +
+    (1180·Y) DIV W − 1559`` — with per-term truncation as the DEFINED
+    metric (DIV and ``//`` truncate identically, probed), so the
+    result hash-matches the oracle instead of chasing float rounding.
+
+    Scale: one narrow projection over the corpus — three regexp
+    counts and integer math per row, no shuffle at all (the one
+    operator class that is always embarrassingly parallel).
+    """
+    d = load(spark, sf, "documents")
+    c = d.selectExpr(
+        "doc_id",
+        "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+        " AS BIGINT) AS syllables",
+        "CAST(size(regexp_extract_all(text, '[^ ]+', 0))"
+        " AS BIGINT) AS words",
+        "CAST(GREATEST(size(regexp_extract_all(text, '[.!?]+', 0)), 1)"
+        " AS BIGINT) AS sents",
+    )
+    return c.filter(F.col("words") > 0).selectExpr(
+        "doc_id",
+        "words",
+        "sents",
+        "syllables",
+        "CAST((39 * words) DIV sents + (1180 * syllables) DIV words - 1559"
+        " AS BIGINT) AS fk_grade_centi",
+    )

@@ -106,6 +106,11 @@ pinned as a named registry query):
   → ``b24_array_distinct_order``.
 - ``SPLIT_PART(s, d, 0)``: Spark raises INVALID_INDEX_OF_ZERO under
   ANSI, DuckDB returns ''. The grammar emits part >= 1 only.
+- ``LATERAL``: Spark accepts bare ``JOIN LATERAL (subq)``; DuckDB
+  requires a join keyword with an ON or the CROSS form. Recipe: emit
+  ``JOIN LATERAL`` for Spark, ``CROSS JOIN LATERAL`` for DuckDB (same
+  inner-join null semantics: childless outer rows drop on both) →
+  ``b68_lateral_topn``.
 - ``a ^ b``: bitwise XOR on Spark, POWER on DuckDB — different value
   AND type with no error on either side (5 ^ 2 → 7 vs 25.0), the worst
   divergence class. Recipe: Spark ``^`` == DuckDB ``XOR(a, b)`` →
@@ -1072,6 +1077,38 @@ def q_exists(g: Gen) -> str:
     )
 
 
+def q_lateral(g: Gen) -> tuple[str, str]:
+    """Round-8 session-3 lateral joins: correlated top-k per outer row
+    along an FK edge — the construct Spark DECORRELATES (window
+    rank-filter rewrite) and DuckDB executes as a nested-loop lateral,
+    so any decorrelation bug (LIMIT handling, extra conjuncts, the k
+    cut's tie order) surfaces as a hash mismatch. Total ordering via
+    (chosen column, child primary key) so LIMIT k is deterministic.
+    Dialect split (module docstring): Spark accepts bare
+    ``JOIN LATERAL (...)``; DuckDB wants ``CROSS JOIN LATERAL``."""
+    rng = g.rng
+    child, ckey, parent, pkey = rng.choice(FKS)
+    oc = rng.choice(_cols_of(child, ("int",)))
+    pk_cols = TABLES[child]["pk"]
+    sel_cols = list(dict.fromkeys([oc] + pk_cols))
+    sel = ", ".join(f"s.{c} AS t_{c}" for c in sel_cols)
+    order = f"s.{oc} {rng.choice(['ASC', 'DESC'])}, " + ", ".join(
+        f"s.{c}" for c in pk_cols
+    )
+    extra = f" AND {g.pred(child, 's')}" if rng.random() < 0.5 else ""
+    k = rng.randint(1, 3)
+    inner = (
+        f"SELECT {sel} FROM {child} s"
+        f" WHERE s.{ckey} = p.{pkey}{extra}"
+        f" ORDER BY {order} LIMIT {k}"
+    )
+    outer = f"p.{pkey} AS pk, " + ", ".join(f"t.t_{c}" for c in sel_cols)
+    return (
+        f"SELECT {outer} FROM {parent} p JOIN LATERAL ({inner}) t",
+        f"SELECT {outer} FROM {parent} p CROSS JOIN LATERAL ({inner}) t",
+    )
+
+
 def q_cte(g: Gen) -> str:
     inner = q_agg(g)
     return (
@@ -1601,6 +1638,7 @@ SHAPES = [
     (q_exists, 2),
     (q_derived, 2),
     (q_intdiv, 2),
+    (q_lateral, 2),
 ]
 
 

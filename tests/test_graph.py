@@ -103,10 +103,23 @@ def test_triangles_match_naive_enumeration(spark):
         cust_deg AS (
           SELECT ck FROM pairs GROUP BY ck HAVING COUNT(*) <= 32),
         e AS (SELECT p.ck, p.sk FROM pairs p JOIN cust_deg d ON p.ck = d.ck),
-        shared AS (
-          SELECT a.sk AS s_lo, b.sk AS s_hi
+        weighted AS (
+          SELECT a.sk AS s_lo, b.sk AS s_hi, COUNT(*) AS c
           FROM e a JOIN e b ON a.ck = b.ck AND a.sk < b.sk
-          GROUP BY a.sk, b.sk HAVING COUNT(*) >= 2)
+          GROUP BY a.sk, b.sk HAVING COUNT(*) >= 2),
+        directed AS (
+          SELECT s_lo AS node, s_hi AS nbr, c FROM weighted
+          UNION ALL SELECT s_hi, s_lo, c FROM weighted),
+        ranked AS (
+          SELECT node, nbr, ROW_NUMBER() OVER (PARTITION BY node
+                 ORDER BY c DESC, nbr) AS rk
+          FROM directed),
+        kept AS (SELECT node, nbr FROM ranked WHERE rk <= 8),
+        shared AS (
+          SELECT k1.node AS s_lo, k1.nbr AS s_hi
+          FROM kept k1 JOIN kept k2
+            ON k2.node = k1.nbr AND k2.nbr = k1.node
+          WHERE k1.node < k1.nbr)
         SELECT e1.s_lo AS a, e1.s_hi AS b, e2.s_hi AS c
         FROM shared e1
         JOIN shared e2 ON e2.s_lo = e1.s_hi
