@@ -21,7 +21,8 @@ blocked index grows as arrivals fold in. Same durable-index shape as
   is new, (prior-A x arriving-B) covers pairs whose A side is old —
   so no pair can be emitted twice across batches; replaying the corpus
   through ANY batch split yields exactly the batch operator's pairs
-  (asserted under the boundary grid in ``tests/test_er.py``).
+  (asserted under the boundary grid by
+  ``tests/test_streaming.py::test_incremental_er_matches_batch``).
 * **retry-idempotent**: writes partition by ``batch_id`` with dynamic
   partition overwrite and reads exclude the current batch's partition
   (redelivered micro-batches replace their own prior output), same as
@@ -65,15 +66,19 @@ def er_link_batch(
         spark = batch_df.sparkSession
         for sub in (state_dir, emit_dir):
             _migrate_legacy_state(spark, sub)
-        # both join terms and the fold read the arrivals' keyed rows —
-        # persist once (same pattern as exact_dedup_batch's survivors)
+        # both join terms and the fold read the arrivals' keyed rows,
+        # and both terms read the GROWING index — persist each once
+        # (the multiply-referenced-frame rule; unpersisted, the write
+        # job scans the whole state parquet twice per micro-batch)
         keyed_new = blocking_keys(batch_df).persist()
+        prior = None
         try:
             if hadoop_path_exists(spark, state_dir):
                 prior = (
                     spark.read.parquet(state_dir)
                     .filter(F.col("batch_id") != int(batch_id))
                     .select(*_KEY_COLS)
+                    .persist()
                 )
                 b_all = prior.unionByName(keyed_new)
                 matches = score_pairs(keyed_new, b_all).unionByName(
@@ -86,13 +91,29 @@ def er_link_batch(
             _write_batch_partition(keyed_new, batch_id, state_dir)
         finally:
             keyed_new.unpersist()
+            if prior is not None:
+                prior.unpersist()
 
     return process
 
 
+_MATCH_SCHEMA = (
+    "rec_a bigint, rec_b bigint, f1_dist bigint, score bigint,"
+    " batch_id int"
+)
+
+
 def read_er_matches(spark, emit_dir: str) -> DataFrame:
     """The accumulated match table (rec_a, rec_b, f1_dist, score) —
-    the streaming counterpart of ``d18_er_blocked_match``'s output."""
-    return spark.read.parquet(emit_dir).select(
-        "rec_a", "rec_b", "f1_dist", "score"
+    the streaming counterpart of ``d18_er_blocked_match``'s output.
+    Explicit schema + existence guard (the ``read_fk_orphans``
+    convention): a not-yet-started monitor, or a stream whose batches
+    have emitted no matches yet (e.g. only source-A records so far —
+    footerless empty partitions), reads as ZERO rows, not an
+    UNABLE_TO_INFER_SCHEMA crash."""
+    cols = ["rec_a", "rec_b", "f1_dist", "score"]
+    if not hadoop_path_exists(spark, emit_dir):
+        return spark.createDataFrame([], _MATCH_SCHEMA).select(*cols)
+    return (
+        spark.read.schema(_MATCH_SCHEMA).parquet(emit_dir).select(*cols)
     )

@@ -2310,3 +2310,25 @@ def test_incremental_er_matches_batch(spark, tmp_path, n_splits, bseed):
     }
     assert len(got_rows) == len(got), "a pair was emitted twice"
     assert got == batch_pairs
+
+
+def test_er_matches_readable_before_first_match(spark, tmp_path):
+    """Review pin: a dashboard polling the linkage monitor before any
+    match exists must see zero rows, not UNABLE_TO_INFER_SCHEMA — both
+    for an absent emit dir and for one holding only a footerless empty
+    batch partition (an all-source-A micro-batch emits no pairs)."""
+    from event_streamer_spark.operators.er import synth_records
+    from event_streamer_spark.streaming import (
+        er_link_batch,
+        read_er_matches,
+    )
+
+    absent = str(tmp_path / "never_started")
+    assert read_er_matches(spark, absent).count() == 0
+
+    recs = synth_records(spark, SF).filter(F.col("src") == "A")
+    state, emit = str(tmp_path / "state"), str(tmp_path / "emit")
+    er_link_batch(state, emit)(recs, 0)
+    df = read_er_matches(spark, emit)
+    assert df.columns == ["rec_a", "rec_b", "f1_dist", "score"]
+    assert df.count() == 0
