@@ -414,3 +414,157 @@ def d11_dd_quantiles_by_group(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "q")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct/overlap sketches — D11 set operations
+# ---------------------------------------------------------------------------
+
+# Sketch size. Estimates are (K-1)/kth-normalized-min with ~1/sqrt(K-2)
+# relative error (Beyer et al., "On synopses for distinct-value
+# estimation under multiset operations", SIGMOD'07 — public literature).
+_KMV_K = 64
+# Hash domain: first 13 hex chars of md5 = 52 bits, exact in BIGINT on
+# both engines (Spark CONV <-> DuckDB char-fold, probed identical).
+_KMV_SCALE = 16**13
+
+# hex13(md5(user_id)) -> BIGINT, per dialect (same value, probed)
+_H13_SPARK = (
+    "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 13), 16, 10)"
+    " AS BIGINT)"
+)
+_H13_DUCK = (
+    "list_reduce(list_transform("
+    "string_split(substr(md5(CAST(user_id AS STRING)), 1, 13), ''),"
+    " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
+    " (a, b) -> a * 16 + b)"
+)
+
+
+def _kmv_distinct_sql(h13: str) -> str:
+    return f"""
+    WITH hv AS (
+      SELECT DISTINCT event_type, {h13} AS h
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    rk AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hv),
+    sk AS (SELECT event_type, h, rn FROM rk WHERE rn <= {_KMV_K})
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS sketch_size,
+           CAST(MAX(h) AS BIGINT) AS kth_min,
+           CAST(CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
+                ELSE (({_KMV_K} - 1) * {_KMV_SCALE}) // MAX(h) END
+             AS BIGINT) AS est_distinct
+    FROM sk GROUP BY event_type
+    """
+
+
+def _kmv_overlap_sql(h13: str) -> str:
+    return f"""
+    WITH hv AS (
+      SELECT DISTINCT event_type, {h13} AS h
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    rk AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hv),
+    sk AS (SELECT event_type, h FROM rk WHERE rn <= {_KMV_K}),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM sk) a
+      JOIN (SELECT DISTINCT event_type FROM sk) b
+        ON a.event_type < b.event_type),
+    uni AS (
+      SELECT p.type_a, p.type_b, s.h,
+             MAX(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END)
+               AS in_a,
+             MAX(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END)
+               AS in_b
+      FROM pairs p
+      JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+      GROUP BY p.type_a, p.type_b, s.h),
+    mrk AS (
+      SELECT type_a, type_b, h, in_a, in_b,
+             ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                                ORDER BY h) AS rn
+      FROM uni),
+    msk AS (SELECT * FROM mrk WHERE rn <= {_KMV_K}),
+    agg AS (
+      SELECT type_a, type_b,
+             COUNT(*) AS n_u,
+             MAX(h) AS kth_u,
+             SUM(in_a * in_b) AS k_inter
+      FROM msk GROUP BY type_a, type_b),
+    est AS (
+      SELECT type_a, type_b, k_inter, n_u,
+             CASE WHEN n_u < {_KMV_K} THEN n_u
+                  ELSE (({_KMV_K} - 1) * {_KMV_SCALE}) // kth_u END
+               AS est_union
+      FROM agg)
+    SELECT type_a, type_b,
+           CAST(est_union AS BIGINT) AS est_union,
+           CAST(k_inter AS BIGINT) AS k_inter,
+           CAST(CASE WHEN n_u < {_KMV_K} THEN k_inter
+                ELSE (k_inter * est_union) // {_KMV_K} END AS BIGINT)
+             AS est_intersection
+    FROM est
+    """
+
+
+@query(
+    "d11_kmv_distinct",
+    oracle=_kmv_distinct_sql(_H13_DUCK).replace(" // ", " // "),
+)
+def d11_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """D11: KMV (k-minimum-values) distinct-count sketch per event
+    type — the THIRD cardinality sketch next to HLL (d11_hll_*) and
+    exact COUNT(DISTINCT) (b12), kept because KMV is the one that
+    supports SET OPERATIONS (d11_kmv_overlap) and is bit-reproducible:
+    given the fixed md5-derived 52-bit hash, the k smallest values and
+    the (K-1)*2^52 DIV kth estimator are pure integer arithmetic, so
+    the DuckDB oracle hash-matches EXACTLY — no rows-only exemption
+    needed, unlike typical randomized sketches. Accuracy (~1/sqrt(K-2)
+    relative error) is pinned separately by a test against the exact
+    counts.
+
+    Scale: the sketch build is one window rank per group over the
+    deduped (group, hash) projection — the same distrank-able shape as
+    every top-k in this repo — and everything after operates on K-row
+    summaries, never the corpus. Spark leg spells hex13->BIGINT as
+    ``CONV(...,16,10)``; the oracle folds chars (DuckDB has no CONV) —
+    probed identical.
+    """
+    from event_streamer_spark.tables import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        _kmv_distinct_sql(_H13_SPARK).replace(" // ", " DIV ")
+    )
+
+
+@query("d11_kmv_overlap", oracle=_kmv_overlap_sql(_H13_DUCK))
+def d11_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """D11: audience-overlap estimation from KMV sketches — for every
+    event-type pair, estimate |A∪B| from the MERGED k-sketch (k
+    smallest of the union of the two k-sketches) and |A∩B| by the
+    Beyer et al. ratio estimator ``K∩ · est_union / K`` where ``K∩``
+    counts merged-sketch members present in BOTH input sketches (when
+    the union FITS inside the sketch, the sketch is the union itself
+    and ``k_inter`` is returned exactly — the ratio would wrongly
+    divide by the unfilled capacity K). This
+    is the query family exact COUNT(DISTINCT) cannot serve at scale:
+    pairwise overlap over N groups needs only the N k-sized sketches
+    (built once, one corpus pass), not N² corpus joins — the
+    theta-sketch workflow, in deterministic integer arithmetic the
+    oracle reproduces bit-for-bit.
+    """
+    from event_streamer_spark.tables import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        _kmv_overlap_sql(_H13_SPARK).replace(" // ", " DIV ")
+    )

@@ -743,3 +743,79 @@ def test_systematic_sample_exact_properties(spark):
         share = _SYSTEMATIC_N * w / W
         m = out.get(d, 0)
         assert math.floor(share) <= m <= math.ceil(share), (d, share, m)
+
+
+def test_kmv_exact_when_under_capacity(spark):
+    """At sf0.001 every audience (15 users) fits inside the K=64
+    sketch, so BOTH estimators must be exact — distinct counts equal
+    COUNT(DISTINCT), pairwise intersection estimates equal the true
+    overlaps (the small-union arm, review pin: the ratio estimator
+    must not divide an unfilled sketch by K)."""
+    from event_streamer_spark.tables import load
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF, "events")
+        .filter("user_id IS NOT NULL AND event_type IS NOT NULL")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in REGISTRY["d11_kmv_distinct"].fn(spark, SF).collect():
+        assert r["est_distinct"] == exact[r["event_type"]], r
+
+    ev = (
+        load(spark, SF, "events")
+        .filter("user_id IS NOT NULL AND event_type IS NOT NULL")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    true_inter = {
+        (r["ta"], r["tb"]): r["n"]
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in REGISTRY["d11_kmv_overlap"].fn(spark, SF).collect():
+        want = true_inter.get((r["type_a"], r["type_b"]), 0)
+        assert r["est_intersection"] == want, r
+
+
+def test_kmv_accuracy_when_saturated(spark):
+    """At sf0.01 (150 users per audience > K=64) the sketches saturate
+    and the (K-1)/kth estimator engages: estimates must land within
+    the ~4/sqrt(K-2) band of truth (4 sigma ~ 0.51 for K=64 — loose
+    enough to be flake-free, tight enough that a broken estimator,
+    e.g. an off-by-16x scale or a dropped DISTINCT, cannot pass)."""
+    sf01 = "/root/testdata/sf0.01"
+    from event_streamer_spark.tables import load
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf01, "events")
+        .filter("user_id IS NOT NULL AND event_type IS NOT NULL")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    tol = 4.0 / (64 - 2) ** 0.5
+    for r in REGISTRY["d11_kmv_distinct"].fn(spark, sf01).collect():
+        assert r["sketch_size"] == 64, r
+        want = exact[r["event_type"]]
+        assert abs(r["est_distinct"] - want) <= tol * want, (r, want)
+    # every audience is the same 150 users at this sf: the merged
+    # sketch equals both input sketches, so k_inter == K and the
+    # intersection estimate equals the union estimate
+    for r in REGISTRY["d11_kmv_overlap"].fn(spark, sf01).collect():
+        assert r["k_inter"] == 64, r
+        assert r["est_intersection"] == r["est_union"], r
+        assert abs(r["est_union"] - 150) <= tol * 150, r
