@@ -568,3 +568,57 @@ def d11_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(
         _kmv_overlap_sql(_H13_SPARK).replace(" // ", " DIV ")
     )
+
+
+def kmv_shard(events_df: DataFrame) -> DataFrame:
+    """Per-type K-minimum-values sketch SHARD of an events frame
+    (event_type, h BIGINT) — the mergeable unit: k-min sketches merge
+    as k-min of the deduped union (associative, commutative,
+    idempotent), which is what makes the incremental leg
+    (``streaming.dedup.kmv_batch``) replay-equal to batch under ANY
+    micro-batch boundary. Spark-leg hash spelling (CONV), identical to
+    the oracle's char-fold by probe."""
+    from pyspark.sql import Window as W
+
+    hv = (
+        events_df.filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .selectExpr("event_type", f"{_H13_SPARK} AS h")
+        .distinct()
+    )
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy("h")
+    )
+    return (
+        hv.withColumn("rn", rk)
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+
+
+def kmv_estimate(shards: DataFrame) -> DataFrame:
+    """(event_type, sketch_size, kth_min, est_distinct) from any union
+    of sketch shards — THE one copy of the estimator, shared by the
+    streaming read path; the batch query's SQL text computes the same
+    arithmetic (pinned by the replay-equality test)."""
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+    sk = (
+        shards.select("event_type", "h")
+        .distinct()
+        .withColumn("rn", rk)
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    n = F.count(F.lit(1))
+    return sk.groupBy("event_type").agg(
+        n.cast("bigint").alias("sketch_size"),
+        F.max("h").cast("bigint").alias("kth_min"),
+        F.when(n < _KMV_K, n)
+        .otherwise(
+            F.expr(f"(({_KMV_K} - 1) * {_KMV_SCALE}) DIV MAX(h)")
+        )
+        .cast("bigint")
+        .alias("est_distinct"),
+    )

@@ -26,6 +26,8 @@ from event_streamer_spark.streaming.dedup import (
     read_heavy_hitters,
     read_windowed_heavy_hitters,
     read_hll,
+    kmv_batch,
+    read_kmv_distinct,
 )
 from event_streamer_spark.streaming.drift import (
     drift_bins_batch,
@@ -95,6 +97,8 @@ __all__ = [
     "read_fk_orphans",
     "er_link_batch",
     "read_er_matches",
+    "kmv_batch",
+    "read_kmv_distinct",
     "prune_healed",
     "attribution_batch",
     "read_attribution",

@@ -565,3 +565,38 @@ def minhash_neardup_batch(
         sigs.unpersist()
 
     return process
+
+
+def kmv_batch(state_dir: str) -> Callable[[DataFrame, int], None]:
+    """Incremental KMV distinct sketch over an event stream (the D11
+    set-operation sketch's streaming leg, same idiom as ``hll_batch``):
+    append each micro-batch's per-type k-min shard; the live sketch is
+    the k-min of the deduped shard union at read. K-min merge is
+    associative/commutative/idempotent, so any batch split — and any
+    redelivery, thanks to the batch_id partition overwrite — reproduces
+    the batch sketch exactly. State grows <= K rows per (type, batch);
+    ``compact_state`` folds history when it matters."""
+    from event_streamer_spark.operators.sketches import kmv_shard
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _migrate_legacy_state(batch_df.sparkSession, state_dir)
+        _write_batch_partition(kmv_shard(batch_df), batch_id, state_dir)
+
+    return process
+
+
+def read_kmv_distinct(spark, state_dir: str) -> DataFrame:
+    """The live per-type distinct estimate from the shard union —
+    row-identical to the batch ``d11_kmv_distinct`` after a full
+    replay. Empty/absent state reads as zero rows (explicit schema,
+    the read_fk_orphans convention)."""
+    from event_streamer_spark.operators.sketches import kmv_estimate
+
+    if not hadoop_path_exists(spark, state_dir):
+        return kmv_estimate(
+            spark.createDataFrame([], "event_type string, h bigint")
+        )
+    return kmv_estimate(
+        spark.read.schema("event_type string, h bigint, batch_id int")
+        .parquet(state_dir)
+    )

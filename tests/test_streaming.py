@@ -2332,3 +2332,47 @@ def test_er_matches_readable_before_first_match(spark, tmp_path):
     df = read_er_matches(spark, emit)
     assert df.columns == ["rec_a", "rec_b", "f1_dist", "score"]
     assert df.count() == 0
+
+
+@pytest.mark.parametrize("n_splits,bseed", BOUNDARY_SPLITS)
+def test_incremental_kmv_equals_batch(spark, tmp_path, n_splits, bseed):
+    """D11 streaming leg: k-min merge is the k smallest of the deduped
+    shard union (associative/commutative/idempotent), so replaying the
+    event stream through ANY micro-batch boundary reproduces the batch
+    KMV sketch — row-identical estimates, not just close ones."""
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.streaming import kmv_batch, read_kmv_distinct
+
+    batch_rows = {
+        r["event_type"]: (r["sketch_size"], r["kth_min"], r["est_distinct"])
+        for r in REGISTRY["d11_kmv_distinct"].fn(spark, SF).collect()
+    }
+    assert batch_rows
+
+    ev = load(spark, SF, "events").select("event_id", "event_type", "user_id")
+    src = str(tmp_path / "kmv_src")
+    write_split_files(ev, src, "event_id", n_splits, bseed)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, event_type string, user_id bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "kmv_state")
+    q = (
+        stream.writeStream.foreachBatch(kmv_batch(state))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["event_type"]: (r["sketch_size"], r["kth_min"], r["est_distinct"])
+        for r in read_kmv_distinct(spark, state).collect()
+    }
+    assert got == batch_rows
+    # empty-state read guard (same convention as the other monitors)
+    assert read_kmv_distinct(spark, str(tmp_path / "none")).count() == 0
