@@ -766,3 +766,128 @@ def d1_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         )
     )
+
+
+# -- Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# fingerprinting scheme) ------------------------------------------------
+
+_WIN_K = 4   # word k-gram size
+_WIN_W = 8   # winnowing window (positions); density ~= 2/(w+1)
+# fingerprints seen in more than this many docs are stop-gram noise:
+# excluded BEFORE the pair self-join (the shingle-DF-cap treatment)
+_WIN_MAX_DF = 32
+
+# hex13(md5(gram)) -> BIGINT, per engine (probed identical; same recipe
+# as the KMV sketch hash)
+_WIN_H_SPARK = (
+    "CAST(conv(substr(md5(concat_ws(' ', slice(toks, j, {k}))), 1, 13),"
+    " 16, 10) AS BIGINT)"
+).format(k=_WIN_K)
+_WIN_H_DUCK = (
+    "list_reduce(list_transform(string_split(substr("
+    "md5(array_to_string(list_slice(toks, j, j + {k} - 1), ' ')),"
+    " 1, 13), ''),"
+    " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
+    " (a, b) -> a * 16 + b)"
+).format(k=_WIN_K)
+
+_WINNOW_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, CAST(j AS BIGINT) AS pos, {_WIN_H_DUCK} AS h
+      FROM t, UNNEST(range(1, len(toks) - {_WIN_K} + 2)) u(j)
+      WHERE len(toks) >= {_WIN_K}),
+    w AS (
+      SELECT doc_id, pos,
+             MIN({{'h': h, 'p': -pos}}) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN {_WIN_W - 1} PRECEDING
+               AND CURRENT ROW) AS sel
+      FROM g),
+    fp AS (
+      SELECT DISTINCT doc_id, sel.h AS h
+      FROM w WHERE pos >= {_WIN_W}),
+    ok AS (
+      SELECT h FROM fp GROUP BY h
+      HAVING COUNT(*) <= {_WIN_MAX_DF}),
+    fpc AS (SELECT fp.doc_id, fp.h FROM fp JOIN ok ON fp.h = ok.h)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+    FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@query("d2_winnowing", oracle=_WINNOW_ORACLE)
+def d2_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """D2: winnowing fingerprints (the MOSS scheme, Schleimer et al.
+    SIGMOD'03) — doc pairs ranked by shared SELECTED k-gram hashes.
+    Each document keeps only its windows' minimum hashes (rightmost on
+    ties, the ``MIN(struct(h, -pos))`` spelling — probed identical on
+    both engines), guaranteeing ~2/(w+1) density AND that any shared
+    run of >= w+k-1 tokens shares a fingerprint — local fingerprinting
+    with a detection guarantee, unlike fixed-stride span sampling
+    (``d1_span_dedup``) which can stride past a match.
+
+    Scale: grams explode per position but winnowing SHRINKS the stream
+    ~4.5x before anything shuffles (the window min is computed within
+    the per-doc sort, one shuffle on doc_id); the pair join runs on
+    selected fingerprints only, with stop-gram fingerprints (doc
+    frequency > {_WIN_MAX_DF}) excluded before the self-join — the
+    same hot-key cap as the MinHash shingle join. The fingerprint set
+    feeds the cap count and both join sides: persisted once.
+    """
+    from event_streamer_spark.caching import bounded_persist
+
+    t = (
+        load(spark, sf, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= _WIN_K)
+    )
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_WIN_K} + 1),"
+                f" j -> named_struct('pos', CAST(j AS BIGINT),"
+                f" 'h', {_WIN_H_SPARK}))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    from pyspark.sql import Window as W
+
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), 0)
+    )
+    sel = F.min(
+        F.struct(F.col("h").alias("h"), (-F.col("pos")).alias("p"))
+    ).over(win)
+    fp = bounded_persist(
+        g.withColumn("sel", sel)
+        .filter(F.col("pos") >= _WIN_W)
+        .select("doc_id", F.col("sel.h").alias("h"))
+        .distinct(),
+        "dedup.winnow_fp",
+    )
+    ok = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _WIN_MAX_DF)
+        .select("h")
+    )
+    fpc = fp.join(ok, "h")
+    a, b = fpc.alias("a"), fpc.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fingerprints"))
+    )

@@ -819,3 +819,56 @@ def test_kmv_accuracy_when_saturated(spark):
         assert r["k_inter"] == 64, r
         assert r["est_intersection"] == r["est_union"], r
         assert abs(r["est_union"] - 150) <= tol * 150, r
+
+
+def test_winnowing_density_and_soundness(spark):
+    """Winnowing's published guarantees on the real corpus: selected
+    density ~ 2/(w+1) of gram positions (w=8 -> ~22%; assert a loose
+    band), and SOUNDNESS — every reported pair shares at least one
+    true word 4-gram (a fingerprint is an md5 of the gram text, so a
+    match that isn't backed by a shared gram would mean a 52-bit
+    collision inside a 26k-gram corpus)."""
+    from event_streamer_spark.caching import clear_slot
+    from event_streamer_spark.tables import load
+
+    clear_slot("dedup.winnow_fp")
+    pairs = REGISTRY["d2_winnowing"].fn(spark, SF).collect()
+    assert pairs
+    t = (
+        load(spark, SF, "documents")
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .filter(F.size("toks") >= 4)
+    )
+    grams = t.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, size(toks) - 3),"
+        " j -> concat_ws(' ', slice(toks, j, 4)))) AS gram",
+    ).distinct()
+    n_positions = t.selectExpr(
+        "size(toks) - 3 AS n"
+    ).agg(F.sum("n")).collect()[0][0]
+    # density: selected fingerprints / gram positions within the band,
+    # counted off the operator's own persisted fingerprint slot
+    from event_streamer_spark.caching import _SLOTS
+
+    fp_df = _SLOTS.get("dedup.winnow_fp")
+    assert fp_df is not None
+    density = fp_df.count() / n_positions
+    assert 0.12 <= density <= 0.32, density
+
+    shared_grams = {
+        (r["a"], r["b"])
+        for r in grams.alias("x")
+        .join(
+            grams.alias("y"),
+            (F.col("x.gram") == F.col("y.gram"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    for r in pairs:
+        assert (r["doc_a"], r["doc_b"]) in shared_grams, r
