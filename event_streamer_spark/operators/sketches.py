@@ -622,3 +622,68 @@ def kmv_estimate(shards: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("est_distinct"),
     )
+
+
+def kmv_overlap_from(sk: DataFrame) -> DataFrame:
+    """Pairwise audience-overlap estimates from a per-type k-sketch
+    frame (event_type, h) — the DataFrame twin of the
+    ``d11_kmv_overlap`` SQL, shared with the streaming read path
+    (``streaming.dedup.read_kmv_overlap``); the replay-equality test
+    pins the two spellings together. ``sk`` is referenced three times
+    (type list + the pair-member join): persist before calling."""
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    members = pairs.select(
+        "type_a",
+        "type_b",
+        F.explode(F.array("type_a", "type_b")).alias("event_type"),
+    )
+    uni = (
+        members.join(sk, "event_type")
+        .groupBy("type_a", "type_b", "h")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("type_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == F.col("type_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("type_a", "type_b").orderBy("h")
+    )
+    msk = uni.withColumn("rn", rk).filter(F.col("rn") <= _KMV_K)
+    agg = msk.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_u"),
+        F.max("h").alias("kth_u"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("k_inter"),
+    )
+    est_union = F.when(F.col("n_u") < _KMV_K, F.col("n_u")).otherwise(
+        F.expr(f"(({_KMV_K} - 1) * {_KMV_SCALE}) DIV kth_u")
+    )
+    out = agg.withColumn("est_union", est_union)
+    return out.select(
+        "type_a",
+        "type_b",
+        F.col("est_union").cast("bigint").alias("est_union"),
+        F.col("k_inter").cast("bigint").alias("k_inter"),
+        F.when(F.col("n_u") < _KMV_K, F.col("k_inter"))
+        .otherwise(
+            F.expr(f"(k_inter * est_union) DIV {_KMV_K}")
+        )
+        .cast("bigint")
+        .alias("est_intersection"),
+    )

@@ -28,6 +28,7 @@ from event_streamer_spark.streaming.dedup import (
     read_hll,
     kmv_batch,
     read_kmv_distinct,
+    read_kmv_overlap,
 )
 from event_streamer_spark.streaming.drift import (
     drift_bins_batch,
@@ -99,6 +100,7 @@ __all__ = [
     "read_er_matches",
     "kmv_batch",
     "read_kmv_distinct",
+    "read_kmv_overlap",
     "prune_healed",
     "attribution_batch",
     "read_attribution",

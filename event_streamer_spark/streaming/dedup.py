@@ -600,3 +600,41 @@ def read_kmv_distinct(spark, state_dir: str) -> DataFrame:
         spark.read.schema("event_type string, h bigint, batch_id int")
         .parquet(state_dir)
     )
+
+
+def read_kmv_overlap(spark, state_dir: str) -> DataFrame:
+    """Pairwise audience-overlap estimates from the live KMV shard
+    state — row-identical to the batch ``d11_kmv_overlap`` after a
+    full replay (same shared estimator, ``kmv_overlap_from``). The
+    re-ranked sketch union feeds three plan references: persisted for
+    the read."""
+    from event_streamer_spark.operators.sketches import (
+        _KMV_K,
+        kmv_overlap_from,
+    )
+
+    if not hadoop_path_exists(spark, state_dir):
+        empty = spark.createDataFrame([], "event_type string, h bigint")
+        return kmv_overlap_from(empty)
+    from pyspark.sql import Window as W
+
+    shards = (
+        spark.read.schema("event_type string, h bigint, batch_id int")
+        .parquet(state_dir)
+        .select("event_type", "h")
+        .distinct()
+    )
+    rk = F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+    sk = (
+        shards.withColumn("rn", rk)
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+        .persist()
+    )
+    try:
+        out = kmv_overlap_from(sk)
+        # materialize before unpersisting so callers get cached reads
+        out = out.localCheckpoint(eager=True)
+    finally:
+        sk.unpersist()
+    return out

@@ -90,6 +90,11 @@ SAMPLE = [
     "b70_gap_fill_interp",
     "d18_er_golden",
     "d17_triangles",
+    # the KMV merged-sketch ratio estimator (window rank + DIV chains)
+    # and the winnowing struct-min window both run through genuinely
+    # different code paths per regime
+    "d11_kmv_overlap",
+    "d2_winnowing",
 ]
 
 REGIMES = {

@@ -2374,5 +2374,23 @@ def test_incremental_kmv_equals_batch(spark, tmp_path, n_splits, bseed):
         for r in read_kmv_distinct(spark, state).collect()
     }
     assert got == batch_rows
-    # empty-state read guard (same convention as the other monitors)
+    # the overlap read off the SAME shard state replays the batch
+    # pairwise estimates row-identically too
+    from event_streamer_spark.streaming import read_kmv_overlap
+
+    batch_ov = {
+        (r["type_a"], r["type_b"]): (
+            r["est_union"], r["k_inter"], r["est_intersection"]
+        )
+        for r in REGISTRY["d11_kmv_overlap"].fn(spark, SF).collect()
+    }
+    got_ov = {
+        (r["type_a"], r["type_b"]): (
+            r["est_union"], r["k_inter"], r["est_intersection"]
+        )
+        for r in read_kmv_overlap(spark, state).collect()
+    }
+    assert got_ov == batch_ov
+    # empty-state read guards (same convention as the other monitors)
     assert read_kmv_distinct(spark, str(tmp_path / "none")).count() == 0
+    assert read_kmv_overlap(spark, str(tmp_path / "none")).count() == 0
