@@ -1,0 +1,162 @@
+"""D19 market-basket: first-principles soundness + rule invariants."""
+
+import os
+import shutil
+import sys
+from itertools import combinations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from event_streamer_spark.operators import REGISTRY
+from event_streamer_spark.operators.basket import (
+    _MAX_BASKET,
+    _MIN_SUPPORT,
+    frequent_pairs,
+)
+from event_streamer_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_frequent_pairs_first_principles(spark):
+    """Every (pair, support) row must equal a naive per-basket
+    recount of distinct co-occurrences — computed driver-side from the
+    raw table, independent of the join/aggregate pipeline."""
+    rows = REGISTRY["d19_frequent_pairs"].fn(spark, SF).collect()
+    raw = (
+        load(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets: dict[int, set[int]] = {}
+    for r in raw:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    expected: dict[tuple[int, int], int] = {}
+    for items in baskets.values():
+        assert len(items) <= _MAX_BASKET  # TPC-H baskets never hit the cap
+        for x, y in combinations(sorted(items), 2):
+            expected[(x, y)] = expected.get((x, y), 0) + 1
+    expected = {k: v for k, v in expected.items() if v >= _MIN_SUPPORT}
+    got = {(r["part_x"], r["part_y"]): r["support"] for r in rows}
+    assert got == expected
+    assert all(x < y for x, y in got)  # canonical orientation
+
+
+def test_assoc_rules_invariants(spark):
+    pairs = {
+        (r["part_x"], r["part_y"]): r["support"]
+        for r in REGISTRY["d19_frequent_pairs"].fn(spark, SF).collect()
+    }
+    rules = REGISTRY["d19_assoc_rules"].fn(spark, SF).collect()
+    # both directions of every frequent pair, nothing else
+    assert len(rules) == 2 * len(pairs)
+    by_dir = {(r["antecedent"], r["consequent"]): r for r in rules}
+    for (x, y), support in pairs.items():
+        fwd, rev = by_dir[(x, y)], by_dir[(y, x)]
+        assert fwd["support"] == rev["support"] == support
+        # lift is symmetric by definition (exact integers, same DIV)
+        assert fwd["lift_ppm"] == rev["lift_ppm"]
+    # confidence = P(cons|ant) ≤ 1, in ppm with truncating division
+    assert all(0 < r["confidence_ppm"] <= 1_000_000 for r in rules)
+    assert all(r["lift_ppm"] > 0 for r in rules)
+    # confidence recomputed from raw antecedent frequencies
+    freq = {
+        r["pk"]: r["c"]
+        for r in load(spark, SF, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .groupBy("pk")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    for r in rules:
+        assert (
+            r["confidence_ppm"]
+            == (1_000_000 * r["support"]) // freq[r["antecedent"]]
+        )
+
+
+def test_basket_cap_drops_oversized_basket(spark):
+    """A basket above _MAX_BASKET must contribute NO pairs (the
+    heavy-tail guard), while normal baskets still count."""
+    rows = [("big", i) for i in range(_MAX_BASKET + 1)]
+    rows += [("a", 1), ("a", 2), ("b", 1), ("b", 2)]
+    items = spark.createDataFrame(rows, "ok string, pk int")
+    kept = (
+        items.groupBy("ok")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= _MAX_BASKET)
+        .select("ok")
+    )
+    out = frequent_pairs(items.join(kept, "ok"), min_support=2).collect()
+    assert [(r["part_x"], r["part_y"], r["support"]) for r in out] == [
+        (1, 2, 2)
+    ]
+
+
+def test_basket_parity_on_dirty_fixture(spark, tmp_path):
+    """The clean fixture's baskets are ≤ 7 items, so the _MAX_BASKET
+    cap and the duplicate-line dedup are barely exercised. Perturb
+    lineitem with (a) one 70-item mega-basket that BOTH engines must
+    drop before pair generation and (b) two orders that repeat the
+    same part on multiple lines — a basket is a set, so the repeats
+    must collapse to one item each — then re-run the oracle compare."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    from check_oracles import run_sweep
+
+    from event_streamer_spark.operators.basket import _MAX_BASKET
+    from event_streamer_spark.tables import TABLES
+
+    dirty = tmp_path / "dirty_sf"
+    dirty.mkdir()
+    for t in TABLES:
+        shutil.copy(f"{SF}/{t}.parquet", dirty / f"{t}.parquet")
+
+    li = pq.read_table(dirty / "lineitem.parquet")
+    n_mega = _MAX_BASKET + 6
+    # mega-basket: 70 distinct parts in one order → C(70,2) pairs IF the
+    # cap fails to fire on either engine → oracle hash mismatch
+    ok = [10**9] * n_mega
+    pk = [3000 + i for i in range(n_mega)]
+    # duplicate-line orders: part 3000/3001 twice each in two orders —
+    # collapses to ONE basket item per order, so (3000, 3001) lands at
+    # support exactly 2 (the threshold) only if dedup runs on both sides
+    for o in (10**9 + 1, 10**9 + 2):
+        ok += [o] * 4
+        pk += [3000, 3000, 3001, 3001]
+    n = len(ok)
+    extra = pa.table(
+        {
+            "l_orderkey": ok,
+            "l_partkey": pk,
+            "l_suppkey": [1] * n,
+            "l_linenumber": list(range(1, n + 1)),
+            "l_quantity": pa.array([1.0] * n, type=pa.float64()),
+            "l_extendedprice": pa.array([10.0] * n, type=pa.float64()),
+            "l_discount": pa.array([0.0] * n, type=pa.float64()),
+            "l_tax": pa.array([0.0] * n, type=pa.float64()),
+            "l_returnflag": ["N"] * n,
+            "l_linestatus": ["O"] * n,
+            "l_shipdate": pa.array(
+                [None] * n, type=li.schema.field("l_shipdate").type
+            ),
+        },
+        schema=li.schema,
+    )
+    pq.write_table(pa.concat_tables([li, extra]), dirty / "lineitem.parquet")
+
+    total, failures = run_sweep(spark, str(dirty), ["d19_"], quiet=True)
+    assert total == 2 and failures == [], failures
+
+    # and the planted pair is present at threshold support while the
+    # mega-basket contributes nothing
+    rows = REGISTRY["d19_frequent_pairs"].fn(spark, str(dirty)).collect()
+    got = {(r["part_x"], r["part_y"]): r["support"] for r in rows}
+    assert got[(3000, 3001)] == 2
+    assert not any(x >= 3002 or y >= 3002 for x, y in got)
