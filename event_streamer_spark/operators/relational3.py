@@ -286,3 +286,65 @@ def b70_gap_fill_interp(spark: SparkSession, sf: str) -> DataFrame:
         FROM w
         """
     )
+
+
+@query(
+    "b71_skyline",
+    oracle="""
+    WITH c AS (
+      SELECT p_partkey, p_size,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+      FROM part)
+    SELECT p.p_partkey, p.p_size, p.price_c
+    FROM c p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM c q
+      WHERE q.price_c <= p.price_c AND q.p_size >= p.p_size
+        AND (q.price_c < p.price_c OR q.p_size > p.p_size))
+    """,
+)
+def b71_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """B71: skyline / Pareto frontier (Börzsönyi et al., ICDE'01) —
+    the parts no other part strictly dominates on (lower price, larger
+    size): q dominates p iff q.price ≤ p.price ∧ q.size ≥ p.size with
+    at least one strict. Duplicated frontier points all survive (no
+    strict part in the dominance test), which the oracle's NOT EXISTS
+    states directly.
+
+    The naive plan is the O(n²) dominance anti-join the oracle runs —
+    fine for DuckDB on a fixture, fatal at 100 TB. The Spark leg uses
+    the dimensional reduction instead: for 2-D dominance only the
+    cheapest price AT EACH SIZE can be on the frontier, so
+    ``groupBy(size).min(price)`` (one map-side-combinable shuffle on a
+    key space bounded by the size DOMAIN — 50 values here, never the
+    row count) collapses the input to ≤|domain| candidates. A
+    candidate survives iff no LARGER size has min-price ≤ its own —
+    one suffix-min window over the ≤50-row frame (the single-partition
+    window is bounded by the domain, not the data; for an unbounded
+    y-domain this step moves to distrank's two-level machinery). The
+    surviving frontier broadcasts back onto the base table to recover
+    every tied part row, so the only data-sized operations are one
+    50-key aggregate and one broadcast-hash semi-recovery join.
+    """
+    from pyspark.sql import Window
+
+    base = load(spark, sf, "part").select(
+        "p_partkey",
+        "p_size",
+        F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias(
+            "price_c"
+        ),
+    )
+    per_size = base.groupBy("p_size").agg(F.min("price_c").alias("m"))
+    # suffix min over strictly larger sizes (domain-bounded frame)
+    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        per_size.withColumn("suf", F.min("m").over(w))
+        .filter(F.col("suf").isNull() | (F.col("m") < F.col("suf")))
+        .select("p_size", F.col("m").alias("price_c"))
+    )
+    return base.join(F.broadcast(frontier), ["p_size", "price_c"]).select(
+        "p_partkey", "p_size", "price_c"
+    )

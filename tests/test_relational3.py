@@ -213,3 +213,73 @@ def test_relational3_parity_on_dirty_fixture(spark, tmp_path):
         spark, str(dirty), ["b67_", "b68_", "b69_", "b70_"], quiet=True
     )
     assert total == 4 and failures == [], failures
+
+
+def test_skyline_first_principles(spark):
+    """The frontier from the dimensional-reduction plan must equal a
+    naive O(n²) dominance scan computed driver-side from the raw
+    table — including ALL ties at each frontier point."""
+    from event_streamer_spark.tables import load
+
+    pts = [
+        (r["p_partkey"], r["p_size"], round(r["p_retailprice"] * 100))
+        for r in load(spark, SF, "part").collect()
+    ]
+    naive = {
+        (k, s, p)
+        for k, s, p in pts
+        if not any(
+            qp <= p and qs >= s and (qp < p or qs > s)
+            for _, qs, qp in pts
+        )
+    }
+    rows = REGISTRY["b71_skyline"].fn(spark, SF).collect()
+    got = {(r["p_partkey"], r["p_size"], r["price_c"]) for r in rows}
+    assert got == naive and len(got) > 0
+
+
+def test_skyline_parity_on_dirty_fixture(spark, tmp_path):
+    """Frontier ties and exact-duplicate points are the skyline edge
+    the clean fixture may not contain: plant (a) two parts tied at a
+    new cheapest (price, size) point — NO strict dominance between
+    them, both must survive — and (b) a same-size part one cent dearer
+    that must NOT survive, then re-run the oracle compare."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    from check_oracles import run_sweep
+
+    from event_streamer_spark.tables import TABLES
+
+    dirty = tmp_path / "dirty_sf"
+    dirty.mkdir()
+    for t in TABLES:
+        shutil.copy(f"{SF}/{t}.parquet", dirty / f"{t}.parquet")
+
+    part = pq.read_table(dirty / "part.parquet")
+    # size 50 at a price below the fixture minimum dominates weakly
+    # everywhere: the planted pair IS the new single frontier point
+    extra = pa.table(
+        {
+            "p_partkey": [10**9, 10**9 + 1, 10**9 + 2],
+            "p_name": ["tied a", "tied b", "dominated"],
+            "p_brand": ["Brand#00"] * 3,
+            "p_type": ["PLANTED"] * 3,
+            "p_size": [50, 50, 50],
+            "p_retailprice": pa.array(
+                [0.01, 0.01, 0.02], type=pa.float64()
+            ),
+        },
+        schema=part.schema,
+    )
+    pq.write_table(pa.concat_tables([part, extra]), dirty / "part.parquet")
+
+    total, failures = run_sweep(spark, str(dirty), ["b71_"], quiet=True)
+    assert total == 1 and failures == [], failures
+
+    rows = REGISTRY["b71_skyline"].fn(spark, str(dirty)).collect()
+    keys = {r["p_partkey"] for r in rows}
+    assert {10**9, 10**9 + 1} <= keys and 10**9 + 2 not in keys
+    # the planted point dominates every other (size 50 is the max,
+    # price 1c the min) — the frontier collapses to the tied pair
+    assert len(rows) == 2
