@@ -201,3 +201,95 @@ def b33_retention_cohorts_salted(spark: SparkSession, sf: str) -> DataFrame:
     return partials.groupBy("cohort_week", "week_offset").agg(
         F.sum("__partial").alias("n_active_users")
     )
+
+
+@query(
+    "b72_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             DATEDIFF('day', DATE '1992-01-01', MAX(o_orderdate))
+               AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS monetary_c
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT monetary_c,
+             CAST(NTILE(5) OVER (ORDER BY last_day,   o_custkey) AS INTEGER)
+               AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY n_orders,   o_custkey) AS INTEGER)
+               AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary_c, o_custkey) AS INTEGER)
+               AS m_score
+      FROM cust)
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_c) AS BIGINT) AS monetary_c_total
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def b72_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """B72: RFM segmentation — the classic customer-value cube. Each
+    ordering customer gets quintile scores for Recency (days to their
+    last order; 5 = most recent), Frequency (order count; 5 = most
+    frequent) and Monetary (lifetime cents; 5 = top spender), then the
+    ≤125 segments aggregate to (customer count, total monetary).
+    Quintile ties break on the customer key, so the buckets are
+    deterministic on both engines (NTILE's first-r-tiles-get-one-extra
+    rule is shared, pinned by ``ntile_expr``). Customers with no
+    orders have no RFM row by definition.
+
+    Scale: the per-customer aggregate is one map-side-combinable
+    shuffle on the customer key; each quintile is a GLOBAL ranking —
+    the classic single-task window hazard — so all three scores run
+    through distrank in ``auto`` mode (naive below the size threshold,
+    two-level bucketed above; the day-offset / count / cents columns
+    are the ASC-aligned bucket values). The final segment rollup is a
+    125-key aggregate.
+    """
+    from event_streamer_spark.operators.distrank import (
+        ntile_expr,
+        two_level_row_number,
+    )
+
+    cust = (
+        load(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("last_day"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(
+                F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+            ).cast("bigint").alias("monetary_c"),
+        )
+        .withColumn("__g", F.lit(0))
+    )
+    scored = cust
+    for metric, score in (
+        ("last_day", "r_score"),
+        ("n_orders", "f_score"),
+        ("monetary_c", "m_score"),
+    ):
+        ranked = two_level_row_number(
+            scored,
+            ["__g"],
+            [metric, "o_custkey"],
+            bucket_value=metric,
+            out_col="__rn",
+            count_col="__n",
+            mode="auto",  # size-aware: naive below the local threshold
+        )
+        scored = ranked.withColumn(
+            score, ntile_expr(F.col("__rn"), F.col("__n"), 5)
+        ).drop("__rn", "__n")
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("monetary_c").cast("bigint").alias("monetary_c_total"),
+        )
+    )

@@ -160,3 +160,27 @@ def test_basket_parity_on_dirty_fixture(spark, tmp_path):
     got = {(r["part_x"], r["part_y"]): r["support"] for r in rows}
     assert got[(3000, 3001)] == 2
     assert not any(x >= 3002 or y >= 3002 for x, y in got)
+
+
+def test_rfm_invariants(spark):
+    """B72 (lives here with the other round-8 session-4 additions):
+    NTILE's balanced-bucket rule must hold for each score's marginal
+    distribution, the segment cube must partition the ordering
+    customers exactly, and monetary mass must be conserved."""
+    rows = REGISTRY["b72_rfm_segments"].fn(spark, SF).collect()
+    orders = load(spark, SF, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    total_c = orders.select(
+        F.sum(F.expr("CAST(ROUND(o_totalprice*100) AS BIGINT)")).alias("t")
+    ).collect()[0]["t"]
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert sum(r["monetary_c_total"] for r in rows) == total_c
+    for axis in ("r_score", "f_score", "m_score"):
+        marginal: dict[int, int] = {}
+        for r in rows:
+            marginal[r[axis]] = marginal.get(r[axis], 0) + r["n_customers"]
+        assert set(marginal) == {1, 2, 3, 4, 5}
+        # balanced buckets: sizes differ by at most 1, larger ones first
+        sizes = [marginal[k] for k in sorted(marginal)]
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)
