@@ -791,3 +791,97 @@ def d14_json_key_census(spark: SparkSession, sf: str) -> DataFrame:
             F.max(cents).alias("max_cents"),
         )
     )
+
+
+@query(
+    "d15_trend_ols",
+    oracle="""
+    WITH daily AS (
+      SELECT r.r_name,
+             CAST(DATEDIFF('day', DATE '1992-01-01', o.o_orderdate)
+                  AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, o.o_orderdate),
+    sums AS (
+      SELECT r_name,
+             CAST(COUNT(*) AS DECIMAL(38,0))  AS n,
+             CAST(SUM(x) AS DECIMAL(38,0))    AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0))    AS sy,
+             CAST(SUM(x*x) AS DECIMAL(38,0))  AS sxx,
+             CAST(SUM(x*y) AS DECIMAL(38,0))  AS sxy
+      FROM daily GROUP BY r_name)
+    SELECT r_name,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(n*sxy - sx*sy AS VARCHAR)  AS slope_num,
+           CAST(n*sxx - sx*sx AS VARCHAR)  AS slope_den,
+           ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+             AS slope_cents_per_day
+    FROM sums
+    """,
+)
+def d15_trend_ols(spark: SparkSession, sf: str) -> DataFrame:
+    """D15: exact least-squares revenue trend per region — the
+    closed-form OLS slope over the (day index, daily revenue cents)
+    series: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). The numerator
+    and denominator are computed in DECIMAL(38,0) (exact on both
+    engines; BIGINT would overflow n·Σxy around sf1 — n≈2.4k days ×
+    Σxy≈10^16) and emitted as digit strings, so the regression itself
+    hash-matches exactly; the readable cents/day slope is the one
+    double division, rounded to the repo's 6-decimal grain.
+
+    Scale: one fact shuffle (orders ⨝ customer on the customer key)
+    with the nation⨝region chain broadcast onto customer first (the
+    TPC-H Q5 dimension-collapse); the daily aggregate is map-side
+    combinable on (region, day); the moment sums collapse to 5 rows.
+    Per-term products x·y stay within BIGINT (x ≤ 2557 days,
+    y ≤ daily-region cents) before the DECIMAL widening of the SUMS —
+    the overflow-prone step — mirroring d7_neyman_sample's
+    DECIMAL(38,0) exact-moment protocol.
+    """
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf, "region").select("r_regionkey", "r_name")
+    dims = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select("c_custkey", "r_name")
+    daily = (
+        o.join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "o_orderdate")
+        .agg(
+            F.sum(
+                F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+            ).alias("y")
+        )
+        .select(
+            "r_name",
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).cast("bigint").alias("x"),
+            "y",
+        )
+    )
+    sums = daily.groupBy("r_name").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("x*x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("x*y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    return sums.select(
+        "r_name",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr("CAST(n*sxy - sx*sy AS STRING)").alias("slope_num"),
+        F.expr("CAST(n*sxx - sx*sx AS STRING)").alias("slope_den"),
+        F.round(
+            F.expr("CAST(n*sxy - sx*sy AS DOUBLE)")
+            / F.expr("CAST(n*sxx - sx*sx AS DOUBLE)"),
+            6,
+        ).alias("slope_cents_per_day"),
+    )

@@ -340,3 +340,48 @@ def test_ewma_monitor_first_principles(spark):
         assert got[d]["day_cents"] == x, d
         assert got[d]["ewma_cents"] == ewma, d
         assert got[d]["flagged"] == (4 * abs(x - ewma) > ewma), d
+
+
+def test_trend_ols_first_principles(spark):
+    """The DECIMAL(38,0) slope moments must equal an exact
+    arbitrary-precision recount in Python ints, and the readable
+    slope must be the num/den ratio."""
+    from fractions import Fraction
+
+    from event_streamer_spark.tables import load
+
+    rows = REGISTRY["d15_trend_ols"].fn(spark, SF).collect()
+    o = load(spark, SF, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = {r["c_custkey"]: r["c_nationkey"]
+         for r in load(spark, SF, "customer").collect()}
+    n = {r["n_nationkey"]: r["n_regionkey"]
+         for r in load(spark, SF, "nation").collect()}
+    reg = {r["r_regionkey"]: r["r_name"]
+           for r in load(spark, SF, "region").collect()}
+    from collections import defaultdict
+    from datetime import date
+
+    daily: dict[tuple, int] = defaultdict(int)
+    for r in o.collect():
+        rname = reg[n[c[r["o_custkey"]]]]
+        od = r["o_orderdate"]
+        od = od.date() if hasattr(od, "date") else od  # ts-typed fixture
+        x = (od - date(1992, 1, 1)).days
+        daily[(rname, x)] += round(r["o_totalprice"] * 100)
+    moments: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for (rname, x), y in daily.items():
+        m = moments[rname]
+        m[0] += 1
+        m[1] += x
+        m[2] += y
+        m[3] += x * x
+        m[4] += x * y
+    assert len(rows) == len(moments) == 5
+    for r in rows:
+        cnt, sx, sy, sxx, sxy = moments[r["r_name"]]
+        num = cnt * sxy - sx * sy
+        den = cnt * sxx - sx * sx
+        assert r["n_days"] == cnt
+        assert r["slope_num"] == str(num)
+        assert r["slope_den"] == str(den)
+        assert abs(r["slope_cents_per_day"] - Fraction(num, den)) <= 5e-7
