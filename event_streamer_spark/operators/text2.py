@@ -543,3 +543,98 @@ def d4_readability(spark: SparkSession, sf: str) -> DataFrame:
         "CAST((39 * words) DIV sents + (1180 * syllables) DIV words - 1559"
         " AS BIGINT) AS fk_grade_centi",
     )
+
+
+# Minimum bigram count for a collocation candidate: PMI is notoriously
+# noisy at low counts (a hapax pair maximizes the ratio), so the
+# standard practice (Church & Hanks 1990) is a count floor. 3 keeps
+# the oracle non-vacuous at sf0.001 (904 qualifying bigram types).
+_PMI_MIN_COUNT = 3
+
+
+@query(
+    "d4_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, i AS pos, t.toks[i] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents) t,
+           UNNEST(range(1, len(t.toks) + 1)) AS u(i)),
+    seq AS (
+      SELECT doc_id, tok,
+             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM toks),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM toks
+            GROUP BY tok),
+    bi AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS c_xy FROM seq
+           WHERE prev IS NOT NULL GROUP BY prev, tok),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks)
+    SELECT b.prev, b.tok, b.c_xy,
+           (1000000 * b.c_xy * t.n) // (ux.cu * uy.cu) AS pmi_ratio_ppm
+    FROM bi b
+    JOIN uni ux ON ux.tok = b.prev
+    JOIN uni uy ON uy.tok = b.tok
+    CROSS JOIN tot t
+    WHERE b.c_xy >= {_PMI_MIN_COUNT}
+    """,
+)
+def d4_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: pointwise-mutual-information collocations (Church & Hanks,
+    1990) — adjacent token pairs whose corpus-wide co-occurrence beats
+    the independence expectation: PMI = log(P(x,y)/(P(x)P(y))). log is
+    monotone, so the RANKING statistic is the raw ratio
+    c(x,y)·N / (c(x)·c(y)), kept as an exact integer ppm with the
+    DIV/``//`` truncation parity — no float in the oracle at all
+    (unlike ``d4_bigram_logprob``, which needs ln for its additive
+    score). A count floor of {_PMI_MIN_COUNT} applies (hapax pairs
+    maximize PMI vacuously — the classic failure mode).
+
+    Scale: the explode+LAG sequence derivation is ONE window over
+    (doc_id, pos), ``bounded_persist``-ed because three consumers read
+    it (unigram counts, bigram counts, token total — the bigram-LM
+    review lesson); both count tables are map-side-combinable
+    aggregates on token keys; the probability joins broadcast when the
+    vocabulary is small and shuffle on the token key when it is not
+    (left to AQE, heavy-tailed on real text). ppm bound:
+    10^6·c(x,y)·N needs c(x,y)·N < 9.2·10^12 — beyond ~10^6-token
+    corpora with million-count bigrams, widen to DECIMAL(38,0) as in
+    ``d15_trend_ols``.
+    """
+    from event_streamer_spark.caching import bounded_persist
+
+    toks = bounded_persist(
+        load(spark, sf, "documents").select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        ),
+        "d4_pmi_toks",
+    )
+    seq = toks.select(
+        "tok",
+        F.lag("tok").over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ).alias("prev"),
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("cu"))
+    bi = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "tok")
+        .agg(F.count("*").cast("bigint").alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+    )
+    tot = toks.agg(F.count("*").cast("bigint").alias("n"))
+    ux = uni.select(F.col("tok").alias("prev"), F.col("cu").alias("cu_x"))
+    uy = uni.select("tok", F.col("cu").alias("cu_y"))
+    return (
+        bi.join(ux, "prev")
+        .join(uy, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev",
+            "tok",
+            "c_xy",
+            F.expr("(1000000 * c_xy * n) DIV (cu_x * cu_y)").alias(
+                "pmi_ratio_ppm"
+            ),
+        )
+    )

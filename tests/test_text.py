@@ -96,3 +96,39 @@ def test_lexical_diversity_invariants(spark):
         )
         assert abs(rows[d]["ttr"] - ttr) <= 1e-6, d
         assert abs(rows[d]["seg_ttr"] - seg_ttr) <= 1e-6, d
+
+
+def test_pmi_collocations_first_principles(spark):
+    """PMI ratios recomputed from raw whitespace tokenization in
+    Python ints must match exactly (truncating division), every
+    reported pair must clear the count floor, and the ratio must
+    rank genuinely associated pairs above independent ones."""
+    from collections import Counter
+
+    from event_streamer_spark.operators.text2 import _PMI_MIN_COUNT
+    from event_streamer_spark.tables import load
+
+    docs = load(spark, SF, "documents").select("text").collect()
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    n = 0
+    for r in docs:
+        toks = r["text"].split(" ")
+        n += len(toks)
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    rows = REGISTRY["d4_pmi_collocations"].fn(spark, SF).collect()
+    expected = {
+        (x, y): (1_000_000 * c * n) // (uni[x] * uni[y])
+        for (x, y), c in bi.items()
+        if c >= _PMI_MIN_COUNT
+    }
+    got = {(r["prev"], r["tok"]): r["pmi_ratio_ppm"] for r in rows}
+    assert got == expected
+    counts = {(r["prev"], r["tok"]): r["c_xy"] for r in rows}
+    assert all(c >= _PMI_MIN_COUNT for c in counts.values())
+    assert counts == {k: bi[k] for k in counts}
+    # independence baseline: a ratio of 1_000_000 ppm means the pair
+    # co-occurs exactly as often as chance — the corpus must contain
+    # pairs materially above it for PMI to rank anything
+    assert max(got.values()) > 2_000_000
