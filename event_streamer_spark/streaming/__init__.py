@@ -45,6 +45,10 @@ from event_streamer_spark.streaming.er import (
     er_link_batch,
     read_er_matches,
 )
+from event_streamer_spark.streaming.basket import (
+    pair_mine_batch,
+    read_frequent_pairs,
+)
 from event_streamer_spark.streaming.journey import (
     attribution_batch,
     read_attribution,
@@ -98,6 +102,8 @@ __all__ = [
     "read_fk_orphans",
     "er_link_batch",
     "read_er_matches",
+    "pair_mine_batch",
+    "read_frequent_pairs",
     "kmv_batch",
     "read_kmv_distinct",
     "read_kmv_overlap",

@@ -2394,3 +2394,78 @@ def test_incremental_kmv_equals_batch(spark, tmp_path, n_splits, bseed):
     # empty-state read guards (same convention as the other monitors)
     assert read_kmv_distinct(spark, str(tmp_path / "none")).count() == 0
     assert read_kmv_overlap(spark, str(tmp_path / "none")).count() == 0
+
+
+@pytest.mark.parametrize("n_splits,bseed", BOUNDARY_SPLITS)
+def test_incremental_frequent_pairs_equals_batch(
+    spark, tmp_path, n_splits, bseed
+):
+    """D19 streaming leg: basket lines straddle micro-batches (the
+    split key is the LINE, not the order, so an order's items arrive
+    across batches), plus a planted mega-basket that crosses the cap
+    mid-stream — emitted instances for it must be retracted at read.
+    After a full replay the read is row-identical to the batch
+    operator."""
+    from event_streamer_spark.operators.basket import (
+        _MAX_BASKET,
+        frequent_pairs,
+    )
+    from event_streamer_spark.streaming import (
+        pair_mine_batch,
+        read_frequent_pairs,
+    )
+
+    li = load(spark, SF, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("pk"),
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias(
+            "line_id"
+        ),
+    )
+    # mega-basket: crosses the cap only once most of its items have
+    # arrived — earlier batches DID emit instances for it, and some
+    # duplicate lines exercise the cross-batch item dedup
+    mega = spark.createDataFrame(
+        [(10**9, 3000 + i % (_MAX_BASKET + 6), i) for i in range(90)],
+        "ok long, pk long, line_id long",
+    ).select("ok", "pk", (F.lit(10**10) + F.col("line_id")).alias("line_id"))
+    src = str(tmp_path / "basket_src")
+    write_split_files(li.unionByName(mega), src, "line_id", n_splits, bseed)
+
+    stream = (
+        spark.readStream.schema("ok bigint, pk bigint, line_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "basket_state")
+    emit = str(tmp_path / "basket_emit")
+    q = (
+        stream.writeStream.foreachBatch(pair_mine_batch(state, emit))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "basket_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    all_items = li.unionByName(mega).select("ok", "pk").distinct()
+    kept = (
+        all_items.groupBy("ok")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= _MAX_BASKET)
+        .select("ok")
+    )
+    expected = {
+        (r["part_x"], r["part_y"]): r["support"]
+        for r in frequent_pairs(all_items.join(kept, "ok")).collect()
+    }
+    assert expected  # non-vacuous
+    got = {
+        (r["part_x"], r["part_y"]): r["support"]
+        for r in read_frequent_pairs(spark, state, emit).collect()
+    }
+    assert got == expected
+    # the mega-basket contributed nothing despite mid-stream emission
+    assert not any(x >= 3000 for x, _ in got)
+    # empty-state read guard
+    none = str(tmp_path / "none")
+    assert read_frequent_pairs(spark, none, none).count() == 0
