@@ -95,6 +95,15 @@ SAMPLE = [
     # different code paths per regime
     "d11_kmv_overlap",
     "d2_winnowing",
+    # round-8 session 4: the basket pair self-join + ppm DIV rules
+    # (AQE off replans the broadcast probability joins), the skyline's
+    # domain-bounded suffix-min window, the triple-distrank RFM cube,
+    # and the DECIMAL(38,0) OLS moments (interpreted decimal
+    # arithmetic under codegen_off is a genuinely different path)
+    "d19_assoc_rules",
+    "b71_skyline",
+    "b72_rfm_segments",
+    "d15_trend_ols",
 ]
 
 REGIMES = {
