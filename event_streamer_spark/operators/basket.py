@@ -10,17 +10,19 @@ same way D17 (graph) and D18 (ER) do.
 
 A basket is the DISTINCT set of parts in one order (lineitem can carry
 the same part on two lines of one order; a basket is a set, so the
-pair universe deduplicates first). The pair-generation self-join is
-equi-keyed on the order key, so Spark co-locates both sides in one
-shuffle and the quadratic blow-up is bounded per-basket, not global:
-pairs-per-order = C(b, 2) where b is the basket size. That makes
-basket SIZE (not item popularity) the scale hazard — a single
-million-item "basket" (a crawler session, a bot cart) would emit
-~5·10^11 pairs from one key. ``_MAX_BASKET`` caps it: baskets larger
-than 64 items are dropped BEFORE pair generation, in both the Spark
-leg and the oracle SQL, so the cap is part of the declared semantics
-(TPC-H baskets are ≤ 7 lines, so the cap never fires at test SFs; on
-real data it is the same heavy-tail guard as dedup's shingle-DF cap).
+pair universe deduplicates first). Pair generation collapses each
+basket to ONE sorted-array row (a single map-side-partial
+``collect_set`` shuffle) and expands pairs with JVM-side generators —
+no self-join at all — so the quadratic blow-up is bounded per-basket,
+not global: pairs-per-order = C(b, 2) where b is the basket size.
+That makes basket SIZE (not item popularity) the scale hazard — a
+single million-item "basket" (a crawler session, a bot cart) would
+emit ~5·10^11 pairs from one row. ``_MAX_BASKET`` caps it: baskets
+larger than 64 items are dropped BEFORE pair expansion, in both the
+Spark leg and the oracle SQL, so the cap is part of the declared
+semantics (TPC-H baskets are ≤ 7 lines, so the cap never fires at
+test SFs; on real data it is the same heavy-tail guard as dedup's
+shingle-DF cap).
 
 Engine-difference ledger (same contract as ``scripts/fuzz_oracles.py``):
 
@@ -60,49 +62,73 @@ _BASKET_SQL = f"""
 """
 
 
-def _baskets(spark: SparkSession, sf: str) -> DataFrame:
-    """Deduped (order, part) basket items with the size cap applied.
+def basket_arrays(spark: SparkSession, sf: str) -> DataFrame:
+    """Each kept basket as ONE row: (ok, sorted distinct part array).
 
-    One shuffle on ``ok`` covers the dedupe, the size count, and the
-    pair self-join downstream (same key), so AQE reuses the exchange.
+    A single shuffle of the raw lines with a map-side-partial
+    ``collect_set`` replaces the first draft's distinct + size-count +
+    self-join chain (three exchanges of the same table plus a repeated
+    subtree — measured 2.5 s warm at sf0.1 vs 0.4 s for this shape).
+    Per-reducer-key state is the basket's distinct-item set, which the
+    cap declares bounded; the cap filter itself is free (``size`` on
+    the built array). A physically unbounded key (an order with
+    millions of DISTINCT items) would pressure one task's aggregation
+    buffer before the filter drops it — that is the collect_set
+    tradeoff, acceptable because order keys, unlike user or session
+    keys, carry a schema-level line-count bound in every real order
+    system.
     """
-    items = (
+    return (
         load(spark, sf, "lineitem")
         .select(
             F.col("l_orderkey").alias("ok"),
             F.col("l_partkey").alias("pk"),
         )
-        .distinct()
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("arr"))
+        .filter(F.size("arr") <= _MAX_BASKET)
     )
-    kept = (
-        items.groupBy("ok")
-        .agg(F.count("*").alias("bsz"))
-        .filter(F.col("bsz") <= _MAX_BASKET)
-        .select("ok")
-    )
-    return items.join(kept, "ok")
 
 
-def frequent_pairs(items: DataFrame, min_support: int = _MIN_SUPPORT) -> DataFrame:
-    """Co-occurring item pairs with support ≥ ``min_support`` from a
-    deduped ``(ok, pk)`` basket-items frame.
+def pairs_from_arrays(
+    arrs: DataFrame, min_support: int = _MIN_SUPPORT
+) -> DataFrame:
+    """Co-occurring pairs with support ≥ ``min_support`` from
+    (ok, sorted-array) baskets.
 
-    The self-join is equi-keyed on ``ok`` — one co-located shuffle,
-    per-basket quadratic only (bounded by the caller's basket cap).
-    The ``a.pk < b.pk`` canonical ordering generates each unordered
-    pair exactly once (the same trick as d17_triangles' oriented
-    edges). The pair aggregate shuffles on (part_x, part_y), which is
-    map-side combinable: partial counts collapse before the exchange.
+    Pair expansion is two JVM-side generators — ``posexplode`` the
+    array, then explode each element's strict suffix (``slice`` is
+    1-based, so the 0-based position ``i`` pairs with elements from
+    1-based ``i + 2``) — emitting each unordered pair exactly once in
+    canonical x < y order (the array is sorted) with NO join and no
+    shuffle until the final map-side-combinable pair count.
     """
-    a = items.select(F.col("ok"), F.col("pk").alias("part_x"))
-    b = items.select(F.col("ok"), F.col("pk").alias("part_y"))
     return (
-        a.join(b, "ok")
-        .filter(F.col("part_x") < F.col("part_y"))
+        arrs.select(F.posexplode("arr").alias("i", "part_x"), "arr")
+        .select(
+            "part_x",
+            F.explode(F.expr("slice(arr, i + 2, size(arr))")).alias(
+                "part_y"
+            ),
+        )
         .groupBy("part_x", "part_y")
         .agg(F.count("*").cast("bigint").alias("support"))
         .filter(F.col("support") >= min_support)
     )
+
+
+def frequent_pairs(
+    items: DataFrame, min_support: int = _MIN_SUPPORT
+) -> DataFrame:
+    """Co-occurring item pairs with support ≥ ``min_support`` from an
+    ``(ok, pk)`` basket-items frame (rows may repeat — the basket is a
+    set, so repeats collapse in the ``collect_set``). The caller owns
+    the basket-size cap; see :func:`basket_arrays` for the plan
+    rationale."""
+    arrs = items.groupBy("ok").agg(
+        F.sort_array(F.collect_set("pk")).alias("arr")
+    )
+    return pairs_from_arrays(arrs, min_support)
 
 
 @query(
@@ -120,14 +146,13 @@ def d19_frequent_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """D19: frequent 2-itemsets over order baskets — which parts are
     bought together in at least ``_MIN_SUPPORT`` distinct orders.
 
-    Plan shape at 100 TB: dedupe + basket-size count + pair self-join
-    all shuffle on the SAME order key (one exchange, AQE-reused); the
-    only other shuffle is the map-side-combinable pair count. No
-    driver state, no collect; the basket cap bounds the worst per-task
-    pair emission at C(64,2) rows per basket regardless of corpus
-    size.
+    Plan shape at 100 TB: exactly TWO shuffles — the raw lines into
+    per-order sets (map-side-partial collect_set), and the pair count
+    (map-side combinable). Pair expansion itself is generator-side
+    with no join; the basket cap bounds the worst per-row emission at
+    C(64,2) regardless of corpus size. No driver state, no collect.
     """
-    return frequent_pairs(_baskets(spark, sf))
+    return pairs_from_arrays(basket_arrays(spark, sf))
 
 
 @query(
@@ -177,26 +202,40 @@ def d19_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
     from event_streamer_spark.caching import bounded_persist
 
     # three consumers (pairs, freq, n_baskets) — unpersisted, Catalyst
-    # would inline the dedupe+cap subtree into each (the PageRank
-    # review lesson)
-    items = bounded_persist(_baskets(spark, sf), "d19_baskets")
-    pairs = frequent_pairs(items)
-    freq = items.groupBy("pk").agg(F.count("*").cast("bigint").alias("c"))
-    n_baskets = items.select("ok").distinct().agg(
+    # would inline the collect_set subtree into each (the PageRank
+    # review lesson); one basket-array row per order keeps the cached
+    # frame smaller than the item-level form
+    arrs = bounded_persist(basket_arrays(spark, sf), "d19_baskets")
+    pairs = pairs_from_arrays(arrs)
+    freq = (
+        arrs.select(F.explode("arr").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    n_baskets = arrs.agg(
         F.count("*").cast("bigint").alias("n_baskets")
     )  # 1-row frame, broadcast below — stays lazy, no driver action
 
+    # both rule directions in ONE pass over the pair subtree: a
+    # two-select union would reference `pairs` twice, and Catalyst
+    # executes the self-join + aggregate once per reference (the
+    # d18_er_golden review lesson) — explode duplicates rows instead
     rules = pairs.select(
-        F.col("part_x").alias("antecedent"),
-        F.col("part_y").alias("consequent"),
-        "support",
-    ).unionAll(
-        pairs.select(
-            F.col("part_y").alias("antecedent"),
-            F.col("part_x").alias("consequent"),
-            "support",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_x").alias("antecedent"),
+                    F.col("part_y").alias("consequent"),
+                    F.col("support"),
+                ),
+                F.struct(
+                    F.col("part_y").alias("antecedent"),
+                    F.col("part_x").alias("consequent"),
+                    F.col("support"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.support")
     fa = F.broadcast(freq.select(F.col("pk").alias("antecedent"), F.col("c").alias("ca")))
     fc = F.broadcast(freq.select(F.col("pk").alias("consequent"), F.col("c").alias("cc")))
     return (
