@@ -1418,3 +1418,58 @@ def b66_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
             F.max("tw").alias("total_weight"),
         )
     )
+
+
+@query(
+    "b23_round_tie_parity",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS num,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS den
+      FROM lineitem GROUP BY l_returnflag, l_linestatus)
+    SELECT l_returnflag, l_linestatus, num, den,
+           ((10000000 * num) // den + 5) // 10 AS ratio_micro_half_up
+    FROM c
+    """,
+)
+def b23_round_tie_parity(spark: SparkSession, sf: str) -> DataFrame:
+    """B23 regression (found BY b73_vwap's first draft, round 8):
+    ``ROUND(double, s)`` DIVERGES on tie-adjacent quotients. Spark
+    rounds the double's SHORTEST DECIMAL REPRESENTATION half-up
+    (``BigDecimal.valueOf``), DuckDB rounds a scaled double multiply —
+    for 13456305/3200 (exact binary value 4205.095312499999636…,
+    shortest repr "4205.0953125") Spark says 4205.095313 and DuckDB
+    4205.095312. On plain literals (2.675, 0.0953125) the two
+    strategies happen to coincide, which is why the round-7 probes
+    declared ROUND portable; only a ratio whose scaled multiply stays
+    below the tie exposes the split. The portable recipe, pinned here
+    on every lineitem (returnflag, linestatus) notional/volume cell:
+    never ROUND a double ratio — keep it rational and round in integer
+    arithmetic, ``((10·micro) DIV den + 5) DIV 10`` (exact half-up for
+    the non-negative ratios here; negative ratios would need a
+    sign-split because DIV truncates toward zero on both engines).
+    """
+    c = (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(
+                F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+            ).cast("bigint").alias("num"),
+            F.sum(
+                F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")
+            ).cast("bigint").alias("den"),
+        )
+    )
+    return c.select(
+        "l_returnflag",
+        "l_linestatus",
+        "num",
+        "den",
+        F.expr("((10000000 * num) DIV den + 5) DIV 10").alias(
+            "ratio_micro_half_up"
+        ),
+    )

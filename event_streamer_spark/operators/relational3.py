@@ -348,3 +348,80 @@ def b71_skyline(spark: SparkSession, sf: str) -> DataFrame:
     return base.join(F.broadcast(frontier), ["p_size", "price_c"]).select(
         "p_partkey", "p_size", "price_c"
     )
+
+
+@query(
+    "b73_vwap",
+    oracle="""
+    WITH c AS (
+      SELECT p.p_brand,
+             DATE_TRUNC('month', CAST(l.l_shipdate AS DATE)) AS month,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(ROUND(l.l_quantity * 100) AS BIGINT)      AS qty_c
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate IS NOT NULL)
+    SELECT p_brand,
+           STRFTIME(month, '%Y-%m') AS month,
+           CAST(SUM(price_c) AS BIGINT) AS notional_c,
+           CAST(SUM(qty_c) AS BIGINT)   AS volume_c,
+           (1000000 * CAST(SUM(price_c) AS BIGINT))
+             // CAST(SUM(qty_c) AS BIGINT) AS vwap_micro
+    FROM c
+    GROUP BY p_brand, month
+    """,
+)
+def b73_vwap(spark: SparkSession, sf: str) -> DataFrame:
+    """B73: volume-weighted average price per (brand, ship month) —
+    the TWAP/VWAP rollup every trading/pricing pipeline runs. VWAP =
+    Σ(notional)/Σ(volume); both sums stay in the integer-cents
+    protocol and the per-unit price is an exact integer micro-ratio
+    under the DIV parity — a first draft emitted ROUND(double, 6) and
+    the fixture immediately found an exact …31250 tie at the 6th
+    decimal where Spark rounds HALF_UP and DuckDB half-even (the
+    round-tie divergence the integer protocol exists to avoid; 10^6 ·
+    notional needs DECIMAL(38,0) beyond ~10^12-cent cells). NULL ship
+    dates are excluded explicitly on both engines (dirty-fixture rows
+    carry them; module ledger's b67 lesson).
+
+    Scale: the classic fact-dim equi-join — lineitem ⨝ part on the
+    part key (dimension side prunable to (partkey, brand), broadcast
+    when it fits, shuffle otherwise — left to AQE), then ONE
+    map-side-combinable aggregate on (brand, month), a
+    25-brands × ~84-months key space. Month-string formatting is the
+    pinned ``date_format ↔ STRFTIME`` dialect pair from
+    ``b22_timestamp_parity``.
+    """
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    p = load(spark, sf, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            F.date_format(
+                F.date_trunc("month", F.col("l_shipdate").cast("date")),
+                "yyyy-MM",
+            ).alias("month"),
+            F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias(
+                "price_c"
+            ),
+            F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)").alias(
+                "qty_c"
+            ),
+        )
+        .groupBy("p_brand", "month")
+        .agg(
+            F.sum("price_c").cast("bigint").alias("notional_c"),
+            F.sum("qty_c").cast("bigint").alias("volume_c"),
+        )
+        .select(
+            "p_brand",
+            "month",
+            "notional_c",
+            "volume_c",
+            F.expr("(1000000 * notional_c) DIV volume_c").alias(
+                "vwap_micro"
+            ),
+        )
+    )

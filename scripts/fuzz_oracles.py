@@ -117,7 +117,12 @@ pinned as a named registry query):
   ``b23_xor_caret_parity``. ``&``, ``|``, ``<<``, ``>>``, ``%`` (incl.
   negative dividends), ``BIT_COUNT``, and ``MOD`` agree and ARE in the
   grammar, as are ABS / GREATEST / LEAST (both engines IGNORE NULL
-  arguments — probed), ROUND (half-away on both, scaled and unscaled),
+  arguments — probed), ROUND over INTEGER-typed inputs (exact there;
+  on DOUBLES the engines diverge at tie-adjacent quotients — Spark
+  rounds the shortest decimal representation HALF_UP while DuckDB
+  rounds a scaled double multiply, e.g. 13456305/3200 → 4205.095313
+  vs 4205.095312 — so the grammar never emits ROUND over a double
+  ratio; recipe ``b23_round_tie_parity``: keep ratios integer),
   POWER / SQRT / LN / EXP / LOG10 / LOG2 / FACTORIAL, and the date
   family DATE_ADD(d, n) / MAKE_DATE / DATE_PART / QUARTER /
   GREATEST-over-dates. Dialect-mapped: WEEKOFYEAR ↔ EXTRACT(WEEK),
