@@ -885,3 +885,117 @@ def d15_trend_ols(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("slope_cents_per_day"),
     )
+
+
+# (table, column) pairs the census profiles: the low-cardinality
+# categorical columns a Deequ-style profiler would target first.
+_CENSUS_COLS = (
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+    ("events", "event_type"),
+    ("documents", "lang"),
+)
+
+
+@query(
+    "d14_entropy_census",
+    oracle="""
+    WITH vals AS (
+      SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'l_returnflag', l_returnflag FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', l_linestatus FROM lineitem
+      UNION ALL
+      SELECT 'event_type', event_type FROM events
+      UNION ALL
+      SELECT 'lang', lang FROM documents),
+    counts AS (
+      SELECT col, val, CAST(COUNT(*) AS BIGINT) AS c
+      FROM vals WHERE val IS NOT NULL GROUP BY col, val),
+    nulls AS (
+      SELECT col, CAST(COUNT(*) AS BIGINT) AS n_null
+      FROM vals WHERE val IS NULL GROUP BY col)
+    SELECT k.col,
+           CAST(SUM(k.c) AS BIGINT)        AS n_values,
+           CAST(COUNT(*) AS BIGINT)        AS n_distinct,
+           CAST(COALESCE(MAX(n.n_null), 0) AS BIGINT) AS n_null,
+           (1000000 * MAX(k.c)) // SUM(k.c) AS top_share_ppm,
+           ROUND(LN(CAST(SUM(k.c) AS DOUBLE))
+                 - SUM(CAST(k.c AS DOUBLE) * LN(CAST(k.c AS DOUBLE)))
+                   / CAST(SUM(k.c) AS DOUBLE), 6) AS entropy_nats
+    FROM counts k LEFT JOIN nulls n ON n.col = k.col
+    GROUP BY k.col
+    """,
+)
+def d14_entropy_census(spark: SparkSession, sf: str) -> DataFrame:
+    """D14: categorical-column profile census — per profiled column:
+    value count, distinct count, NULL count (tracked separately, the
+    Deequ completeness convention — no sentinel collisions, the
+    b65_snapshot_diff lesson), mode share in exact integer ppm, and
+    Shannon entropy in nats via ln(N) − Σc·ln(c)/N (all from exact
+    BIGINT counts; ln on the shared libm, 6-decimal grain — the
+    d4_bigram_logprob float protocol).
+
+    Scale: one scan per profiled TABLE (each table's columns ride one
+    projection, unioned as narrow (col, val) rows — the same Expand
+    shape as b67_unpivot), one map-side-combinable count shuffle on
+    (col, value) — low-cardinality by construction for categorical
+    profiling — and a 6-key final rollup. The entropy aggregate runs
+    over per-VALUE counts, never raw rows.
+    """
+    frames = []
+    by_table: dict[str, list[str]] = {}
+    for tbl, col in _CENSUS_COLS:
+        by_table.setdefault(tbl, []).append(col)
+    for tbl, cols in by_table.items():
+        stack_args = ", ".join(f"'{c}', {c}" for c in cols)
+        frames.append(
+            load(spark, sf, tbl).selectExpr(
+                f"stack({len(cols)}, {stack_args}) AS (col, val)"
+            )
+        )
+    vals = frames[0]
+    for f in frames[1:]:
+        vals = vals.unionByName(f)
+    counts = (
+        vals.filter(F.col("val").isNotNull())
+        .groupBy("col", "val")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    nulls = (
+        vals.filter(F.col("val").isNull())
+        .groupBy("col")
+        .agg(F.count("*").cast("bigint").alias("n_null"))
+    )
+    return (
+        counts.groupBy("col")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_values"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.max("c").alias("max_c"),
+            F.round(
+                F.log(F.sum("c").cast("double"))
+                - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("entropy_nats"),
+        )
+        .join(F.broadcast(nulls), "col", "left")
+        .select(
+            "col",
+            "n_values",
+            "n_distinct",
+            F.coalesce(F.col("n_null"), F.lit(0)).cast("bigint").alias(
+                "n_null"
+            ),
+            F.expr("(1000000 * max_c) DIV n_values").alias(
+                "top_share_ppm"
+            ),
+            "entropy_nats",
+        )
+    )

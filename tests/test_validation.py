@@ -304,8 +304,22 @@ def test_validation_parity_on_dirty_fixture(spark, tmp_path):
         },
         schema=ev.schema,
     )
+    # round-8 session 4: NULL categories for the entropy census —
+    # NULL event_type must land in n_null (tracked separately), never
+    # in the value distribution, identically on both engines
+    extra_ev3 = pa.table(
+        {
+            "event_id": [10**9 + 20, 10**9 + 21],
+            "ts": pa.array([1704067200_000_000] * 2, type=ts_type),
+            "user_id": [3, 3],
+            "event_type": pa.array([None, None], type=pa.string()),
+            "value": pa.array([1.0, 1.0], type=pa.float64()),
+            "props": ["{}", "{}"],
+        },
+        schema=ev.schema,
+    )
     pq.write_table(
-        pa.concat_tables([ev, extra_ev, extra_ev2]),
+        pa.concat_tables([ev, extra_ev, extra_ev2, extra_ev3]),
         dirty / "events.parquet",
     )
 
@@ -385,3 +399,30 @@ def test_trend_ols_first_principles(spark):
         assert r["slope_num"] == str(num)
         assert r["slope_den"] == str(den)
         assert abs(r["slope_cents_per_day"] - Fraction(num, den)) <= 5e-7
+
+
+def test_entropy_census_first_principles(spark):
+    """Entropy/mode/distinct recomputed driver-side from raw value
+    counts for every profiled column, plus the information-theoretic
+    bound H <= ln(n_distinct) with equality only for uniform columns."""
+    import math
+    from collections import Counter
+
+    from event_streamer_spark.operators.validation import _CENSUS_COLS
+    from event_streamer_spark.tables import load
+
+    rows = {r["col"]: r for r in
+            REGISTRY["d14_entropy_census"].fn(spark, SF).collect()}
+    assert set(rows) == {c for _, c in _CENSUS_COLS}
+    for tbl, col in _CENSUS_COLS:
+        vals = [r[col] for r in load(spark, SF, tbl).select(col).collect()]
+        counts = Counter(v for v in vals if v is not None)
+        n = sum(counts.values())
+        got = rows[col]
+        assert got["n_values"] == n
+        assert got["n_distinct"] == len(counts)
+        assert got["n_null"] == sum(1 for v in vals if v is None)
+        assert got["top_share_ppm"] == (1_000_000 * max(counts.values())) // n
+        h = math.log(n) - sum(c * math.log(c) for c in counts.values()) / n
+        assert abs(got["entropy_nats"] - h) < 2e-6
+        assert -1e-9 <= got["entropy_nats"] <= math.log(len(counts)) + 1e-9
