@@ -999,3 +999,110 @@ def d14_entropy_census(spark: SparkSession, sf: str) -> DataFrame:
             "entropy_nats",
         )
     )
+
+
+@query(
+    "d15_seasonal_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(EXTRACT(DOW FROM CAST(o_orderdate AS DATE)) + 1
+                  AS BIGINT) AS dow1,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS daily_c
+      FROM orders GROUP BY 1, 2),
+    base AS (
+      SELECT day, dow1, daily_c,
+             SUM(daily_c) OVER (PARTITION BY dow1) AS dow_sum,
+             COUNT(*)     OVER (PARTITION BY dow1) AS dow_cnt
+      FROM daily),
+    scored AS (
+      SELECT day, dow1, daily_c, dow_cnt,
+             CAST((CAST(1000000 AS HUGEINT) * daily_c
+                   * (dow_cnt - 1))
+                  // NULLIF(CAST(dow_sum AS HUGEINT) - daily_c, 0)
+                  AS BIGINT) AS ratio_ppm
+      FROM base)
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day, dow1, daily_c,
+           ratio_ppm,
+           CAST(COALESCE(dow_cnt > 1
+                         AND (ratio_ppm < 500000 OR ratio_ppm > 2000000),
+                         FALSE) AS BIGINT) AS is_anomaly
+    FROM scored
+    """,
+)
+def d15_seasonal_dow(spark: SparkSession, sf: str) -> DataFrame:
+    """D15: seasonally-adjusted revenue anomaly — each day's revenue
+    against the LEAVE-ONE-OUT mean of its own day-of-week cohort
+    (weekly seasonality is the first thing a raw daily-mean monitor
+    like ``d15_ewma_monitor`` mistakes for drift; LOO keeps a spike
+    from masking itself in its own baseline). The ratio is an exact
+    integer ppm — daily·(cnt−1)·10⁶ DIV (Σcohort − daily) — with the
+    anomaly band [0.5×, 2×] decided in integer arithmetic; a
+    single-sample cohort has no baseline and emits NULL/0 — guarded
+    in the DIVISOR via NULLIF, not just a CASE around the expression,
+    because Spark's ANSI mode evaluates the DIV inside a boolean band
+    check even when the guarding conjunct is false (the dirty fixture
+    found exactly this: one NULL-date singleton cohort →
+    DIVIDE_BY_ZERO). Day-of-week numbering is the pinned
+    ``b22_dow_parity`` recipe (Spark ``dayofweek`` == DuckDB
+    ``EXTRACT(DOW) + 1``).
+
+    Scale: the daily aggregate is the only data-sized shuffle
+    (map-side combinable on the date key); the cohort windows run over
+    the DAYS frame, whose size is calendar-bounded (~365 rows/year
+    regardless of corpus size), partitioned across 7 keys. ppm bound:
+    10⁶·daily·cnt needs daily·cnt < 9.2·10¹² — daily cells beyond
+    ~10⁹ cents with decade-long histories move to DECIMAL(38,0) per
+    the d15_trend_ols protocol.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+            ).cast("bigint").alias("daily_c")
+        )
+        .select(
+            "day",
+            F.dayofweek("day").cast("bigint").alias("dow1"),
+            "daily_c",
+        )
+    )
+    w = Window.partitionBy("dow1")
+    base = daily.select(
+        "day",
+        "dow1",
+        "daily_c",
+        F.sum("daily_c").over(w).alias("dow_sum"),
+        F.count("*").over(w).alias("dow_cnt"),
+    )
+    scored = base.select(
+        "day",
+        "dow1",
+        "daily_c",
+        "dow_cnt",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * daily_c"
+            " * (dow_cnt - 1))"
+            " DIV NULLIF(CAST(dow_sum AS DECIMAL(38,0)) - daily_c, 0)"
+            " AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
+    return scored.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dow1",
+        "daily_c",
+        "ratio_ppm",
+        F.coalesce(
+            (F.col("dow_cnt") > 1)
+            & (
+                (F.col("ratio_ppm") < 500000)
+                | (F.col("ratio_ppm") > 2000000)
+            ),
+            F.lit(False),
+        ).cast("bigint").alias("is_anomaly"),
+    )

@@ -323,6 +323,31 @@ def test_validation_parity_on_dirty_fixture(spark, tmp_path):
         dirty / "events.parquet",
     )
 
+    # round-8 session 4 (d15_seasonal_dow): a NULL order date (its own
+    # NULL day/dow group on both engines) and one 10^9-dollar order
+    # that must flip its day's LOO seasonal ratio to anomalous
+    # identically on both sides
+    orders = pq.read_table(dirty / "orders.parquet")
+    od_type = orders.schema.field("o_orderdate").type
+    extra_ord = pa.table(
+        {
+            "o_orderkey": [10**9, 10**9 + 1],
+            "o_custkey": [1, 1],
+            "o_orderstatus": ["O", "O"],
+            "o_totalprice": pa.array(
+                [100.0, 1_000_000_000.0], type=pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                [None, 820454400_000_000], type=od_type  # 1996-01-01 µs
+            ),
+            "o_orderpriority": ["1-URGENT", "1-URGENT"],
+        },
+        schema=orders.schema,
+    )
+    pq.write_table(
+        pa.concat_tables([orders, extra_ord]), dirty / "orders.parquet"
+    )
+
     total, failures = run_sweep(
         spark, str(dirty), ["d14_", "d15_"], quiet=True
     )
@@ -426,3 +451,29 @@ def test_entropy_census_first_principles(spark):
         h = math.log(n) - sum(c * math.log(c) for c in counts.values()) / n
         assert abs(got["entropy_nats"] - h) < 2e-6
         assert -1e-9 <= got["entropy_nats"] <= math.log(len(counts)) + 1e-9
+
+
+def test_seasonal_dow_first_principles(spark):
+    """LOO cohort ratios recomputed driver-side: every day's ratio_ppm
+    must equal daily*(cnt-1)*1e6 // (cohort_sum - daily) over its
+    weekday cohort, the anomaly band must be exactly [0.5x, 2x], and
+    every cohort must appear (7 weekdays)."""
+    from collections import defaultdict
+
+    rows = REGISTRY["d15_seasonal_dow"].fn(spark, SF).collect()
+    assert {r["dow1"] for r in rows} == set(range(1, 8))
+    cohorts = defaultdict(list)
+    for r in rows:
+        cohorts[r["dow1"]].append(r)
+    for dow, days in cohorts.items():
+        total = sum(r["daily_c"] for r in days)
+        cnt = len(days)
+        for r in days:
+            if cnt == 1:
+                assert r["ratio_ppm"] is None and r["is_anomaly"] == 0
+                continue
+            exp = (1_000_000 * r["daily_c"] * (cnt - 1)) // (
+                total - r["daily_c"]
+            )
+            assert r["ratio_ppm"] == exp
+            assert r["is_anomaly"] == int(exp < 500_000 or exp > 2_000_000)
