@@ -1106,3 +1106,146 @@ def d15_seasonal_dow(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(False),
         ).cast("bigint").alias("is_anomaly"),
     )
+
+
+# A/B experiment constants: deterministic assignment salt and the
+# covariate/outcome period boundary (the events fixture spans
+# 2024-01; CUPED needs a pre-period, so the month splits in half).
+_AB_SPLIT = "2024-01-16"
+
+from event_streamer_spark.operators.sketches import (  # noqa: E402
+    _H13_DUCK,
+)
+
+
+@query(
+    "d14_ab_cuped",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             {_H13_DUCK} % 2 AS variant,
+             CAST(COUNT(*) FILTER (WHERE ts <  TIMESTAMP '{_AB_SPLIT}')
+                  AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    FILTER (WHERE ts >= TIMESTAMP '{_AB_SPLIT}'
+                            AND event_type = 'purchase' AND value >= 0),
+                    0) AS BIGINT) AS y,
+             CAST(COUNT(*) FILTER (WHERE ts >= TIMESTAMP '{_AB_SPLIT}'
+                    AND event_type = 'purchase') > 0
+                  AS BIGINT) AS converted
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT)   AS sx,
+             CAST(SUM(y) AS BIGINT)   AS sy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(x*y) AS BIGINT) AS sxy
+      FROM users),
+    by_variant AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT)       AS n_users,
+             CAST(SUM(y) AS BIGINT)         AS sum_y_c,
+             CAST(SUM(x) AS BIGINT)         AS sum_x,
+             CAST(SUM(converted) AS BIGINT) AS conv_users
+      FROM users GROUP BY variant)
+    SELECT v.variant, v.n_users, v.sum_y_c, v.sum_x, v.conv_users,
+           (1000000 * v.conv_users) // v.n_users AS conv_rate_ppm,
+           ROUND(CAST(v.sum_y_c AS DOUBLE) / v.n_users
+                 - (CAST(p.n AS DOUBLE) * p.sxy - CAST(p.sx AS DOUBLE) * p.sy)
+                   / (CAST(p.n AS DOUBLE) * p.sxx - CAST(p.sx AS DOUBLE) * p.sx)
+                   * (CAST(v.sum_x AS DOUBLE) / v.n_users
+                      - CAST(p.sx AS DOUBLE) / p.n), 6) AS mean_y_adj
+    FROM by_variant v CROSS JOIN pooled p
+    """,
+)
+def d14_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    """D14: A/B experiment readout with CUPED variance reduction
+    (Deng et al., WSDM'13) — deterministic 50/50 assignment by the
+    portable 52-bit md5 user hash (the d11 KMV spelling: Spark CONV ↔
+    DuckDB char-fold, so assignment is REPRODUCIBLE across engines and
+    reruns — the property that makes an experiment auditable), outcome
+    = per-user purchase cents in the second half-month, covariate =
+    pre-period activity count. Emits per variant: exact user/outcome/
+    covariate/conversion tallies, integer-ppm conversion rate, and the
+    CUPED-adjusted mean ȳ_v − θ·(x̄_v − x̄) with θ = cov(X,Y)/var(X)
+    POOLED across variants (per-variant θ would bias the contrast).
+    The adjusted mean is the one float column, composed of exact
+    BIGINT moments and rounded at the repo's 6-decimal grain; negative
+    purchase values (refund-like dirty rows) are excluded from the
+    outcome on both engines, and NULL users/timestamps drop out before
+    assignment.
+
+    Scale: one map-side-combinable shuffle on the user key builds the
+    per-user table; the variant rollup is a 2-key aggregate; pooled
+    moments are a 1-row broadcast cross join. Moment bounds fit BIGINT
+    through ~10¹² user-cents-activity products — beyond that, the
+    d15_trend_ols DECIMAL(38,0) widening applies.
+    """
+    from event_streamer_spark.operators.sketches import _H13_SPARK
+
+    split = f"TIMESTAMP '{_AB_SPLIT}'"
+    users = (
+        load(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(ts < {split} AS BIGINT)")
+            ).cast("bigint").alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        f"CASE WHEN ts >= {split}"
+                        " AND event_type = 'purchase' AND value >= 0"
+                        " THEN CAST(ROUND(value * 100) AS BIGINT) END"
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("y"),
+            F.max(
+                F.expr(
+                    f"CAST(ts >= {split}"
+                    " AND event_type = 'purchase' AS BIGINT)"
+                )
+            ).cast("bigint").alias("converted"),
+        )
+        .withColumn("variant", F.expr(f"{_H13_SPARK} % 2"))
+    )
+    from event_streamer_spark.caching import bounded_persist
+
+    users = bounded_persist(users, "d14_ab_users")  # two consumers
+    pooled = users.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x*x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("x*y")).cast("bigint").alias("sxy"),
+    )
+    by_variant = users.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("y").cast("bigint").alias("sum_y_c"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("converted").cast("bigint").alias("conv_users"),
+    )
+    return by_variant.crossJoin(F.broadcast(pooled)).select(
+        "variant",
+        "n_users",
+        "sum_y_c",
+        "sum_x",
+        "conv_users",
+        F.expr("(1000000 * conv_users) DIV n_users").alias(
+            "conv_rate_ppm"
+        ),
+        F.round(
+            F.expr(
+                "CAST(sum_y_c AS DOUBLE) / n_users"
+                " - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+                "   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+                "   * (CAST(sum_x AS DOUBLE) / n_users"
+                "      - CAST(sx AS DOUBLE) / n)"
+            ),
+            6,
+        ).alias("mean_y_adj"),
+    )

@@ -117,7 +117,11 @@ pinned as a named registry query):
   ``b23_xor_caret_parity``. ``&``, ``|``, ``<<``, ``>>``, ``%`` (incl.
   negative dividends), ``BIT_COUNT``, and ``MOD`` agree and ARE in the
   grammar, as are ABS / GREATEST / LEAST (both engines IGNORE NULL
-  arguments — probed), ROUND over INTEGER-typed inputs (exact there;
+  arguments — probed), and — BIGINT-only — integer division: DuckDB
+  ``//`` over DECIMAL operands routes through DOUBLE (off-by-one at
+  ~10^15 numerators, measured by d15_seasonal_dow's dirty fixture;
+  use HUGEINT on the DuckDB side / DECIMAL ``DIV`` on Spark for wide
+  integral division), ROUND over INTEGER-typed inputs (exact there;
   on DOUBLES the engines diverge at tie-adjacent quotients — Spark
   rounds the shortest decimal representation HALF_UP while DuckDB
   rounds a scaled double multiply, e.g. 13456305/3200 → 4205.095313

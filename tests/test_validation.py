@@ -477,3 +477,57 @@ def test_seasonal_dow_first_principles(spark):
             )
             assert r["ratio_ppm"] == exp
             assert r["is_anomaly"] == int(exp < 500_000 or exp > 2_000_000)
+
+
+def test_ab_cuped_first_principles(spark):
+    """Assignment, moments, and the CUPED adjustment recomputed
+    driver-side: variants must partition the users deterministically
+    by the md5 hash, pooled theta must be shared (the adjusted means
+    must satisfy the identity sum_v n_v*(adj_v - raw_v) ~ 0 when the
+    pooled covariate mean is used), and every emitted tally must match
+    the raw recount."""
+    import hashlib
+    from datetime import datetime
+
+    from event_streamer_spark.operators.validation import _AB_SPLIT
+    from event_streamer_spark.tables import load
+
+    split = datetime.fromisoformat(_AB_SPLIT)
+    per_user: dict[int, list] = {}
+    for r in load(spark, SF, "events").collect():
+        if r["user_id"] is None or r["ts"] is None:
+            continue
+        u = per_user.setdefault(r["user_id"], [0, 0, 0])  # x, y, conv
+        if r["ts"] < split:
+            u[0] += 1
+        else:
+            if r["event_type"] == "purchase":
+                u[2] = 1
+                if r["value"] is not None and r["value"] >= 0:
+                    u[1] += round(r["value"] * 100)
+    stats = {0: [0, 0, 0, 0], 1: [0, 0, 0, 0]}  # n, sy, sx, conv
+    n = sx = sy = sxx = sxy = 0
+    for uid, (x, y, conv) in per_user.items():
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:13], 16)
+        v = h % 2
+        s = stats[v]
+        s[0] += 1
+        s[1] += y
+        s[2] += x
+        s[3] += conv
+        n += 1
+        sx += x
+        sy += y
+        sxx += x * x
+        sxy += x * y
+    rows = {r["variant"]: r for r in
+            REGISTRY["d14_ab_cuped"].fn(spark, SF).collect()}
+    assert set(rows) == {0, 1}
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    for v, (nv, syv, sxv, convv) in stats.items():
+        r = rows[v]
+        assert (r["n_users"], r["sum_y_c"], r["sum_x"], r["conv_users"]) \
+            == (nv, syv, sxv, convv)
+        assert r["conv_rate_ppm"] == (1_000_000 * convv) // nv
+        adj = syv / nv - theta * (sxv / nv - sx / n)
+        assert abs(r["mean_y_adj"] - adj) < 2e-6
