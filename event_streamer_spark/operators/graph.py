@@ -475,3 +475,160 @@ def d17_triangles(spark: SparkSession, sf: str) -> DataFrame:
     return members.groupBy("suppkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+# HITS fixed-point scale (1e9: leaves headroom for the DECIMAL/HUGEINT
+# normalization multiply raw·SCALE ≤ ~1e21) and unrolled rounds.
+_HITS_SCALE = 1_000_000_000
+_HITS_ITERS = 2
+
+
+def _hits_oracle() -> str:
+    S = _HITS_SCALE
+    ctes = [
+        f"""
+    pairs AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    hubs AS (SELECT ck, COUNT(*) AS odeg FROM pairs GROUP BY ck),
+    auths AS (SELECT sk, COUNT(*) AS ideg FROM pairs GROUP BY sk),
+    nh AS (SELECT COUNT(*) AS n FROM hubs),
+    h0 AS (SELECT ck, odeg, {S} // (SELECT n FROM nh) AS h FROM hubs)
+        """
+    ]
+    for i in range(1, _HITS_ITERS + 1):
+        ctes.append(
+            f"""
+    ar{i} AS (
+      SELECT p.sk, SUM(h.h) AS raw
+      FROM pairs p JOIN h{i - 1} h ON h.ck = p.ck GROUP BY p.sk),
+    at{i} AS (SELECT SUM(raw) AS t FROM ar{i}),
+    a{i} AS (
+      SELECT a.sk, aa.ideg,
+             CAST((CAST(raw AS HUGEINT) * {S})
+                  // (SELECT t FROM at{i}) AS BIGINT) AS a
+      FROM ar{i} a JOIN auths aa ON aa.sk = a.sk),
+    hr{i} AS (
+      SELECT p.ck, SUM(a.a) AS raw
+      FROM pairs p JOIN a{i} a ON a.sk = p.sk GROUP BY p.ck),
+    ht{i} AS (SELECT SUM(raw) AS t FROM hr{i}),
+    h{i} AS (
+      SELECT h.ck, hh.odeg,
+             CAST((CAST(raw AS HUGEINT) * {S})
+                  // (SELECT t FROM ht{i}) AS BIGINT) AS h
+      FROM hr{i} h JOIN hubs hh ON hh.ck = h.ck)
+            """
+        )
+    n = _HITS_ITERS
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT 'c:' || CAST(ck AS VARCHAR) AS node,
+           CAST(odeg AS BIGINT) AS degree,
+           CAST(h AS BIGINT) AS score_scaled,
+           'hub' AS side
+    FROM h{n}
+    UNION ALL
+    SELECT 's:' || CAST(sk AS VARCHAR), CAST(ideg AS BIGINT),
+           CAST(a AS BIGINT), 'authority'
+    FROM a{n}
+    """
+    )
+
+
+@query("d17_hits", oracle=_hits_oracle())
+def d17_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """D17: HITS hubs & authorities (Kleinberg, 1999) over the DIRECTED
+    customer→supplier purchase graph — hub customers spread business
+    across central suppliers; authority suppliers attract central
+    customers. Mutual-reinforcement updates ``auth(s) = Σ hub(c)``,
+    ``hub(c) = Σ auth(s)`` with L1 re-normalization to ``_HITS_SCALE``
+    each half-step, all in exact fixed-point integers: the
+    normalization multiply raw·SCALE widens through DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB) — the same split ``d15_seasonal_dow``
+    pinned, since DuckDB's DECIMAL ``//`` routes through DOUBLE — so
+    the score vectors hash bit-identically, unlike float HITS whose
+    L2 norm is both sqrt-valued and merge-order-sensitive.
+
+    Scale: per-node state only; each half-step is one edges⨝scores
+    shuffle join + a map-combinable SUM + a 1-row L1 total broadcast
+    back into the normalization (no collect). Iterations are the
+    bounded-rounds constant; edges and the two degree tables are
+    ``bounded_persist``-ed (every round references them — the
+    PageRank 88-scan lesson).
+    """
+    from event_streamer_spark.caching import bounded_persist
+
+    S = _HITS_SCALE
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = bounded_persist(
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct(),
+        "graph.hits_edges",
+    )
+    hubs = bounded_persist(
+        pairs.groupBy("ck").agg(F.count(F.lit(1)).alias("odeg")),
+        "graph.hits_hubs",
+    )
+    auths = bounded_persist(
+        pairs.groupBy("sk").agg(F.count(F.lit(1)).alias("ideg")),
+        "graph.hits_auths",
+    )
+    nh = hubs.agg(F.count(F.lit(1)).alias("n"))
+    h = hubs.crossJoin(F.broadcast(nh)).select(
+        "ck", "odeg", F.expr(f"{S} DIV n").alias("h")
+    )
+    norm = (
+        f"CAST((CAST(raw AS DECIMAL(38,0)) * {S}) DIV t AS BIGINT)"
+    )
+    # L1 totals via an unpartitioned window, NOT a crossJoin against a
+    # separate aggregate of the same frame: the aggregate spelling
+    # references each round's un-truncated lineage TWICE, and with two
+    # doublings per round Catalyst's logical tree grows 4× per
+    # iteration (measured: 18 s of pure planning at sf0.001). The
+    # window keeps every round single-reference → linear plan depth.
+    # The window's single task holds the NODE-sized score vector (the
+    # same per-node-state bound as the rank vector itself), not corpus
+    # data; billion-node graphs would swap in a two-pass broadcast
+    # total over a checkpointed round boundary.
+    from pyspark.sql import Window
+
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    a = None
+    for _ in range(_HITS_ITERS):
+        araw = (
+            pairs.join(h.select("ck", "h"), "ck")
+            .groupBy("sk")
+            .agg(F.sum("h").alias("raw"))
+            .withColumn("t", F.sum("raw").over(wall))
+        )
+        a = araw.join(auths, "sk").select(
+            "sk", "ideg", F.expr(norm).alias("a")
+        )
+        hraw = (
+            pairs.join(a.select("sk", "a"), "sk")
+            .groupBy("ck")
+            .agg(F.sum("a").alias("raw"))
+            .withColumn("t", F.sum("raw").over(wall))
+        )
+        h = hraw.join(hubs, "ck").select(
+            "ck", "odeg", F.expr(norm).alias("h")
+        )
+    hub_rows = h.select(
+        F.concat(F.lit("c:"), F.col("ck").cast("string")).alias("node"),
+        F.col("odeg").cast("bigint").alias("degree"),
+        F.col("h").cast("bigint").alias("score_scaled"),
+        F.lit("hub").alias("side"),
+    )
+    auth_rows = a.select(
+        F.concat(F.lit("s:"), F.col("sk").cast("string")).alias("node"),
+        F.col("ideg").cast("bigint").alias("degree"),
+        F.col("a").cast("bigint").alias("score_scaled"),
+        F.lit("authority").alias("side"),
+    )
+    return hub_rows.unionByName(auth_rows)

@@ -135,3 +135,32 @@ def test_triangles_match_naive_enumeration(spark):
         naive_per_node[t["b"]] += 1
         naive_per_node[t["c"]] += 1
     assert per_node == dict(naive_per_node)
+
+
+def test_hits_invariants(spark):
+    """HITS fixed-point invariants: both sides L1-normalize to the
+    scale (up to per-node floor leakage), every score is positive,
+    hub/authority sides partition the node set exactly as the degree
+    tables do, and the top authority must be a supplier with
+    above-median in-degree (mutual reinforcement concentrates mass on
+    high-degree authorities in a near-regular bipartite graph)."""
+    from event_streamer_spark.operators.graph import _HITS_SCALE
+
+    rows = REGISTRY["d17_hits"].fn(spark, SF).collect()
+    hubs = [r for r in rows if r["side"] == "hub"]
+    auths = [r for r in rows if r["side"] == "authority"]
+    assert hubs and auths
+    assert all(r["node"].startswith("c:") for r in hubs)
+    assert all(r["node"].startswith("s:") for r in auths)
+    for side in (hubs, auths):
+        total = sum(r["score_scaled"] for r in side)
+        # each node's normalization floors once: leak < |side| units
+        assert _HITS_SCALE - len(side) <= total <= _HITS_SCALE
+        assert all(r["score_scaled"] > 0 for r in side)
+    # degree mass: both sides see every distinct trade pair once
+    assert sum(r["degree"] for r in hubs) == sum(
+        r["degree"] for r in auths
+    )
+    top_auth = max(auths, key=lambda r: r["score_scaled"])
+    med = sorted(r["degree"] for r in auths)[len(auths) // 2]
+    assert top_auth["degree"] >= med
