@@ -104,6 +104,10 @@ SAMPLE = [
     "b71_skyline",
     "b72_rfm_segments",
     "d15_trend_ols",
+    # HITS: iterative integer normalization through DECIMAL DIV and
+    # the unpartitioned-window L1 totals — AQE off replans the
+    # edges⨝scores joins, codegen off interprets the decimal chain
+    "d17_hits",
 ]
 
 REGIMES = {
