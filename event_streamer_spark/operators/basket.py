@@ -53,9 +53,15 @@ _MAX_BASKET = 64
 # pairs at sf0.001 / 0.01 / 0.1).
 _MIN_SUPPORT = 2
 
+# NULL keys are excluded EXPLICITLY on both engines: DuckDB's DISTINCT
+# keeps a NULL part as a basket item (so it would count toward the
+# size cap) while Spark's collect_set silently drops it — a basket at
+# exactly _MAX_BASKET real items plus one NULL line would be capped on
+# one engine and kept on the other.
 _BASKET_SQL = f"""
     items AS (
-      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
     kept AS (
       SELECT ok FROM items GROUP BY ok HAVING COUNT(*) <= {_MAX_BASKET}),
     it AS (SELECT i.ok, i.pk FROM items i JOIN kept USING (ok))
@@ -84,6 +90,10 @@ def basket_arrays(spark: SparkSession, sf: str) -> DataFrame:
             F.col("l_orderkey").alias("ok"),
             F.col("l_partkey").alias("pk"),
         )
+        # explicit, though collect_set also drops NULLs: the ORACLE's
+        # DISTINCT would keep a NULL item and shift the size cap (see
+        # _BASKET_SQL) — the filter keeps both engines on one rule
+        .filter(F.col("ok").isNotNull() & F.col("pk").isNotNull())
         .groupBy("ok")
         .agg(F.sort_array(F.collect_set("pk")).alias("arr"))
         .filter(F.size("arr") <= _MAX_BASKET)

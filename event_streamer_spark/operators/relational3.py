@@ -294,7 +294,8 @@ def b70_gap_fill_interp(spark: SparkSession, sf: str) -> DataFrame:
     WITH c AS (
       SELECT p_partkey, p_size,
              CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
-      FROM part)
+      FROM part
+      WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL)
     SELECT p.p_partkey, p.p_size, p.price_c
     FROM c p
     WHERE NOT EXISTS (
@@ -328,12 +329,23 @@ def b71_skyline(spark: SparkSession, sf: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    base = load(spark, sf, "part").select(
-        "p_partkey",
-        "p_size",
-        F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias(
-            "price_c"
-        ),
+    # NULL dimensions are excluded explicitly on BOTH engines: a
+    # NULL-size row satisfies no dominance predicate, so DuckDB's NOT
+    # EXISTS would put it IN the skyline while the Spark recovery
+    # join's NULL-unequal semantics would drop it
+    base = (
+        load(spark, sf, "part")
+        .filter(
+            F.col("p_size").isNotNull()
+            & F.col("p_retailprice").isNotNull()
+        )
+        .select(
+            "p_partkey",
+            "p_size",
+            F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias(
+                "price_c"
+            ),
+        )
     )
     per_size = base.groupBy("p_size").agg(F.min("price_c").alias("m"))
     # suffix min over strictly larger sizes (domain-bounded frame)

@@ -70,7 +70,13 @@ def pair_mine_batch(
         spark = batch_df.sparkSession
         for sub in (state_dir, emit_dir):
             _migrate_legacy_state(spark, sub)
-        arrivals = batch_df.select("ok", "pk").distinct()
+        # same NULL rule as the batch operator's _BASKET_SQL: a NULL
+        # key is not a basket item on either engine
+        arrivals = (
+            batch_df.select("ok", "pk")
+            .filter(F.col("ok").isNotNull() & F.col("pk").isNotNull())
+            .distinct()
+        )
         prior = None
         try:
             if hadoop_path_exists(spark, state_dir):

@@ -131,20 +131,27 @@ def test_basket_parity_on_dirty_fixture(spark, tmp_path):
         ok += [o] * 4
         pk += [3000, 3000, 3001, 3001]
     n = len(ok)
+    # NULL part lines: DuckDB's bare DISTINCT would count a NULL item
+    # toward the size cap while collect_set drops it — the explicit
+    # NULL filter is what these rows exercise (one lands in a basket
+    # at EXACTLY the cap boundary via the mega-basket's first 64)
+    null_pk_orders = [10**9 + 1, 10**9 + 3]
     extra = pa.table(
         {
-            "l_orderkey": ok,
-            "l_partkey": pk,
-            "l_suppkey": [1] * n,
-            "l_linenumber": list(range(1, n + 1)),
-            "l_quantity": pa.array([1.0] * n, type=pa.float64()),
-            "l_extendedprice": pa.array([10.0] * n, type=pa.float64()),
-            "l_discount": pa.array([0.0] * n, type=pa.float64()),
-            "l_tax": pa.array([0.0] * n, type=pa.float64()),
-            "l_returnflag": ["N"] * n,
-            "l_linestatus": ["O"] * n,
+            "l_orderkey": ok + null_pk_orders,
+            "l_partkey": pk + [None] * len(null_pk_orders),
+            "l_suppkey": [1] * (n + 2),
+            "l_linenumber": list(range(1, n + 3)),
+            "l_quantity": pa.array([1.0] * (n + 2), type=pa.float64()),
+            "l_extendedprice": pa.array(
+                [10.0] * (n + 2), type=pa.float64()
+            ),
+            "l_discount": pa.array([0.0] * (n + 2), type=pa.float64()),
+            "l_tax": pa.array([0.0] * (n + 2), type=pa.float64()),
+            "l_returnflag": ["N"] * (n + 2),
+            "l_linestatus": ["O"] * (n + 2),
             "l_shipdate": pa.array(
-                [None] * n, type=li.schema.field("l_shipdate").type
+                [None] * (n + 2), type=li.schema.field("l_shipdate").type
             ),
         },
         schema=li.schema,

@@ -259,15 +259,19 @@ def test_skyline_parity_on_dirty_fixture(spark, tmp_path):
     part = pq.read_table(dirty / "part.parquet")
     # size 50 at a price below the fixture minimum dominates weakly
     # everywhere: the planted pair IS the new single frontier point
+    # the NULL-size row satisfies no dominance predicate, so DuckDB's
+    # NOT EXISTS would crown it a frontier point while Spark's
+    # recovery join drops it — the explicit NULL filter (both engines)
+    # is what this row exercises
     extra = pa.table(
         {
-            "p_partkey": [10**9, 10**9 + 1, 10**9 + 2],
-            "p_name": ["tied a", "tied b", "dominated"],
-            "p_brand": ["Brand#00"] * 3,
-            "p_type": ["PLANTED"] * 3,
-            "p_size": [50, 50, 50],
+            "p_partkey": [10**9, 10**9 + 1, 10**9 + 2, 10**9 + 3],
+            "p_name": ["tied a", "tied b", "dominated", "null size"],
+            "p_brand": ["Brand#00"] * 4,
+            "p_type": ["PLANTED"] * 4,
+            "p_size": pa.array([50, 50, 50, None], type=pa.int32()),
             "p_retailprice": pa.array(
-                [0.01, 0.01, 0.02], type=pa.float64()
+                [0.01, 0.01, 0.02, 0.005], type=pa.float64()
             ),
         },
         schema=part.schema,
