@@ -632,3 +632,108 @@ def d17_hits(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("authority").alias("side"),
     )
     return hub_rows.unionByName(auth_rows)
+
+
+_LPA_ITERS = 2
+
+
+def _label_prop_oracle() -> str:
+    ctes = [
+        """
+    pairs AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    e AS (
+      SELECT 'c:' || CAST(ck AS VARCHAR) AS src,
+             's:' || CAST(sk AS VARCHAR) AS dst FROM pairs
+      UNION ALL
+      SELECT 's:' || CAST(sk AS VARCHAR) AS src,
+             'c:' || CAST(ck AS VARCHAR) AS dst FROM pairs),
+    lab0 AS (SELECT DISTINCT src AS node, src AS lab FROM e)
+        """
+    ]
+    for i in range(1, _LPA_ITERS + 1):
+        ctes.append(
+            """
+    cnt{i} AS (
+      SELECT e.dst AS node, l.lab, COUNT(*) AS c
+      FROM e JOIN lab{prev} l ON l.node = e.src
+      GROUP BY e.dst, l.lab),
+    best{i} AS (SELECT node, MAX(c) AS mc FROM cnt{i} GROUP BY node),
+    lab{i} AS (
+      SELECT c.node, MIN(c.lab) AS lab
+      FROM cnt{i} c JOIN best{i} b ON b.node = c.node AND c.c = b.mc
+      GROUP BY c.node)
+            """.format(i=i, prev=i - 1)
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT node, lab AS label FROM lab{_LPA_ITERS}
+    """
+    )
+
+
+@query("d17_label_prop", oracle=_label_prop_oracle())
+def d17_label_prop(spark: SparkSession, sf: str) -> DataFrame:
+    """D17: synchronous label propagation (Raghavan et al., 2007) over
+    the undirected trade graph — the standard lightweight community
+    detector. Every node starts as its own label; each round it
+    adopts the MODAL label among its neighbors with ties broken by
+    the lexicographic minimum, which makes the fixed-round result
+    fully deterministic (and therefore hash-oracled via unrolled
+    CTEs) — asynchronous/random-order LPA is not reproducible and has
+    no place in a correctness-gated registry.
+
+    Scale: per-round cost is one edges⨝labels shuffle join + a
+    map-combinable (node, label) count; the modal pick is a max-count
+    window PARTITIONED BY NODE (bounded per-key by the node's
+    neighbor-label diversity — no global sort, no whole-partition
+    key) followed by a min aggregate. Rounds are the bounded constant;
+    edges are ``bounded_persist``-ed (every round references them —
+    the PageRank 88-scan lesson). Label payloads travel as short
+    strings; at billion-edge scale you would dictionary-encode them to
+    longs first, noted rather than hidden.
+    """
+    from pyspark.sql import Window
+
+    from event_streamer_spark.caching import bounded_persist
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    ck = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+    sk = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    edges = bounded_persist(
+        pairs.select(ck.alias("src"), sk.alias("dst")).unionAll(
+            pairs.select(sk.alias("src"), ck.alias("dst"))
+        ),
+        "graph.lpa_edges",
+    )
+    lab = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    w = Window.partitionBy("node")
+    for _ in range(_LPA_ITERS):
+        cnt = (
+            edges.join(
+                lab.select(F.col("node").alias("src"), "lab"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # modal label, min tie-break: max-count via a node-partitioned
+        # window (single reference — the HITS plan-blowup lesson),
+        # then MIN over the tied labels
+        lab = (
+            cnt.withColumn("mc", F.max("c").over(w))
+            .filter(F.col("c") == F.col("mc"))
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+        )
+    return lab.select("node", F.col("lab").alias("label"))

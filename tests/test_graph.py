@@ -164,3 +164,38 @@ def test_hits_invariants(spark):
     top_auth = max(auths, key=lambda r: r["score_scaled"])
     med = sorted(r["degree"] for r in auths)[len(auths) // 2]
     assert top_auth["degree"] >= med
+
+
+def test_label_prop_first_principles(spark):
+    """Two synchronous LPA rounds recomputed driver-side from the raw
+    edge list (modal neighbor label, lexicographic-min tie-break) must
+    match node-for-node, and labels must be genuine node ids."""
+    from collections import Counter, defaultdict
+
+    rows = REGISTRY["d17_label_prop"].fn(spark, SF).collect()
+    pairs = (
+        load(spark, SF, "orders")
+        .join(
+            load(spark, SF, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    nbrs = defaultdict(set)
+    for r in pairs:
+        c, s = f"c:{r['o_custkey']}", f"s:{r['l_suppkey']}"
+        nbrs[c].add(s)
+        nbrs[s].add(c)
+    lab = {v: v for v in nbrs}
+    for _ in range(2):
+        new = {}
+        for v, ns in nbrs.items():
+            counts = Counter(lab[u] for u in ns)
+            mc = max(counts.values())
+            new[v] = min(l for l, c in counts.items() if c == mc)
+        lab = new
+    got = {r["node"]: r["label"] for r in rows}
+    assert got == lab
+    assert set(got.values()) <= set(nbrs)
