@@ -953,27 +953,41 @@ def d14_entropy_census(spark: SparkSession, sf: str) -> DataFrame:
     for tbl, col in _CENSUS_COLS:
         by_table.setdefault(tbl, []).append(col)
     for tbl, cols in by_table.items():
-        stack_args = ", ".join(f"'{c}', {c}" for c in cols)
         frames.append(
-            load(spark, sf, tbl).selectExpr(
-                f"stack({len(cols)}, {stack_args}) AS (col, val)"
-            )
+            census_value_counts(load(spark, sf, tbl), cols)
         )
-    vals = frames[0]
+    counts = frames[0]
     for f in frames[1:]:
-        vals = vals.unionByName(f)
-    counts = (
-        vals.filter(F.col("val").isNotNull())
+        counts = counts.unionByName(f)
+    return census_from_counts(counts)
+
+
+def census_value_counts(df: DataFrame, cols: list) -> DataFrame:
+    """One table's profiled columns as (col, val, c) counts — the
+    shard unit of the census: counts ADD, so per-micro-batch shards
+    merge with SUM (the ``psi_bin_counts`` contract). NULL values keep
+    their own (col, NULL) group; the rollup splits them out."""
+    stack_args = ", ".join(f"'{c}', {c}" for c in cols)
+    return (
+        df.selectExpr(f"stack({len(cols)}, {stack_args}) AS (col, val)")
         .groupBy("col", "val")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
+
+
+def census_from_counts(counts: DataFrame) -> DataFrame:
+    """The census rollup from merged (col, val, c) counts — THE one
+    copy of the entropy/mode/null arithmetic, shared by the batch
+    query and the streaming read so the two definitions cannot
+    drift."""
+    nonnull = counts.filter(F.col("val").isNotNull())
     nulls = (
-        vals.filter(F.col("val").isNull())
+        counts.filter(F.col("val").isNull())
         .groupBy("col")
-        .agg(F.count("*").cast("bigint").alias("n_null"))
+        .agg(F.sum("c").cast("bigint").alias("n_null"))
     )
     return (
-        counts.groupBy("col")
+        nonnull.groupBy("col")
         .agg(
             F.sum("c").cast("bigint").alias("n_values"),
             F.count("*").cast("bigint").alias("n_distinct"),

@@ -31,7 +31,9 @@ from event_streamer_spark.streaming.dedup import (
     read_kmv_overlap,
 )
 from event_streamer_spark.streaming.drift import (
+    census_batch,
     drift_bins_batch,
+    read_census,
     read_psi_drift,
 )
 from event_streamer_spark.streaming.integrity import (
@@ -96,6 +98,8 @@ __all__ = [
     "read_ddsketch",
     "drift_bins_batch",
     "read_psi_drift",
+    "census_batch",
+    "read_census",
     "dup_key_counts_batch",
     "read_dup_key_audit",
     "fk_monitor_batch",

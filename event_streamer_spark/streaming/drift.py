@@ -57,3 +57,50 @@ def read_psi_drift(spark, state_dir: str) -> DataFrame:
         )
     )
     return psi_from_counts(spark, counts)
+
+
+def census_batch(
+    state_dir: str, columns: list
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` body: append this micro-batch's categorical
+    value counts for ``columns`` (``census_value_counts`` — THE batch
+    census's own counting, so the incremental profile can never drift
+    from the batch definition). Counts add across shards; NULL values
+    ride as their own (col, NULL) group, so the null tally merges the
+    same way."""
+    from event_streamer_spark.operators.validation import (
+        census_value_counts,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _migrate_legacy_state(batch_df.sparkSession, state_dir)
+        _write_batch_partition(
+            census_value_counts(batch_df, columns), batch_id, state_dir
+        )
+
+    return process
+
+
+def read_census(spark, state_dir: str) -> DataFrame:
+    """The live categorical profile: merge value-count shards (SUM per
+    (col, val)) and run the batch operator's own
+    ``census_from_counts`` — equal to the batch census over the union
+    of all ingested batches. Empty/absent state reads as zero rows
+    (explicit schema, the read_fk_orphans convention)."""
+    from event_streamer_spark.helpers import hadoop_path_exists
+    from event_streamer_spark.operators.validation import (
+        census_from_counts,
+    )
+
+    schema = "col string, val string, c bigint, batch_id int"
+    if not hadoop_path_exists(spark, state_dir):
+        return census_from_counts(
+            spark.createDataFrame([], schema).select("col", "val", "c")
+        )
+    counts = (
+        spark.read.schema(schema)
+        .parquet(state_dir)
+        .groupBy("col", "val")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    return census_from_counts(counts)

@@ -2469,3 +2469,57 @@ def test_incremental_frequent_pairs_equals_batch(
     # empty-state read guard
     none = str(tmp_path / "none")
     assert read_frequent_pairs(spark, none, none).count() == 0
+
+
+@pytest.mark.parametrize("n_splits,bseed", BOUNDARY_SPLITS)
+def test_incremental_census_equals_batch(spark, tmp_path, n_splits, bseed):
+    """D14 census streaming leg: categorical value counts add across
+    shards (NULL categories ride as their own group), so replaying the
+    event stream through ANY micro-batch boundary reproduces the batch
+    census rollup row-identically — including entropy, whose inputs
+    are the merged exact counts, never per-batch floats."""
+    from event_streamer_spark.operators.validation import (
+        census_from_counts,
+        census_value_counts,
+    )
+    from event_streamer_spark.streaming import census_batch, read_census
+
+    ev = load(spark, SF, "events").select(
+        "event_id",
+        "event_type",
+        # a NULL-bearing second column: user_id as a string category
+        F.when(F.col("user_id") % 3 != 0, F.col("user_id"))
+        .cast("string")
+        .alias("user_bucket"),
+    )
+    cols = ["event_type", "user_bucket"]
+    expected = {
+        r["col"]: tuple(r)
+        for r in census_from_counts(census_value_counts(ev, cols)).collect()
+    }
+    assert expected and any(
+        r[3] > 0 for r in expected.values()
+    )  # the NULL leg is genuinely exercised
+
+    src = str(tmp_path / "census_src")
+    write_split_files(ev, src, "event_id", n_splits, bseed)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, event_type string, user_bucket string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "census_state")
+    q = (
+        stream.writeStream.foreachBatch(census_batch(state, cols))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "census_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {r["col"]: tuple(r) for r in read_census(spark, state).collect()}
+    assert got == expected
+    # empty-state read guard
+    assert read_census(spark, str(tmp_path / "none")).count() == 0
