@@ -395,3 +395,90 @@ def d6_source_report(spark: SparkSession, sf: str) -> DataFrame:
             F.count("is_cont").cast("bigint").alias("n_contaminated"),
         )
     )
+
+
+@query(
+    "d7_winsorize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL),
+    r AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM d),
+    b AS (
+      SELECT
+        MIN(CASE WHEN rn = GREATEST(1, (5 * n + 99) // 100)
+                 THEN n_chars END) AS lo,
+        MIN(CASE WHEN rn = GREATEST(1, (95 * n + 99) // 100)
+                 THEN n_chars END) AS hi
+      FROM r)
+    SELECT d.doc_id, d.n_chars,
+           CAST(LEAST(GREATEST(d.n_chars, b.lo), b.hi) AS BIGINT)
+             AS w_chars
+    FROM d CROSS JOIN b
+    """,
+)
+def d7_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """D7: exact winsorization — clip every document's length feature
+    to the exact [p05, p95] of the corpus, the standard outlier
+    treatment before scaling/training. The percentile is the explicit
+    RANK definition rank_p = max(1, ⌈p·n⌉), computed in INTEGER
+    arithmetic ((p·n + 99) DIV 100) with a (value, doc_id) total
+    order — not an engine quantile builtin, whose rank conventions
+    (disc/cont, 0- or 1-based) differ and are not oracle-able.
+
+    Scale: the global rank is the d12 TeraSort shape via distrank
+    ``auto`` (range-bucketed two-level above the size threshold, never
+    a single-task sort); the two boundary rows collapse to a 1-row
+    broadcast that clips the corpus in one map-side pass. NULL
+    features are excluded explicitly on both engines (dirty fixture
+    rows carry them).
+    """
+    from event_streamer_spark.operators.distrank import (
+        two_level_row_number,
+    )
+
+    d = (
+        load(spark, sf, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("n_chars").isNotNull())
+        .withColumn("__g", F.lit(0))
+    )
+    ranked = two_level_row_number(
+        d,
+        ["__g"],
+        ["n_chars", "doc_id"],
+        bucket_value="n_chars",
+        out_col="rn",
+        count_col="n",
+        mode="auto",  # size-aware: naive below the local threshold
+    )
+    bounds = ranked.select(
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.lit(1), F.expr("(5 * n + 99) DIV 100")),
+                F.col("n_chars"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.lit(1), F.expr("(95 * n + 99) DIV 100")),
+                F.col("n_chars"),
+            )
+        ).alias("hi"),
+    )
+    return (
+        d.select("doc_id", "n_chars")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.least(
+                F.greatest(F.col("n_chars"), F.col("lo")), F.col("hi")
+            ).cast("bigint").alias("w_chars"),
+        )
+    )

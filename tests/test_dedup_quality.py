@@ -872,3 +872,33 @@ def test_winnowing_density_and_soundness(spark):
     }
     for r in pairs:
         assert (r["doc_a"], r["doc_b"]) in shared_grams, r
+
+
+def test_winsorize_first_principles(spark):
+    """Bounds recomputed driver-side by the explicit rank definition
+    rank_p = max(1, ceil(p*n)) over the (n_chars, doc_id) total order;
+    every clipped value must be the clamp to [lo, hi], values inside
+    the band must pass through untouched, and the clip fractions must
+    sit at ~5% per tail."""
+    rows = REGISTRY["d7_winsorize"].fn(spark, SF).collect()
+    vals = sorted(
+        (r["n_chars"], r["doc_id"])
+        for r in load(spark, SF, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("n_chars").isNotNull())
+        .collect()
+    )
+    n = len(vals)
+    lo = vals[max(1, (5 * n + 99) // 100) - 1][0]
+    hi = vals[max(1, (95 * n + 99) // 100) - 1][0]
+    assert lo < hi
+    assert len(rows) == n
+    clipped_lo = clipped_hi = 0
+    for r in rows:
+        assert r["w_chars"] == min(max(r["n_chars"], lo), hi)
+        if r["n_chars"] < lo:
+            clipped_lo += 1
+        if r["n_chars"] > hi:
+            clipped_hi += 1
+    assert clipped_lo <= 0.05 * n + 1 and clipped_hi <= 0.05 * n + 1
+    assert clipped_lo > 0 and clipped_hi > 0  # the band genuinely bites
