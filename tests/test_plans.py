@@ -428,3 +428,40 @@ def test_max_dup_span_single_sort_for_all_levels(spark):
     n_sorts = len(re.findall(r"\(\d+\) Sort", plan))
     assert n_sorts == 1, n_sorts
     assert "CartesianProduct" not in plan
+
+
+def test_frequent_pairs_two_shuffles_no_join(spark):
+    """D19's declared shape: ONE exchange into per-basket collect_set
+    arrays, ONE map-side-combinable pair-count exchange, pair
+    expansion via generators — no join anywhere in the plan."""
+    plan = plan_of(spark, "d19_frequent_pairs")
+    body = plan.split("===== Subqueries =====")[0]
+    # formatted explain lists each physical node once in the tree
+    tree = body.split("\n\n")[0]
+    assert tree.count("Exchange") == 2, tree
+    assert "Join" not in tree, tree
+    assert "Generate" in tree  # the explode-based expansion
+    # the pair count is partial before its exchange
+    assert body.count("HashAggregate") >= 2
+
+
+def test_skyline_broadcasts_frontier(spark):
+    """B71's dimensional reduction: the recovery join must broadcast
+    the domain-bounded frontier (never SMJ the base table against
+    itself), and no cartesian/BNLJ dominance scan may appear."""
+    plan = plan_of(spark, "b71_skyline")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vwap_single_fact_aggregate(spark):
+    """B73: one fact-dim join then ONE aggregate on (brand, month) —
+    partial before the exchange; the part dimension side is pruned to
+    two columns."""
+    plan = plan_of(spark, "b73_vwap")
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    part_schema = [l for l in read_schemas if "p_brand" in l]
+    assert part_schema and "p_type" not in part_schema[0]
+    assert plan.count("HashAggregate") >= 2
