@@ -62,7 +62,7 @@ HEADLINE = [
     "d18_er_blocked_match",
     "b70_gap_fill_interp",
     "d17_triangles",
-    # round-8 session 4: the per-basket-quadratic pair self-join +
+    # round-8 session 4: the per-basket collect_set pair expansion +
     # broadcast rule joins (the co-occurrence mining cost center) and
     # the triple-distrank RFM quintile cube (three global rankings on
     # one frame — the auto-mode threshold's bench representative)

@@ -702,10 +702,15 @@ def d17_label_prop(spark: SparkSession, sf: str) -> DataFrame:
 
     o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
+    # the union's two branches each reference pairs — persist it so
+    # the fact join + distinct runs once, not once per branch (the
+    # d18_er_golden review lesson; review caught this module relying
+    # on the edges cache alone, which still pays the double build)
+    pairs = bounded_persist(
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select("o_custkey", "l_suppkey")
-        .distinct()
+        .distinct(),
+        "graph.lpa_pairs",
     )
     ck = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
     sk = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))

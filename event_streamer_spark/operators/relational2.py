@@ -1431,7 +1431,8 @@ def b66_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
                   AS BIGINT) AS den
       FROM lineitem GROUP BY l_returnflag, l_linestatus)
     SELECT l_returnflag, l_linestatus, num, den,
-           ((10000000 * num) // den + 5) // 10 AS ratio_micro_half_up
+           CAST(((CAST(10000000 AS HUGEINT) * num) // den + 5) // 10
+                AS BIGINT) AS ratio_micro_half_up
     FROM c
     """,
 )
@@ -1451,6 +1452,10 @@ def b23_round_tie_parity(spark: SparkSession, sf: str) -> DataFrame:
     arithmetic, ``((10·micro) DIV den + 5) DIV 10`` (exact half-up for
     the non-negative ratios here; negative ratios would need a
     sign-split because DIV truncates toward zero on both engines).
+    The 10⁷·num product widens through DECIMAL(38,0)/HUGEINT — the
+    review measured num at 5.3·10¹¹ cents per cell at sf0.1, so the
+    BIGINT spelling had 1.7× headroom at the gate and overflows at
+    sf1 (the ``d15_seasonal_dow`` lesson, applied to its own sibling).
     """
     c = (
         load(spark, sf, "lineitem")
@@ -1469,7 +1474,8 @@ def b23_round_tie_parity(spark: SparkSession, sf: str) -> DataFrame:
         "l_linestatus",
         "num",
         "den",
-        F.expr("((10000000 * num) DIV den + 5) DIV 10").alias(
-            "ratio_micro_half_up"
-        ),
+        F.expr(
+            "CAST(((CAST(10000000 AS DECIMAL(38,0)) * num) DIV den"
+            " + 5) DIV 10 AS BIGINT)"
+        ).alias("ratio_micro_half_up"),
     )

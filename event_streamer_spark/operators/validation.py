@@ -819,9 +819,10 @@ def d14_json_key_census(spark: SparkSession, sf: str) -> DataFrame:
            CAST(n AS BIGINT) AS n_days,
            CAST(n*sxy - sx*sy AS VARCHAR)  AS slope_num,
            CAST(n*sxx - sx*sx AS VARCHAR)  AS slope_den,
-           ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
-                 / CAST(n*sxx - sx*sx AS DOUBLE), 6)
-             AS slope_cents_per_day
+           CAST(CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END
+                * ((ABS(CAST(n*sxy - sx*sy AS HUGEINT)) * 10000000
+                    // NULLIF(CAST(n*sxx - sx*sx AS HUGEINT), 0)
+                    + 5) // 10) AS BIGINT) AS slope_micro_per_day
     FROM sums
     """,
 )
@@ -879,11 +880,12 @@ def d15_trend_ols(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_days"),
         F.expr("CAST(n*sxy - sx*sy AS STRING)").alias("slope_num"),
         F.expr("CAST(n*sxx - sx*sx AS STRING)").alias("slope_den"),
-        F.round(
-            F.expr("CAST(n*sxy - sx*sy AS DOUBLE)")
-            / F.expr("CAST(n*sxx - sx*sx AS DOUBLE)"),
-            6,
-        ).alias("slope_cents_per_day"),
+        F.expr(
+            "CAST(CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END"
+            " * ((ABS(n*sxy - sx*sy) * 10000000"
+            "     DIV NULLIF(n*sxx - sx*sx, 0)"
+            "     + 5) DIV 10) AS BIGINT)"
+        ).alias("slope_micro_per_day"),
     )
 
 
@@ -1166,12 +1168,19 @@ from event_streamer_spark.operators.sketches import (  # noqa: E402
       FROM users GROUP BY variant)
     SELECT v.variant, v.n_users, v.sum_y_c, v.sum_x, v.conv_users,
            (1000000 * v.conv_users) // v.n_users AS conv_rate_ppm,
-           ROUND(CAST(v.sum_y_c AS DOUBLE) / v.n_users
-                 - (CAST(p.n AS DOUBLE) * p.sxy - CAST(p.sx AS DOUBLE) * p.sy)
-                   / (CAST(p.n AS DOUBLE) * p.sxx - CAST(p.sx AS DOUBLE) * p.sx)
-                   * (CAST(v.sum_x AS DOUBLE) / v.n_users
-                      - CAST(p.sx AS DOUBLE) / p.n), 6) AS mean_y_adj
-    FROM by_variant v CROSS JOIN pooled p
+           CAST(CASE WHEN v.sum_y_c * td * p.n
+                       - tn * (v.sum_x * p.n - p.sx * v.n_users) < 0
+                THEN -1 ELSE 1 END
+                * ((ABS(v.sum_y_c * td * p.n
+                        - tn * (v.sum_x * p.n - p.sx * v.n_users))
+                    * 10000000
+                    // NULLIF(CAST(v.n_users AS HUGEINT) * td * p.n, 0)
+                    + 5) // 10) AS BIGINT) AS mean_y_adj_micro
+    FROM by_variant v CROSS JOIN (
+      SELECT n, sx, sy, sxx, sxy,
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS tn,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS td
+      FROM pooled) p
     """,
 )
 def d14_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
@@ -1243,7 +1252,19 @@ def d14_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("x").cast("bigint").alias("sum_x"),
         F.sum("converted").cast("bigint").alias("conv_users"),
     )
-    return by_variant.crossJoin(F.broadcast(pooled)).select(
+    pooled_t = pooled.select(
+        "n",
+        "sx",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxy"
+            " - CAST(sx AS DECIMAL(38,0)) * sy"
+        ).alias("tn"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxx"
+            " - CAST(sx AS DECIMAL(38,0)) * sx"
+        ).alias("td"),
+    )
+    return by_variant.crossJoin(F.broadcast(pooled_t)).select(
         "variant",
         "n_users",
         "sum_y_c",
@@ -1252,14 +1273,14 @@ def d14_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("(1000000 * conv_users) DIV n_users").alias(
             "conv_rate_ppm"
         ),
-        F.round(
-            F.expr(
-                "CAST(sum_y_c AS DOUBLE) / n_users"
-                " - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
-                "   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
-                "   * (CAST(sum_x AS DOUBLE) / n_users"
-                "      - CAST(sx AS DOUBLE) / n)"
-            ),
-            6,
-        ).alias("mean_y_adj"),
+        F.expr(
+            "CAST(CASE WHEN sum_y_c * td * n"
+            "            - tn * (sum_x * n - sx * n_users) < 0"
+            "     THEN -1 ELSE 1 END"
+            " * ((ABS(sum_y_c * td * n"
+            "         - tn * (sum_x * n - sx * n_users))"
+            "     * 10000000"
+            "     DIV NULLIF(CAST(n_users AS DECIMAL(38,0)) * td * n, 0)"
+            "     + 5) DIV 10) AS BIGINT)"
+        ).alias("mean_y_adj_micro"),
     )

@@ -130,12 +130,20 @@ def test_basket_parity_on_dirty_fixture(spark, tmp_path):
     for o in (10**9 + 1, 10**9 + 2):
         ok += [o] * 4
         pk += [3000, 3000, 3001, 3001]
+    # cap-boundary basket: EXACTLY _MAX_BASKET real items (sharing the
+    # planted pair so its support is observable) plus one NULL line —
+    # without the explicit NULL filter, DuckDB's DISTINCT counts 65
+    # items (basket dropped, support stays 2) while collect_set counts
+    # 64 (kept, support 3): the exact cap-shift divergence the module
+    # ledger warns about, now with regression teeth
+    boundary_ok = 10**9 + 4
+    ok += [boundary_ok] * _MAX_BASKET
+    pk += [3000, 3001] + [3100 + i for i in range(_MAX_BASKET - 2)]
     n = len(ok)
-    # NULL part lines: DuckDB's bare DISTINCT would count a NULL item
-    # toward the size cap while collect_set drops it — the explicit
-    # NULL filter is what these rows exercise (one lands in a basket
-    # at EXACTLY the cap boundary via the mega-basket's first 64)
-    null_pk_orders = [10**9 + 1, 10**9 + 3]
+    # NULL part lines: one on the cap-boundary basket (the divergence
+    # above), one forming an all-NULL basket (shifts n_baskets in
+    # d19_assoc_rules if either engine kept it)
+    null_pk_orders = [boundary_ok, 10**9 + 3]
     extra = pa.table(
         {
             "l_orderkey": ok + null_pk_orders,
@@ -165,8 +173,14 @@ def test_basket_parity_on_dirty_fixture(spark, tmp_path):
     # mega-basket contributes nothing
     rows = REGISTRY["d19_frequent_pairs"].fn(spark, str(dirty)).collect()
     got = {(r["part_x"], r["part_y"]): r["support"] for r in rows}
-    assert got[(3000, 3001)] == 2
-    assert not any(x >= 3002 or y >= 3002 for x, y in got)
+    # 2 duplicate-line orders + the kept cap-boundary basket: if the
+    # NULL line wrongly counted toward the cap this reads 2, not 3
+    assert got[(3000, 3001)] == 3
+    # every other planted pair has support 1 (mega-basket dropped,
+    # boundary-basket pairs unique), so none may reach the output
+    assert not any(
+        x >= 3002 or y >= 3002 for (x, y) in got
+    ), sorted(k for k in got if k[0] >= 3002 or k[1] >= 3002)
 
 
 def test_rfm_invariants(spark):

@@ -423,7 +423,10 @@ def test_trend_ols_first_principles(spark):
         assert r["n_days"] == cnt
         assert r["slope_num"] == str(num)
         assert r["slope_den"] == str(den)
-        assert abs(r["slope_cents_per_day"] - Fraction(num, den)) <= 5e-7
+        sign = -1 if num < 0 else 1
+        exp_micro = sign * ((abs(num) * 10_000_000 // den + 5) // 10)
+        assert r["slope_micro_per_day"] == exp_micro
+        assert abs(exp_micro / 1e6 - Fraction(num, den)) <= 1e-6
 
 
 def test_entropy_census_first_principles(spark):
@@ -529,5 +532,12 @@ def test_ab_cuped_first_principles(spark):
         assert (r["n_users"], r["sum_y_c"], r["sum_x"], r["conv_users"]) \
             == (nv, syv, sxv, convv)
         assert r["conv_rate_ppm"] == (1_000_000 * convv) // nv
+        tn = n * sxy - sx * sy
+        td = n * sxx - sx * sx
+        n_adj = syv * td * n - tn * (sxv * n - sx * nv)
+        d_adj = nv * td * n
+        sign = -1 if n_adj < 0 else 1
+        exp_micro = sign * ((abs(n_adj) * 10_000_000 // d_adj + 5) // 10)
+        assert r["mean_y_adj_micro"] == exp_micro
         adj = syv / nv - theta * (sxv / nv - sx / n)
-        assert abs(r["mean_y_adj"] - adj) < 2e-6
+        assert abs(exp_micro / 1e6 - adj) < 2e-6
