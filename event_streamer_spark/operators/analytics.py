@@ -293,3 +293,113 @@ def b72_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("monetary_c").cast("bigint").alias("monetary_c_total"),
         )
     )
+
+
+@query(
+    "b74_funnel_latency",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'
+                      THEN EPOCH_US(ts) END) AS s_us,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN EPOCH_US(ts) END) AS p_us
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id),
+    conv AS (
+      SELECT user_id, (p_us - s_us) // 1000000 AS latency_s
+      FROM per_user
+      WHERE s_us IS NOT NULL AND p_us IS NOT NULL AND p_us > s_us),
+    r AS (
+      SELECT latency_s,
+             ROW_NUMBER() OVER (ORDER BY latency_s, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM conv)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MIN(CASE WHEN rn = GREATEST(1, (25 * n + 99) // 100)
+                    THEN latency_s END) AS BIGINT) AS p25_s,
+           CAST(MIN(CASE WHEN rn = GREATEST(1, (50 * n + 99) // 100)
+                    THEN latency_s END) AS BIGINT) AS p50_s,
+           CAST(MIN(CASE WHEN rn = GREATEST(1, (75 * n + 99) // 100)
+                    THEN latency_s END) AS BIGINT) AS p75_s,
+           CAST(MIN(CASE WHEN rn = GREATEST(1, (90 * n + 99) // 100)
+                    THEN latency_s END) AS BIGINT) AS p90_s
+    FROM r
+    """,
+)
+def b74_funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """B74: funnel conversion-latency percentiles — for every user
+    whose first purchase follows their first signup, the
+    signup→purchase latency in whole seconds, summarized at the exact
+    p25/p50/p75/p90 by the explicit integer rank max(1, ⌈p·n⌉) over
+    the (latency, user) total order (the ``d7_winsorize`` percentile
+    protocol — engine quantile builtins are not oracle-able). Epoch
+    arithmetic uses the pinned ``UNIX_MICROS ↔ EPOCH_US`` spelling;
+    the seconds division is the DIV/``//`` truncation pair (latencies
+    are positive by the ``p_us > s_us`` filter).
+
+    Scale: one map-side-combinable shuffle on the user key builds the
+    per-user funnel endpoints; the converted-user frame is
+    user-bounded (never event-sized); its global rank runs through
+    distrank ``auto``; the four boundary rows collapse to a 1-row
+    summary via conditional aggregation (no second pass).
+    """
+    from event_streamer_spark.operators.distrank import (
+        two_level_row_number,
+    )
+
+    per_user = (
+        load(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("event_type") == "signup",
+                    F.expr("UNIX_MICROS(ts)"),
+                )
+            ).alias("s_us"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr("UNIX_MICROS(ts)"),
+                )
+            ).alias("p_us"),
+        )
+    )
+    conv = (
+        per_user.filter(
+            F.col("s_us").isNotNull()
+            & F.col("p_us").isNotNull()
+            & (F.col("p_us") > F.col("s_us"))
+        )
+        .select(
+            "user_id",
+            F.expr("(p_us - s_us) DIV 1000000").alias("latency_s"),
+        )
+        .withColumn("__g", F.lit(0))
+    )
+    ranked = two_level_row_number(
+        conv,
+        ["__g"],
+        ["latency_s", "user_id"],
+        bucket_value="latency_s",
+        out_col="rn",
+        count_col="n",
+        mode="auto",  # size-aware: naive below the local threshold
+    )
+
+    def at(p: int):
+        rank = F.greatest(F.lit(1), F.expr(f"({p} * n + 99) DIV 100"))
+        return F.min(
+            F.when(F.col("rn") == rank, F.col("latency_s"))
+        ).cast("bigint").alias(f"p{p}_s")
+
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        at(25),
+        at(50),
+        at(75),
+        at(90),
+    )

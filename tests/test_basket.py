@@ -205,3 +205,36 @@ def test_rfm_invariants(spark):
         sizes = [marginal[k] for k in sorted(marginal)]
         assert max(sizes) - min(sizes) <= 1
         assert sizes == sorted(sizes, reverse=True)
+
+
+def test_funnel_latency_first_principles(spark):
+    """B74 (session-4 additions file): latencies and all four exact
+    rank percentiles recomputed driver-side; percentile values must be
+    actual observed latencies in nondecreasing order."""
+    rows = REGISTRY["b74_funnel_latency"].fn(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    per_user: dict[int, list] = {}
+    from event_streamer_spark.tables import load as _load
+
+    for e in _load(spark, SF, "events").collect():
+        if e["user_id"] is None or e["ts"] is None:
+            continue
+        u = per_user.setdefault(e["user_id"], [None, None])
+        us = int(e["ts"].timestamp() * 1_000_000)
+        if e["event_type"] == "signup" and (u[0] is None or us < u[0]):
+            u[0] = us
+        if e["event_type"] == "purchase" and (u[1] is None or us < u[1]):
+            u[1] = us
+    lat = sorted(
+        ((p - s) // 1_000_000, uid)
+        for uid, (s, p) in per_user.items()
+        if s is not None and p is not None and p > s
+    )
+    n = len(lat)
+    assert r["n_converted"] == n and n > 0
+    vals = [v for v, _ in lat]
+    for p in (25, 50, 75, 90):
+        exp = vals[max(1, (p * n + 99) // 100) - 1]
+        assert r[f"p{p}_s"] == exp
+    assert r["p25_s"] <= r["p50_s"] <= r["p75_s"] <= r["p90_s"]
