@@ -1284,3 +1284,122 @@ def d14_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
             "     + 5) DIV 10) AS BIGINT)"
         ).alias("mean_y_adj_micro"),
     )
+
+
+# Holt double-exponential smoothing: level alpha and trend beta in
+# integer percent, same fixed-point contract as the EWMA monitor.
+_HOLT_ALPHA_PCT = 20
+_HOLT_BETA_PCT = 10
+
+
+def _holt_floor_div(expr: str) -> str:
+    """Exact FLOOR((expr)/100) in DuckDB: subtract the floor-mod first
+    (``//`` truncates toward zero on negatives, Python floors — the
+    d15_ewma_monitor review lesson; trend terms go negative on every
+    declining series, so this is the common path, not an edge)."""
+    return f"(({expr}) - (((({expr}) % 100) + 100) % 100)) // 100"
+
+
+@query(
+    "d15_holt_monitor",
+    oracle=f"""
+    WITH RECURSIVE
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    idx AS (
+      SELECT d, cents, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
+    h(i, d, cents, lvl, trd, fc) AS (
+      SELECT i, d, cents, cents, CAST(0 AS BIGINT),
+             CAST(NULL AS BIGINT)
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT x.i, x.d, x.cents,
+             {_holt_floor_div(
+                 f"{_HOLT_ALPHA_PCT} * x.cents"
+                 f" + {100 - _HOLT_ALPHA_PCT} * (p.lvl + p.trd)"
+             )},
+             {_holt_floor_div(
+                 f"{_HOLT_BETA_PCT} * ("
+                 + _holt_floor_div(
+                     f"{_HOLT_ALPHA_PCT} * x.cents"
+                     f" + {100 - _HOLT_ALPHA_PCT} * (p.lvl + p.trd)"
+                 )
+                 + f" - p.lvl) + {100 - _HOLT_BETA_PCT} * p.trd"
+             )},
+             p.lvl + p.trd
+      FROM h p JOIN idx x ON x.i = p.i + 1)
+    SELECT strftime(d, '%Y-%m-%d') AS d,
+           cents AS day_cents,
+           CAST(lvl AS BIGINT) AS level_cents,
+           CAST(trd AS BIGINT) AS trend_cents,
+           CAST(fc AS BIGINT)  AS forecast_cents,
+           CAST(fc IS NOT NULL AND 4 * ABS(cents - fc) > ABS(fc)
+                AS BOOLEAN) AS flagged
+    FROM h
+    """,
+)
+def d15_holt_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    """D15: Holt double-exponential (level + trend) monitor over daily
+    revenue — the control chart that does not mistake a steady ramp
+    for drift the way a bare EWMA level does. EXACT fixed-point
+    integer recursion, bit-identical on both engines:
+    ``l_t = ⌊(20·x_t + 80·(l+t)_prev)/100⌋``,
+    ``t_t = ⌊(10·(l_t − l_prev) + 90·t_prev)/100⌋``, one-step-ahead
+    forecast ``f_t = l_prev + t_prev``, flag when the day strays more
+    than 25% from its forecast. FLOOR division spelled via the
+    floor-mod subtraction on the DuckDB side (trend terms go negative
+    on every declining series — the d15_ewma_monitor review lesson,
+    now on the path where it fires daily, and the init trend of 0
+    keeps day 1 out of the flag domain).
+
+    Shape: identical to ``d15_ewma_monitor`` — ONE map-combinable
+    daily aggregate, then a CALENDAR-bounded driver fold (documented
+    collect contract; a Spark ``WITH RECURSIVE`` spelling schedules
+    one job per day, rejected there with measurements).
+    """
+    daily = (
+        load(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    # bounded collect: one row per calendar day with events (see above)
+    days = sorted(daily.collect(), key=lambda r: r["d"])
+    out = []
+    lvl = trd = None
+    for r in days:
+        if lvl is None:
+            lvl, trd, fc = r["cents"], 0, None
+        else:
+            fc = lvl + trd
+            new_lvl = (
+                _HOLT_ALPHA_PCT * r["cents"]
+                + (100 - _HOLT_ALPHA_PCT) * fc
+            ) // 100
+            trd = (
+                _HOLT_BETA_PCT * (new_lvl - lvl)
+                + (100 - _HOLT_BETA_PCT) * trd
+            ) // 100
+            lvl = new_lvl
+        out.append(
+            (
+                r["d"].strftime("%Y-%m-%d"),
+                r["cents"],
+                lvl,
+                trd,
+                fc,
+                fc is not None and 4 * abs(r["cents"] - fc) > abs(fc),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "d string, day_cents long, level_cents long, trend_cents long,"
+        " forecast_cents long, flagged boolean",
+    )

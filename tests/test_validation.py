@@ -541,3 +541,42 @@ def test_ab_cuped_first_principles(spark):
         assert r["mean_y_adj_micro"] == exp_micro
         adj = syv / nv - theta * (sxv / nv - sx / n)
         assert abs(exp_micro / 1e6 - adj) < 2e-6
+
+
+def test_holt_monitor_first_principles(spark):
+    """The Holt recursion replayed in plain Python over the raw daily
+    table: level/trend/forecast/flag must match exactly (floor
+    division, init trend 0), the forecast must be the PREVIOUS day's
+    level+trend, and trend must go negative somewhere (the declining
+    stretch that exercises the floor-vs-truncate divergence path)."""
+    from collections import defaultdict
+
+    from event_streamer_spark.tables import load
+
+    rows = REGISTRY["d15_holt_monitor"].fn(spark, SF).collect()
+    daily: dict = defaultdict(int)
+    for e in load(spark, SF, "events").collect():
+        if e["ts"] is None or e["value"] is None:
+            continue
+        daily[e["ts"].date()] += round(e["value"] * 100)
+    series = sorted(daily.items())
+    assert len(rows) == len(series)
+    lvl = trd = fc = None
+    neg_trend_seen = False
+    for r, (d, cents) in zip(sorted(rows, key=lambda r: r["d"]), series):
+        assert r["d"] == d.strftime("%Y-%m-%d")
+        assert r["day_cents"] == cents
+        if lvl is None:
+            lvl, trd, fc = cents, 0, None
+        else:
+            fc = lvl + trd
+            new_lvl = (20 * cents + 80 * fc) // 100
+            trd = (10 * (new_lvl - lvl) + 90 * trd) // 100
+            lvl = new_lvl
+        assert (r["level_cents"], r["trend_cents"]) == (lvl, trd)
+        assert r["forecast_cents"] == fc
+        assert r["flagged"] == (
+            fc is not None and 4 * abs(cents - fc) > abs(fc)
+        )
+        neg_trend_seen = neg_trend_seen or trd < 0
+    assert neg_trend_seen
