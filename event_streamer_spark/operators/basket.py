@@ -262,3 +262,87 @@ def d19_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "d19_next_order",
+    oracle=f"""
+    WITH {_BASKET_SQL},
+    arrs AS (
+      SELECT ok, COUNT(*) AS bsz FROM it GROUP BY ok),
+    seq AS (
+      SELECT o.o_orderkey AS ok, o.o_custkey AS ck,
+             ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+                                ORDER BY o.o_orderdate, o.o_orderkey)
+               AS s
+      FROM orders o JOIN arrs ON arrs.ok = o.o_orderkey),
+    steps AS (
+      SELECT a.ok AS ok_a, b.ok AS ok_b
+      FROM seq a JOIN seq b ON b.ck = a.ck AND b.s = a.s + 1)
+    SELECT ia.pk AS part_first, ib.pk AS part_next,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM steps st
+    JOIN it ia ON ia.ok = st.ok_a
+    JOIN it ib ON ib.ok = st.ok_b
+    GROUP BY ia.pk, ib.pk
+    HAVING COUNT(*) >= {_MIN_SUPPORT}
+    """,
+)
+def d19_next_order(spark: SparkSession, sf: str) -> DataFrame:
+    """D19: sequential basket affinity — DIRECTED (bought X, then
+    bought Y in the customer's NEXT order) co-occurrence counts, the
+    temporal companion to ``d19_frequent_pairs``: symmetric pair
+    support says "go together", this says "lead to". x = y rows are
+    repurchase signals and stay in. The order sequence is
+    ``row_number`` per customer over (order date, order key) — the
+    deterministic tiebreak — and only capped baskets participate (same
+    ``_MAX_BASKET``/NULL rules as the module's other queries, so a bot
+    cart cannot emit a 64×64 cross per step).
+
+    Scale: the per-customer sequence window is bounded by
+    orders-per-customer; consecutive steps join co-located on the
+    customer key (one shuffle); pair expansion is the cross of two
+    ≤``_MAX_BASKET`` arrays per step — two JVM-side explodes, no row
+    blow-up beyond the declared cap; the final count is map-side
+    combinable on (first, next).
+    """
+    from pyspark.sql import Window
+
+    from event_streamer_spark.caching import bounded_persist
+
+    # both step sides read the (order → array) frame: persist once
+    arrs = bounded_persist(
+        basket_arrays(spark, sf), "d19_next_arrs"
+    )
+    seq = (
+        load(spark, sf, "orders")
+        .join(arrs, F.col("o_orderkey") == F.col("ok"))
+        .select(
+            "ok",
+            F.col("o_custkey").alias("ck"),
+            "arr",
+            F.row_number()
+            .over(
+                Window.partitionBy("o_custkey").orderBy(
+                    "o_orderdate", "o_orderkey"
+                )
+            )
+            .alias("s"),
+        )
+    )
+    a = seq.select("ck", "s", F.col("arr").alias("arr_a"))
+    b = seq.select(
+        "ck", (F.col("s") - 1).alias("s"), F.col("arr").alias("arr_b")
+    )
+    return (
+        a.join(b, ["ck", "s"])
+        .select(
+            F.explode("arr_a").alias("part_first"), "arr_b"
+        )
+        .select(
+            "part_first", F.explode("arr_b").alias("part_next")
+        )
+        .groupBy("part_first", "part_next")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= _MIN_SUPPORT)
+    )

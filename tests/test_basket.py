@@ -238,3 +238,43 @@ def test_funnel_latency_first_principles(spark):
         exp = vals[max(1, (p * n + 99) // 100) - 1]
         assert r[f"p{p}_s"] == exp
     assert r["p25_s"] <= r["p50_s"] <= r["p75_s"] <= r["p90_s"]
+
+
+def test_next_order_first_principles(spark):
+    """Directed next-order pairs recounted driver-side from the raw
+    tables: order sequence per customer by (date, orderkey), capped
+    deduped baskets, full cross of consecutive baskets (repurchase
+    x == y included)."""
+    from collections import defaultdict
+
+    rows = REGISTRY["d19_next_order"].fn(spark, SF).collect()
+    baskets: dict[int, set[int]] = defaultdict(set)
+    for r in load(spark, SF, "lineitem").collect():
+        if r["l_orderkey"] is not None and r["l_partkey"] is not None:
+            baskets[r["l_orderkey"]].add(r["l_partkey"])
+    baskets = {k: v for k, v in baskets.items() if len(v) <= _MAX_BASKET}
+    by_cust: dict[int, list] = defaultdict(list)
+    for o in load(spark, SF, "orders").collect():
+        if o["o_orderkey"] in baskets:
+            by_cust[o["o_custkey"]].append(
+                (o["o_orderdate"], o["o_orderkey"])
+            )
+    expected: dict[tuple[int, int], int] = defaultdict(int)
+    for seq in by_cust.values():
+        seq.sort()
+        for (_, a), (_, b) in zip(seq, seq[1:]):
+            for x in baskets[a]:
+                for y in baskets[b]:
+                    expected[(x, y)] += 1
+    expected = {
+        k: v for k, v in expected.items() if v >= _MIN_SUPPORT
+    }
+    got = {
+        (r["part_first"], r["part_next"]): r["support"] for r in rows
+    }
+    assert got == expected and got
+    # directionality: the relation is genuinely asymmetric somewhere
+    assert any(
+        (y, x) not in got or got[(y, x)] != c
+        for (x, y), c in got.items()
+    )
