@@ -167,7 +167,9 @@ def test_basket_parity_on_dirty_fixture(spark, tmp_path):
     pq.write_table(pa.concat_tables([li, extra]), dirty / "lineitem.parquet")
 
     total, failures = run_sweep(spark, str(dirty), ["d19_"], quiet=True)
-    assert total == 2 and failures == [], failures
+    # frequent_pairs + assoc_rules + next_order (planted orders have
+    # no orders-table row, so next_order sees them on neither engine)
+    assert total == 3 and failures == [], failures
 
     # and the planted pair is present at threshold support while the
     # mega-basket contributes nothing

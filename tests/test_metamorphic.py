@@ -108,6 +108,10 @@ SAMPLE = [
     # the unpartitioned-window L1 totals — AQE off replans the
     # edges⨝scores joins, codegen off interprets the decimal chain
     "d17_hits",
+    # sequential baskets: per-customer sequence window + double array
+    # explode (partition boundaries move the window input; codegen off
+    # interprets the generators)
+    "d19_next_order",
 ]
 
 REGIMES = {
