@@ -280,3 +280,44 @@ def test_next_order_first_principles(spark):
         (y, x) not in got or got[(y, x)] != c
         for (x, y), c in got.items()
     )
+
+
+def test_pairs_from_arrays_property(spark):
+    """Property: for ANY multiset of baskets, the generator-side
+    expansion equals itertools.combinations over the deduped sorted
+    items (min_support=1 so nothing hides below the threshold) —
+    the hypothesis harness that caught the GIF width bug, aimed at
+    the posexplode + suffix-slice arithmetic."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.lists(st.integers(0, 12), min_size=0, max_size=6),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(baskets):
+        rows = [
+            (ok, pk) for ok, items in enumerate(baskets) for pk in items
+        ]
+        if not rows:
+            return
+        items = spark.createDataFrame(rows, "ok int, pk int")
+        got = {
+            (r["part_x"], r["part_y"]): r["support"]
+            for r in frequent_pairs(items, min_support=1).collect()
+        }
+        expected: dict[tuple[int, int], int] = {}
+        for basket in baskets:
+            for x, y in combinations(sorted(set(basket)), 2):
+                expected[(x, y)] = expected.get((x, y), 0) + 1
+        assert got == expected
+
+    check()
