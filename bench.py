@@ -68,7 +68,35 @@ HEADLINE = [
     # one frame — the auto-mode threshold's bench representative)
     "d19_assoc_rules",
     "b72_rfm_segments",
+    # round-9: the two retrieval legs the 100 TB story leans on —
+    # PQ+ADC re-rank and BM25+cosine RRF fusion — so their scale curves
+    # get artifact-pinned per round (VERDICT r8 #8)
+    "d3_pq_topk",
+    "d3_hybrid_rrf",
 ]
+
+
+def _sentinel(spark, runs: int = 3) -> dict[str, float]:
+    """Machine-noise sentinel (VERDICT r8 #3): a fixed micro-op pair —
+    a pure-JVM codegen sum and a fixed-SF parquet scan count — timed at
+    bench start. Their cost is invariant to this repo's code, so the
+    ratio of sentinel times between two BENCH artifacts estimates the
+    box-speed shift between rounds (r7→r8 drifted +33% uniformly with
+    zero plan changes); per-query cross-round comparisons divide it
+    out. min-of-3 for robustness to ambient load spikes."""
+    range_t, scan_t = [], []
+    for _ in range(runs):
+        t0 = time.time()
+        spark.range(10_000_000).selectExpr("sum(id)").collect()
+        range_t.append(time.time() - t0)
+        t0 = time.time()
+        spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").count()
+        scan_t.append(time.time() - t0)
+    return {
+        "range_sum_sec": round(min(range_t), 4),
+        "parquet_count_sec": round(min(scan_t), 4),
+        "sentinel_sec": round(min(range_t) + min(scan_t), 4),
+    }
 
 
 def main() -> None:
@@ -88,6 +116,12 @@ def main() -> None:
         return s
 
     spark.range(1000).select(_warm("id")).count()
+
+    # sentinel AFTER session warm-up (it measures the box, not JVM
+    # bootstrap), BEFORE the headline warm-up loop (so a slow box is
+    # reported even if a query then fails)
+    sentinel = _sentinel(spark)
+    print(f"# sentinel: {sentinel}", file=sys.stderr)
 
     # then run every headline query once at a smaller SF: exercises
     # each query's own code paths (codegen compilation, applyInPandas
@@ -156,6 +190,15 @@ def main() -> None:
                 "queries": warm,
                 "cold": {"total_sec": cold_total, "queries": cold},
                 "warm": {"total_sec": warm_total, "queries": warm},
+                "sentinel": sentinel,
+                # totals in sentinel units: divide by the box-speed
+                # probe so cross-round tables compare plans, not boxes
+                "warm_total_sentinel_units": round(
+                    warm_total / sentinel["sentinel_sec"], 2
+                ),
+                "cold_total_sentinel_units": round(
+                    cold_total / sentinel["sentinel_sec"], 2
+                ),
                 "repeats": repeats,
                 "sf": sf,
             }

@@ -273,7 +273,8 @@ def d19_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
     seq AS (
       SELECT o.o_orderkey AS ok, o.o_custkey AS ck,
              ROW_NUMBER() OVER (PARTITION BY o.o_custkey
-                                ORDER BY o.o_orderdate, o.o_orderkey)
+                                ORDER BY o.o_orderdate NULLS LAST,
+                                         o.o_orderkey)
                AS s
       FROM orders o JOIN arrs ON arrs.ok = o.o_orderkey),
     steps AS (
@@ -321,10 +322,17 @@ def d19_next_order(spark: SparkSession, sf: str) -> DataFrame:
             "ok",
             F.col("o_custkey").alias("ck"),
             "arr",
+            # NULL order dates sort LAST on both engines, pinned
+            # explicitly: Spark's ASC default is NULLS FIRST, DuckDB's
+            # is NULLS LAST — left implicit, a NULL-dated order takes a
+            # different sequence slot per engine and the consecutive
+            # pairs diverge (the journey.py/validation.py divergence
+            # class, round-9 advice)
             F.row_number()
             .over(
                 Window.partitionBy("o_custkey").orderBy(
-                    "o_orderdate", "o_orderkey"
+                    F.col("o_orderdate").asc_nulls_last(),
+                    "o_orderkey",
                 )
             )
             .alias("s"),

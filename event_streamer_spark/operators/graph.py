@@ -377,7 +377,10 @@ def d17_triangles(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("cd") <= _CN_MAX_DEGREE)
         .select("ck")
     )
-    e = pairs.join(ok, "ck")
+    # e feeds BOTH sides of the weighted self-join: unpersisted,
+    # Catalyst inlines the fact-join + distinct subtree once per side
+    # (the d17_common_neighbors 32→4-scan lesson; round-9 advice)
+    e = bounded_persist(pairs.join(ok, "ck"), "graph.tri_edges")
     a, b = e.alias("a"), e.alias("b")
     weighted = (
         a.join(

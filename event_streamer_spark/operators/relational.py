@@ -446,14 +446,38 @@ def b12_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("b13_approx_count_distinct", oracle=None)  # approximate → rows-only check
+@query(
+    "b13_approx_count_distinct",
+    oracle="""
+    SELECT o_orderstatus, TRUE AS within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def b13_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """B13: HyperLogLog++ approx distinct (SURVEY: excluded from hash-match;
-    tests assert ≤5% relative error against the exact count)."""
+    """B13: HyperLogLog++ approx distinct, registered as a BOUNDED-CHECK
+    oracle query (round-9 upgrade from rows-only): Spark computes the
+    approx AND exact distinct counts per group and emits
+    ``(group, within_5pct)``, where the boolean inlines the declared 5%
+    relative-error bound (FIXTURES.md §3); the DuckDB oracle states the
+    same groups with ``TRUE``. The raw estimate can never hash-match an
+    exact engine, but the bound can — and a future HLL++ drift past 5%
+    flips the boolean and breaks the hash, which rows-only checking
+    could never see. Both aggregates fold into ONE two-phase groupBy
+    (single shuffle), so the exact leg costs no extra pass."""
     return (
         load(spark, sf, "orders")
         .groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_cust"))
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.01).alias("approx_cust"),
+            F.countDistinct("o_custkey").alias("exact_cust"),
+        )
+        .select(
+            "o_orderstatus",
+            (
+                F.abs(F.col("approx_cust") - F.col("exact_cust"))
+                <= F.col("exact_cust") * F.lit(0.05)
+            ).alias("within_5pct"),
+        )
     )
 
 

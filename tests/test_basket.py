@@ -166,10 +166,93 @@ def test_basket_parity_on_dirty_fixture(spark, tmp_path):
     )
     pq.write_table(pa.concat_tables([li, extra]), dirty / "lineitem.parquet")
 
+    # next_order NULL-date leg: two customers each place four orders,
+    # one with a NULL o_orderdate and a cap-boundary (_MAX_BASKET-item)
+    # basket. Spark's ASC window default is NULLS FIRST, DuckDB's is
+    # NULLS LAST — unless the query pins placement, the NULL-dated
+    # order takes sequence slot 1 on one engine and slot 4 on the
+    # other, flipping which directed pairs exist (support 2 ≥ the
+    # threshold, so the flip is hash-visible)
+    od = pq.read_table(dirty / "orders.parquet")
+    import datetime as _dt
+
+    def _ts(d):
+        return _dt.datetime(1995, d, 1)
+
+    null_basket = [7001] + [7100 + i for i in range(_MAX_BASKET - 1)]
+    seq_ok, seq_pk, o_ok, o_ck, o_dt = [], [], [], [], []
+    for cust in (2 * 10**9, 2 * 10**9 + 1):
+        base = cust * 10
+        for i, (date, basket) in enumerate(
+            [
+                (_ts(1), [7000]),
+                (None, null_basket),
+                (_ts(2), [7002]),
+                (_ts(3), [7000]),
+            ]
+        ):
+            o_ok.append(base + i)
+            o_ck.append(cust)
+            o_dt.append(date)
+            seq_ok += [base + i] * len(basket)
+            seq_pk += basket
+    extra_orders = pa.table(
+        {
+            "o_orderkey": o_ok,
+            "o_custkey": o_ck,
+            "o_orderstatus": ["F"] * len(o_ok),
+            "o_totalprice": pa.array([1.0] * len(o_ok), type=pa.float64()),
+            "o_orderdate": pa.array(
+                o_dt, type=od.schema.field("o_orderdate").type
+            ),
+            "o_orderpriority": ["1-URGENT"] * len(o_ok),
+        },
+        schema=od.schema,
+    )
+    pq.write_table(
+        pa.concat_tables([od, extra_orders]), dirty / "orders.parquet"
+    )
+    m = len(seq_ok)
+    extra_li = pa.table(
+        {
+            "l_orderkey": seq_ok,
+            "l_partkey": seq_pk,
+            "l_suppkey": [1] * m,
+            "l_linenumber": list(range(1, m + 1)),
+            "l_quantity": pa.array([1.0] * m, type=pa.float64()),
+            "l_extendedprice": pa.array([10.0] * m, type=pa.float64()),
+            "l_discount": pa.array([0.0] * m, type=pa.float64()),
+            "l_tax": pa.array([0.0] * m, type=pa.float64()),
+            "l_returnflag": ["N"] * m,
+            "l_linestatus": ["O"] * m,
+            "l_shipdate": pa.array(
+                [None] * m, type=li.schema.field("l_shipdate").type
+            ),
+        },
+        schema=li.schema,
+    )
+    pq.write_table(
+        pa.concat_tables(
+            [pq.read_table(dirty / "lineitem.parquet"), extra_li]
+        ),
+        dirty / "lineitem.parquet",
+    )
+
     total, failures = run_sweep(spark, str(dirty), ["d19_"], quiet=True)
-    # frequent_pairs + assoc_rules + next_order (planted orders have
-    # no orders-table row, so next_order sees them on neither engine)
+    # frequent_pairs + assoc_rules + next_order (the original planted
+    # lineitem orders have no orders-table row; the NULL-date orders
+    # above are the next_order leg)
     assert total == 3 and failures == [], failures
+
+    # NULLS-LAST pin observable in the output: the NULL-dated order is
+    # the customer's LAST order, so 7000 → null-basket pairs exist and
+    # null-basket → 7000 pairs do not
+    next_rows = {
+        (r["part_first"], r["part_next"]): r["support"]
+        for r in REGISTRY["d19_next_order"].fn(spark, str(dirty)).collect()
+    }
+    assert next_rows[(7000, 7001)] == 2
+    assert (7001, 7000) not in next_rows
 
     # and the planted pair is present at threshold support while the
     # mega-basket contributes nothing
@@ -178,11 +261,15 @@ def test_basket_parity_on_dirty_fixture(spark, tmp_path):
     # 2 duplicate-line orders + the kept cap-boundary basket: if the
     # NULL line wrongly counted toward the cap this reads 2, not 3
     assert got[(3000, 3001)] == 3
-    # every other planted pair has support 1 (mega-basket dropped,
-    # boundary-basket pairs unique), so none may reach the output
+    # every other planted 3xxx pair has support 1 (mega-basket dropped,
+    # boundary-basket pairs unique), so none may reach the output (the
+    # 7xxx parts belong to the next_order leg and repeat across two
+    # customers by design)
     assert not any(
-        x >= 3002 or y >= 3002 for (x, y) in got
-    ), sorted(k for k in got if k[0] >= 3002 or k[1] >= 3002)
+        3002 <= x < 7000 or 3002 <= y < 7000 for (x, y) in got
+    ), sorted(
+        k for k in got if 3002 <= k[0] < 7000 or 3002 <= k[1] < 7000
+    )
 
 
 def test_rfm_invariants(spark):

@@ -11,10 +11,20 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_approx_count_distinct_error_bound(spark):
-    """B13: HLL++ within 5% of exact (FIXTURES.md §3)."""
+    """B13: HLL++ within 5% of exact (FIXTURES.md §3). The registry
+    query now emits the bound as a boolean (so the oracle can
+    hash-match it); this test re-derives the raw estimate and asserts
+    the underlying bound directly, so the boolean can't go vacuous."""
+    flags = {
+        r["o_orderstatus"]: r["within_5pct"]
+        for r in REGISTRY["b13_approx_count_distinct"].fn(spark, SF).collect()
+    }
     approx = {
         r["o_orderstatus"]: r["approx_cust"]
-        for r in REGISTRY["b13_approx_count_distinct"].fn(spark, SF).collect()
+        for r in load(spark, SF, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_cust"))
+        .collect()
     }
     exact = {
         r["o_orderstatus"]: r["n"]
@@ -23,6 +33,7 @@ def test_approx_count_distinct_error_bound(spark):
         .agg(F.countDistinct("o_custkey").alias("n"))
         .collect()
     }
+    assert set(flags) == set(exact) and all(flags.values()), flags
     for k, n in exact.items():
         assert abs(approx[k] - n) / n <= 0.05, (k, approx[k], n)
 
