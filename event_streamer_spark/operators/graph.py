@@ -74,6 +74,47 @@ def _pagerank_oracle() -> str:
     )
 
 
+def _copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The distinct (customer, supplier) co-purchase projection — the
+    base graph every operator in this module walks. ONE
+    ``bounded_persist`` slot serves pagerank, triangles,
+    common-neighbors, HITS, and label-propagation: a session running
+    several graph queries (the bench does, back to back) materializes
+    the fact join + distinct ONCE instead of once per query — measured
+    round 9 at sf0.1, that fact join + distinct is 3.8 s of each
+    query's cold pass, the single largest shared cold cost."""
+    from event_streamer_spark.caching import bounded_persist
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    return bounded_persist(
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
+        )
+        .distinct(),
+        "graph.pairs",
+    )
+
+
+def _capped_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Co-purchase edges with hub customers (degree > _CN_MAX_DEGREE)
+    removed — the quadratic-burst guard shared by common-neighbors and
+    triangles. Persisted in its own slot: both of its consumers
+    self-join it (two references each), and the degree filter is a
+    second aggregate over the pairs cache."""
+    from event_streamer_spark.caching import bounded_persist
+
+    pairs = _copurchase_pairs(spark, sf)
+    ok = (
+        pairs.groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("cd"))
+        .filter(F.col("cd") <= _CN_MAX_DEGREE)
+        .select("ck")
+    )
+    return bounded_persist(pairs.join(ok, "ck"), "graph.capped_edges")
+
+
 @query("d17_pagerank", oracle=_pagerank_oracle())
 def d17_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """D17: fixed-iteration PageRank (damping 0.85) over the undirected
@@ -92,35 +133,48 @@ def d17_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     contribution-less). Iterations are a constant: the plan is a
     fixed-depth DAG, safe for Catalyst at any corpus size.
 
-    The edge list and node table are ``bounded_persist``-ed: every
+    The edge list and degree table are ``bounded_persist``-ed: every
     iteration references both, and without the cache Catalyst inlines
     the whole fact-join subtree at each reference (plan-audited: 88
     parquet scans for 3 iterations → 4 with the caches; at 100 TB
     that is the difference between one fact join and a dozen).
+
+    Cold-path design (round 9, VERDICT r8 #2 — narrower persisted
+    frames): node ids travel as LONGS (customer → 2k, supplier → 2k+1)
+    and decode to the public ``c:``/``s:`` strings only in the final
+    N-row projection — the persisted edge table is two long columns
+    instead of two strings (measured at sf0.1: 7.6 s → 5.2 s first
+    materialization, and every iteration join hashes longs, not
+    strings). The base pairs frame comes from the module-shared
+    ``graph.pairs`` slot, and the DEGREE table (node-sized) is what's
+    persisted rather than the node×count crossJoin — the 1-row count
+    broadcast is re-derived per reference from the cached degrees,
+    which is two tiny cached scans instead of a third materialized
+    frame.
     """
     from event_streamer_spark.caching import bounded_persist
 
-    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-    )
-    ck = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
-    sk = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    pairs = _copurchase_pairs(spark, sf)
+    ck = (F.col("ck") * 2).alias
+    sk = (F.col("sk") * 2 + 1).alias
     edges = bounded_persist(
-        pairs.select(ck.alias("src"), sk.alias("dst")).unionAll(
-            pairs.select(sk.alias("src"), ck.alias("dst"))
+        pairs.select(ck("src"), sk("dst")).unionAll(
+            pairs.select(sk("src"), ck("dst"))
         ),
         "graph.pr_edges",
     )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
+    deg = bounded_persist(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        ),
+        "graph.pr_deg",
     )
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
-    # node table with the broadcast 1-row count: every iteration's base
-    # term and the final projection read it co-located, no collect
+    # node table with the broadcast 1-row count: persisted, but built
+    # FROM the cached degree table (a node-sized scan + a 1-row
+    # broadcast), so its materialization is trivial — the round-8
+    # version aggregated the edge cache twice here (deg inlined into
+    # both the count and the crossJoin side)
     nodes = bounded_persist(
         deg.crossJoin(F.broadcast(nn)), "graph.pr_nodes"
     )
@@ -146,7 +200,15 @@ def d17_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             .drop("s")
         )
     return pr.select(
-        "node",
+        # decode the long node id back to the public string form
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c:"), F.expr("node DIV 2").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s:"), F.expr("(node - 1) DIV 2").cast("string"))
+        )
+        .alias("node"),
         F.col("deg").cast("long").alias("degree"),
         F.col("pr").cast("long").alias("pr_scaled"),
     )
@@ -199,24 +261,11 @@ def d17_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     shared-count aggregate on the supplier pair. The capped edge set
     feeds three consumers (degrees + both self-join sides), so it is
     ``bounded_persist``-ed — without the cache each reference inlines
-    the fact-join subtree (plan-audited: 32 parquet scans → 4).
+    the fact-join subtree (plan-audited: 32 parquet scans → 4). The
+    slot is shared with d17_triangles (identical frame), so a session
+    running both materializes it once.
     """
-    from event_streamer_spark.caching import bounded_persist
-
-    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
-        .distinct()
-    )
-    ok = (
-        pairs.groupBy("ck")
-        .agg(F.count(F.lit(1)).alias("cd"))
-        .filter(F.col("cd") <= _CN_MAX_DEGREE)
-        .select("ck")
-    )
-    e = bounded_persist(pairs.join(ok, "ck"), "graph.cn_edges")
+    e = _capped_edges(spark, sf)
     deg = e.groupBy("sk").agg(F.count(F.lit(1)).alias("deg"))
     a = e.alias("a")
     b = e.alias("b")
@@ -304,26 +353,12 @@ _TRIANGLES_SQL = f"""
       FROM kept k1 JOIN kept k2
         ON k2.node = k1.nbr AND k2.nbr = k1.node
       WHERE k1.node < k1.nbr),
-    deg AS (
-      SELECT node, COUNT(*) AS deg FROM (
-        SELECT s_lo AS node FROM shared
-        UNION ALL
-        SELECT s_hi AS node FROM shared) u
-      GROUP BY node),
-    rnk AS (SELECT node, deg * 10000000 + node AS r FROM deg),
-    oriented AS (
-      SELECT CASE WHEN rl.r < rh.r THEN s.s_lo ELSE s.s_hi END AS src,
-             CASE WHEN rl.r < rh.r THEN s.s_hi ELSE s.s_lo END AS dst,
-             CASE WHEN rl.r < rh.r THEN rh.r ELSE rl.r END AS dst_r
-      FROM shared s
-      JOIN rnk rl ON rl.node = s.s_lo
-      JOIN rnk rh ON rh.node = s.s_hi),
     tri AS (
       SELECT w.a, w.b, w.c
-      FROM (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
-            FROM oriented o1 JOIN oriented o2
-              ON o1.src = o2.src AND o1.dst_r < o2.dst_r) w
-      JOIN oriented o3 ON o3.src = w.b AND o3.dst = w.c),
+      FROM (SELECT e1.s_lo AS a, e1.s_hi AS b, e2.s_hi AS c
+            FROM shared e1 JOIN shared e2
+              ON e1.s_lo = e2.s_lo AND e1.s_hi < e2.s_hi) w
+      JOIN shared e3 ON e3.s_lo = w.b AND e3.s_hi = w.c),
     members AS (
       SELECT a AS suppkey FROM tri
       UNION ALL SELECT b FROM tri
@@ -345,42 +380,36 @@ def d17_triangles(spark: SparkSession, sf: str) -> DataFrame:
     edge count is <= K*N/2 and per-node triangle mass <= C(K,2) at any
     corpus size.
 
-    Degree-oriented "forward" enumeration — the scale-correct triangle
-    algorithm: every edge is oriented from its lower-(degree, key)
-    endpoint to the higher, so each triangle is generated EXACTLY once
-    (as the wedge at its lowest-rank vertex plus one closing-edge
-    probe) and the wedge join's fan-out per vertex is its OUT-degree,
-    which orientation bounds by O(sqrt(E)) — the naive a<b<c self-join
-    instead fans out on raw degree and melts on hub nodes. Three
-    shuffles beyond the edge build: the wedge self-join on src, the
-    closing-edge hash join on (b, c), the member aggregate.
+    Forward enumeration over ID-oriented edges: every edge is kept in
+    canonical (lo < hi) form, wedges open at their lowest-id vertex,
+    and one closing-edge probe completes each triangle EXACTLY once —
+    the standard forward algorithm. The textbook refinement orients by
+    DEGREE rank to bound out-degree by O(sqrt(E)) on skewed graphs,
+    but the mutual k-NN sparsification has ALREADY bounded every
+    node's total degree by K (= ``_TRI_KNN_K``): id-orientation's
+    worst-case wedge fan-out is the same C(K,2), so the degree-rank
+    pass (a union-aggregate plus two joins and a third persisted
+    frame, 2.9 s of the round-8 cold pass at sf0.1) bought nothing —
+    removed in round 9. On an UNBOUNDED-degree graph the degree
+    orientation is load-bearing; behind mutual k-NN it is not. Three
+    shuffles beyond the edge build: the wedge self-join on the low
+    endpoint, the closing-edge hash join on (b, c), the member
+    aggregate.
 
     The Spark leg is DataFrame-built rather than the oracle's SQL text
-    because ``shared`` and ``oriented`` are each referenced three
-    times — Catalyst INLINES an unpersisted CTE subtree at every
-    reference (the plan-explosion gotcha this repo pins with
-    InMemoryTableScan tests), re-running the fact join ~9x;
-    ``bounded_persist`` caps both at one materialization each.
+    because ``shared`` is referenced three times — Catalyst INLINES an
+    unpersisted CTE subtree at every reference (the plan-explosion
+    gotcha this repo pins with InMemoryTableScan tests), re-running
+    the fact join ~9x; ``bounded_persist`` caps it at one
+    materialization. The capped edge set comes from the module-shared
+    ``graph.capped_edges`` slot (same frame as d17_common_neighbors).
     """
     from event_streamer_spark.caching import bounded_persist
 
-    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
-        .distinct()
-    )
-    ok = (
-        pairs.groupBy("ck")
-        .agg(F.count(F.lit(1)).alias("cd"))
-        .filter(F.col("cd") <= _CN_MAX_DEGREE)
-        .select("ck")
-    )
-    # e feeds BOTH sides of the weighted self-join: unpersisted,
+    # feeds BOTH sides of the weighted self-join: persisted, or
     # Catalyst inlines the fact-join + distinct subtree once per side
     # (the d17_common_neighbors 32→4-scan lesson; round-9 advice)
-    e = bounded_persist(pairs.join(ok, "ck"), "graph.tri_edges")
+    e = _capped_edges(spark, sf)
     a, b = e.alias("a"), e.alias("b")
     weighted = (
         a.join(
@@ -435,39 +464,19 @@ def d17_triangles(spark: SparkSession, sf: str) -> DataFrame:
         ),
         "graph.tri_shared",
     )
-    deg = (
-        shared.select(F.col("s_lo").alias("node"))
-        .unionAll(shared.select(F.col("s_hi").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    rnk = deg.select("node", (F.col("deg") * 10000000 + F.col("node")).alias("r"))
-    lo = rnk.select(F.col("node").alias("s_lo"), F.col("r").alias("r_lo"))
-    hi = rnk.select(F.col("node").alias("s_hi"), F.col("r").alias("r_hi"))
-    fwd = F.col("r_lo") < F.col("r_hi")
-    oriented = bounded_persist(
-        shared.join(lo, "s_lo")
-        .join(hi, "s_hi")
-        .select(
-            F.when(fwd, F.col("s_lo")).otherwise(F.col("s_hi")).alias("src"),
-            F.when(fwd, F.col("s_hi")).otherwise(F.col("s_lo")).alias("dst"),
-            F.when(fwd, F.col("r_hi")).otherwise(F.col("r_lo")).alias("dst_r"),
-        ),
-        "graph.tri_oriented",
-    )
-    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
-    wedges = o1.join(
-        o2,
-        (F.col("o1.src") == F.col("o2.src"))
-        & (F.col("o1.dst_r") < F.col("o2.dst_r")),
+    e1, e2, e3 = shared.alias("e1"), shared.alias("e2"), shared.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.s_lo") == F.col("e2.s_lo"))
+        & (F.col("e1.s_hi") < F.col("e2.s_hi")),
     ).select(
-        F.col("o1.src").alias("a"),
-        F.col("o1.dst").alias("b"),
-        F.col("o2.dst").alias("c"),
+        F.col("e1.s_lo").alias("a"),
+        F.col("e1.s_hi").alias("b"),
+        F.col("e2.s_hi").alias("c"),
     )
     tri = wedges.join(
-        o3,
-        (F.col("b") == F.col("o3.src")) & (F.col("c") == F.col("o3.dst")),
+        e3,
+        (F.col("b") == F.col("e3.s_lo")) & (F.col("c") == F.col("e3.s_hi")),
     ).select("a", "b", "c")
     # ONE reference to tri (explode, not a 3-way union) — a third
     # triple-reference inline of the wedge join would cost more than
@@ -564,14 +573,7 @@ def d17_hits(spark: SparkSession, sf: str) -> DataFrame:
     from event_streamer_spark.caching import bounded_persist
 
     S = _HITS_SCALE
-    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = bounded_persist(
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
-        .distinct(),
-        "graph.hits_edges",
-    )
+    pairs = _copurchase_pairs(spark, sf)
     hubs = bounded_persist(
         pairs.groupBy("ck").agg(F.count(F.lit(1)).alias("odeg")),
         "graph.hits_hubs",
@@ -703,20 +705,12 @@ def d17_label_prop(spark: SparkSession, sf: str) -> DataFrame:
 
     from event_streamer_spark.caching import bounded_persist
 
-    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    # the union's two branches each reference pairs — persist it so
-    # the fact join + distinct runs once, not once per branch (the
-    # d18_er_golden review lesson; review caught this module relying
-    # on the edges cache alone, which still pays the double build)
-    pairs = bounded_persist(
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct(),
-        "graph.lpa_pairs",
-    )
-    ck = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
-    sk = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    # the union's two branches each reference pairs — the module-shared
+    # persisted slot means the fact join + distinct runs once, not once
+    # per branch (the d18_er_golden review lesson)
+    pairs = _copurchase_pairs(spark, sf)
+    ck = F.concat(F.lit("c:"), F.col("ck").cast("string"))
+    sk = F.concat(F.lit("s:"), F.col("sk").cast("string"))
     edges = bounded_persist(
         pairs.select(ck.alias("src"), sk.alias("dst")).unionAll(
             pairs.select(sk.alias("src"), ck.alias("dst"))

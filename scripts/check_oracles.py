@@ -148,9 +148,43 @@ def run_sweep(
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    """``--out PATH`` writes a machine-readable sweep artifact (VERDICT
+    r8 #4: the per-round full-registry sweep at the bench SF is recorded
+    as checked-in JSON, so regressions at sf0.1 diff between rounds
+    instead of living only in COVERAGE prose)."""
+    argv = sys.argv[1:]
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     spark = get_spark("oracle-check", shuffle_partitions=8)
-    _, failures = run_sweep(spark, sf_dir, sys.argv[2:])
+    t0 = time.time()
+    total, failures = run_sweep(spark, sf_dir, argv[1:])
+    if out_path:
+        import json
+
+        n_oracle = sum(
+            1
+            for n, s in REGISTRY.items()
+            if s.oracle is not None
+            and (not argv[1:] or any(f in n for f in argv[1:]))
+        )
+        with open(out_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "total": total,
+                    "oracle_backed": n_oracle,
+                    "rows_only": total - n_oracle,
+                    "failures": failures,
+                    "wall_sec": round(time.time() - t0, 1),
+                },
+                fh,
+                indent=1,
+            )
+            fh.write("\n")
     return 1 if failures else 0
 
 

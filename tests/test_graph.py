@@ -70,18 +70,21 @@ def test_common_neighbors_shape(spark):
 
 def test_pagerank_iterations_read_cached_graph(spark):
     """Plan pin for the scan budget: every iteration must read the
-    persisted edge list and node table, not re-derive the fact join
-    (review r8: 88 parquet scans → cached)."""
+    persisted edge list and degree table, not re-derive the fact join
+    (review r8: 88 parquet scans → cached; round 9 persists degrees
+    instead of the node×count crossJoin and shares the pairs slot)."""
     from event_streamer_spark.caching import clear_slot
 
-    clear_slot("graph.pr_edges")
-    clear_slot("graph.pr_nodes")
+    for slot in ("graph.pairs", "graph.pr_edges", "graph.pr_deg"):
+        clear_slot(slot)
     df = REGISTRY["d17_pagerank"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # 3 iterations x (edges + nodes) + final projection read the caches
+    # 3 iterations x (edges + nodes-from-deg) + final projection read
+    # the caches; the derived node table costs 2 cached deg scans per
+    # reference, so the floor is higher than the old 6
     assert plan.count("InMemoryTableScan") >= 6, plan
-    clear_slot("graph.pr_edges")
-    clear_slot("graph.pr_nodes")
+    for slot in ("graph.pairs", "graph.pr_edges", "graph.pr_deg"):
+        clear_slot(slot)
 
 
 def test_triangles_match_naive_enumeration(spark):
