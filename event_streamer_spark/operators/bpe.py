@@ -187,7 +187,10 @@ def d4_bpe_train_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     identical to an independent single-process reference, invariant
     under repartitioning, and tokenization strictly compresses.
     """
-    docs = load(spark, sf, "documents")
+    # NULL text: no words to train on, no tokens to count — excluded
+    # rather than crashing the Arrow tokenize batch (round-9 dirty
+    # corpus); the trainer's explode(split(NULL)) already emits nothing
+    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
     merges = train_bpe_merges(docs)
     # ONE narrow pass: both counts are per-row projections of the same
     # input row — no second corpus scan, no self-join on doc_id.

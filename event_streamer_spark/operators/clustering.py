@@ -61,12 +61,17 @@ _PAIRS_CTES = f"""
       SELECT u AS doc_id, MIN(r) AS min_r FROM reach GROUP BY u)
 """
 
+# DISTINCT doc identities on both engines (round-9 dirty corpus:
+# duplicated doc_id rows fanned the Spark-side joins while the oracle's
+# per-distinct minreach did not — one cluster row per IDENTITY is the
+# declared semantics; the dedup family exists for dirty corpora)
 _CLUSTERS_SQL = f"""
     WITH RECURSIVE {_PAIRS_CTES}
     SELECT d.doc_id,
            CAST(COALESCE(LEAST(m.doc_id, m.min_r), d.doc_id) AS BIGINT)
              AS cluster_id
-    FROM documents d LEFT JOIN minreach m USING (doc_id)
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN minreach m USING (doc_id)
 """
 
 _CORPUS_SQL = f"""
@@ -74,7 +79,9 @@ _CORPUS_SQL = f"""
     labeled AS (
       SELECT d.doc_id, d.lang, d.source, d.n_chars,
              COALESCE(LEAST(m.doc_id, m.min_r), d.doc_id) AS cluster_id
-      FROM documents d LEFT JOIN minreach m USING (doc_id))
+      FROM (SELECT DISTINCT doc_id, lang, source, n_chars
+            FROM documents) d
+      LEFT JOIN minreach m USING (doc_id))
     SELECT doc_id, lang, source, n_chars
     FROM labeled WHERE doc_id = cluster_id
 """
@@ -155,8 +162,12 @@ def cluster_documents(
     singletons label themselves. The edge source is a parameter so the
     same loop serves the exact pair join (oracle path) and MinHash-LSH
     candidates (100 TB path)."""
-    vertices = load(spark, sf, "documents").select(
-        F.col("doc_id").alias("id")
+    # DISTINCT identities: duplicated doc_id rows (re-delivered
+    # ingest) must not fan out the CC joins (round-9 dirty corpus)
+    vertices = (
+        load(spark, sf, "documents")
+        .select(F.col("doc_id").alias("id"))
+        .distinct()
     )
     labels = connected_components(vertices, edges.persist())
     return labels.select(
@@ -214,10 +225,10 @@ def d2_dedup_corpus(spark: SparkSession, sf: str) -> DataFrame:
     keep = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
         "doc_id"
     )
-    docs = load(spark, sf, "documents")
-    return docs.join(keep, "doc_id").select(
+    docs = load(spark, sf, "documents").select(
         "doc_id", "lang", "source", "n_chars"
-    )
+    ).distinct()
+    return docs.join(keep, "doc_id")
 
 
 _VAL_FRACTION_HEX = "1999999a"  # ~0.10 of 2^32
@@ -230,7 +241,8 @@ _VAL_FRACTION_HEX = "1999999a"  # ~0.10 of 2^32
     labeled AS (
       SELECT d.doc_id,
              COALESCE(LEAST(m.doc_id, m.min_r), d.doc_id) AS cluster_id
-      FROM documents d LEFT JOIN minreach m USING (doc_id))
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN minreach m USING (doc_id))
     SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
            CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
                      < '{_VAL_FRACTION_HEX}'

@@ -323,8 +323,15 @@ def _minhash_signatures(df: DataFrame) -> DataFrame:
                 bands.append(bh.tolist())
         return pd.DataFrame({"sig": sigs, "bands": bands})
 
-    return df.select("doc_id", minhash("text").alias("m")).select(
-        "doc_id", "m.sig", "m.bands"
+    # NULL text has no shingles and no defined signature: exclude the
+    # row rather than crash the Arrow batch (round-9 dirty corpus).
+    # Matches the SQL legs, whose string_split(NULL) emits no shingle
+    # rows. Empty text keeps its single degenerate shingle (max(len-2,
+    # 1) below) — a deterministic signature, harmless in banding.
+    return (
+        df.filter(F.col("text").isNotNull())
+        .select("doc_id", minhash("text").alias("m"))
+        .select("doc_id", "m.sig", "m.bands")
     )
 
 
@@ -487,7 +494,9 @@ def d2_simhash(spark: SparkSession, sf: str) -> DataFrame:
             out[i] = np.int64(fp.astype(np.int64))
         return pd.Series(out)
 
-    d = load(spark, sf, "documents")
+    # NULL text has no fingerprint: exclude rather than crash the Arrow
+    # batch (round-9 dirty corpus), matching _minhash_signatures
+    d = load(spark, sf, "documents").filter(F.col("text").isNotNull())
     fp = d.select("doc_id", simhash("text").alias("fingerprint"))
     chunks = F.expr(
         "transform(sequence(0, 3), i -> (fingerprint >> (i*16)) & 65535)"

@@ -105,6 +105,30 @@ def _bucket_assign(value: Column, bounds: Column, n_bounds: int) -> Column:
     return out
 
 
+def _nullsafe_equi_join(
+    left: DataFrame, right: DataFrame, keys: Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """Equi-join that treats NULL keys as matching NULL (``<=>``),
+    dropping the right side's key columns like a USING join. A plain
+    name-list join silently drops NULL-keyed rows — at a window
+    operator's partition keys that means a whole NULL partition
+    vanishes while SQL windows rank it as an ordinary group (round-9
+    seeded dirty corpus: b15's NULL-returnflag partition, 60 oracle
+    rows, dropped entirely by the bases join)."""
+    # rename the right side's keys before the join: post-join
+    # drop(right[k]) resolves unreliably through broadcast/alias
+    # lineage, leaving an AMBIGUOUS_REFERENCE for downstream selects
+    renamed = right
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__rk_{k}")
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(renamed[f"__rk_{k}"])
+        cond = c if cond is None else cond & c
+    out = left.join(renamed, cond, how)
+    return out.drop(*[f"__rk_{k}" for k in keys])
+
+
 def _plan_size_bytes(df: DataFrame) -> Optional[int]:
     """Catalyst's size estimate for ``df`` (file-size based for parquet
     scans). Plan-statistics only — triggers NO job. ``None`` when the
@@ -282,14 +306,23 @@ def two_level_row_number(
         )
     )
     b = (
-        b.join(F.broadcast(bounds), part_cols, "left")
+        _nullsafe_equi_join(b, F.broadcast(bounds), part_cols, "left")
         .withColumn(
             "__bucket",
-            F.coalesce(
-                _bucket_assign(
-                    F.col("__bv"), F.col("__bounds"), n_buckets - 1
-                ),
-                F.lit(0),
+            # NULL order values get a DEDICATED bucket BEYOND the real
+            # ones, mirroring the NULLS LAST placement of the callers'
+            # orderings (Spark DESC and DuckDB ASC/DESC defaults) —
+            # bucket 0 would rank NULLs among the FIRST bucket's rows
+            # (round-9 dirty corpus: NULL l_extendedprice displaced 2-3
+            # top-100 rows per flag). Callers whose ordering puts NULLS
+            # FIRST must normalize the bucket value instead.
+            F.when(F.col("__bv").isNull(), F.lit(n_buckets)).otherwise(
+                F.coalesce(
+                    _bucket_assign(
+                        F.col("__bv"), F.col("__bounds"), n_buckets - 1
+                    ),
+                    F.lit(0),
+                )
             ),
         )
         # __bv/__bounds exist only to compute __bucket; dropping them HERE
@@ -338,7 +371,10 @@ def two_level_row_number(
     )
 
     # pass 2: bucket-local sort — only over buckets that can matter
-    j = b.join(F.broadcast(bases.select(*base_cols)), part_cols + ["__bucket"])
+    # (NULL-safe: a NULL partition key is an ordinary window group)
+    j = _nullsafe_equi_join(
+        b, F.broadcast(bases.select(*base_cols)), part_cols + ["__bucket"]
+    )
     if rn_limit is not None:
         j = j.filter(F.col("__base") < rn_limit)
     local_w = Window.partitionBy(*part_cols, "__bucket").orderBy(*order_cols)
@@ -405,7 +441,9 @@ def tied_ranks(
     table = tied_rank_table(
         df, part_cols, value_col, descending, rank_col, dense_rank_col
     )
-    return df.join(F.broadcast(table), list(part_cols) + [value_col])
+    return _nullsafe_equi_join(
+        df, F.broadcast(table), list(part_cols) + [value_col]
+    )
 
 
 def middle_ranks(rn: Column, n: Column) -> Column:

@@ -20,6 +20,69 @@ from event_streamer_spark.operators.registry import query
 from event_streamer_spark.tables import load
 
 
+def _camel_fold_ctes() -> str:
+    """DuckDB mirror of :func:`envelope.upper_camel_col`'s separator
+    fold, as CTEs over an ``inp(__s, ...)`` relation (round 9 — the
+    seeded dirty corpus showed the old first-char-only oracle spelling
+    silently assumed separator-free identifiers).
+
+    The reference fold (``helpers/index.ts:8-10``) is a NON-OVERLAPPING
+    regex scan: each ``[-_ ].`` match drops the separator and
+    uppercases the consumed char, then scanning resumes AFTER the pair.
+    Within a separator run of length k, that means separators at odd
+    offsets start a match (dropped; the next char — possibly itself a
+    separator, whose upper() is itself — is consumed) and a trailing
+    odd-offset separator with nothing to consume survives. That parity
+    rule is what the window computes: ``run_off`` = distance to the
+    previous non-separator, over DISTINCT strings (duplicate input
+    rows must not double the aggregated chars), keyed by the string
+    itself (dirty data can carry two different strings per id).
+
+    ASCII-identifier domain: the Kafka-facing subject columns this
+    feeds (event names, topics, lang/source tags) are ASCII by the
+    reference's own contract; full-Unicode case mapping is where the
+    engines genuinely split (Java/JS ``'ß'.toUpperCase() == 'SS'``,
+    DuckDB ``ẞ``) and is out of the oracle's stated domain.
+    """
+    return """
+    strs AS (SELECT DISTINCT __s FROM inp WHERE __s IS NOT NULL),
+    chars AS (
+      SELECT __s, i, string_split(substr(__s, 2), '')[i] AS ch
+      FROM strs,
+           UNNEST(generate_series(
+             1, GREATEST(COALESCE(len(__s), 1) - 1, 0))) AS g(i)),
+    marked AS (
+      SELECT __s, i, ch, (ch IN ('-', '_', ' ')) AS sep,
+             MAX(CASE WHEN ch NOT IN ('-', '_', ' ') THEN i END)
+               OVER (PARTITION BY __s ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_nonsep,
+             MAX(i) OVER (PARTITION BY __s) AS last_i
+      FROM chars),
+    runs AS (
+      SELECT __s, i, ch, sep,
+             i - COALESCE(prev_nonsep, 0) AS run_off, last_i
+      FROM marked),
+    outc AS (
+      SELECT __s, i,
+             CASE
+               WHEN NOT sep AND run_off > 1 AND (run_off - 1) % 2 = 1
+                 THEN upper(ch)
+               WHEN NOT sep THEN ch
+               WHEN sep AND run_off % 2 = 0 THEN ch
+               WHEN sep AND i = last_i THEN ch
+               ELSE ''
+             END AS o
+      FROM runs),
+    folded AS (
+      SELECT s.__s,
+             upper(substr(s.__s, 1, 1))
+               || COALESCE(string_agg(o.o, '' ORDER BY o.i), '') AS __code
+      FROM strs s LEFT JOIN outc o ON o.__s = s.__s
+      GROUP BY s.__s)
+    """
+
+
 @query(
     "a05_route_filter",
     oracle="""
@@ -58,12 +121,15 @@ def a08_fanout_explode(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "a11_envelope_enrich",
-    oracle="""
-    SELECT event_id,
-           upper(substr(event_type, 1, 1)) || substr(event_type, 2) AS code,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') || 'Z' AS createdAt,
+    oracle=f"""
+    WITH inp AS (
+      SELECT event_id, ts, event_type AS __s FROM events),
+    {_camel_fold_ctes()}
+    SELECT inp.event_id,
+           f.__code AS code,
+           strftime(inp.ts, '%Y-%m-%d %H:%M:%S') || 'Z' AS createdAt,
            'engine' AS appName
-    FROM events
+    FROM inp LEFT JOIN folded f ON f.__s = inp.__s
     """,
 )
 def a11_envelope_enrich(spark: SparkSession, sf: str) -> DataFrame:
@@ -82,17 +148,32 @@ def a11_envelope_enrich(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "a12_camel_norm",
-    oracle="""
-    SELECT doc_id,
-           upper(substr(lang, 1, 1)) || substr(lang, 2)
-           || upper(substr(source, 1, 1)) || substr(source, 2) AS code
-    FROM documents
+    oracle=f"""
+    WITH inp AS (
+      -- concat_ws semantics, spelled out: NULL operands are SKIPPED
+      -- (with their separator), both-NULL joins to '' — unlike ||,
+      -- which null-propagates (the b03 round-9 dirty-corpus lesson,
+      -- here the skip IS the declared semantics: the reference joins
+      -- only the subject parts that exist)
+      SELECT doc_id,
+             CASE
+               WHEN lang IS NULL AND source IS NULL THEN ''
+               WHEN lang IS NULL THEN source
+               WHEN source IS NULL THEN lang
+               ELSE lang || '_' || source
+             END AS __s
+      FROM documents),
+    {_camel_fold_ctes()}
+    SELECT inp.doc_id, f.__code AS code
+    FROM inp LEFT JOIN folded f ON f.__s = inp.__s
     """,
 )
 def a12_camel_norm(spark: SparkSession, sf: str) -> DataFrame:
     """A12: UpperCamelCase normalization of a separator-joined subject
     (reference ``helpers/index.ts:8-10``) — pure column expression,
-    stays inside whole-stage codegen."""
+    stays inside whole-stage codegen. The oracle mirrors the full
+    separator fold (see ``_camel_fold_ctes``); round 9 replaced the
+    first-char-only spelling the dirty corpus exposed."""
     d = load(spark, sf, "documents")
     return d.select(
         "doc_id",

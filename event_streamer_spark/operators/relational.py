@@ -117,7 +117,13 @@ def b02_orc_scan(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def b03_project_expr(spark: SparkSession, sf: str) -> DataFrame:
-    """B3: computed projections (exact integer-cents arithmetic)."""
+    """B3: computed projections (exact integer-cents arithmetic).
+
+    ``F.concat`` (= SQL ``||``, NULL-propagating), NOT ``concat_ws`` —
+    ``concat_ws`` silently DROPS null operands ('R/O' becomes 'R' when
+    linestatus is NULL) while ``||`` yields NULL on both engines; the
+    round-9 seeded dirty corpus caught the mismatch on NULL-injected
+    flag columns."""
     li = load(spark, sf, "lineitem")
     return li.select(
         "l_orderkey",
@@ -127,7 +133,7 @@ def b03_project_expr(spark: SparkSession, sf: str) -> DataFrame:
             .cast("double")
             / 10000
         ).alias("net_price"),
-        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("rf_ls"),
+        F.concat("l_returnflag", F.lit("/"), "l_linestatus").alias("rf_ls"),
     )
 
 
@@ -607,8 +613,16 @@ def b15_window_rank(spark: SparkSession, sf: str) -> DataFrame:
         li, ["l_returnflag"], "l_quantity", descending=True,
         rank_col="rnk", dense_rank_col="drnk",
     )
+    from event_streamer_spark.operators.distrank import _nullsafe_equi_join
+
     return (
-        ranked.join(F.broadcast(ranks), ["l_returnflag", "l_quantity"])
+        # NULL-safe: a NULL returnflag is an ordinary window partition
+        # and NULL quantities rank NULLS LAST on both engines — a plain
+        # name join would drop both classes of rows (round-9 dirty
+        # corpus)
+        _nullsafe_equi_join(
+            ranked, F.broadcast(ranks), ["l_returnflag", "l_quantity"]
+        )
         .select(
             "l_returnflag",
             "l_orderkey",
@@ -629,17 +643,26 @@ def b15_window_rank(spark: SparkSession, sf: str) -> DataFrame:
            LEAD(o_totalprice) OVER w AS next_total,
            FIRST_VALUE(o_totalprice) OVER w AS first_total,
            LAST_VALUE(o_totalprice)  OVER (PARTITION BY o_custkey
-                                           ORDER BY o_orderdate, o_orderkey
+                                           ORDER BY o_orderdate NULLS LAST,
+                                                    o_orderkey NULLS LAST
                                            ROWS BETWEEN UNBOUNDED PRECEDING
                                                     AND UNBOUNDED FOLLOWING) AS last_total
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST)
     """,
 )
 def b16_window_analytic(spark: SparkSession, sf: str) -> DataFrame:
-    """B16: lag/lead/first/last (values pass through unchanged → hash-safe)."""
+    """B16: lag/lead/first/last (values pass through unchanged → hash-safe).
+    NULL order keys pinned NULLS LAST on both engines (round-9 dirty
+    corpus: Spark's ASC default is NULLS FIRST, DuckDB's NULLS LAST —
+    left implicit, every lag/lead in a partition with a NULL-dated
+    order shifts by one)."""
     orders = load(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last(),
+    )
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return orders.select(
         "o_orderkey",
@@ -657,19 +680,27 @@ def b16_window_analytic(spark: SparkSession, sf: str) -> DataFrame:
     WITH t AS (SELECT o_orderkey, o_custkey, o_orderdate,
                       {_o_cents('o_totalprice')} AS cents FROM orders)
     SELECT o_orderkey, o_custkey,
-           CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           CAST(SUM(cents) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate NULLS LAST,
+                                          o_orderkey NULLS LAST
                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)/100 AS run_total,
            ROUND(CAST(SUM(cents) OVER w3 AS DOUBLE)/100
                  / COUNT(*) OVER w3, 6) AS mov_avg
     FROM t
-    WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    WINDOW w3 AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
 )
 def b17_window_frame(spark: SparkSession, sf: str) -> DataFrame:
-    """B17: aggregate-over-frame — running total + 3-row moving average."""
+    """B17: aggregate-over-frame — running total + 3-row moving average.
+    NULL order keys pinned NULLS LAST on both engines (the b16 round-9
+    dirty-corpus lesson: implicit ASC defaults diverge)."""
     orders = load(spark, sf, "orders").withColumn("cents", _cents("o_totalprice"))
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last(),
+    )
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w3 = w.rowsBetween(-2, Window.currentRow)
     return orders.select(
@@ -847,15 +878,22 @@ def b22_date_fns(spark: SparkSession, sf: str) -> DataFrame:
            abs(l_quantity - 25.0) AS qty_dev,
            CAST(ceil(l_extendedprice/1000) AS BIGINT) AS price_k_ceil,
            CAST(floor(l_extendedprice/1000) AS BIGINT) AS price_k_floor,
-           ROUND(ln(l_extendedprice), 6) AS ln_price,
-           ROUND(sqrt(l_quantity), 6) AS sqrt_qty,
+           ROUND(CASE WHEN l_extendedprice > 0
+                      THEN ln(l_extendedprice) END, 6) AS ln_price,
+           ROUND(CASE WHEN l_quantity >= 0
+                      THEN sqrt(l_quantity) END, 6) AS sqrt_qty,
            ROUND(pow(l_discount, 2), 6) AS disc_sq,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod
     FROM lineitem
     """,
 )
 def b23_math_fns(spark: SparkSession, sf: str) -> DataFrame:
-    """B23: math functions; transcendentals rounded to absorb libm ulp noise."""
+    """B23: math functions; transcendentals rounded to absorb libm ulp
+    noise. Out-of-domain inputs pinned round 9 (seeded dirty corpus):
+    DuckDB RAISES on sqrt/ln of a negative (Out of Range) while Spark
+    yields NaN (sqrt) or NULL (ln) — the portable recipe is an explicit
+    domain CASE yielding NULL on both engines, which also keeps one bad
+    row from aborting a 100 TB scan on the strict engine."""
     li = load(spark, sf, "lineitem")
     return li.select(
         "l_orderkey",
@@ -863,8 +901,13 @@ def b23_math_fns(spark: SparkSession, sf: str) -> DataFrame:
         F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
         F.ceil(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k_ceil"),
         F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k_floor"),
-        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
-        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(
+            F.when(F.col("l_extendedprice") > 0, F.log(F.col("l_extendedprice"))),
+            6,
+        ).alias("ln_price"),
+        F.round(
+            F.when(F.col("l_quantity") >= 0, F.sqrt("l_quantity")), 6
+        ).alias("sqrt_qty"),
         F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
         (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
     )
@@ -923,13 +966,20 @@ def b25_struct_fns(spark: SparkSession, sf: str) -> DataFrame:
     "b26_json_fns",
     oracle="""
     SELECT event_id,
-           json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int
+           CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS k_str,
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k_int
     FROM events
     """,
 )
 def b26_json_fns(spark: SparkSession, sf: str) -> DataFrame:
-    """B26: JSON extraction from the events.props string column."""
+    """B26: JSON extraction from the events.props string column.
+    Malformed-input divergence pinned round 9 (seeded dirty corpus):
+    Spark's ``get_json_object``/``from_json`` yield NULL on unparseable
+    input while DuckDB's ``json_extract`` RAISES — the oracle guards
+    with ``json_valid`` (the a03 pattern); Spark's lenient NULL IS the
+    guarded behavior."""
     e = load(spark, sf, "events")
     return e.select(
         "event_id",
@@ -1023,9 +1073,27 @@ def b30_pandas_udf(spark: SparkSession, sf: str) -> DataFrame:
 
     @pandas_udf("double")
     def net_price(ep: pd.Series, disc: pd.Series) -> pd.Series:
-        cents = (ep * 100).round().astype("int64")
-        d = (disc * 100).round().astype("int64")
-        return (cents * (100 - d)).astype("float64") / 10000
+        import numpy as np
+
+        # Two dirty-corpus pins (round 9) in one body: (a) nullable
+        # Int64, not int64 — a NULL price/discount arrives as NaN and a
+        # plain astype raises IntCastingNaNError, killing the whole
+        # Arrow batch; NA propagates to a NULL output like the SQL leg.
+        # (b) HALF-AWAY-FROM-ZERO rounding, not pandas' .round() —
+        # numpy rounds half-even, so a 0.005 price became 0 cents while
+        # both engines' SQL ROUND says 1 (the b23_round_tie class).
+        def away(v: pd.Series) -> pd.Series:
+            return pd.Series(
+                pd.array(
+                    np.sign(v) * np.floor(np.abs(v) + 0.5), dtype="Float64"
+                ).astype("Int64")
+            )
+
+        cents = away(ep * 100)
+        d = away(disc * 100)
+        return pd.Series(
+            ((cents * (100 - d)).astype("Float64") / 10000).astype("float64")
+        )
 
     li = load(spark, sf, "lineitem")
     return li.select(
@@ -1053,9 +1121,26 @@ def b30_grouped_agg_udf(spark: SparkSession, sf: str) -> DataFrame:
     """
 
     def wavg(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents = (pdf["l_extendedprice"] * 100).round().astype("int64")
-        qty = pdf["l_quantity"].astype("int64")
-        val = round(float((cents * qty).sum()) / 100 / float(qty.sum()), 6)
+        import numpy as np
+
+        # NULL-aware to match the SQL aggregate semantics (round-9
+        # dirty corpus): SUM(cents*qty) skips rows where EITHER side is
+        # NULL, SUM(qty) skips only NULL quantities, and CAST(qty AS
+        # BIGINT) truncates toward zero; int64 arithmetic throughout
+        # for exactness at 1e13-cent magnitudes
+        both = pdf["l_extendedprice"].notna() & pdf["l_quantity"].notna()
+        ep = pdf.loc[both, "l_extendedprice"] * 100
+        # half-away-from-zero to match SQL ROUND (numpy rounds half-even)
+        cents = (np.sign(ep) * np.floor(np.abs(ep) + 0.5)).astype("int64")
+        qty = np.trunc(pdf.loc[both, "l_quantity"]).astype("int64")
+        den = np.trunc(pdf.loc[pdf["l_quantity"].notna(), "l_quantity"]).astype(
+            "int64"
+        ).sum()
+        val = (
+            round(float((cents * qty).sum()) / 100 / float(den), 6)
+            if den != 0
+            else None
+        )
         return pd.DataFrame(
             {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "wavg_price": [val]}
         )

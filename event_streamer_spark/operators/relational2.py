@@ -160,7 +160,9 @@ def b11_max_by(spark: SparkSession, sf: str) -> DataFrame:
            ROUND(cume_dist()    OVER w, 6) AS cd
     FROM lineitem
     WINDOW w AS (PARTITION BY l_returnflag
-                 ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                 ORDER BY l_extendedprice NULLS LAST,
+                          l_orderkey NULLS LAST,
+                          l_linenumber NULLS LAST)
     """,
 )
 def b15_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
@@ -174,12 +176,19 @@ def b15_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
 
     li = load(spark, sf, "lineitem")
     # prune before the call — two_level persists its input frame
+    # NULL placement pinned explicitly (round-9 dirty corpus): Spark's
+    # ASC default is NULLS FIRST, DuckDB's is NULLS LAST — and the
+    # two-level path's dedicated NULL bucket is LAST-aligned
     ranked = two_level_row_number(
         li.select(
             "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
         ),
         ["l_returnflag"],
-        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        [
+            F.col("l_extendedprice").asc_nulls_last(),
+            F.col("l_orderkey").asc_nulls_last(),
+            F.col("l_linenumber").asc_nulls_last(),
+        ],
         bucket_value="l_extendedprice",
         out_col="__rn",
         count_col="__n",
@@ -187,13 +196,25 @@ def b15_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
     )
     from event_streamer_spark.operators.distrank import percent_rank_expr
 
-    rn, n = F.col("__rn"), F.col("__n")
-    return ranked.select(
+    # Tie correction (round-9 dirty corpus: exact duplicate rows tie on
+    # the full ordering): SQL percent_rank is RANK-based — tied rows
+    # share the FIRST row_number of their tie group — and cume_dist is
+    # the tie group's LAST. The tie-group window partitions on the full
+    # ordering key (near-unique), so it adds no straggler; with a truly
+    # unique ordering min(rn) == max(rn) == rn and this is a no-op.
+    w_tie = Window.partitionBy(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    tied = ranked.withColumn("__rk", F.min("__rn").over(w_tie)).withColumn(
+        "__cdn", F.max("__rn").over(w_tie)
+    )
+    rk, cdn, n = F.col("__rk"), F.col("__cdn"), F.col("__n")
+    return tied.select(
         "l_orderkey",
         "l_linenumber",
         # single-row partitions yield 0.0, not a div-by-zero NULL
-        percent_rank_expr(rn, n).alias("pr"),
-        F.round(rn.cast("double") / n, 6).alias("cd"),
+        percent_rank_expr(rk, n).alias("pr"),
+        F.round(cdn.cast("double") / n, 6).alias("cd"),
     )
 
 
@@ -346,11 +367,20 @@ def b48_exact_median(spark: SparkSession, sf: str) -> DataFrame:
         two_level_row_number,
     )
 
-    li = load(spark, sf, "lineitem").select(
-        "l_returnflag",
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    li = (
+        load(spark, sf, "lineitem")
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        # SQL MEDIAN ignores NULL values (they must not occupy ranks or
+        # count toward n) while NULL group KEYS stay ordinary groups —
+        # round-9 dirty corpus
+        .filter(F.col("cents").isNotNull())
     )
     ranked = two_level_row_number(
         li,
@@ -463,7 +493,13 @@ def b30_udtf(spark: SparkSession, sf: str) -> DataFrame:
     @udtf(returnType="pos: bigint, tok: string")
     class Tokenize:
         def eval(self, text: str):
-            for i, t in enumerate((text or "").split(" ")):
+            # NULL text → NO rows, matching the SQL leg where
+            # string_split(NULL) unnests to nothing (round-9 dirty
+            # corpus: `or ""` emitted a phantom empty token per NULL
+            # doc); empty text keeps its single '' token on both
+            if text is None:
+                return
+            for i, t in enumerate(text.split(" ")):
                 yield (i, t)
 
     spark.udtf.register("es_tokenize", Tokenize)
@@ -486,12 +522,18 @@ def b30_udtf(spark: SparkSession, sf: str) -> DataFrame:
            left(p_name, 4) AS name_l4,
            right(p_name, 4) AS name_r4,
            CAST(instr(p_name, 'a') AS BIGINT) AS a_pos,
-           split_part(p_type, ' ', 1) AS type_first
+           CASE WHEN p_type IS NULL THEN NULL
+                ELSE split_part(p_type, ' ', 1) END AS type_first
     FROM part
     """,
 )
 def b21_string_fns2(spark: SparkSession, sf: str) -> DataFrame:
-    """B21: extended string functions."""
+    """B21: extended string functions. Divergence pinned round 9 (the
+    seeded dirty corpus): DuckDB ``split_part(NULL, ' ', 1)`` returns
+    '' (and ignores a NULL delimiter) while Spark null-propagates —
+    the portable recipe is an explicit IS NULL guard in the SQL
+    spelling; Spark's native NULL propagation IS the guarded
+    behavior."""
     p = load(spark, sf, "part")
     return p.select(
         "p_partkey",
@@ -693,7 +735,9 @@ def d4_sentiment(spark: SparkSession, sf: str) -> DataFrame:
     "b27_try_cast",
     oracle="""
     SELECT event_id,
-           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS BIGINT) AS k_num,
            TRY_CAST(event_type AS BIGINT) AS not_a_number,
            TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS roundtrip
     FROM events
@@ -701,7 +745,10 @@ def d4_sentiment(spark: SparkSession, sf: str) -> DataFrame:
 )
 def b27_try_cast(spark: SparkSession, sf: str) -> DataFrame:
     """B27: try_cast — NULL on failure instead of error (the building
-    block for DLQ-style poison-record routing)."""
+    block for DLQ-style poison-record routing). The oracle's JSON leg
+    carries the b26 round-9 pin: DuckDB json_extract raises on
+    malformed input where Spark returns NULL, so it is json_valid-
+    guarded."""
     e = load(spark, sf, "events")
     return e.select(
         "event_id",
@@ -716,7 +763,8 @@ def b27_try_cast(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_custkey,
            nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
-                                            ORDER BY o_orderdate, o_orderkey
+                                            ORDER BY o_orderdate NULLS LAST,
+                                                     o_orderkey NULLS LAST
                                             ROWS BETWEEN UNBOUNDED PRECEDING
                                                      AND UNBOUNDED FOLLOWING)
              AS second_total
@@ -730,7 +778,10 @@ def b16_nth_value(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(
+            F.col("o_orderdate").asc_nulls_last(),
+            F.col("o_orderkey").asc_nulls_last(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return o.select(
@@ -812,6 +863,52 @@ def b17_range_frame(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "b17_ts_range_frame",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, event_type, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_id, event_type,
+           COUNT(*) OVER w AS n_1d,
+           SUM(cents) OVER w AS sum_1d_cents
+    FROM t
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def b17_ts_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """B17+: RANGE frame with INTERVAL bounds over a raw TIMESTAMP
+    order key (no epoch-seconds detour — the frame arithmetic runs in
+    the engines' native timestamp domain). Round-9 divergence pin from
+    the window-frame fuzzer probe: with the SAME unit on both bounds
+    Spark and DuckDB agree on every probed combination (ASC/DESC, NULL
+    order keys, UNBOUNDED/FOLLOWING mixes); with MIXED units (e.g.
+    ``'36' HOUR PRECEDING AND '1' DAY FOLLOWING``) Spark raises
+    ``DATATYPE_MISMATCH.SPECIFIED_WINDOW_FRAME_DIFF_TYPES`` at analysis
+    while DuckDB executes — the portable recipe is one unit per frame,
+    which this query (and the ``q_window_frame`` fuzz generator) uses.
+    Money determinism via integer cents before the moving sum. One
+    shuffle on the partition key + an in-partition sort."""
+    e = load(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    frame = (
+        "OVER (PARTITION BY event_type ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 DAYS PRECEDING AND CURRENT ROW)"
+    )
+    return e.selectExpr(
+        "event_id",
+        "event_type",
+        f"COUNT(*) {frame} AS n_1d",
+        f"SUM(cents) {frame} AS sum_1d_cents",
+    )
+
+
+@query(
     "b34_histogram",
     oracle="""
     SELECT CAST(LEAST(GREATEST(FLOOR(value / 20), 0), 9) AS BIGINT) AS bucket,
@@ -870,9 +967,14 @@ def b30_apply_in_arrow(spark: SparkSession, sf: str) -> DataFrame:
             ),
             pa.int64(),
         )
+        # explicit types: a NULL group key would otherwise infer a
+        # null-typed column and fail Spark's Arrow schema check
+        # (round-9 dirty corpus)
         return pa.table(
             {
-                "c_mktsegment": [table["c_mktsegment"][0].as_py()],
+                "c_mktsegment": pa.array(
+                    [table["c_mktsegment"][0].as_py()], pa.string()
+                ),
                 "n": pa.array([table.num_rows], pa.int64()),
                 "bal_c": pa.array([pc.sum(cents).as_py()], pa.int64()),
             }
@@ -892,7 +994,8 @@ _EQUIDEPTH_BINS = 10
     oracle=f"""
     WITH t AS (
       SELECT event_id, value,
-             NTILE({_EQUIDEPTH_BINS}) OVER (ORDER BY value, event_id) AS bin
+             NTILE({_EQUIDEPTH_BINS}) OVER (
+               ORDER BY value NULLS LAST, event_id NULLS LAST) AS bin
       FROM events)
     SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt,
            ROUND(MIN(value), 4) AS lo, ROUND(MAX(value), 4) AS hi
@@ -920,10 +1023,12 @@ def b34_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .select("event_id", "value")
         .withColumn("__g", F.lit(0))
     )
+    # NULLS LAST pinned on both engines (round-9 dirty corpus; the
+    # two-level path's dedicated NULL bucket is LAST-aligned)
     ranked = two_level_row_number(
         e,
         ["__g"],
-        ["value", "event_id"],
+        [F.col("value").asc_nulls_last(), F.col("event_id").asc_nulls_last()],
         bucket_value="value",
         out_col="rn",
         count_col="n",
@@ -1063,7 +1168,8 @@ def b22_dow_parity(spark: SparkSession, sf: str) -> DataFrame:
     "b21_left_neg_parity",
     oracle="""
     SELECT c_custkey,
-           CASE WHEN c_custkey % 5 - 2 < 0 THEN ''
+           CASE WHEN c_name IS NULL THEN NULL
+                WHEN c_custkey % 5 - 2 < 0 THEN ''
                 ELSE LEFT(c_name, c_custkey % 5 - 2) END AS left_n,
            LEFT(c_name, 3) AS left_3
     FROM customer
@@ -1076,8 +1182,11 @@ def b21_left_neg_parity(spark: SparkSession, sf: str) -> DataFrame:
     recipe, pinned over per-row varying n ∈ [-2, 2]: guard with
     ``CASE WHEN n < 0 THEN '' ELSE LEFT(s, n) END`` (or
     ``LEFT(s, GREATEST(n, 0))``) — n = 0 agrees ('') on both engines,
-    so only the negative branch needs the guard. ``LEFT(s, 3)`` rides
-    along as the positive-length control."""
+    so only the negative branch needs the guard — and the guard must
+    check the STRING for NULL first (round-9 dirty corpus: the ''
+    branch fires for NULL input on DuckDB where Spark's LEFT
+    null-propagates). ``LEFT(s, 3)`` rides along as the
+    positive-length control."""
     return load(spark, sf, "customer").select(
         "c_custkey",
         F.expr("LEFT(c_name, CAST(c_custkey % 5 - 2 AS INT))").alias(
@@ -1151,13 +1260,16 @@ def b24_array_index_base(spark: SparkSession, sf: str) -> DataFrame:
     ZERO-based on Spark (``arr[0]`` = first element) and ONE-based on
     DuckDB (``arr[1]``) — ``[7,8,9][1]`` reads 8 vs 7. The portable
     recipe, pinned over the real FLOAT[] embedding column: Spark
-    ``arr[i]`` == DuckDB ``arr[i + 1]`` (equivalently, use Spark's
-    1-based ``element_at``). Length spelling also differs —
+    ``get(arr, i)`` == DuckDB ``arr[i + 1]``. ``get`` rather than
+    ``arr[i]`` is a SECOND divergence this pin carries (round-9 dirty
+    corpus): out-of-bounds bracket access on an EMPTY array is an ANSI
+    ``INVALID_ARRAY_INDEX`` error on Spark but NULL on DuckDB — ``get``
+    is Spark's NULL-on-miss spelling. Length spelling also differs —
     ``ARRAY_SIZE`` (Spark) vs ``ARRAY_LENGTH`` (DuckDB) — and rides
     along as the mapped control."""
     return load(spark, sf, "embeddings").select(
         "vec_id",
-        F.col("embedding")[0].alias("e0"),
+        F.expr("get(embedding, 0)").alias("e0"),
         F.array_size("embedding").cast("bigint").alias("alen"),
     )
 

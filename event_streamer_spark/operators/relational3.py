@@ -376,8 +376,9 @@ def b71_skyline(spark: SparkSession, sf: str) -> DataFrame:
            STRFTIME(month, '%Y-%m') AS month,
            CAST(SUM(price_c) AS BIGINT) AS notional_c,
            CAST(SUM(qty_c) AS BIGINT)   AS volume_c,
-           (1000000 * CAST(SUM(price_c) AS BIGINT))
-             // CAST(SUM(qty_c) AS BIGINT) AS vwap_micro
+           CAST((1000000 * CAST(SUM(price_c) AS HUGEINT))
+             // NULLIF(CAST(SUM(qty_c) AS BIGINT), 0) AS BIGINT)
+             AS vwap_micro
     FROM c
     GROUP BY p_brand, month
     """,
@@ -432,8 +433,15 @@ def b73_vwap(spark: SparkSession, sf: str) -> DataFrame:
             "month",
             "notional_c",
             "volume_c",
-            F.expr("(1000000 * notional_c) DIV volume_c").alias(
-                "vwap_micro"
-            ),
+            # DECIMAL(38,0) widening + zero-volume guard (round-9
+            # seeded dirty corpus: a 9.9e11 price makes 10^6·notional
+            # overflow BIGINT — Spark ANSI aborts the job while DuckDB
+            # widens to HUGEINT; and an injected 0.0-quantity group
+            # made both engines raise on the division) — the
+            # d17_hits DECIMAL-DIV-HUGEINT parity recipe
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * notional_c)"
+                " DIV NULLIF(volume_c, 0) AS BIGINT)"
+            ).alias("vwap_micro"),
         )
     )

@@ -30,6 +30,45 @@ _QUERY_VEC_ID = 0  # fixed query vector for the top-k baseline
 
 _PLANE_SEED = 7
 
+# Degenerate-embedding domain guard (round 9, seeded dirty corpus): a
+# NULL vector, an empty vector, or an all-zero vector has no position
+# on the unit sphere — cosine against it is 0/0 — and a NULL/ragged
+# row segfaults nothing but crashes np.array/GEMM batches. EVERY
+# similarity-family operator excludes them at the scan (the filter is
+# a narrow predicate, pushdown-friendly) and every oracle mirrors the
+# same predicate, so both engines agree on the domain instead of each
+# choosing an error behavior (Spark: PythonException in the Arrow
+# batch or ANSI DIVIDE_BY_ZERO; DuckDB: NaN-valued similarities).
+_VALID_EMB_SPARK = (
+    "embedding IS NOT NULL AND size(embedding) > 0 AND "
+    "aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D,"
+    " (s, y) -> s + y * y) > 0"
+)
+_VALID_EMB_DUCK = (
+    "embedding IS NOT NULL AND len(embedding) > 0 AND "
+    "list_sum(list_transform(CAST(embedding AS DOUBLE[]),"
+    " y -> y * y)) > 0"
+)
+
+
+def load_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """The embeddings table restricted to the similarity domain (see
+    ``_VALID_EMB_SPARK``), with EXACT duplicate rows collapsed —
+    re-delivered ingest rows (same id, same vector) would otherwise
+    make the per-row top-k legs emit one candidate list per copy while
+    the per-key SQL oracles rank once (round-9 dirty corpus, rowcount
+    1503 vs 1482 on d3_knn_join). Conflicting identities (same vec_id,
+    different vectors) stay the caller's bug — both engines then see
+    the same two identities and agree. Oracles over embeddings must
+    mirror with ``SELECT DISTINCT … WHERE _VALID_EMB_DUCK``. The
+    distinct is one shuffle at ingest grain; callers that can prove
+    unique ids upstream can read ``tables.load`` directly."""
+    return (
+        load(spark, sf, "embeddings")
+        .filter(F.expr(_VALID_EMB_SPARK))
+        .distinct()
+    )
+
 
 def _cosine(a: str, b: str) -> F.Column:
     """cos(a, b) as a JVM-side expression over array<double> columns."""
@@ -42,12 +81,12 @@ def _cosine(a: str, b: str) -> F.Column:
 @query(
     "d3_topk_cosine",
     oracle=f"""
-    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-               WHERE vec_id = {_QUERY_VEC_ID}),
-    s AS (SELECT vec_id,
+    WITH q AS (SELECT DISTINCT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+    s AS (SELECT DISTINCT vec_id,
                  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS sim
           FROM embeddings, q
-          WHERE vec_id <> {_QUERY_VEC_ID})
+          WHERE vec_id <> {_QUERY_VEC_ID} AND {_VALID_EMB_DUCK})
     SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10
     """,
 )
@@ -58,7 +97,7 @@ def d3_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     (per-partition top-k, driver merges k·P rows) — no shuffle of the
     table. Ties broken by (rounded sim, vec_id) so the row set is stable.
     """
-    emb = load(spark, sf, "embeddings").withColumn(
+    emb = load_embeddings(spark, sf).withColumn(
         "vec", F.col("embedding").cast("array<double>")
     )
     qrow = (
@@ -104,8 +143,10 @@ def _block_topk(blocks: DataFrame, block_col: str, k: int = 3) -> DataFrame:
 
 @query(
     "d3_knn_join",
-    oracle="""
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    oracle=f"""
+    WITH e AS (SELECT DISTINCT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings
+               WHERE {_VALID_EMB_DUCK} AND label IS NOT NULL),
     pairs AS (
       SELECT a.vec_id AS src, b.vec_id AS nbr,
              ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
@@ -125,11 +166,21 @@ def d3_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     assignment). Each block is scored with one numpy GEMM
     (:func:`_block_topk`) — a single shuffle on label, no pair
     materialization.
+
+    NULL block keys are EXCLUDED on both engines (round-9 dirty
+    corpus): Spark's groupBy collects NULL labels into one spurious
+    block and scores them against each other, while SQL equi-join
+    blocking never matches NULL = NULL — unblockable rows are out of
+    the operator's domain, not silently co-blocked.
     """
-    e = load(spark, sf, "embeddings").select(
-        "vec_id",
-        F.col("label").alias("block"),
-        F.col("embedding").cast("array<double>").alias("v"),
+    e = (
+        load_embeddings(spark, sf)
+        .filter(F.col("label").isNotNull())
+        .select(
+            "vec_id",
+            F.col("label").alias("block"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
     )
     return _block_topk(e, "block", 3)
 
@@ -179,7 +230,7 @@ def d3_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     e = (
-        load(spark, sf, "embeddings")
+        load_embeddings(spark, sf)
         # single-file parquet → one split; spread the UDF work
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -303,8 +354,9 @@ def _tile_pairs(emb: DataFrame, n_blocks: int, threshold: float) -> DataFrame:
 
 @query(
     "d2_embedding_neardup",
-    oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    oracle=f"""
+    WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE {_VALID_EMB_DUCK})
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
     FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -324,7 +376,7 @@ def d2_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     checks, and its dataflow — unlike a driver-side compare — spreads
     that compute across the cluster.
     """
-    emb = load(spark, sf, "embeddings").select(
+    emb = load_embeddings(spark, sf).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     return _tile_pairs(emb, _TILE_BLOCKS, 0.45)
@@ -364,7 +416,7 @@ def d2_neardup_lsh_pruned(spark: SparkSession, sf: str) -> DataFrame:
         return pd.Series((signs @ weights).astype("int32").tolist())
 
     emb = (
-        load(spark, sf, "embeddings")
+        load_embeddings(spark, sf)
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     ).persist()
@@ -485,7 +537,7 @@ def _ivf_topk_impl(
     """IVF-flat top-3 given a coarse quantizer: assign cells, then one
     exact numpy GEMM per cell (single shuffle on cell_id, per-task
     memory bounded by the largest cell)."""
-    emb = load(spark, sf, "embeddings").select(
+    emb = load_embeddings(spark, sf).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cells = emb.withColumn("cell", _cell_assigner(spark, cents)(F.col("v")))
@@ -524,7 +576,7 @@ def d3_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     asserted in tests/test_dedup_quality.py). Deterministic end-to-end:
     seeded init, rounded centroids, (sim, nbr) tie-breaks.
     """
-    emb = load(spark, sf, "embeddings").select(
+    emb = load_embeddings(spark, sf).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cents = train_ivf_centroids(spark, emb)
@@ -544,7 +596,7 @@ def d3_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
     measures (top-10 overlap vs the exact d3_topk_cosine ≥ 8/10).
     Deterministic: min/max are exact, rounding is fixed.
     """
-    emb = load(spark, sf, "embeddings").select(
+    emb = load_embeddings(spark, sf).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # per-dimension min/max: one aggregate of dim-sized model state
@@ -612,7 +664,7 @@ def d2_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     Output: every vector with its cell, kept flag, and (for drops) the
     keeper it duplicates.
     """
-    emb = load(spark, sf, "embeddings").select(
+    emb = load_embeddings(spark, sf).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cents = train_ivf_centroids(spark, emb)
@@ -723,7 +775,7 @@ def d3_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     Shortlist recall of the true top-10 is asserted in
     tests/test_dedup_quality.py.
     """
-    emb = load(spark, sf, "embeddings").select(
+    emb = load_embeddings(spark, sf).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     books = train_pq_codebooks(emb)

@@ -130,9 +130,13 @@ def b45_latest_per_key(spark: SparkSession, sf: str) -> DataFrame:
     SELECT user_id,
            event_type,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
-           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+           strftime(LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts NULLS LAST,
+                                             event_id NULLS LAST),
                     '%Y-%m-%d %H:%M:%S') AS valid_to,
-           CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           CAST(LEAD(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts NULLS LAST,
+                                        event_id NULLS LAST)
                 IS NULL AS BOOLEAN) AS is_current
     FROM events
     """,
@@ -141,10 +145,15 @@ def b46_scd2(spark: SparkSession, sf: str) -> DataFrame:
     """B46: SCD type-2 interval construction — each change record gets a
     ``[valid_from, valid_to)`` interval from its successor's timestamp;
     the open-ended latest row is flagged current. LEAD over the
-    high-cardinality user key; deterministic (ts, event_id) ordering.
+    high-cardinality user key; deterministic (ts, event_id) ordering,
+    NULLS LAST pinned on both engines (round-9 dirty corpus: implicit
+    ASC defaults diverge, shifting every successor in a partition with
+    an undated change record).
     """
     e = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     nxt = F.lead("ts").over(w)
     return e.select(
         "user_id",

@@ -191,6 +191,43 @@ def compact_state(spark, path: str, _interrupt: str | None = None) -> int:
     return len(folded)
 
 
+# Auto-compaction threshold (measured, scripts/state_scale_probe.py at
+# 100 batches × 200 rows, local[32]): the merged-read path roughly
+# DOUBLES between 25 and 100 shard partitions (KMV 0.45 → 0.71 s,
+# count-min 0.37 → 0.68 s — directory listing + per-file footer reads,
+# the small-files tax) and one compaction restores it (0.41 / 0.34 s)
+# for ~1.6 s per table. 64 partitions sits where the read tax is ~+60%
+# and the rewrite amortizes over ≥63 folded batches.
+_COMPACT_MAX_PARTITIONS = 64
+
+
+def maybe_compact(
+    spark, path: str, max_batch_partitions: int = _COMPACT_MAX_PARTITIONS
+) -> int:
+    """Run :func:`compact_state` iff the state table has accumulated
+    more than ``max_batch_partitions`` batch partitions (counted with
+    one filesystem listing — no Spark job when below threshold).
+
+    Safe to call from a ``foreachBatch`` body AFTER the batch's own
+    state write: compaction always leaves the NEWEST partition in
+    place, so the current batch keeps its retry-idempotence token (a
+    redelivered batch still finds its own partition to overwrite), and
+    within ``foreachBatch`` there is no concurrent writer to race.
+    Returns the number of partitions folded (0 = below threshold)."""
+    if not hadoop_path_exists(spark, path):
+        return 0
+    jvm, fs = _fs_for(spark, path)
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    n = sum(
+        1
+        for s in fs.listStatus(jpath)
+        if s.isDirectory() and s.getPath().getName().startswith("batch_id=")
+    )
+    if n <= max_batch_partitions:
+        return 0
+    return compact_state(spark, path)
+
+
 def _write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
     """Idempotent per-batch write: the rows land in partition
     ``batch_id=<n>``; dynamic partition overwrite replaces ONLY that

@@ -48,7 +48,11 @@ _HOSTILE_STRINGS = [
     "line\nbreak",
     "tab\tsep",
     "​zero​width",
-    "ß UPPER lower MiXeD",
+    # NO 'ß' (or other special-case-mapped chars): Java/JS toUpperCase
+    # says 'SS', DuckDB's ICU says 'ẞ' — a genuine engine split in
+    # upper/lower/initcap, documented in events._camel_fold_ctes as out
+    # of the oracle domain; ñ/ï/é case-map identically and stay in
+    "Ñandú ñ grande",
     "percent%under_score",
 ]
 
@@ -236,22 +240,50 @@ def giant_basket(tables: dict, rng: random.Random) -> None:
 
 
 def unicode_strings(tables: dict, rng: random.Random) -> None:
-    """Hostile strings — empty, whitespace-only, combining marks, CJK,
-    emoji, embedded quotes/newlines/tabs, zero-width chars — in the
-    string columns the text/expression families consume."""
-    targets = [
+    """Hostile strings in two domains. FREE-TEXT columns (names, doc
+    text) take the full pool — unicode, emoji, embedded quotes/
+    newlines/tabs, zero-width chars. IDENTIFIER columns (event types,
+    lang/source tags — Kafka-facing subjects, ASCII by the reference's
+    contract) take an ASCII pool that still exercises the camel-fold
+    edge cases (separator runs, leading/trailing separators, empties):
+    full-Unicode case mapping is a REAL engine split (Java/JS
+    ``'ß'.toUpperCase()=='SS'`` vs DuckDB ``ẞ``) documented in
+    ``events._camel_fold_ctes`` as out of the oracle domain, so the
+    generator keeps identifier dirt inside it."""
+    free_text = [
         ("customer", "c_name"),
         ("part", "p_name"),
         ("part", "p_brand"),
         ("documents", "text"),
+    ]
+    identifier = [
         ("documents", "lang"),
+        ("documents", "source"),
         ("events", "event_type"),
     ]
-    for tname, col in targets:
+    ascii_pool = [
+        "",
+        " ",
+        "multi word name",
+        "snake_case_x",
+        "kebab-case-y",
+        "a--b__c  d",
+        "_lead",
+        "trail_",
+        "O'Brien \"quoted\"",
+        "percent%under_score",
+    ]
+    for tname, col in free_text:
         tbl = tables[tname]
         vals = tbl["data"][col]
         n = len(vals)
         for s in _HOSTILE_STRINGS:
+            vals[rng.randrange(n)] = s
+    for tname, col in identifier:
+        tbl = tables[tname]
+        vals = tbl["data"][col]
+        n = len(vals)
+        for s in ascii_pool:
             vals[rng.randrange(n)] = s
     # one giant document (64 KiB) — length/token pipelines must not choke
     docs = tables["documents"]["data"]

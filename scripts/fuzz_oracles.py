@@ -914,7 +914,8 @@ def q_window_frame(g: Gen) -> str:
     fn = rng.choice([f"SUM({val})", f"MIN({val})", f"MAX({val})",
                      "COUNT(*)", f"AVG({val})"])
     pks = ", ".join(f"t.{p} AS pk{i}" for i, p in enumerate(TABLES[t]["pk"]))
-    if rng.random() < 0.25:
+    pick = rng.random()
+    if pick < 0.2:
         # RANGE value frame (round-8 probe: agrees on both engines):
         # single numeric order key, no tiebreak — peers are all
         # included by definition, so the frame aggregate is
@@ -927,6 +928,30 @@ def q_window_frame(g: Gen) -> str:
             f"SELECT {pks}, {part} AS g0, {val} AS v0, "
             f"{fn} OVER (PARTITION BY {part} ORDER BY {val} ASC "
             f"{frame}) AS w0 "
+            f"FROM {t} t WHERE {g.pred(t, 't')}"
+        )
+    if pick < 0.4 and _cols_of(t, ("ts",)):
+        # timestamp RANGE frame with INTERVAL bounds (round-9 probe:
+        # same-unit bounds agree on both engines over ASC/DESC, NULL
+        # order keys, and UNBOUNDED/FOLLOWING mixes; MIXED units —
+        # '36' HOUR PRECEDING with '1' DAY FOLLOWING — are a Spark
+        # ANALYSIS ERROR (SPECIFIED_WINDOW_FRAME_DIFF_TYPES) while
+        # DuckDB runs them, pinned as b17_ts_range_frame — so the
+        # generator draws ONE unit for both bounds)
+        ts = f"t.{rng.choice(_cols_of(t, ('ts',)))}"
+        unit = rng.choice(["DAYS", "HOUR"])
+        lo_n = rng.randint(1, 4)
+        direction = rng.choice(["ASC", "DESC"])
+        hi = rng.choice(
+            ["CURRENT ROW", f"INTERVAL {rng.randint(1, 2)} {unit} FOLLOWING"]
+        )
+        lo = rng.choice(
+            ["UNBOUNDED PRECEDING", f"INTERVAL {lo_n} {unit} PRECEDING"]
+        )
+        return (
+            f"SELECT {pks}, {part} AS g0, "
+            f"{fn} OVER (PARTITION BY {part} ORDER BY {ts} {direction} "
+            f"RANGE BETWEEN {lo} AND {hi}) AS w0 "
             f"FROM {t} t WHERE {g.pred(t, 't')}"
         )
     frame = rng.choice(

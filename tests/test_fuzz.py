@@ -21,7 +21,10 @@ sys.path.insert(0, "/root/repo")
 
 from scripts.fuzz_oracles import run_fuzz  # noqa: E402
 
-FUZZ_SEED = "r8-ci"
+# rotated r8-ci → r9-ci: the window-frame grammar grew the timestamp
+# INTERVAL RANGE sub-shape (same-unit bounds — the mixed-unit Spark
+# rejection is pinned as b17_ts_range_frame)
+FUZZ_SEED = "r9-ci"
 FUZZ_N = 120
 
 

@@ -1264,6 +1264,45 @@ def test_compact_state_preserves_merged_sketch(spark, tmp_path):
     assert len(read_count_min(spark, state).collect()) >= len(after)
 
 
+def test_maybe_compact_threshold(spark, tmp_path):
+    """maybe_compact: a no-op below the partition threshold (one
+    filesystem listing, no rewrite), a full compact_state above it,
+    and — the in-foreachBatch safety contract — the newest batch's
+    partition survives so a redelivery still finds its retry token.
+    Threshold default is the measured state_scale_probe crossover."""
+    import glob
+
+    from event_streamer_spark.streaming import (
+        count_min_batch,
+        maybe_compact,
+        read_count_min,
+    )
+
+    state = str(tmp_path / "cm_state")
+    process = count_min_batch(state)
+    for b in range(6):
+        process(
+            spark.createDataFrame([(f"tok{b}",)] * 2, "tok string"), b
+        )
+    before = {
+        (r["row"], r["bucket"]): r["cell_cnt"]
+        for r in read_count_min(spark, state).collect()
+    }
+    assert maybe_compact(spark, state, max_batch_partitions=10) == 0
+    assert len(glob.glob(state + "/batch_id=*")) == 6
+    assert maybe_compact(spark, state, max_batch_partitions=3) == 5
+    assert glob.glob(state + "/batch_id=-1")
+    assert glob.glob(state + "/batch_id=5")  # newest = retry token
+    assert len(glob.glob(state + "/batch_id=*")) == 2
+    after = {
+        (r["row"], r["bucket"]): r["cell_cnt"]
+        for r in read_count_min(spark, state).collect()
+    }
+    assert after == before
+    # absent path: no-op, no error
+    assert maybe_compact(spark, str(tmp_path / "nope")) == 0
+
+
 def test_ivf_and_sample_batch_writes_are_retry_idempotent(spark, tmp_path):
     """At-least-once foreachBatch redelivery: re-running the SAME
     micro-batch id must replace its own partition, not double-insert —
