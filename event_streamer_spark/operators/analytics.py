@@ -216,11 +216,14 @@ def b33_retention_cohorts_salted(spark: SparkSession, sf: str) -> DataFrame:
       FROM orders GROUP BY o_custkey),
     scored AS (
       SELECT monetary_c,
-             CAST(NTILE(5) OVER (ORDER BY last_day,   o_custkey) AS INTEGER)
+             CAST(NTILE(5) OVER (ORDER BY last_day NULLS LAST,
+                                 o_custkey NULLS LAST) AS INTEGER)
                AS r_score,
-             CAST(NTILE(5) OVER (ORDER BY n_orders,   o_custkey) AS INTEGER)
+             CAST(NTILE(5) OVER (ORDER BY n_orders NULLS LAST,
+                                 o_custkey NULLS LAST) AS INTEGER)
                AS f_score,
-             CAST(NTILE(5) OVER (ORDER BY monetary_c, o_custkey) AS INTEGER)
+             CAST(NTILE(5) OVER (ORDER BY monetary_c NULLS LAST,
+                                 o_custkey NULLS LAST) AS INTEGER)
                AS m_score
       FROM cust)
     SELECT r_score, f_score, m_score,
@@ -274,10 +277,16 @@ def b72_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         ("n_orders", "f_score"),
         ("monetary_c", "m_score"),
     ):
+        # NULLS LAST pinned (round-9 dirty corpus: an undated/
+        # unpriced customer must take the top quintile slot on BOTH
+        # engines; Spark's ASC default is NULLS FIRST)
         ranked = two_level_row_number(
             scored,
             ["__g"],
-            [metric, "o_custkey"],
+            [
+                F.col(metric).asc_nulls_last(),
+                F.col("o_custkey").asc_nulls_last(),
+            ],
             bucket_value=metric,
             out_col="__rn",
             count_col="__n",

@@ -37,7 +37,8 @@ def _pagerank_oracle() -> str:
         """
     pairs AS (
       SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
-      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL),
     e AS (
       SELECT 'c:' || CAST(ck AS VARCHAR) AS src,
              's:' || CAST(sk AS VARCHAR) AS dst FROM pairs
@@ -87,8 +88,14 @@ def _copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
     o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    # an edge needs two endpoints: NULL keys are excluded on both
+    # engines (round-9 dirty corpus — a NULL customer key became a
+    # phantom graph node on the Spark side of label propagation)
     return bounded_persist(
         o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(
+            F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
         .select(
             F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
         )
@@ -227,7 +234,8 @@ _CN_MAX_DEGREE = 32
     oracle=f"""
     WITH pairs AS (
       SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
-      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL),
     cust_deg AS (
       SELECT ck FROM pairs GROUP BY ck
       HAVING COUNT(*) <= {_CN_MAX_DEGREE}),
@@ -328,7 +336,8 @@ _TRI_KNN_K = 8
 _TRIANGLES_SQL = f"""
     WITH pairs AS (
       SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
-      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL),
     cust_deg AS (
       SELECT ck FROM pairs GROUP BY ck
       HAVING COUNT(*) <= {_CN_MAX_DEGREE}),
@@ -501,7 +510,8 @@ def _hits_oracle() -> str:
         f"""
     pairs AS (
       SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
-      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL),
     hubs AS (SELECT ck, COUNT(*) AS odeg FROM pairs GROUP BY ck),
     auths AS (SELECT sk, COUNT(*) AS ideg FROM pairs GROUP BY sk),
     nh AS (SELECT COUNT(*) AS n FROM hubs),
@@ -647,7 +657,8 @@ def _label_prop_oracle() -> str:
         """
     pairs AS (
       SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
-      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL),
     e AS (
       SELECT 'c:' || CAST(ck AS VARCHAR) AS src,
              's:' || CAST(sk AS VARCHAR) AS dst FROM pairs

@@ -272,9 +272,8 @@ def d16_dup_keys(spark: SparkSession, sf: str) -> DataFrame:
              AS n_exact,
            CAST(COALESCE(MAX(ABS(diff_e6)), 0) AS BIGINT)
              AS max_abs_diff_e6,
-           ROUND(CAST(SUM(CAST(ABS(diff_e6) AS DECIMAL(38, 0)))
-                      AS DOUBLE)
-                 / 1000000 / COUNT(diff_e6), 6) AS mean_abs_diff_usd
+           CAST(SUM(CAST(ABS(diff_e6) AS HUGEINT))
+                // COUNT(diff_e6) AS BIGINT) AS mean_abs_diff_e6
     FROM per_order
     GROUP BY o_orderstatus
     """,
@@ -329,13 +328,15 @@ def d16_order_reconcile(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.max(F.abs(F.col("diff_e6"))), F.lit(0)).alias(
             "max_abs_diff_e6"
         ),
-        F.round(
-            F.sum(F.abs(F.col("diff_e6")).cast("decimal(38,0)"))
-            .cast("double")
-            / 1000000
-            / F.count("diff_e6"),
-            6,
-        ).alias("mean_abs_diff_usd"),
+        # exact integer micro-USD mean (round 9: the old double
+        # spelling ROUND(sum/1e6/count, 6) sat at double's precision
+        # edge for billion-dollar diffs — the engines' last bits
+        # diverged by 1 ulp); DECIMAL DIV / HUGEINT // is the d17_hits
+        # parity recipe
+        F.expr(
+            "CAST(SUM(CAST(ABS(diff_e6) AS DECIMAL(38,0)))"
+            " DIV COUNT(diff_e6) AS BIGINT)"
+        ).alias("mean_abs_diff_e6"),
     )
 
 

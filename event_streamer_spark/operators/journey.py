@@ -38,15 +38,18 @@ _PATH_TOP_K = 20
     WITH ranked AS (
       SELECT user_id, event_type,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn_f,
+                                ORDER BY ts NULLS LAST,
+                                         event_id NULLS LAST) AS rn_f,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts DESC, event_id DESC) AS rn_l
-      FROM events WHERE ts IS NOT NULL),
+                                ORDER BY ts DESC NULLS FIRST,
+                                         event_id DESC NULLS FIRST) AS rn_l
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
     rev AS (
       SELECT user_id,
              SUM(CAST(ROUND(value * 100) AS BIGINT)) AS revenue_cents
       FROM events
       WHERE event_type = 'purchase' AND value IS NOT NULL
+            AND user_id IS NOT NULL
       GROUP BY user_id),
     f AS (SELECT user_id, event_type AS first_touch
           FROM ranked WHERE rn_f = 1),
@@ -81,11 +84,24 @@ def b60_attribution(spark: SparkSession, sf: str) -> DataFrame:
     total equal to the corpus's. The join stays co-partitioned on
     user_id. Revenue is integer cents per the money protocol; users
     who never purchase attribute 0, not NULL.
+
+    Domain (round-9 dirty corpus): NULL user_ids are excluded on both
+    engines — attribution needs an identity, and left in, Spark's
+    window pass gives the NULL partition a touch pair while the
+    oracle's f⋈l equi-join drops it.
     """
-    e = load(spark, sf, "events").filter(F.col("ts").isNotNull())
-    w_f = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    # one total order, reversed exactly for the last-touch pass: NULL
+    # event_id tiebreaks pinned LAST ascending / FIRST descending on
+    # both engines (round-9 dirty corpus)
+    w_f = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     w_l = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+        F.col("ts").desc_nulls_first(),
+        F.col("event_id").desc_nulls_first(),
     )
     touches = (
         e.select(
@@ -109,6 +125,7 @@ def b60_attribution(spark: SparkSession, sf: str) -> DataFrame:
         .filter(
             (F.col("event_type") == "purchase")
             & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
         )
         .groupBy("user_id")
         .agg(
@@ -190,20 +207,27 @@ _SESSION_PATHS_CTES = f"""
                           > {_PATH_GAP_US}
                   THEN 1 ELSE 0 END AS is_new
       FROM events WHERE ts IS NOT NULL
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts NULLS LAST, event_id NULLS LAST)),
     sess AS (
       SELECT user_id, event_type, ts, event_id,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts NULLS LAST, event_id NULLS LAST
                                ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM ordered),
     numbered AS (
       SELECT user_id, session_seq, event_type, ts, event_id,
              ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
-                                ORDER BY ts, event_id) AS rn
+                                ORDER BY ts NULLS LAST,
+                                         event_id NULLS LAST) AS rn
       FROM sess),
     paths AS (
+      -- COALESCE: a session whose every event type is NULL aggregates
+      -- to NULL here but to '' on the Spark side (collect_list skips
+      -- NULL structs' types); both engines skip NULL types INSIDE a
+      -- mixed path identically (round-9 dirty corpus)
       SELECT user_id, session_seq,
-             STRING_AGG(event_type, '>' ORDER BY rn) AS path
+             COALESCE(STRING_AGG(event_type, '>' ORDER BY rn), '') AS path
       FROM numbered WHERE rn <= {_PATH_MAX_EVENTS}
       GROUP BY user_id, session_seq)
 """
@@ -214,7 +238,10 @@ def _session_paths(spark: SparkSession, sf: str) -> DataFrame:
     :data:`_SESSION_PATHS_CTES`; see ``b62_session_paths`` for the
     determinism notes."""
     e = load(spark, sf, "events").filter(F.col("ts").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULL event_id tiebreaks pinned LAST on both engines (round 9)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     us = F.unix_micros(F.col("ts"))
     prev_us = F.unix_micros(F.lag("ts").over(w))
     ordered = e.select(
@@ -231,7 +258,7 @@ def _session_paths(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     w_s = Window.partitionBy("user_id", "session_seq").orderBy(
-        "ts", "event_id"
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
     )
     numbered = sess.withColumn("rn", F.row_number().over(w_s)).filter(
         F.col("rn") <= _PATH_MAX_EVENTS

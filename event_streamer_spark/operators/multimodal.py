@@ -259,7 +259,7 @@ def decode_media(
            CAST(1 + n_chars % 64 AS INT) AS width,
            CAST(1 + doc_id % 48 AS INT) AS height,
            CAST(3 AS INT) AS channels
-    FROM documents
+    FROM documents WHERE n_chars IS NOT NULL
     """,
 )
 def d5_decode_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -289,7 +289,13 @@ def d5_decode_features(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    d = (
+        load(spark, sf, "documents")
+        # NULL n_chars has no synthesizable payload (round-9 dirty
+        # corpus); the oracle carries the same WHERE
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars")
+    )
     return d.mapInPandas(
         extract, "doc_id long, fmt string, width int, height int, channels int"
     )
@@ -360,7 +366,7 @@ def resize_nearest(rows: list[list[int]], w: int, h: int, ow: int, oh: int):
            CAST((1 + n_chars % 64 + 1) // 2 AS INT) AS out_width,
            CAST((1 + doc_id % 48 + 1) // 2 AS INT) AS out_height,
            CAST(10 + doc_id % 200 AS BIGINT) AS mean_pixel
-    FROM documents
+    FROM documents WHERE n_chars IS NOT NULL
     """,
 )
 def d5_image_resize(spark: SparkSession, sf: str) -> DataFrame:
@@ -416,7 +422,13 @@ def d5_image_resize(spark: SparkSession, sf: str) -> DataFrame:
             )
             out_w_l, out_h_l, mean_l, ids = [], [], [], []
 
-    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    d = (
+        load(spark, sf, "documents")
+        # NULL n_chars has no synthesizable payload (round-9 dirty
+        # corpus); the oracle carries the same WHERE
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars")
+    )
     return d.mapInPandas(
         do_resize,
         "doc_id long, out_width int, out_height int, mean_pixel long",
@@ -436,7 +448,8 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     "d5_frame_sample",
     oracle="""
     WITH t AS (
-      SELECT doc_id, 1 + n_chars % 1000 AS n FROM documents)
+      SELECT doc_id, 1 + n_chars % 1000 AS n FROM documents
+      WHERE n_chars IS NOT NULL)
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_frames,
            list_transform(range(0, LEAST(n, 8)),
@@ -486,7 +499,13 @@ def d5_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    d = (
+        load(spark, sf, "documents")
+        # NULL n_chars has no synthesizable payload (round-9 dirty
+        # corpus); the oracle carries the same WHERE
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars")
+    )
     return d.mapInPandas(
         sample,
         "doc_id long, n_frames long, offsets array<long>, samples array<long>",
@@ -503,7 +522,7 @@ def d5_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
            CAST(1 + n_chars % 1000 AS BIGINT) AS n_frames,
            CAST(ROUND((1 + n_chars % 1000) * 1000.0 / 8000, 3) AS DOUBLE)
              AS duration_ms
-    FROM documents
+    FROM documents WHERE n_chars IS NOT NULL
     """,
 )
 def d5_audio_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -531,7 +550,13 @@ def d5_audio_features(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    d = (
+        load(spark, sf, "documents")
+        # NULL n_chars has no synthesizable payload (round-9 dirty
+        # corpus); the oracle carries the same WHERE
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars")
+    )
     return d.mapInPandas(
         extract,
         "doc_id long, fmt string, channels int, sample_rate int,"

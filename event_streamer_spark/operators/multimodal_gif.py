@@ -498,7 +498,8 @@ def gif_signature_udf():
     "d5_gif_frames",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, 1 + n_chars % 40 AS n FROM documents)
+      SELECT doc_id, 1 + n_chars % 40 AS n FROM documents
+      WHERE n_chars IS NOT NULL)
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_frames,
            list_transform(range(0, LEAST(n, 8)),
@@ -596,7 +597,13 @@ def d5_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    d = (
+        load(spark, sf, "documents")
+        # NULL n_chars has no synthesizable payload (round-9 dirty
+        # corpus); the oracle carries the same WHERE
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars")
+    )
     sampled = F.col("doc_id") % 8 == 0
     via_payload = (
         d.filter(sampled)
@@ -612,7 +619,8 @@ def d5_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
     "d5_gif_keyframe_dedup",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, 1 + n_chars % 40 AS n FROM documents),
+      SELECT doc_id, 1 + n_chars % 40 AS n FROM documents
+      WHERE n_chars IS NOT NULL),
     f AS (
       SELECT doc_id,
              md5(array_to_string(list_transform(range(0, LEAST(n, 8)),
@@ -651,7 +659,13 @@ def d5_gif_keyframe_dedup(spark: SparkSession, sf: str) -> DataFrame:
                 fps.append(",".join(str(s) for s in sums))
             yield pd.DataFrame({"doc_id": ids, "sig": fps})
 
-    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    d = (
+        load(spark, sf, "documents")
+        # NULL n_chars has no synthesizable payload (round-9 dirty
+        # corpus); the oracle carries the same WHERE
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars")
+    )
     sigs = d.mapInPandas(fingerprint, "doc_id long, sig string")
     return (
         sigs.select("doc_id", F.md5("sig").alias("fingerprint"))

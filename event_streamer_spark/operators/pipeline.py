@@ -361,7 +361,12 @@ def d4_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
     def nfc(texts: pd.Series) -> pd.Series:
         import unicodedata
 
-        return texts.map(lambda s: unicodedata.normalize("NFC", s))
+        # NULL text → NULL (round-9 dirty corpus)
+        return texts.map(
+            lambda s: unicodedata.normalize("NFC", s)
+            if s is not None
+            else None
+        )
 
     d = load(spark, sf, "documents").withColumn(
         "decomposed",
@@ -534,7 +539,12 @@ def d9_chunk_overlap(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id",
             F.col("start").cast("bigint").alias("start"),
             F.size(chunk).cast("bigint").alias("n_tok"),
-            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+            # NULL-guarded: concat_ws renders a NULL array as '' (so a
+            # NULL-text doc hashed to md5('')) while the oracle's
+            # array_to_string null-propagates — round-9 dirty corpus
+            F.when(chunk.isNotNull(), F.md5(F.concat_ws(" ", chunk))).alias(
+                "chunk_hash"
+            ),
         )
     )
 

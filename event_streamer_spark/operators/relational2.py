@@ -1467,7 +1467,8 @@ def b22_timestamp_parity(spark: SparkSession, sf: str) -> DataFrame:
              CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
              CAST(ROUND(l_quantity) AS BIGINT) AS qty,
              l_orderkey, l_linenumber
-      FROM lineitem WHERE l_quantity > 0),
+      FROM lineitem
+      WHERE l_quantity > 0 AND l_extendedprice IS NOT NULL),
     c AS (
       SELECT f, cents, qty,
              SUM(qty) OVER (PARTITION BY f
@@ -1499,7 +1500,14 @@ def b66_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     """
     w = (
         load(spark, sf, "lineitem")
-        .filter(F.col("l_quantity") > 0)
+        # NULL prices carry no rankable value; left in, their weight
+        # shifts the cumulative crossing and their NULL sort position
+        # diverges (Spark ASC NULLS FIRST vs DuckDB LAST) — round-9
+        # dirty corpus, same exclusion rule as b48's SQL MEDIAN
+        .filter(
+            (F.col("l_quantity") > 0)
+            & F.col("l_extendedprice").isNotNull()
+        )
         .select(
             F.col("l_returnflag").alias("f"),
             F.round(F.col("l_extendedprice") * 100)

@@ -21,10 +21,13 @@ from event_streamer_spark.tables import load
     "b31_asof_join",
     oracle="""
     WITH s AS (
-      SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup'),
+      SELECT DISTINCT user_id, ts FROM events
+      WHERE event_type = 'signup'
+        AND user_id IS NOT NULL AND ts IS NOT NULL),
     p AS (
       SELECT event_id, user_id, ts, value FROM events
-      WHERE event_type = 'purchase')
+      WHERE event_type = 'purchase'
+        AND user_id IS NOT NULL AND ts IS NOT NULL)
     SELECT p.event_id,
            p.user_id,
            strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
@@ -45,8 +48,16 @@ def b31_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     signup sorts first so ``ts >= s.ts`` includes exact ties, matching
     DuckDB ASOF semantics. O(n log n) per key, no range self-join, no
     driver state; skew is bounded by events-per-user.
+
+    Domain (round-9 dirty corpus): NULL keys and NULL timestamps are
+    excluded on BOTH engines — left implicit, they are a genuine
+    divergence (DuckDB's ASOF matches a NULL-ts probe to the key's
+    LATEST quote, while Spark's window fill groups NULL keys into one
+    partition and matches them to each other).
     """
-    e = load(spark, sf, "events")
+    e = load(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     signups = (
         e.filter(F.col("event_type") == "signup")
         .select("user_id", "ts")

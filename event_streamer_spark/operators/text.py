@@ -202,14 +202,19 @@ def d4_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
     @pandas_udf("long")
     def fingerprint(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, text in enumerate(texts):
+        # NULL text → NULL fingerprint (round-9 dirty corpus: a None
+        # in the Arrow batch crashed .split and killed the task)
+        out: list = []
+        for text in texts:
+            if text is None:
+                out.append(None)
+                continue
             acc, power = 0, 1
             for tok in text.split(" "):
                 acc = (acc + zlib.crc32(tok.encode()) * power) % P
                 power = (power * B) % P
-            out[i] = acc
-        return pd.Series(out)
+            out.append(acc)
+        return pd.Series(out, dtype="Int64")
 
     d = load(spark, sf, "documents")
     return d.select("doc_id", fingerprint("text").alias("fingerprint"))

@@ -376,13 +376,20 @@ def d4_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
+            # NULL text → NULL ratio (round-9 dirty corpus: .encode
+            # yields NaN for None and zlib crashed the batch)
             raw = pdf["text"].str.encode("utf-8")
-            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
-            n = raw.map(len).clip(lower=1)
+            comp = raw.map(
+                lambda b: len(zlib.compress(b, 6)) if isinstance(b, bytes)
+                else None
+            )
+            n = raw.map(
+                lambda b: max(len(b), 1) if isinstance(b, bytes) else None
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": n.astype("int64"),
+                    "n_bytes": n.astype("Int64"),
                     "compression_ratio": (comp / n).round(6),
                 }
             )

@@ -524,19 +524,19 @@ _CUSUM_H = 5.0
     ), m AS (
       SELECT d,
              CAST(cents AS DOUBLE) / cnt / 100 AS day_mean,
-             CAST(SUM(cents) OVER () AS DOUBLE)
-               / SUM(cnt) OVER () / 100 AS target
+             (10000 * CAST(cents AS HUGEINT)) // cnt AS dm_e6,
+             (10000 * CAST(SUM(cents) OVER () AS HUGEINT))
+               // SUM(cnt) OVER () AS target_e6
       FROM daily
     ), s AS (
       SELECT d, day_mean,
-             SUM(day_mean - target) OVER (ORDER BY d) AS cum
+             SUM(dm_e6 - target_e6) OVER (ORDER BY d) AS cum
       FROM m
     )
     SELECT d, ROUND(day_mean, 6) AS day_mean,
-           ROUND(cum - LEAST(0.0, MIN(cum) OVER (ORDER BY d)), 6)
-             AS cusum_pos,
-           (cum - LEAST(0.0, MIN(cum) OVER (ORDER BY d)))
-             > {_CUSUM_H!r} AS shifted
+           cum - LEAST(0, MIN(cum) OVER (ORDER BY d)) AS cusum_pos_e6,
+           (cum - LEAST(0, MIN(cum) OVER (ORDER BY d)))
+             > {int(_CUSUM_H * 1_000_000)} AS shifted
     FROM s
     """,
 )
@@ -551,12 +551,15 @@ def d15_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
     upward drift since the best historical baseline exceeds the declared
     threshold.
 
-    Float parity by construction: per-day totals are EXACT bigint cents
-    (shuffle-merge-order-proof), each mean is one double division, and
-    both engines accumulate the ordered prefix sums left-to-right over
-    the same day order. Scale shape: the corpus pass is one map-side-
-    combinable daily aggregate; the ordered windows run over the
-    #distinct-days table (bounded by the calendar, not the data).
+    Parity by fixed point (round 9): the per-day means enter the CUSUM
+    as EXACT integer micro-dollars ((10000·cents) DIV cnt, the DECIMAL
+    DIV / HUGEINT // recipe) so the cumulative sums are bit-exact at
+    ANY magnitude — the float spelling diverged by 1 ulp once the dirty
+    corpus pushed day means past 2^45 micro-units. ``day_mean`` stays a
+    (correctly-rounded, engine-identical) double for display. Scale
+    shape: the corpus pass is one map-side-combinable daily aggregate;
+    the ordered windows run over the #distinct-days table (bounded by
+    the calendar, not the data).
 
     NULL ``value``/``ts`` rows are excluded on BOTH engines: SUM skips
     a NULL value but COUNT(*) would still count its row, silently
@@ -580,24 +583,43 @@ def d15_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("cents").cast("double") / F.col("cnt") / 100).alias(
             "day_mean"
         ),
-        (
-            F.sum("cents").over(w_all).cast("double")
-            / F.sum("cnt").over(w_all)
-            / 100
-        ).alias("target"),
+        # Exact micro-unit means BEYOND int64 (round-9 dirty corpus: a
+        # 1e15-unit outlier day overflows BIGINT micro-units, and three
+        # naive spellings each fail — Spark's DIV always RETURNS a
+        # long (wraps silently past 2^63 even from DECIMAL operands),
+        # 10000·DECIMAL(38,0) hits the precision cap and nulls out,
+        # and FLOOR(a/b) floors where DuckDB's // truncates AND rounds
+        # at scale 6 first. The split division below stays exact:
+        # quotient/remainder in in-range longs, recombined with exact
+        # DECIMAL multiply/add — trunc(10000·c/n) ==
+        # 10000·trunc(c/n) + trunc(10000·(c mod n)/n), probed equal to
+        # DuckDB's HUGEINT // on both signs.
+        F.expr(
+            "CAST(cents DIV cnt AS DECIMAL(30,0)) * 10000"
+            " + (10000 * (cents - (cents DIV cnt) * cnt)) DIV cnt"
+        ).alias("dm_e6"),
+        F.expr(
+            "CAST(SUM(cents) OVER () DIV SUM(cnt) OVER ()"
+            " AS DECIMAL(30,0)) * 10000"
+            " + (10000 * (SUM(cents) OVER ()"
+            "   - (SUM(cents) OVER () DIV SUM(cnt) OVER ())"
+            "   * SUM(cnt) OVER ())) DIV SUM(cnt) OVER ()"
+        ).alias("target_e6"),
     )
     w_ord = Window.orderBy("d")  # #days rows, one task
     s = m.select(
         "d",
         "day_mean",
-        F.sum(F.col("day_mean") - F.col("target")).over(w_ord).alias("cum"),
+        F.sum(F.col("dm_e6") - F.col("target_e6")).over(w_ord).alias("cum"),
     )
-    cusum = F.col("cum") - F.least(F.lit(0.0), F.min("cum").over(w_ord))
+    cusum = F.col("cum") - F.least(
+        F.lit(0).cast("decimal(38,0)"), F.min("cum").over(w_ord)
+    )
     return s.select(
         "d",
         F.round("day_mean", 6).alias("day_mean"),
-        F.round(cusum, 6).alias("cusum_pos"),
-        (cusum > _CUSUM_H).alias("shifted"),
+        cusum.cast("decimal(38,0)").alias("cusum_pos_e6"),
+        (cusum > int(_CUSUM_H * 1_000_000)).alias("shifted"),
     )
 
 

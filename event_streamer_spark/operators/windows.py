@@ -25,12 +25,15 @@ from event_streamer_spark.tables import load
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS cnt,
            ROUND(SUM(value), 4) AS total
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
     """,
 )
 def c1_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
-    """C1: tumbling 1-hour window (epoch-aligned, same as date_trunc)."""
-    e = load(spark, sf, "events")
+    """C1: tumbling 1-hour window (epoch-aligned, same as date_trunc).
+    NULL timestamps belong to no window: Spark's ``window()`` drops
+    them silently, so the exclusion is made explicit on both engines
+    (round-9 dirty corpus)."""
+    e = load(spark, sf, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("total"))
@@ -45,7 +48,8 @@ def c1_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "c2_sliding_window",
     oracle="""
-    WITH s AS (SELECT value, CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS b FROM events),
+    WITH s AS (SELECT value, CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS b
+               FROM events WHERE ts IS NOT NULL),
     w AS (SELECT b AS ws, value FROM s UNION ALL SELECT b - 1800 AS ws, value FROM s)
     SELECT strftime(make_timestamp(ws*1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS cnt,
@@ -55,8 +59,9 @@ def c1_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
 )
 def c2_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     """C2: sliding window (1 hour length, 30 min slide) — each event lands
-    in exactly 2 windows; oracle materializes the two shifted buckets."""
-    e = load(spark, sf, "events")
+    in exactly 2 windows; oracle materializes the two shifted buckets.
+    NULL timestamps excluded explicitly on both engines (c1 note)."""
+    e = load(spark, sf, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("total"))
@@ -76,8 +81,9 @@ def c2_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
                   THEN 1 ELSE 0 END AS new_s
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts, event_id NULLS LAST)),
     g AS (
       SELECT user_id, ts,
              SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -92,8 +98,10 @@ def c2_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
 def c3_session_window(spark: SparkSession, sf: str) -> DataFrame:
     """C3: session windows with a 5-minute gap per user — the oracle is the
     classic gaps-and-islands rewrite. A new session starts when the gap is
-    >= the timeout (matches Spark's half-open [start, start+gap) merge)."""
-    e = load(spark, sf, "events")
+    >= the timeout (matches Spark's half-open [start, start+gap) merge).
+    NULL timestamps excluded explicitly on both engines (c1 note);
+    NULL event_id tiebreaks pinned LAST."""
+    e = load(spark, sf, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -112,7 +120,8 @@ def c3_session_window(spark: SparkSession, sf: str) -> DataFrame:
     FROM (
       SELECT user_id, event_type, event_id,
              ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                ORDER BY ts, event_id) AS rn
+                                ORDER BY ts NULLS LAST,
+                                         event_id NULLS LAST) AS rn
       FROM events)
     WHERE rn = 1
     """,
@@ -120,9 +129,13 @@ def c3_session_window(spark: SparkSession, sf: str) -> DataFrame:
 def c5_dedup_first(spark: SparkSession, sf: str) -> DataFrame:
     """C5: keyed dedup keeping the earliest record — the deterministic batch
     analog of streaming ``dropDuplicates`` (which keeps the first arrival;
-    event-time order makes it reproducible)."""
+    event-time order makes it reproducible). NULL order keys pinned
+    LAST on both engines (round-9 dirty corpus): an unstamped event
+    must never win "earliest"."""
     e = load(spark, sf, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     return (
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -138,7 +151,7 @@ def c5_dedup_first(spark: SparkSession, sf: str) -> DataFrame:
              ts + CASE WHEN event_type = 'purchase'
                        THEN INTERVAL 10 MINUTE
                        ELSE INTERVAL 5 MINUTE END AS ev_end
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     m AS (
       SELECT user_id, ts, event_id, ev_end,
              MAX(ev_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -169,8 +182,9 @@ def c3_dynamic_session(spark: SparkSession, sf: str) -> DataFrame:
     (new session when ts >= max of all previous event-ends). Same
     expression works unchanged under Structured Streaming
     (``streaming.ops.session_agg`` accepts the same gap expression).
+    NULL timestamps excluded explicitly on both engines (c1 note).
     """
-    e = load(spark, sf, "events")
+    e = load(spark, sf, "events").filter(F.col("ts").isNotNull())
     # session_window wants CalendarIntervalType — interval literals parse
     # as DayTimeIntervalType, so route through string interval values
     gap = F.when(
@@ -286,10 +300,11 @@ def c7_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT date_trunc('hour', ts) AS w, user_id, COUNT(*) AS cnt
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     r AS (
       SELECT w, user_id, cnt,
-             ROW_NUMBER() OVER (PARTITION BY w ORDER BY cnt DESC, user_id)
+             ROW_NUMBER() OVER (PARTITION BY w
+                                ORDER BY cnt DESC, user_id NULLS LAST)
                AS rn
       FROM c)
     SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -309,14 +324,18 @@ def c1_windowed_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     same query routes through ``distrank.two_level_row_number`` on the
     count column — here the aggregated table is the smaller of the two
     by orders of magnitude, which is the point of aggregating first.
+    NULL timestamps excluded explicitly on both engines (c1 note);
+    NULL user_id tiebreaks pinned LAST.
     """
-    e = load(spark, sf, "events")
+    e = load(spark, sf, "events").filter(F.col("ts").isNotNull())
     counts = (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     rn = F.row_number().over(
-        Window.partitionBy("w").orderBy(F.desc("cnt"), "user_id")
+        Window.partitionBy("w").orderBy(
+            F.desc("cnt"), F.col("user_id").asc_nulls_last()
+        )
     )
     return (
         counts.withColumn("rn", rn.cast("int"))

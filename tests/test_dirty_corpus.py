@@ -1,0 +1,89 @@
+"""Seeded hostile-corpus differential sweep (VERDICT r8 #5).
+
+``scripts/dirty_corpus.py`` perturbs a copy of sf0.001 with named
+corruption classes (NULL injection, overflow magnitudes, duplicate and
+re-keyed rows, emptied groups, a giant basket, hostile unicode,
+malformed JSON, degenerate embeddings, timestamp extremes) under one
+seed, then the oracle harness replays the registry against DuckDB on
+the result — the same differential protocol as the SQL fuzzer, aimed at
+DATA edge cases instead of expression grammar.
+
+The CI seed is fixed and logged; repro::
+
+    python scripts/dirty_corpus.py /root/testdata/sf0.001 /tmp/d 20260815
+    python scripts/check_oracles.py /tmp/d <family>
+
+Round 9's first run of this sweep surfaced ~50 divergences — NULL
+ordering defaults, concat_ws NULL-skipping, DuckDB's strict sqrt/JSON
+errors, pandas half-even rounding, phantom NULL graph nodes — each now
+pinned in its operator's docstring. Rotate the seed when the generator
+grows a class; any new divergence gets fixed AND pinned, never
+suppressed here.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+from check_oracles import run_sweep  # noqa: E402
+from dirty_corpus import PERTURBATIONS, make_dirty  # noqa: E402
+
+DIRTY_SEED = 20260815
+
+# Families replayed in the default suite: the oracle-backed surface
+# that consumes the perturbed tables, excluding only the long-running
+# iterative legs (d2 LSH / d17 graph / BPE — each already covered by a
+# dedicated dirty or behavioral test) to keep the sweep inside a CI
+# budget. The FULL registry ran green on this corpus in round 9; run it
+# manually when touching an excluded family.
+FAMILIES = [
+    "a0", "a1",
+    "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7",
+    "c1_", "c2_", "c3_", "c5_", "c6_", "c7_",
+    "d16_",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_dir(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("dirty_corpus") / "sf"
+    applied = make_dirty("/root/testdata/sf0.001", str(dst), DIRTY_SEED)
+    assert applied == [name for name, _ in PERTURBATIONS]
+    return str(dst)
+
+
+def test_generator_is_deterministic(tmp_path):
+    """Same (src, seed) → byte-identical corpus: the seed is a full
+    repro token."""
+    import hashlib
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    make_dirty("/root/testdata/sf0.001", str(a), DIRTY_SEED)
+    make_dirty("/root/testdata/sf0.001", str(b), DIRTY_SEED)
+
+    def digest(d):
+        h = hashlib.sha256()
+        for f in sorted(os.listdir(d)):
+            h.update(f.encode())
+            h.update(open(os.path.join(d, f), "rb").read())
+        return h.hexdigest()
+
+    assert digest(a) == digest(b)
+
+
+def test_seeded_dirty_sweep(spark, dirty_dir):
+    total, failures = run_sweep(spark, dirty_dir, FAMILIES, quiet=True)
+    assert total > 80, "family filter matched suspiciously few queries"
+    assert failures == [], (
+        f"seed={DIRTY_SEED}; repro: python scripts/dirty_corpus.py "
+        f"/root/testdata/sf0.001 /tmp/d {DIRTY_SEED} && "
+        f"python scripts/check_oracles.py /tmp/d <name>; "
+        f"failures={failures}"
+    )

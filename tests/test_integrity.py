@@ -68,7 +68,7 @@ def test_order_reconcile_report_shape(spark):
     assert sum(r["n_orders"] for r in rows) > 0
     assert sum(r["n_no_lines"] for r in rows) > 0
     assert any(r["max_abs_diff_e6"] > 0 for r in rows)
-    assert all(r["mean_abs_diff_usd"] >= 0 for r in rows)
+    assert all(r["mean_abs_diff_e6"] >= 0 for r in rows)
 
 
 def test_integrity_parity_on_dirty_fixture(spark, tmp_path):

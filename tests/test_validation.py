@@ -177,16 +177,28 @@ def test_cusum_matches_first_principles(spark):
     target = sum(c for c, _ in daily.values()) / sum(
         n for _, n in daily.values()
     ) / 100
-    s, expect = 0.0, {}
+    # exact integer micro-dollar recursion (the round-9 fixed-point
+    # spelling): dm_e6 = trunc(10000*cents / cnt) — TRUNCATION toward
+    # zero (Spark DIV == DuckDB //), not Python's floor //
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    dm_e6 = {d: tdiv(10000 * daily[d][0], daily[d][1]) for d in days}
+    tgt_e6 = tdiv(
+        10000 * sum(c for c, _ in daily.values()),
+        sum(n for _, n in daily.values()),
+    )
+    s_e6, expect = 0, {}
     for d in days:
-        s = max(0.0, s + (means[d] - target))
-        expect[d] = s
+        s_e6 = max(0, s_e6 + (dm_e6[d] - tgt_e6))
+        expect[d] = s_e6
     got = {r["d"]: r for r in
            REGISTRY["d15_changepoint_cusum"].fn(spark, SF).collect()}
     assert sorted(got) == days
     for d in days:
-        assert abs(got[d]["cusum_pos"] - expect[d]) < 1e-6, d
-        assert got[d]["shifted"] == (expect[d] > 5.0)
+        assert int(got[d]["cusum_pos_e6"]) == expect[d], d
+        assert got[d]["shifted"] == (expect[d] > 5_000_000)
         assert abs(got[d]["day_mean"] - means[d]) < 1e-6
 
 
