@@ -660,11 +660,9 @@ def _label_prop_oracle() -> str:
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL),
     e AS (
-      SELECT 'c:' || CAST(ck AS VARCHAR) AS src,
-             's:' || CAST(sk AS VARCHAR) AS dst FROM pairs
+      SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pairs
       UNION ALL
-      SELECT 's:' || CAST(sk AS VARCHAR) AS src,
-             'c:' || CAST(ck AS VARCHAR) AS dst FROM pairs),
+      SELECT sk * 2 + 1 AS src, ck * 2 AS dst FROM pairs),
     lab0 AS (SELECT DISTINCT src AS node, src AS lab FROM e)
         """
     ]
@@ -686,7 +684,13 @@ def _label_prop_oracle() -> str:
         "WITH "
         + ",".join(ctes)
         + f"""
-    SELECT node, lab AS label FROM lab{_LPA_ITERS}
+    SELECT CASE WHEN node % 2 = 0
+                THEN 'c:' || CAST(node // 2 AS VARCHAR)
+                ELSE 's:' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+           CASE WHEN lab % 2 = 0
+                THEN 'c:' || CAST(lab // 2 AS VARCHAR)
+                ELSE 's:' || CAST((lab - 1) // 2 AS VARCHAR) END AS label
+    FROM lab{_LPA_ITERS}
     """
     )
 
@@ -708,9 +712,14 @@ def d17_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     neighbor-label diversity — no global sort, no whole-partition
     key) followed by a min aggregate. Rounds are the bounded constant;
     edges are ``bounded_persist``-ed (every round references them —
-    the PageRank 88-scan lesson). Label payloads travel as short
-    strings; at billion-edge scale you would dictionary-encode them to
-    longs first, noted rather than hidden.
+    the PageRank 88-scan lesson). Round 9: labels travel as LONGS
+    (customer 2k / supplier 2k+1 — the pagerank encoding) through
+    every round's join + count and decode to the public ``c:``/``s:``
+    strings only in the final N-row projection; the min-label
+    tie-break is numeric on the SAME encoding on both engines (the
+    string spelling also min'd consistently, but lexicographic 'c:10'
+    < 'c:9' made the fixture's communities depend on digit counts —
+    and label strings rode every shuffle).
     """
     from pyspark.sql import Window
 
@@ -720,11 +729,11 @@ def d17_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     # persisted slot means the fact join + distinct runs once, not once
     # per branch (the d18_er_golden review lesson)
     pairs = _copurchase_pairs(spark, sf)
-    ck = F.concat(F.lit("c:"), F.col("ck").cast("string"))
-    sk = F.concat(F.lit("s:"), F.col("sk").cast("string"))
+    ck = (F.col("ck") * 2).alias
+    sk = (F.col("sk") * 2 + 1).alias
     edges = bounded_persist(
-        pairs.select(ck.alias("src"), sk.alias("dst")).unionAll(
-            pairs.select(sk.alias("src"), ck.alias("dst"))
+        pairs.select(ck("src"), sk("dst")).unionAll(
+            pairs.select(sk("src"), ck("dst"))
         ),
         "graph.lpa_edges",
     )
@@ -749,4 +758,14 @@ def d17_label_prop(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
         )
-    return lab.select("node", F.col("lab").alias("label"))
+    def _decode(col: str) -> F.Column:
+        c = F.col(col)
+        return F.when(
+            c % 2 == 0, F.concat(F.lit("c:"), F.expr(f"{col} DIV 2").cast("string"))
+        ).otherwise(
+            F.concat(F.lit("s:"), F.expr(f"({col} - 1) DIV 2").cast("string"))
+        )
+
+    return lab.select(
+        _decode("node").alias("node"), _decode("lab").alias("label")
+    )

@@ -684,8 +684,8 @@ def b16_window_analytic(spark: SparkSession, sf: str) -> DataFrame:
                                  ORDER BY o_orderdate NULLS LAST,
                                           o_orderkey NULLS LAST
                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)/100 AS run_total,
-           ROUND(CAST(SUM(cents) OVER w3 AS DOUBLE)/100
-                 / COUNT(*) OVER w3, 6) AS mov_avg
+           CAST((10000 * SUM(cents) OVER w3) // (COUNT(*) OVER w3)
+                AS DOUBLE) / 1000000 AS mov_avg
     FROM t
     WINDOW w3 AS (PARTITION BY o_custkey
                   ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
@@ -695,7 +695,11 @@ def b16_window_analytic(spark: SparkSession, sf: str) -> DataFrame:
 def b17_window_frame(spark: SparkSession, sf: str) -> DataFrame:
     """B17: aggregate-over-frame — running total + 3-row moving average.
     NULL order keys pinned NULLS LAST on both engines (the b16 round-9
-    dirty-corpus lesson: implicit ASC defaults diverge)."""
+    dirty-corpus lesson: implicit ASC defaults diverge). The moving
+    average is computed in EXACT integer micro-dollars then converted
+    once to double (deterministic IEEE int→double) — ROUND(sum/100/n,
+    6) at 1e11-dollar magnitudes is a 1-ulp lottery between the
+    engines' ROUND implementations (dirty seed 31337)."""
     orders = load(spark, sf, "orders").withColumn("cents", _cents("o_totalprice"))
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").asc_nulls_last(),
@@ -707,9 +711,21 @@ def b17_window_frame(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         (F.sum("cents").over(w_run).cast("double") / 100).alias("run_total"),
-        F.round(
-            F.sum("cents").over(w3).cast("double") / 100 / F.count(F.lit(1)).over(w3),
-            6,
+        # integer DIV (not float division + cast: that would round at
+        # 2^53 before truncating); 10000·sum ≤ 1e18 stays in BIGINT,
+        # ANSI would fail loudly past it
+        F.expr(
+            "CAST((10000 * SUM(cents) OVER ("
+            "  PARTITION BY o_custkey"
+            "  ORDER BY o_orderdate ASC NULLS LAST,"
+            "           o_orderkey ASC NULLS LAST"
+            "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) DIV"
+            " COUNT(*) OVER ("
+            "  PARTITION BY o_custkey"
+            "  ORDER BY o_orderdate ASC NULLS LAST,"
+            "           o_orderkey ASC NULLS LAST"
+            "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+            " AS DOUBLE) / 1000000"
         ).alias("mov_avg"),
     )
 

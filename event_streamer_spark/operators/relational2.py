@@ -1337,6 +1337,87 @@ def b23_xor_caret_parity(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "b23_div_zero_parity",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(c_acctbal / NULLIF(CAST(c_custkey % 5 AS DOUBLE), 0.0), 6)
+             AS safe_ratio,
+           ROUND(c_acctbal / CAST(c_custkey % 5 + 1 AS DOUBLE), 6)
+             AS plain_ratio
+    FROM customer
+    """,
+)
+def b23_div_zero_parity(spark: SparkSession, sf: str) -> DataFrame:
+    """B23 regression (round-9 NaN/edge probe): DOUBLE division by zero
+    is an ANSI ``DIVIDE_BY_ZERO`` runtime ERROR on Spark — even for
+    floating point, where IEEE says ±Inf — while DuckDB quietly returns
+    NULL. One zero denominator aborts a 100 TB Spark scan that DuckDB
+    shrugs off. The portable recipe, pinned over a per-row varying
+    denominator that hits 0 every 5th row: ``try_divide`` on Spark ↔ a
+    bare ``/`` on DuckDB (both NULL on zero), or equivalently
+    ``NULLIF(den, 0)`` on both. A never-zero division rides along as
+    the control. (Same probe confirmed NaN parity END-TO-END: grouping,
+    ordering, MIN/MAX/SUM propagation, and NaN = NaN agree on both
+    engines; the only NaN divergence surface is the strict CAST — both
+    engines RAISE casting NaN to BIGINT, so NaN money is loudly out of
+    the integer-cents domain on both.)"""
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.round(
+            F.try_divide(
+                F.col("c_acctbal"),
+                (F.col("c_custkey") % 5).cast("double"),
+            ),
+            6,
+        ).alias("safe_ratio"),
+        F.round(
+            F.col("c_acctbal") / (F.col("c_custkey") % 5 + 1).cast("double"),
+            6,
+        ).alias("plain_ratio"),
+    )
+
+
+@query(
+    "b23_nan_parity",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN CAST('nan' AS DOUBLE)
+                  ELSE c_acctbal END AS v
+      FROM customer)
+    SELECT CAST(c_custkey % 3 AS BIGINT) AS g,
+           COUNT(v) AS n_vals,
+           ROUND(MIN(v), 4) AS mn,
+           MAX(v) AS mx,
+           SUM(CASE WHEN ISNAN(v) THEN 1 ELSE 0 END) AS n_nan
+    FROM t GROUP BY 1
+    """,
+)
+def b23_nan_parity(spark: SparkSession, sf: str) -> DataFrame:
+    """B23 regression (round-9 probe): NaN behavioral parity, pinned so
+    a future engine upgrade that changes NaN totalness breaks the hash.
+    Both engines treat NaN as EQUAL to itself, GREATER than every
+    number (so it wins MAX and sorts last), COUNTed as a value (not
+    NULL), and propagating through SUM — the probed axes. The canonical
+    hash serializes NaN as the literal 'NaN' on both sides."""
+    c = load(spark, sf, "customer")
+    v = F.when(
+        F.col("c_custkey") % 7 == 0, F.expr("CAST('nan' AS DOUBLE)")
+    ).otherwise(F.col("c_acctbal"))
+    return (
+        c.select("c_custkey", v.alias("v"))
+        .groupBy((F.col("c_custkey") % 3).cast("bigint").alias("g"))
+        .agg(
+            F.count("v").alias("n_vals"),
+            F.round(F.min("v"), 4).alias("mn"),
+            F.max("v").alias("mx"),
+            F.sum(F.when(F.isnan("v"), 1).otherwise(0)).alias("n_nan"),
+        )
+    )
+
+
+@query(
     "b22_datediff_unit_parity",
     oracle="""
     SELECT o_orderkey,
