@@ -175,6 +175,34 @@ def rekeyed_rows(tables: dict, rng: random.Random) -> None:
         base += 10**6
 
 
+def conflicting_duplicates(tables: dict, rng: random.Random) -> None:
+    """Same primary key, DIFFERENT payload — the CDC/at-least-once
+    reality where a redelivered record was also updated. Operators
+    keyed on identity must either pick deterministically (tiebreaks)
+    or keep both variants identically on both engines."""
+    targets = {
+        "events": ("event_id", "value", lambda v, r: (v or 0.0) + 1.5),
+        "orders": (
+            "o_orderkey",
+            "o_totalprice",
+            lambda v, r: (v or 0.0) * 2 + 0.01,
+        ),
+        "documents": (
+            "doc_id",
+            "text",
+            lambda v, r: (v or "") + " conflicted-revision",
+        ),
+    }
+    for tname in sorted(targets):
+        key, col, mutate = targets[tname]
+        tbl = tables[tname]
+        n = _nrows(tbl)
+        for i in _sample_idx(rng, n, max(2, n // 300)):
+            row = {c: v[i] for c, v in tbl["data"].items()}
+            row[col] = mutate(row[col], rng)
+            _append_row(tbl, row)
+
+
 def empty_groups(tables: dict, rng: random.Random) -> None:
     """Delete every row of one sampled group value — a grouping key
     that simply stops existing (aggregations must not assume the full
@@ -337,6 +365,7 @@ PERTURBATIONS: list[tuple[str, Callable]] = [
     ("overflow_magnitudes", overflow_magnitudes),
     ("duplicate_rows", duplicate_rows),
     ("rekeyed_rows", rekeyed_rows),
+    ("conflicting_duplicates", conflicting_duplicates),
     ("empty_groups", empty_groups),
     ("giant_basket", giant_basket),
     ("unicode_strings", unicode_strings),
