@@ -83,8 +83,17 @@ def basket_arrays(spark: SparkSession, sf: str) -> DataFrame:
     tradeoff, acceptable because order keys, unlike user or session
     keys, carry a schema-level line-count bound in every real order
     system.
+
+    Round 9: the kept-basket frame lives in ONE module-shared
+    ``bounded_persist`` slot (the ``graph.pairs`` pattern) — all three
+    d19 queries consume it, assoc_rules references it through several
+    subtrees (pair support, item frequencies, the basket count), and
+    the bench runs the family back to back, so a session materializes
+    the collect_set shuffle once instead of once per reference.
     """
-    return (
+    from event_streamer_spark.caching import bounded_persist
+
+    return bounded_persist(
         load(spark, sf, "lineitem")
         .select(
             F.col("l_orderkey").alias("ok"),
@@ -96,7 +105,8 @@ def basket_arrays(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("ok").isNotNull() & F.col("pk").isNotNull())
         .groupBy("ok")
         .agg(F.sort_array(F.collect_set("pk")).alias("arr"))
-        .filter(F.size("arr") <= _MAX_BASKET)
+        .filter(F.size("arr") <= _MAX_BASKET),
+        "basket.arrays",
     )
 
 
@@ -271,12 +281,16 @@ def d19_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
     arrs AS (
       SELECT ok, COUNT(*) AS bsz FROM it GROUP BY ok),
     seq AS (
+      -- identity required (the b60 rule): a NULL customer key is not
+      -- a sequence; the old self-join dropped it implicitly, the
+      -- lead() spelling must exclude it explicitly on both engines
       SELECT o.o_orderkey AS ok, o.o_custkey AS ck,
              ROW_NUMBER() OVER (PARTITION BY o.o_custkey
                                 ORDER BY o.o_orderdate NULLS LAST,
                                          o.o_orderkey)
                AS s
-      FROM orders o JOIN arrs ON arrs.ok = o.o_orderkey),
+      FROM orders o JOIN arrs ON arrs.ok = o.o_orderkey
+      WHERE o.o_custkey IS NOT NULL),
     steps AS (
       SELECT a.ok AS ok_a, b.ok AS ok_b
       FROM seq a JOIN seq b ON b.ck = a.ck AND b.s = a.s + 1)
@@ -294,57 +308,53 @@ def d19_next_order(spark: SparkSession, sf: str) -> DataFrame:
     bought Y in the customer's NEXT order) co-occurrence counts, the
     temporal companion to ``d19_frequent_pairs``: symmetric pair
     support says "go together", this says "lead to". x = y rows are
-    repurchase signals and stay in. The order sequence is
-    ``row_number`` per customer over (order date, order key) — the
-    deterministic tiebreak — and only capped baskets participate (same
+    repurchase signals and stay in. The order sequence is the
+    per-customer (order date, order key) ordering — the deterministic
+    tiebreak — and only capped baskets participate (same
     ``_MAX_BASKET``/NULL rules as the module's other queries, so a bot
     cart cannot emit a 64×64 cross per step).
 
-    Scale: the per-customer sequence window is bounded by
-    orders-per-customer; consecutive steps join co-located on the
-    customer key (one shuffle); pair expansion is the cross of two
-    ≤``_MAX_BASKET`` arrays per step — two JVM-side explodes, no row
-    blow-up beyond the declared cap; the final count is map-side
+    Scale: ONE per-customer window pass — ``lead(arr)`` hands each
+    order its successor's basket directly (round 9; the row_number +
+    (customer, seq) self-join it replaced computed the sequence
+    subtree twice and paid an extra shuffle to rejoin it); the window
+    is bounded by orders-per-customer; pair expansion is the cross of
+    two ≤``_MAX_BASKET`` arrays per step — two JVM-side explodes, no
+    row blow-up beyond the declared cap; the final count is map-side
     combinable on (first, next).
     """
     from pyspark.sql import Window
 
-    from event_streamer_spark.caching import bounded_persist
-
-    # both step sides read the (order → array) frame: persist once
-    arrs = bounded_persist(
-        basket_arrays(spark, sf), "d19_next_arrs"
+    # both step sides read the (order → array) frame — served by the
+    # module-shared basket.arrays slot (persisted inside basket_arrays)
+    arrs = basket_arrays(spark, sf)
+    # NULL order dates sort LAST on both engines, pinned explicitly:
+    # Spark's ASC default is NULLS FIRST, DuckDB's is NULLS LAST —
+    # left implicit, a NULL-dated order takes a different sequence
+    # slot per engine and the consecutive pairs diverge (the
+    # journey.py/validation.py divergence class, round-9 advice).
+    # The NEXT basket comes from lead() over the same ordering — ONE
+    # window pass instead of the round-8 row_number + (ck, s)
+    # self-join, which computed the whole seq subtree twice and
+    # shuffled it back together (round 9).
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey"
     )
-    seq = (
+    steps = (
         load(spark, sf, "orders")
+        # identity required (the b60 rule; round-9 dirty corpus): the
+        # lead() window would otherwise chain successors inside the
+        # NULL-customer partition that the oracle's equi-join drops
+        .filter(F.col("o_custkey").isNotNull())
         .join(arrs, F.col("o_orderkey") == F.col("ok"))
         .select(
-            "ok",
-            F.col("o_custkey").alias("ck"),
-            "arr",
-            # NULL order dates sort LAST on both engines, pinned
-            # explicitly: Spark's ASC default is NULLS FIRST, DuckDB's
-            # is NULLS LAST — left implicit, a NULL-dated order takes a
-            # different sequence slot per engine and the consecutive
-            # pairs diverge (the journey.py/validation.py divergence
-            # class, round-9 advice)
-            F.row_number()
-            .over(
-                Window.partitionBy("o_custkey").orderBy(
-                    F.col("o_orderdate").asc_nulls_last(),
-                    "o_orderkey",
-                )
-            )
-            .alias("s"),
+            F.col("arr").alias("arr_a"),
+            F.lead("arr").over(w).alias("arr_b"),
         )
-    )
-    a = seq.select("ck", "s", F.col("arr").alias("arr_a"))
-    b = seq.select(
-        "ck", (F.col("s") - 1).alias("s"), F.col("arr").alias("arr_b")
+        .filter(F.col("arr_b").isNotNull())
     )
     return (
-        a.join(b, ["ck", "s"])
-        .select(
+        steps.select(
             F.explode("arr_a").alias("part_first"), "arr_b"
         )
         .select(
