@@ -38,15 +38,17 @@ DIRTY_SEED = 20260815
 
 # Families replayed in the default suite: the oracle-backed surface
 # that consumes the perturbed tables, excluding only the long-running
-# iterative legs (d2 LSH / d17 graph / BPE — each already covered by a
-# dedicated dirty or behavioral test) to keep the sweep inside a CI
-# budget. The FULL registry ran green on this corpus in round 9; run it
-# manually when touching an excluded family.
+# iterative legs (d2 LSH / d17 graph / BPE / multimodal decode — each
+# already covered by a dedicated dirty or behavioral test) to keep the
+# sweep inside a CI budget. The FULL registry ran green on this corpus
+# at three seeds in round 9 (plus a fourth at sf0.01); run the full
+# sweep manually when touching an excluded family.
 FAMILIES = [
     "a0", "a1",
     "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7",
     "c1_", "c2_", "c3_", "c5_", "c6_", "c7_",
-    "d16_",
+    "d9_chunk", "d13_", "d15_changepoint", "d16_", "d19_",
+    "d4_fingerprint", "d4_unicode",
 ]
 
 
