@@ -175,17 +175,17 @@ def apply_bpe(
     )
 
 
-@query("d4_bpe_train_tokenize", oracle=None)  # iterative → rows-only
-def d4_bpe_train_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+def bpe_tokenize_frame(spark: SparkSession, sf: str) -> DataFrame:
     """D4: train a {12}-merge BPE vocabulary ON the corpus, then
     tokenize every document with it — the end-to-end tokenizer leg of
     the pipeline. Per-doc output: BPE token count next to the
     whitespace count (the compression the learned merges buy).
 
-    Not SQL-expressible (iterative training); pinned instead by
-    ``tests/test_bpe.py``: the distributed trainer is merge-for-merge
-    identical to an independent single-process reference, invariant
-    under repartitioning, and tokenization strictly compresses.
+    Raw frame — the registered ``d4_bpe_train_tokenize`` wraps it in
+    the round-10 bounded check; ``tests/test_bpe.py`` pins the
+    training itself (distributed trainer merge-for-merge identical to
+    an independent single-process reference, invariant under
+    repartitioning, tokenization strictly compresses).
     """
     # NULL text: no words to train on, no tokens to count — excluded
     # rather than crashing the Arrow tokenize batch (round-9 dirty
@@ -203,4 +203,44 @@ def d4_bpe_train_tokenize(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         ws.alias("n_ws_tokens"),
         bpe_token_count_udf(merges)(F.col("text")).alias("n_bpe_tokens"),
+        F.length(F.regexp_replace("text", " ", ""))
+        .cast("int")
+        .alias("n_chars"),
+    )
+
+
+@query(
+    "d4_bpe_train_tokenize",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                AS BIGINT) AS n_ws_tokens,
+           TRUE AS bpe_bounds_ok
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def d4_bpe_train_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: corpus-trained BPE tokenization, registered as a
+    BOUNDED-CHECK oracle query (round-10 upgrade from rows-only): the
+    whitespace token count is hash-checked per doc against DuckDB and
+    the learned-merge token count collapses into its structural
+    invariant — ``n_ws ≤ n_bpe ≤ n_chars + n_ws`` (every word is at
+    least one token; unmerged tokenization is chars + one end marker
+    per word and merges only ever shrink it). The invariant is
+    deterministic for ANY trained merge list on ANY corpus, so it is
+    safe under the fresh-seed hostile replay; the training itself
+    (not SQL-expressible — iterative) stays pinned merge-for-merge in
+    ``tests/test_bpe.py``.
+    """
+    t = bpe_tokenize_frame(spark, sf)
+    return t.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("bigint").alias("n_ws_tokens"),
+        (
+            (F.col("n_bpe_tokens") >= F.col("n_ws_tokens"))
+            & (
+                F.col("n_bpe_tokens")
+                <= F.col("n_chars") + F.col("n_ws_tokens")
+            )
+        ).alias("bpe_bounds_ok"),
     )

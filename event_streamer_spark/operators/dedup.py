@@ -396,10 +396,11 @@ def d2_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("d2_lsh_verified", oracle=None)  # LSH pruning → rows-only check
-def d2_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
+def lsh_verified_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """D2 (the composed 100 TB pipeline): EXACT n-gram Jaccard computed
-    ONLY on MinHash-LSH candidate pairs.
+    ONLY on MinHash-LSH candidate pairs. (Raw pair frame — the
+    registered ``d2_lsh_verified`` wraps it in the round-10 bounded
+    recall check; tests call this directly.)
 
     This is the shape a petabyte dedup actually runs: LSH banding
     prunes the O(n²) pair space to O(docs × bands) candidates, then the
@@ -457,6 +458,56 @@ def d2_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
         .join(sb, "doc_b")
         .filter(jacc >= 0.1)
         .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "d2_lsh_verified",
+    oracle=f"""
+    WITH {shingle_ctes()},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_strong, TRUE AS recall_ok
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both) >= 0.5
+    """,
+)
+def d2_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """D2 composed pipeline registered as a BOUNDED-CHECK oracle query
+    (round-10, b13-style): the LSH-pruned-then-exactly-verified pair
+    set (:func:`lsh_verified_pairs`) is scored against the exact
+    all-pairs Jaccard set in the HIGH-similarity regime (j ≥ 0.5 —
+    where 16×4-band MinHash recall is analytically ≈ 0.97 and a real
+    dedup cares about every pair), emitting the exact strong-pair
+    count as a hash-checked column plus a recall ≥ 0.9 boolean.
+    Exactness of the emitted Jaccard VALUES (precision leg) is pinned
+    separately in ``tests/test_dedup_quality.py`` — every emitted pair
+    re-computes the exact shingle intersection, so false positives
+    are impossible by construction. Low-similarity pairs (0.1 ≤ j <
+    0.5) are deliberately outside the bound: banded LSH misses them BY
+    DESIGN (the S-curve), so a hard floor there would pin seed noise,
+    not a regression.
+    """
+    found = lsh_verified_pairs(spark, sf).filter(
+        F.col("jaccard") >= 0.5
+    ).select("doc_a", "doc_b")
+    exact = d2_ngram_jaccard(spark, sf).filter(
+        F.col("jaccard") >= 0.5
+    ).select("doc_a", "doc_b")
+    hits = found.join(exact, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact_strong"))
+    return tot.crossJoin(F.broadcast(hits)).select(
+        F.col("n_exact_strong").cast("bigint").alias("n_exact_strong"),
+        (
+            F.col("n_hit")
+            >= F.lit(0.9) * F.col("n_exact_strong")
+        ).alias("recall_ok"),
     )
 
 

@@ -141,6 +141,91 @@ def _block_topk(blocks: DataFrame, block_col: str, k: int = 3) -> DataFrame:
     )
 
 
+_EXACT_TOPK_BLOCKS = 8
+
+
+def exact_top3_blocked(emb: DataFrame) -> DataFrame:
+    """Exact GLOBAL top-3 cosine neighbors per vector, distributed — the
+    verification leg for the approximate d3 paths' bounded-check
+    oracles (round-10).
+
+    Residents hash into NB fixed blocks (pmod so negative ids still
+    land in probed blocks); every query vector replicates to ALL NB
+    blocks — shuffle volume n·(NB+1) rows, linear in n, never the n²
+    pair space. One numpy GEMM per block scores queries against that
+    block's residents; per-block top-3s merge globally per source with
+    one partitioned window over 3·NB rows per src (provably equal to
+    top-3 over the union). No driver state, no broadcast of the table.
+    """
+    from pyspark.sql import Window
+
+    nb = _EXACT_TOPK_BLOCKS
+    res = emb.select(
+        "vec_id", "v",
+        F.pmod(F.col("vec_id"), F.lit(nb)).cast("int").alias("blk"),
+        F.lit("R").alias("role"),
+    )
+    qry = emb.select(
+        "vec_id", "v",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("blk"),
+        F.lit("Q").alias("role"),
+    )
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        res_p = pdf[pdf["role"] == "R"]
+        qry_p = pdf[pdf["role"] == "Q"]
+        if res_p.empty or qry_p.empty:
+            return pd.DataFrame({"src": [], "nbr": [], "sim": []})
+        R = np.array(res_p["v"].tolist(), dtype=np.float64)
+        Q = np.array(qry_p["v"].tolist(), dtype=np.float64)
+        R = R / np.linalg.norm(R, axis=1, keepdims=True)
+        Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        S = np.round(Q @ R.T, 6)
+        rid = res_p["vec_id"].to_numpy()
+        qid = qry_p["vec_id"].to_numpy()
+        out = {"src": [], "nbr": [], "sim": []}
+        kk = min(3, len(rid))
+        for i in range(len(qid)):
+            sims = S[i].copy()
+            sims[rid == qid[i]] = -2.0  # never self-match
+            order = np.lexsort((rid, -sims))[:kk]
+            for j in order:
+                if sims[j] <= -2.0:
+                    continue
+                out["src"].append(qid[i])
+                out["nbr"].append(rid[j])
+                out["sim"].append(float(sims[j]))
+        return pd.DataFrame(out)
+
+    per_block = res.unionByName(qry).groupBy("blk").applyInPandas(
+        topk, "src long, nbr long, sim double"
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), "nbr")
+    return (
+        per_block.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+    )
+
+
+def _recall_check(
+    approx: DataFrame, exact: DataFrame, bound: float, out_col: str
+) -> DataFrame:
+    """One-row ``(out_col boolean)``: |approx ∩ exact| ≥ bound·|exact|
+    over (src, nbr) pair sets — the shared shape of the d3
+    bounded-check wrappers. Empty exact set ⇒ vacuously true (and the
+    oracle side still pins the single TRUE row)."""
+    hits = (
+        approx.select("src", "nbr")
+        .join(exact.select("src", "nbr"), ["src", "nbr"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("n_tot"))
+    return hits.crossJoin(F.broadcast(tot)).select(
+        (F.col("n_hit") >= F.lit(bound) * F.col("n_tot")).alias(out_col)
+    )
+
+
 @query(
     "d3_knn_join",
     oracle=f"""
@@ -189,9 +274,10 @@ _ANN_TABLES = 8  # L independent hash tables
 _ANN_PLANES = 6  # planes (bits) per table
 
 
-@query("d3_ann_lsh", oracle=None)  # approximate → rows-only check
-def d3_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """D3 scale path: multi-table, multi-probe hyperplane LSH top-3.
+    (Raw pair frame — the registered ``d3_ann_lsh`` wraps it in the
+    round-10 bounded recall check; tests call this directly.)
 
     L=8 independent tables of 6 hyperplanes each; every vector RESIDES
     in its sign-pattern bucket per table and PROBES that bucket plus the
@@ -283,6 +369,26 @@ def d3_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
         dedup.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("src", "nbr", "sim")
+    )
+
+
+@query("d3_ann_lsh", oracle="SELECT TRUE AS recall_ok")
+def d3_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """D3: multi-probe LSH ANN, registered as a BOUNDED-CHECK oracle
+    query (round-10, b13-style): the LSH top-3 pairs
+    (:func:`ann_lsh_topk`) are scored against the exact global top-3
+    (:func:`exact_top3_blocked` — distributed, linear shuffle) and the
+    single output row pins recall@3 ≥ 0.75. Measured ≈ 0.90 on the
+    fixture (clean-fixture pytest keeps the tighter 0.85 assertion);
+    the oracle bound leaves ~3× the observed slack so the fresh-seed
+    hostile replay — where the embedding geometry shifts every round —
+    trips only on a real recall regression, not on seed noise.
+    """
+    emb = load_embeddings(spark, sf).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return _recall_check(
+        ann_lsh_topk(spark, sf), exact_top3_blocked(emb), 0.75, "recall_ok"
     )
 
 
@@ -387,9 +493,10 @@ _PRUNE_ROWS = 4  # planes per band
 _PRUNE_SEED = 13
 
 
-@query("d2_neardup_lsh_pruned", oracle=None)  # approximate → rows-only
-def d2_neardup_lsh_pruned(spark: SparkSession, sf: str) -> DataFrame:
+def neardup_lsh_pruned_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """D2 scale path: near-dup pairs from banded hyperplane-LSH candidates.
+    (Raw pair frame — the registered ``d2_neardup_lsh_pruned`` wraps it
+    in the round-10 bounded recall check; tests call this directly.)
 
     The 100 TB entry point: 16 bands × 4 hyperplanes — a vector's band
     bucket is its 4-bit sign pattern; any shared (band, bucket) makes a
@@ -459,6 +566,42 @@ def d2_neardup_lsh_pruned(spark: SparkSession, sf: str) -> DataFrame:
             )
 
     return pairs.mapInPandas(score, "vec_a long, vec_b long, sim double")
+
+
+@query(
+    "d2_neardup_lsh_pruned",
+    oracle=f"""
+    WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE {_VALID_EMB_DUCK})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """,
+)
+def d2_neardup_lsh_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """D2 scale path registered as a BOUNDED-CHECK oracle query
+    (round-10, b13-style): the LSH-pruned pair set
+    (:func:`neardup_lsh_pruned_pairs`) is scored against the EXACT
+    cos ≥ 0.45 pair set (the ``d2_embedding_neardup`` plan — itself
+    hash-checked against DuckDB's all-pairs oracle), emitting the
+    exact pair count as a hash-checked column plus a recall ≥ 0.7
+    boolean. Precision needs no check — every emitted pair is exactly
+    re-scored before the threshold, so false positives are impossible
+    by construction (pinned in tests). Analytic recall at the
+    fixture's hardest regime (cos ≈ 0.46) is ≈ 0.956; pytest keeps the
+    tighter 0.8 assertion, the looser oracle bound survives fresh-seed
+    hostile geometry.
+    """
+    found = neardup_lsh_pruned_pairs(spark, sf).select("vec_a", "vec_b")
+    exact = d2_embedding_neardup(spark, sf).select("vec_a", "vec_b")
+    hits = found.join(exact, ["vec_a", "vec_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return tot.crossJoin(F.broadcast(hits)).select(
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (F.col("n_hit") >= F.lit(0.7) * F.col("n_exact")).alias("recall_ok"),
+    )
 
 
 _IVF_CELLS = 8
@@ -564,18 +707,11 @@ def _ivf_topk_impl(
     )
 
 
-@query("d3_ivf_topk", oracle=None)  # approximate (cell-local) → rows-only
-def d3_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """D3 scale path #2: IVF-flat with a TRAINED coarse quantizer —
-    3 rounds of DataFrame-side spherical k-means pick the centroids,
-    then exact top-3 within each cell.
-
-    Training cost is iters × (one narrow UDF pass + one K×dim
-    aggregate); search is one shuffle on cell_id + per-cell GEMM.
-    Trained cells are denser than random ones (recall improvement is
-    asserted in tests/test_dedup_quality.py). Deterministic end-to-end:
-    seeded init, rounded centroids, (sim, nbr) tie-breaks.
-    """
+def ivf_topk_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """D3 scale path #2 raw frame: IVF-flat top-3 with a TRAINED coarse
+    quantizer (3 rounds of DataFrame-side spherical k-means), exact
+    GEMM within each cell. The registered ``d3_ivf_topk`` wraps it in
+    the round-10 bounded recall check; tests call this directly."""
     emb = load_embeddings(spark, sf).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -583,9 +719,34 @@ def d3_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return _ivf_topk_impl(spark, sf, cents)
 
 
-@query("d3_quantized_topk", oracle=None)  # approximate → rows-only
-def d3_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """D3 scale path #3: int8 scalar-quantized brute-force top-10.
+@query("d3_ivf_topk", oracle="SELECT TRUE AS recall_ok")
+def d3_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """D3 scale path #2: IVF-flat with a TRAINED coarse quantizer,
+    registered as a BOUNDED-CHECK oracle query (round-10): cell-local
+    top-3 vs the exact global top-3, single row pinning recall@3
+    ≥ 0.15. IVF recall is LOW by design on this fixture (neighbors sit
+    at cos 0.3–0.45, near-random — the clean-fixture pytest pins
+    trained ≥ 0.25 and trained > random); the oracle bound is the
+    floor under which the quantizer has genuinely broken.
+
+    Training cost is iters × (one narrow UDF pass + one K×dim
+    aggregate — only model state reaches the driver); search is one
+    shuffle on cell_id + per-cell GEMM. Deterministic end-to-end:
+    seeded init, rounded centroids, (sim, nbr) tie-breaks.
+    """
+    emb = load_embeddings(spark, sf).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return _recall_check(
+        ivf_topk_pairs(spark, sf), exact_top3_blocked(emb), 0.15, "recall_ok"
+    )
+
+
+def quantized_topk_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """D3 scale path #3 raw frame: int8 scalar-quantized brute-force
+    top-10 for the fixed query vector. The registered
+    ``d3_quantized_topk`` wraps it in the round-10 bounded overlap
+    check; tests call this directly.
 
     Per-dimension affine int8 quantization (global min/max per dim from
     one 64×2 aggregate, broadcast back) shrinks the vector column 4-8×
@@ -599,11 +760,24 @@ def d3_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_embeddings(spark, sf).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # per-dimension min/max: one aggregate of dim-sized model state
+    # per-dimension calibration range: one aggregate of dim-sized model
+    # state. PERCENTILE-CLIPPED (p0.5/p99.5), not min/max — the
+    # round-10 hostile corpus showed a single huge-magnitude vector
+    # stretches a min/max range until every normal component quantizes
+    # into one bucket (top-10 overlap collapsed to 0/10); clipping at
+    # the 0.5% tails is the standard int8 calibration (faiss/TensorRT
+    # style) and bounds the range by the data's bulk, not its extremes.
+    # Exact percentile keeps the plan deterministic (sketch-based
+    # percentile_approx is merge-order-sensitive); at 100 TB the
+    # calibration pass would sample or sketch instead — the aggregate
+    # is still dim-sized model state either way.
     stats = (
         emb.select(F.posexplode("v").alias("pos", "x"))
         .groupBy("pos")
-        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .agg(
+            F.expr("percentile(x, 0.005)").alias("lo"),
+            F.expr("percentile(x, 0.995)").alias("hi"),
+        )
         .collect()
     )
     dim = len(stats)
@@ -639,6 +813,26 @@ def d3_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
         .mapInPandas(score, "vec_id long, sim double")
     )
     return scored.orderBy(F.desc("sim"), "vec_id").limit(10)
+
+
+@query("d3_quantized_topk", oracle="SELECT TRUE AS overlap_ok")
+def d3_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """D3 scale path #3: int8 scalar-quantized top-10, registered as a
+    BOUNDED-CHECK oracle query (round-10): the quantized top-10 id set
+    is intersected with the exact float top-10 (the ``d3_topk_cosine``
+    plan, itself hash-checked against DuckDB) and the single output
+    row pins overlap ≥ 6/10. Measured 8–10/10 on the fixture
+    (clean-fixture pytest keeps the tighter ≥ 8 assertion); the wider
+    oracle bound survives the fresh-seed hostile replay, where
+    magnitude outliers legitimately stretch the global min/max
+    calibration — a drop below 6 means the quantizer itself broke, not
+    the seed.
+    """
+    approx_ids = quantized_topk_scores(spark, sf).select("vec_id")
+    exact_ids = d3_topk_cosine(spark, sf).select("vec_id")
+    return approx_ids.intersect(exact_ids).agg(
+        (F.count(F.lit(1)) >= F.lit(6)).alias("overlap_ok")
+    )
 
 
 # Matches the fixture's near-dup regime (see d2_embedding_neardup:

@@ -189,12 +189,18 @@ def d4_langid(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("d4_fingerprint", oracle=None)  # rolling hash → rows-only check
-def d4_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    """D4: polynomial rolling-hash document fingerprint (mod 2^61-1).
+def fingerprint_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """``(doc_id, fingerprint)`` raw frame — the registered
+    ``d4_fingerprint`` wraps it in the round-10 equivalence check;
+    tests call this directly.
 
-    fp = Σ crc32(tok_i) · B^i  (mod p) — order-sensitive, so reordered
-    documents get different fingerprints (unlike bag-of-words hashes).
+    fp = Σ (crc32(tok_i)+1) · B^i  (mod p) — order-sensitive, so
+    reordered documents get different fingerprints (unlike
+    bag-of-words hashes). The +1 keeps every token's contribution
+    nonzero: crc32('') = 0, so without it every whitespace-only
+    document collapsed to fingerprint 0 regardless of length — a
+    distinct-texts-merged divergence found by the round-10 hostile
+    corpus (docs ``''`` and ``' '`` fingerprinted equal).
     Deterministic; Arrow-batched pandas UDF.
     """
     P = (1 << 61) - 1
@@ -211,13 +217,45 @@ def d4_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
                 continue
             acc, power = 0, 1
             for tok in text.split(" "):
-                acc = (acc + zlib.crc32(tok.encode()) * power) % P
+                acc = (acc + (zlib.crc32(tok.encode()) + 1) * power) % P
                 power = (power * B) % P
             out.append(acc)
         return pd.Series(out, dtype="Int64")
 
     d = load(spark, sf, "documents")
-    return d.select("doc_id", fingerprint("text").alias("fingerprint"))
+    return d.select("doc_id", "text", fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "d4_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS n_same_fp
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def d4_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: rolling-hash fingerprint, registered as an EQUIVALENCE-CLASS
+    oracle query (round-10 upgrade from rows-only — stronger than a
+    bounded boolean: every row hash-checks): each doc reports the size
+    of its FINGERPRINT equivalence class, the oracle reports the size
+    of its TEXT equivalence class. The multiset of (doc_id, class
+    size) matches iff the fingerprint neither splits equal texts
+    (determinism/stability bug) nor merges distinct ones (a 61-bit
+    collision or a broken mix) — both directions of the fingerprint
+    contract, checked per row on whatever corpus is replayed. NULL
+    text is outside the domain on both engines.
+    """
+    from pyspark.sql import Window
+
+    fp = fingerprint_frame(spark, sf).filter(F.col("text").isNotNull())
+    return fp.select(
+        "doc_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("fingerprint"))
+        .cast("bigint")
+        .alias("n_same_fp"),
+    )
 
 
 @query(

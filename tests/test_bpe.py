@@ -76,8 +76,13 @@ def test_trainer_on_fixture_matches_reference_and_partitioning(spark):
 
 
 def test_tokenize_compresses_and_registered_query_runs(spark):
-    rows = REGISTRY["d4_bpe_train_tokenize"].fn(spark, SF).collect()
+    from event_streamer_spark.operators.bpe import bpe_tokenize_frame
+
+    rows = bpe_tokenize_frame(spark, SF).collect()
     assert len(rows) == 500
+    # the registered bounded-check wrapper: invariant flag true per doc
+    for r in REGISTRY["d4_bpe_train_tokenize"].fn(spark, SF).collect():
+        assert r["bpe_bounds_ok"], r
     chars = {
         r["doc_id"]: sum(len(w) for w in r["text"].split(" ") if w)
         for r in load(spark, SF, "documents").collect()

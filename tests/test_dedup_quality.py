@@ -93,9 +93,11 @@ def test_lsh_verified_is_exact_on_candidates(spark):
         (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in REGISTRY["d2_ngram_jaccard"].fn(spark, SF).collect()
     }
+    from event_streamer_spark.operators.dedup import lsh_verified_pairs
+
     verified = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in REGISTRY["d2_lsh_verified"].fn(spark, SF).collect()
+        for r in lsh_verified_pairs(spark, SF).collect()
     }
     assert verified, "LSH recalled no exact pairs at sf0.001"
     for pair, j in verified.items():
@@ -110,14 +112,21 @@ def test_lsh_verified_is_exact_on_candidates(spark):
 def test_hll_estimate_within_5pct(spark):
     """D11: the from-scratch relational HLL must estimate the exact
     distinct token count within 5% (m=1024 → σ≈3.3%); deterministic."""
-    from event_streamer_spark.operators.sketches import _tokens
+    from event_streamer_spark.operators.sketches import (
+        _tokens,
+        hll_distinct_estimate,
+    )
 
-    [row] = REGISTRY["d11_hll_distinct"].fn(spark, SF).collect()
+    [row] = hll_distinct_estimate(spark, SF).collect()
     exact = _tokens(spark, SF).distinct().count()
     assert abs(row["estimate"] - exact) / exact <= 0.05, (row, exact)
 
-    [again] = REGISTRY["d11_hll_distinct"].fn(spark, SF).collect()
+    [again] = hll_distinct_estimate(spark, SF).collect()
     assert row["estimate"] == again["estimate"]
+
+    # the registered bounded-check wrapper: exact count + 3-sigma flag
+    [chk] = REGISTRY["d11_hll_distinct"].fn(spark, SF).collect()
+    assert chk["exact_distinct"] == exact and chk["within_10pct"], chk
 
 
 def test_count_min_overestimates_within_bound(spark):
@@ -125,9 +134,13 @@ def test_count_min_overestimates_within_bound(spark):
     within eps*N (eps ~ e/width) for the heavy hitters; deterministic."""
     import math
 
-    from event_streamer_spark.operators.sketches import _CMS_WIDTH, _tokens
+    from event_streamer_spark.operators.sketches import (
+        _CMS_WIDTH,
+        _tokens,
+        count_min_estimates,
+    )
 
-    rows = REGISTRY["d10_count_min"].fn(spark, SF).collect()
+    rows = count_min_estimates(spark, SF).collect()
     assert len(rows) == 20
     n_total = _tokens(spark, SF).count()
     eps = math.e / _CMS_WIDTH
@@ -135,8 +148,12 @@ def test_count_min_overestimates_within_bound(spark):
         assert r["est_cnt"] >= r["exact_cnt"], r
         assert r["est_cnt"] - r["exact_cnt"] <= eps * n_total, (r, n_total)
 
-    again = REGISTRY["d10_count_min"].fn(spark, SF).collect()
+    again = count_min_estimates(spark, SF).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # the registered bounded-check wrapper: both guarantee flags true
+    for r in REGISTRY["d10_count_min"].fn(spark, SF).collect():
+        assert r["never_under"] and r["within_eps"], r
 
 
 def test_simhash_deterministic(spark):
@@ -148,11 +165,16 @@ def test_simhash_deterministic(spark):
 def test_ann_lsh_recall_against_exact(spark):
     """D3: LSH ANN top-1 neighbor should match brute-force top-1 for a
     reasonable fraction of vectors that share a bucket (sanity, not SLA)."""
-    ann = REGISTRY["d3_ann_lsh"].fn(spark, SF).collect()
+    from event_streamer_spark.operators.similarity import ann_lsh_topk
+
+    ann = ann_lsh_topk(spark, SF).collect()
     assert len(ann) > 0
     # determinism check
-    ann2 = REGISTRY["d3_ann_lsh"].fn(spark, SF).collect()
+    ann2 = ann_lsh_topk(spark, SF).collect()
     assert sorted(map(tuple, ann)) == sorted(map(tuple, ann2))
+    # the registered bounded-check wrapper holds
+    [chk] = REGISTRY["d3_ann_lsh"].fn(spark, SF).collect()
+    assert chk["recall_ok"], chk
 
 
 def test_exact_dedup_counts(spark):
@@ -170,14 +192,21 @@ def test_neardup_lsh_pruned_recall(spark):
         (r["vec_a"], r["vec_b"])
         for r in REGISTRY["d2_embedding_neardup"].fn(spark, SF).collect()
     }
+    from event_streamer_spark.operators.similarity import (
+        neardup_lsh_pruned_pairs,
+    )
+
     pruned = {
         (r["vec_a"], r["vec_b"])
-        for r in REGISTRY["d2_neardup_lsh_pruned"].fn(spark, SF).collect()
+        for r in neardup_lsh_pruned_pairs(spark, SF).collect()
     }
     assert exact, "fixture has no exact near-dup pairs"
     assert pruned <= exact, f"false positives: {pruned - exact}"
     recall = len(pruned & exact) / len(exact)
     assert recall >= 0.8, f"recall {recall:.2f} over {len(exact)} pairs"
+    # the registered bounded-check wrapper: exact count + recall flag
+    [chk] = REGISTRY["d2_neardup_lsh_pruned"].fn(spark, SF).collect()
+    assert chk["n_exact"] == len(exact) and chk["recall_ok"], chk
 
 
 def _brute_force_top3(spark):
@@ -215,7 +244,9 @@ def test_ann_lsh_recall_at_3(spark):
     top-3 neighbors (measured ≈0.90 on the fixture, whose neighbors sit
     at cos 0.3-0.45 — near-random, the hardest regime for sign LSH)."""
     truth = _brute_force_top3(spark)
-    recall = _recall_at_3(REGISTRY["d3_ann_lsh"].fn(spark, SF).collect(), truth)
+    from event_streamer_spark.operators.similarity import ann_lsh_topk
+
+    recall = _recall_at_3(ann_lsh_topk(spark, SF).collect(), truth)
     assert recall >= 0.85, f"ann recall {recall:.3f}"
 
 
@@ -252,10 +283,17 @@ def test_quantized_topk_overlap_with_exact(spark):
     """D3: int8-quantized top-10 must overlap the exact float top-10 in
     ≥8 of 10 positions (quantization error budget), deterministically."""
     exact = [r["vec_id"] for r in REGISTRY["d3_topk_cosine"].fn(spark, SF).collect()]
-    quant = [r["vec_id"] for r in REGISTRY["d3_quantized_topk"].fn(spark, SF).collect()]
-    quant2 = [r["vec_id"] for r in REGISTRY["d3_quantized_topk"].fn(spark, SF).collect()]
+    from event_streamer_spark.operators.similarity import (
+        quantized_topk_scores,
+    )
+
+    quant = [r["vec_id"] for r in quantized_topk_scores(spark, SF).collect()]
+    quant2 = [r["vec_id"] for r in quantized_topk_scores(spark, SF).collect()]
     assert quant == quant2, "quantized search not deterministic"
     assert len(set(exact) & set(quant)) >= 8, (exact, quant)
+    # the registered bounded-check wrapper holds
+    [chk] = REGISTRY["d3_quantized_topk"].fn(spark, SF).collect()
+    assert chk["overlap_ok"], chk
 
 
 def test_semantic_dedup_invariants(spark):
@@ -368,9 +406,12 @@ def test_dd_quantiles_relative_error_within_alpha(spark):
     p50/p90/p99/p999 on events.value."""
     import numpy as np
 
-    from event_streamer_spark.operators.sketches import _DD_ALPHA
+    from event_streamer_spark.operators.sketches import (
+        _DD_ALPHA,
+        dd_quantile_estimates,
+    )
 
-    rows = REGISTRY["d11_dd_quantiles"].fn(spark, SF).collect()
+    rows = dd_quantile_estimates(spark, SF).collect()
     assert len(rows) == 4
     vals = np.sort(
         load(spark, SF, "events").toPandas()["value"].to_numpy()
@@ -385,12 +426,25 @@ def test_dd_quantiles_relative_error_within_alpha(spark):
         )
         assert r["n"] == n
 
+    # the registered bounded-check wrapper: exact rank value + flag
+    for r in REGISTRY["d11_dd_quantiles"].fn(spark, SF).collect():
+        exact = float(vals[int(np.floor(r["q"] * (n - 1)))])
+        assert r["exact_at_rank"] == exact and r["within_alpha"], r
+
 
 def test_hll_union_and_intersection_track_exact(spark):
     """D11 set algebra: per-slice/union estimates within ~3 sigma
     (sigma = 1.04/sqrt(1024) = 3.3%) of exact; inclusion-exclusion
     intersection within the compounded bound (10% of the union)."""
-    r = REGISTRY["d11_hll_union"].fn(spark, SF).collect()[0].asDict()
+    from event_streamer_spark.operators.sketches import hll_union_estimates
+
+    w = hll_union_estimates(spark, SF).collect()[0].asDict()
+    r = {
+        "est_a": w["a"],
+        "est_b": w["b"],
+        "est_union": w["union"],
+        "est_intersection": round(w["a"] + w["b"] - w["union"], 2),
+    }
     toks = (
         load(spark, SF, "documents")
         .withColumn("toks", F.split("text", " "))
@@ -423,11 +477,18 @@ def test_dd_quantiles_by_group_within_alpha(spark):
     relative value error of that group's exact quantile."""
     import numpy as np
 
-    from event_streamer_spark.operators.sketches import _DD_ALPHA
+    from event_streamer_spark.operators.sketches import (
+        _DD_ALPHA,
+        dd_group_quantile_estimates,
+    )
 
-    rows = REGISTRY["d11_dd_quantiles_by_group"].fn(spark, SF).collect()
+    rows = dd_group_quantile_estimates(spark, SF).collect()
     groups = {r["event_type"] for r in rows}
     assert len(groups) == 5 and len(rows) == 10  # 5 types x 2 quantiles
+    checks = {
+        (r["event_type"], r["q"]): r
+        for r in REGISTRY["d11_dd_quantiles_by_group"].fn(spark, SF).collect()
+    }
     ev = load(spark, SF, "events").select("event_type", "value").toPandas()
     for r in rows:
         vals = np.sort(
@@ -442,6 +503,8 @@ def test_dd_quantiles_by_group_within_alpha(spark):
             r["est"],
             exact,
         )
+        chk = checks[(r["event_type"], r["q"])]
+        assert chk["exact_at_rank"] == exact and chk["within_alpha"], chk
 
 
 def test_pq_shortlist_recall_and_rerank_overlap(spark):
