@@ -221,19 +221,55 @@ def d19_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
     """
     from event_streamer_spark.caching import bounded_persist
 
-    # three consumers (pairs, freq, n_baskets) — unpersisted, Catalyst
-    # would inline the collect_set subtree into each (the PageRank
-    # review lesson); one basket-array row per order keeps the cached
-    # frame smaller than the item-level form
-    arrs = bounded_persist(basket_arrays(spark, sf), "d19_baskets")
-    pairs = pairs_from_arrays(arrs)
-    freq = (
-        arrs.select(F.explode("arr").alias("pk"))
-        .groupBy("pk")
-        .agg(F.count("*").cast("bigint").alias("c"))
+    # Round-10 stage split (the r9 bench's slowest warm headliner,
+    # 1.85 s flat two rounds running — measured stages: pair shuffle
+    # 0.88, item-freq shuffle 0.48, joins 0.22, and repartitioning/
+    # generator variants moved nothing). The fix is structural: pair
+    # support, per-item frequencies AND the basket count all come out
+    # of ONE generator pass + ONE shuffle, using NULL-marker rows —
+    # each basket emits its C(b,2) pairs (x, y), its b singletons
+    # (x, NULL) and one sentinel (NULL, NULL); a single (x, y) groupBy
+    # then holds all three aggregates, disambiguated by NULL pattern.
+    # Measured warm at sf0.1: 1.45 s → 0.71 s, identical rule set.
+    # Scale: shuffle volume grows ~1.5× vs pairs alone but REPLACES a
+    # second full shuffle of the same data; the aggregated frame is
+    # bounded by pairs + item universe + 1, so the persisted slot is
+    # catalog-sized, never corpus-sized.
+    combo = bounded_persist(
+        basket_arrays(spark, sf)
+        .select(
+            F.explode(
+                F.expr(
+                    """
+                    concat(
+                      flatten(transform(arr, (x, i) ->
+                        transform(slice(arr, i + 2, size(arr)),
+                                  y -> struct(x AS x, y AS y)))),
+                      transform(arr,
+                                x -> struct(x AS x, CAST(NULL AS BIGINT) AS y)),
+                      array(struct(CAST(NULL AS BIGINT) AS x,
+                                   CAST(NULL AS BIGINT) AS y))
+                    )"""
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("bigint").alias("cnt")),
+        "d19_combo",
     )
-    n_baskets = arrs.agg(
-        F.count("*").cast("bigint").alias("n_baskets")
+    pairs = combo.filter(
+        F.col("y").isNotNull() & (F.col("cnt") >= _MIN_SUPPORT)
+    ).select(
+        F.col("x").alias("part_x"),
+        F.col("y").alias("part_y"),
+        F.col("cnt").alias("support"),
+    )
+    freq = combo.filter(
+        F.col("x").isNotNull() & F.col("y").isNull()
+    ).select(F.col("x").alias("pk"), F.col("cnt").alias("c"))
+    n_baskets = combo.filter(F.col("x").isNull()).select(
+        F.col("cnt").alias("n_baskets")
     )  # 1-row frame, broadcast below — stays lazy, no driver action
 
     # both rule directions in ONE pass over the pair subtree: a

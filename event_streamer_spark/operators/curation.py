@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from event_streamer_spark.operators.pipeline import _EVAL_MOD
 from event_streamer_spark.operators.registry import query
 from event_streamer_spark.tables import load
 
@@ -154,7 +155,7 @@ def d7_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
                                                  || ':ws'), 1, 8) AS UBIGINT)
                             AS DOUBLE) / 4294967296.0,
                        1.0 / n_chars), 6) AS sample_key
-      FROM documents)
+      FROM documents WHERE n_chars > 0)
     ORDER BY sample_key DESC, doc_id
     LIMIT 100
     """,
@@ -174,7 +175,10 @@ def d7_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     BOTH engines, so cross-engine libm differences (≤1 ulp in pow)
     cannot flip the ordering; ties break on doc_id.
     """
-    d = load(spark, sf, "documents")
+    # A-ES is defined for weights > 0 (round-10 hostile corpus: a
+    # zero weight is a 1/w division by zero, a negative one a
+    # priority > 1) — out-of-domain rows are excluded on both engines
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
     key = weighted_sample_key("doc_id", "n_chars")
     return (
         d.select("doc_id", "n_chars", key.alias("sample_key"))
@@ -197,7 +201,7 @@ def d7_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
                                                    || ':ws'), 1, 8) AS UBIGINT)
                               AS DOUBLE) / 4294967296.0,
                          1.0 / n_chars), 6) AS sample_key
-        FROM documents))
+        FROM documents WHERE n_chars > 0))
     WHERE rn <= 5
     ORDER BY lang, rn
     """,
@@ -214,7 +218,8 @@ def d7_grouped_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """
     from event_streamer_spark.operators.distrank import two_level_row_number
 
-    d = load(spark, sf, "documents").select(
+    # same w > 0 A-ES domain as d7_weighted_sample (round 10)
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0).select(
         "lang",
         "doc_id",
         weighted_sample_key("doc_id", "n_chars").alias("sample_key"),
@@ -320,7 +325,7 @@ def d12_corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "d6_source_report",
-    oracle="""
+    oracle=f"""
     WITH hashed AS (
       SELECT doc_id, source, sha256(text) AS content_hash,
              len(string_split(text, ' ')) AS n_toks
@@ -334,9 +339,10 @@ def d12_corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
         FROM t, UNNEST(range(1, len(toks) - 3)) AS u(i)
         WHERE len(toks) >= 5),
       eval_grams AS (
-        SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+        SELECT DISTINCT g FROM grams WHERE doc_id % {_EVAL_MOD} = 0)
       SELECT DISTINCT g2.doc_id
-      FROM (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0) g2
+      FROM (SELECT DISTINCT doc_id, g FROM grams
+            WHERE doc_id % {_EVAL_MOD} <> 0) g2
       JOIN eval_grams ON g2.g = eval_grams.g)
     SELECT h.source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -607,11 +607,44 @@ def d4_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
 
 _SPAN_LEVELS = (4, 8, 16, 32)
 
+# The span operators reconstruct token SEQUENCES via (doc_id, pos)
+# windows, so they REQUIRE a unique document identity — their real
+# pipelines run after exact dedup. A conflicting duplicate doc_id (two
+# texts under one id — the round-10 seed-20260817 CDC corruption class)
+# otherwise interleaves both copies' equal positions in an
+# engine-arbitrary tie order and the span hashes diverge. Both engines
+# canonicalize identically: keep the MIN(text) copy per doc_id
+# (NULLS LAST), pinned here as a shared CTE + helper.
+_UNIQ_DOCS_CTE = """uniq AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY text NULLS LAST) AS __rn
+        FROM documents) WHERE __rn = 1)"""
+
+
+def unique_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """One canonical ``(doc_id, text)`` row per doc_id — the Spark side
+    of :data:`_UNIQ_DOCS_CTE` (see the comment above)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("text").asc_nulls_last()
+    )
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", "text")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
 
 @query(
     "d1_max_dup_span",
-    oracle="""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    oracle=f"""
+    WITH {_UNIQ_DOCS_CTE},
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM uniq),
     tok AS (
       SELECT doc_id, i AS pos, toks[i] AS h
       FROM t, UNNEST(range(1, len(toks) + 1)) u(i)),
@@ -658,7 +691,7 @@ def d1_max_dup_span(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     toks = (
-        load(spark, sf, "documents")
+        unique_docs(spark, sf)
         .select(
             "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "h")
         )
@@ -709,7 +742,8 @@ _SCRUB_SPAN = 16  # tokens per scrubbed duplicated span
 @query(
     "d1_span_scrub",
     oracle=f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    WITH {_UNIQ_DOCS_CTE},
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM uniq),
     tok AS (
       SELECT doc_id, i AS pos, toks[i] AS tok
       FROM t, UNNEST(range(1, len(toks) + 1)) u(i)),
@@ -740,7 +774,7 @@ _SCRUB_SPAN = 16  # tokens per scrubbed duplicated span
     SELECT d.doc_id,
            COALESCE(k.cleaned, '') AS cleaned,
            COALESCE(k.n_kept, 0) AS n_kept
-    FROM documents d
+    FROM uniq d
     LEFT JOIN (
       SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned,
              CAST(COUNT(*) AS BIGINT) AS n_kept
@@ -770,7 +804,7 @@ def d1_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
     from event_streamer_spark.caching import bounded_persist
 
     toks = (
-        load(spark, sf, "documents")
+        unique_docs(spark, sf)
         .select(
             "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
         )
@@ -817,7 +851,7 @@ def d1_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
     )
     return (
-        load(spark, sf, "documents")
+        unique_docs(spark, sf)
         .select("doc_id")
         .join(reassembled, "doc_id", "left")
         .select(

@@ -259,7 +259,7 @@ def decode_media(
            CAST(1 + n_chars % 64 AS INT) AS width,
            CAST(1 + doc_id % 48 AS INT) AS height,
            CAST(3 AS INT) AS channels
-    FROM documents WHERE n_chars IS NOT NULL
+    FROM documents WHERE n_chars >= 0
     """,
 )
 def d5_decode_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -292,8 +292,11 @@ def d5_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     d = (
         load(spark, sf, "documents")
         # NULL n_chars has no synthesizable payload (round-9 dirty
-        # corpus); the oracle carries the same WHERE
-        .filter(F.col("n_chars").isNotNull())
+        # corpus), and NEGATIVE n_chars is outside the synthesizer's
+        # domain too (round-10 hostile_media_fields: Python % is pmod,
+        # SQL % keeps the dividend sign — dims would diverge); the
+        # oracle carries the same n_chars >= 0 WHERE
+        .filter(F.col("n_chars") >= 0)
         .select("doc_id", "n_chars")
     )
     return d.mapInPandas(
@@ -322,21 +325,39 @@ def decode_png_pixels(
             return decoded
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise NotImplementedError("not a PNG")
+    # Same error contract as decode_bmp/decode_gif (round-10 hostile
+    # payload fuzz): structurally corrupt input raises
+    # ``ValueError('truncated/corrupt PNG')``, UNSUPPORTED-but-valid
+    # variants raise ``NotImplementedError`` — never a raw
+    # struct.error / zlib.error / IndexError out of a byte slice.
     pos, idat = 8, b""
     width = height = None
     while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         typ = payload[pos + 4 : pos + 8]
+        if pos + 8 + length > len(payload):
+            raise ValueError("truncated PNG chunk body")
         data = payload[pos + 8 : pos + 8 + length]
         if typ == b"IHDR":
+            if len(data) < 10:
+                raise ValueError("truncated IHDR")
             width, height, depth, color = struct.unpack(">IIBB", data[:10])
             if (depth, color) != (8, 2):
                 raise NotImplementedError("only 8-bit RGB supported")
         elif typ == b"IDAT":
             idat += data
         pos += 12 + length
-    raw = zlib.decompress(idat)
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT: {exc}") from exc
     stride = 1 + width * 3
+    if len(raw) < stride * height:
+        raise ValueError("PNG pixel data shorter than dimensions")
     rows = []
     for y in range(height):
         line = raw[y * stride : (y + 1) * stride]
@@ -366,7 +387,7 @@ def resize_nearest(rows: list[list[int]], w: int, h: int, ow: int, oh: int):
            CAST((1 + n_chars % 64 + 1) // 2 AS INT) AS out_width,
            CAST((1 + doc_id % 48 + 1) // 2 AS INT) AS out_height,
            CAST(10 + doc_id % 200 AS BIGINT) AS mean_pixel
-    FROM documents WHERE n_chars IS NOT NULL
+    FROM documents WHERE n_chars >= 0
     """,
 )
 def d5_image_resize(spark: SparkSession, sf: str) -> DataFrame:
@@ -425,8 +446,11 @@ def d5_image_resize(spark: SparkSession, sf: str) -> DataFrame:
     d = (
         load(spark, sf, "documents")
         # NULL n_chars has no synthesizable payload (round-9 dirty
-        # corpus); the oracle carries the same WHERE
-        .filter(F.col("n_chars").isNotNull())
+        # corpus), and NEGATIVE n_chars is outside the synthesizer's
+        # domain too (round-10 hostile_media_fields: Python % is pmod,
+        # SQL % keeps the dividend sign — dims would diverge); the
+        # oracle carries the same n_chars >= 0 WHERE
+        .filter(F.col("n_chars") >= 0)
         .select("doc_id", "n_chars")
     )
     return d.mapInPandas(
@@ -449,7 +473,7 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     oracle="""
     WITH t AS (
       SELECT doc_id, 1 + n_chars % 1000 AS n FROM documents
-      WHERE n_chars IS NOT NULL)
+      WHERE n_chars >= 0)
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_frames,
            list_transform(range(0, LEAST(n, 8)),
@@ -502,8 +526,11 @@ def d5_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     d = (
         load(spark, sf, "documents")
         # NULL n_chars has no synthesizable payload (round-9 dirty
-        # corpus); the oracle carries the same WHERE
-        .filter(F.col("n_chars").isNotNull())
+        # corpus), and NEGATIVE n_chars is outside the synthesizer's
+        # domain too (round-10 hostile_media_fields: Python % is pmod,
+        # SQL % keeps the dividend sign — dims would diverge); the
+        # oracle carries the same n_chars >= 0 WHERE
+        .filter(F.col("n_chars") >= 0)
         .select("doc_id", "n_chars")
     )
     return d.mapInPandas(
@@ -522,7 +549,7 @@ def d5_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
            CAST(1 + n_chars % 1000 AS BIGINT) AS n_frames,
            CAST(ROUND((1 + n_chars % 1000) * 1000.0 / 8000, 3) AS DOUBLE)
              AS duration_ms
-    FROM documents WHERE n_chars IS NOT NULL
+    FROM documents WHERE n_chars >= 0
     """,
 )
 def d5_audio_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -553,8 +580,11 @@ def d5_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     d = (
         load(spark, sf, "documents")
         # NULL n_chars has no synthesizable payload (round-9 dirty
-        # corpus); the oracle carries the same WHERE
-        .filter(F.col("n_chars").isNotNull())
+        # corpus), and NEGATIVE n_chars is outside the synthesizer's
+        # domain too (round-10 hostile_media_fields: Python % is pmod,
+        # SQL % keeps the dividend sign — dims would diverge); the
+        # oracle carries the same n_chars >= 0 WHERE
+        .filter(F.col("n_chars") >= 0)
         .select("doc_id", "n_chars")
     )
     return d.mapInPandas(

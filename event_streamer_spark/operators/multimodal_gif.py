@@ -499,7 +499,7 @@ def gif_signature_udf():
     oracle=f"""
     WITH t AS (
       SELECT doc_id, 1 + n_chars % 40 AS n FROM documents
-      WHERE n_chars IS NOT NULL)
+      WHERE n_chars >= 0)
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_frames,
            list_transform(range(0, LEAST(n, 8)),
@@ -601,7 +601,7 @@ def d5_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "documents")
         # NULL n_chars has no synthesizable payload (round-9 dirty
         # corpus); the oracle carries the same WHERE
-        .filter(F.col("n_chars").isNotNull())
+        .filter(F.col("n_chars") >= 0)
         .select("doc_id", "n_chars")
     )
     sampled = F.col("doc_id") % 8 == 0
@@ -620,7 +620,7 @@ def d5_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
     WITH t AS (
       SELECT doc_id, 1 + n_chars % 40 AS n FROM documents
-      WHERE n_chars IS NOT NULL),
+      WHERE n_chars >= 0),
     f AS (
       SELECT doc_id,
              md5(array_to_string(list_transform(range(0, LEAST(n, 8)),
@@ -663,7 +663,7 @@ def d5_gif_keyframe_dedup(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "documents")
         # NULL n_chars has no synthesizable payload (round-9 dirty
         # corpus); the oracle carries the same WHERE
-        .filter(F.col("n_chars").isNotNull())
+        .filter(F.col("n_chars") >= 0)
         .select("doc_id", "n_chars")
     )
     sigs = d.mapInPandas(fingerprint, "doc_id long, sig string")

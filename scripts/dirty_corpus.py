@@ -360,6 +360,25 @@ def timestamp_extremes(tables: dict, rng: random.Random) -> None:
     od[rng.randrange(m)] = dt.datetime(2262, 1, 1)
 
 
+def hostile_media_fields(tables: dict, rng: random.Random) -> None:
+    """Hostile D5 payload-synthesis parameters (round 10): the
+    multimodal family derives PNG/WAV dims from ``documents.n_chars``
+    via Python ``%`` (pmod) while the oracles use SQL ``%``
+    (sign-of-dividend) — negative n_chars is therefore OUTSIDE the
+    synthesizer's declared domain (``n_chars >= 0`` on both engines)
+    and this class proves both engines exclude it identically. Also
+    injects 0 (1-pixel-wide images), huge magnitudes (mod arithmetic
+    at the BIGINT edge) and values inconsistent with ``text`` (the
+    column is authoritative, not recomputed)."""
+    doc = tables["documents"]["data"]["n_chars"]
+    n = len(doc)
+    doc[rng.randrange(n)] = -1
+    doc[rng.randrange(n)] = -(2**31)
+    doc[rng.randrange(n)] = 0
+    doc[rng.randrange(n)] = 2**60
+    doc[rng.randrange(n)] = 1  # likely inconsistent with its text
+
+
 PERTURBATIONS: list[tuple[str, Callable]] = [
     ("null_injection", null_injection),
     ("overflow_magnitudes", overflow_magnitudes),
@@ -372,6 +391,7 @@ PERTURBATIONS: list[tuple[str, Callable]] = [
     ("malformed_json", malformed_json),
     ("hostile_embeddings", hostile_embeddings),
     ("timestamp_extremes", timestamp_extremes),
+    ("hostile_media_fields", hostile_media_fields),
 ]
 
 _ALL_TABLES = (

@@ -74,6 +74,11 @@ def main() -> int:
             mode=mode,
             rn_limit=100,
             cache=False,
+            # this proof targets the CLUSTER threshold placement; on a
+            # local[*] master resolve_naive_max_bytes would return the
+            # 8 GiB local crossover and auto would (correctly) stay
+            # naive at sf10 — pin the 1 GiB cluster value explicitly
+            naive_max_bytes=_NAIVE_MAX_BYTES,
         )
 
     plan10 = auto_out(load(spark, sf10, "lineitem"))._jdf.queryExecution().simpleString()

