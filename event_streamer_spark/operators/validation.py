@@ -50,7 +50,13 @@ _ALLOWED_LANGS = ("en", "fr", "es", "de", "zh")
         CAST(MAX(n_chars) AS DOUBLE) AS mx,
         AVG(CASE WHEN lang IN {_ALLOWED_LANGS!r} THEN 1.0 ELSE 0.0 END)
           AS lang_ok,
-        AVG(CAST(n_chars AS DOUBLE)) AS mean_chars
+        -- exact-integer sum, ONE final division: AVG(double) partial
+        -- sums are merge-order-sensitive once a hostile value nears
+        -- 2^61 (round-10 seed 20260818: engines differed at the ulp).
+        -- DECIMAL(38,0), not HUGEINT: this oracle is ALSO run on Spark
+        -- by the violation test, so the exact type must parse on both
+        CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE)
+          / COUNT(n_chars) AS mean_chars
       FROM documents
     )
     SELECT 'completeness_text' AS check_name,
@@ -88,7 +94,12 @@ def d14_data_quality(spark: SparkSession, sf: str) -> DataFrame:
         F.avg(
             F.when(F.col("lang").isin(*_ALLOWED_LANGS), 1.0).otherwise(0.0)
         ).alias("lang_ok"),
-        F.avg(F.col("n_chars").cast("double")).alias("mean_chars"),
+        # exact DECIMAL(38,0) sum + one division — the float-sum
+        # merge-order ledger class (round-10 seed 20260818)
+        (
+            F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("double")
+            / F.count("n_chars")
+        ).alias("mean_chars"),
     )
     return m.selectExpr(
         """stack(6,

@@ -54,10 +54,11 @@ FAMILIES = [
     # domain split in both GIF queries on its first run)
     "d5_",
     # round 10 seed-20260817 finds, each fixed + domain-pinned in its
-    # operator: d14 PSI bin cast-before-clamp overflow; d4 bigram/PMI
+    # operator: d14 PSI bin cast-before-clamp overflow and the
+    # mean-n_chars float-sum merge-order split; d4 bigram/PMI
     # LAG-window nondeterminism under conflicting duplicate doc_ids;
     # d7 sampler weight domains (A-ES w>0, Neyman/systematic <=1e9)
-    "d14_column_drift", "d4_bigram", "d4_pmi", "d7_",
+    "d14_", "d4_bigram", "d4_pmi", "d7_",
 ]
 
 
