@@ -451,16 +451,21 @@ def b63_running_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "b65_snapshot_diff",
     oracle="""
-    WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice
-                 FROM orders),
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                  ORDER BY o_orderstatus NULLS LAST,
+                                           o_totalprice NULLS LAST) AS rn
+        FROM orders) WHERE rn = 1),
     new AS (
       SELECT o_orderkey, o_orderstatus,
              CASE WHEN o_orderkey % 3 = 0
                   THEN ROUND(o_totalprice + 1.0, 2)
                   ELSE o_totalprice END AS o_totalprice
-      FROM orders WHERE o_orderkey % 10 <> 0
+      FROM old WHERE o_orderkey % 10 <> 0
       UNION ALL
-      SELECT o_orderkey + 1000000000, 'O', 1.23 FROM orders
+      SELECT o_orderkey + 1000000000, 'O', 1.23 FROM old
       WHERE o_orderkey % 25 = 0)
     SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
            CASE WHEN o.o_orderkey IS NULL THEN 'insert'
@@ -483,10 +488,26 @@ def b65_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     integer cents on the oracle side to match the hash's string-cast
     exactness.
     """
+    from pyspark.sql import Window
+
     from event_streamer_spark.writers import snapshot_diff
 
-    base = load(spark, sf, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+    # a snapshot is a MAP key -> payload: a CDC diff over a NON-unique
+    # key is ill-defined (the round-10 sf0.01 hostile corpus planted
+    # conflicting duplicate orderkeys and the engines classified the
+    # 2x2 pair fan-out differently). Canonicalize each snapshot to one
+    # row per key (min payload, NULLS LAST pinned) on BOTH engines —
+    # the same precondition d1 span dedup enforces for doc_id.
+    wk = Window.partitionBy("o_orderkey").orderBy(
+        F.col("o_orderstatus").asc_nulls_last(),
+        F.col("o_totalprice").asc_nulls_last(),
+    )
+    base = (
+        load(spark, sf, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
     new = (
         base.filter(F.col("o_orderkey") % 10 != 0)

@@ -252,7 +252,8 @@ def b15_ntile(spark: SparkSession, sf: str) -> DataFrame:
            FIRST_VALUE(val IGNORE NULLS) OVER w AS first_nn,
            LAST_VALUE(val IGNORE NULLS)  OVER w AS last_nn
     FROM t
-    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_orderkey, val NULLS LAST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
@@ -268,9 +269,14 @@ def b16_ignore_nulls(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.col("o_totalprice"))
         .alias("val"),
     )
+    # val tiebreak (NULLS LAST pinned both sides): o_orderkey alone is
+    # not a total order once the hostile corpus injects conflicting
+    # duplicate keys — tied rows then enter the running frame in
+    # engine-arbitrary order and last_nn diverges (round-10 sf0.01
+    # corpus, seed 20260819)
     w = (
         Window.partitionBy("o_orderstatus")
-        .orderBy("o_orderkey")
+        .orderBy(F.col("o_orderkey"), F.col("val").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return o.select(

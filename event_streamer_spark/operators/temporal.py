@@ -185,7 +185,8 @@ _BIN_SECONDS = 3600  # interval-join bin width (1 h)
       SELECT event_id AS a_id, user_id,
              epoch_us(ts) // 1000000 AS a_start,
              epoch_us(ts) // 1000000 + CAST(FLOOR(value) AS BIGINT) * 60 AS a_end
-      FROM events WHERE event_type = 'purchase'),
+      FROM events
+      WHERE event_type = 'purchase' AND value >= 0 AND value <= 1440),
     b AS (
       SELECT event_id AS b_id, user_id,
              epoch_us(ts) // 1000000 AS b_start,
@@ -217,7 +218,16 @@ def b09_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     scan + one hash join.
     """
     ev = load(spark, sf, "events")
-    a = ev.filter(F.col("event_type") == "purchase").select(
+    # duration domain: purchase windows are value MINUTES, declared
+    # 0..1440 (24 h) on BOTH engines — the round-10 sf0.01 hostile
+    # corpus injects 1e18-magnitude values whose bin enumeration would
+    # be unbounded (and NaN, which BETWEEN excludes identically:
+    # NaN <= x is false on both engines)
+    a = ev.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("value") >= 0)
+        & (F.col("value") <= 1440)
+    ).select(
         F.col("event_id").alias("a_id"),
         "user_id",
         F.unix_timestamp("ts").alias("a_start"),
@@ -236,19 +246,45 @@ def b09_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def binned(df: DataFrame, start: str, end: str) -> DataFrame:
+        # FLOOR division, not DIV: pre-1970 timestamps have NEGATIVE
+        # epochs, and truncating DIV rounds them toward zero — two
+        # overlapping intervals near the negative boundary then land
+        # in disjoint bin sets and the pair is silently lost (round-10
+        # sf0.01 hostile corpus, seed 20260819, 1900-01-01 rows). The
+        # pmod identity keeps the arithmetic exact in longs (a double
+        # floor() would lose ulps at hostile magnitudes).
+        def fdiv(x: str) -> str:
+            b = _BIN_SECONDS
+            return f"(({x}) - ((({x}) % {b} + {b}) % {b})) DIV {b}"
+
         return df.withColumn(
             "bin",
             F.explode(
                 F.sequence(
-                    F.expr(f"{start} DIV {_BIN_SECONDS}"),
+                    F.expr(fdiv(start)),
                     # end is EXCLUSIVE (a_start < b_end residual below):
                     # an interval ending exactly on a bin boundary does
                     # not touch the next bin
-                    F.expr(f"({end} - 1) DIV {_BIN_SECONDS}"),
+                    F.expr(fdiv(f"{end} - 1")),
                 )
             ),
         )
 
+    # copy numbers make the bin-boundary dedup MULTISET-correct when
+    # event_id is not unique (round-10 sf0.01 hostile corpus:
+    # conflicting duplicate purchase rows produce two distinct
+    # intervals whose pair rows the old (a_id, b_id) dedup collapsed
+    # to one, while the oracle's plain join keeps both). Numbering is
+    # per id ORDERED BY the interval payload: differing copies get
+    # distinct numbers deterministically; identical copies tie and the
+    # arbitrary assignment among identical rows cannot affect the
+    # output multiset.
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("a_id").orderBy("user_id", "a_start", "a_end")
+    wb = Window.partitionBy("b_id").orderBy("user_id", "b_start", "b_end")
+    a = a.withColumn("a_cn", F.row_number().over(wa))
+    b = b.withColumn("b_cn", F.row_number().over(wb))
     pairs = (
         binned(a, "a_start", "a_end")
         .join(binned(b, "b_start", "b_end"), ["user_id", "bin"])
@@ -256,7 +292,7 @@ def b09_interval_join(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("a_start") < F.col("b_end"))
             & (F.col("b_start") < F.col("a_end"))
         )
-        .dropDuplicates(["a_id", "b_id"])
+        .dropDuplicates(["a_id", "a_cn", "b_id", "b_cn"])
     )
     return pairs.select(
         "a_id",

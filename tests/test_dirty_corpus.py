@@ -101,6 +101,21 @@ def test_seeded_dirty_sweep(spark, dirty_dir):
     )
 
 
+def test_seeded_dirty_sweep_sf001_grain(spark, tmp_path_factory):
+    """Round-10 lesson: perturbation COLLISIONS scale with corpus size —
+    the sf0.01-grain hostile corpus (seed 20260819) caught three
+    duplicate-key classes (b09 bin-dedup multiset identity, b16
+    non-total window order, b65 CDC over a non-unique key) that three
+    sf0.001 seeds never triggered. Replay the affected families plus
+    the duplicate-key-sensitive d1/d14/d19 at the bigger grain."""
+    dst = tmp_path_factory.mktemp("dirty_sf001") / "sf"
+    make_dirty("/root/testdata/sf0.01", str(dst), 20260819)
+    fams = ["b09_", "b16_", "b65_", "d1_span", "d1_max", "d14_", "d19_"]
+    total, failures = run_sweep(spark, str(dst), fams, quiet=True)
+    assert total >= 12, total
+    assert failures == [], failures
+
+
 def test_pin_fingerprint_whitespace_only_docs_distinct(spark):
     """Round-10 hostile-corpus pin: ``''`` and ``' '`` are DIFFERENT
     texts and must get different fingerprints. crc32('') = 0, so the
