@@ -31,6 +31,7 @@ from event_streamer_spark.operators import journey  # noqa: F401
 from event_streamer_spark.operators import graph  # noqa: F401
 from event_streamer_spark.operators import er  # noqa: F401
 from event_streamer_spark.operators import basket  # noqa: F401
+from event_streamer_spark.operators import corpus  # noqa: F401
 # hybrid composes registered operators: import it LAST
 from event_streamer_spark.operators import hybrid  # noqa: F401
 

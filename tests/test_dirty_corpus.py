@@ -59,6 +59,10 @@ FAMILIES = [
     # LAG-window nondeterminism under conflicting duplicate doc_ids;
     # d7 sampler weight domains (A-ES w>0, Neyman/systematic <=1e9)
     "d14_", "d4_bigram", "d4_pmi", "d7_",
+    # round 10 session 2: the corpus.py additions (b75 matched by "b7",
+    # d7_dsir by "d7_"; the other two named here). The b75 NULL-date
+    # peer-group order was a seed-20260820 hostile find.
+    "d4_zipf", "d2_incremental",
 ]
 
 
