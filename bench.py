@@ -73,6 +73,11 @@ HEADLINE = [
     # get artifact-pinned per round (VERDICT r8 #8)
     "d3_pq_topk",
     "d3_hybrid_rrf",
+    # round-10 session 2: the corpus-selection representative — DSIR
+    # importance resampling (two token-keyed shuffles + a per-source
+    # rank), so the data-selection path's scale curve gets pinned per
+    # round alongside retrieval and dedup
+    "d7_dsir_resample",
 ]
 
 

@@ -1,6 +1,7 @@
 """Training-corpus curation extensions, round 10 session 2: DSIR-style
 importance resampling, Zipf-slope corpus statistics, cross-snapshot
-incremental dedup, and a GROUPS window-frame emulation.
+incremental dedup, a GROUPS window-frame emulation, and distributed
+PCA over the embedding table.
 
 Reference parity note: the reference (comparaonline/event-streamer,
 ``src/`` — a KafkaJS routing wrapper, see `src/consumer/index.ts:1`)
@@ -35,6 +36,7 @@ Engine-difference ledger for this module:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -431,4 +433,183 @@ def b75_groups_frame(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("frame_total_c").cast("bigint").alias("sum_frame_total_c"),
         F.max("frame_total_c").cast("bigint").alias("max_frame_total_c"),
         F.sum("frame_n").cast("bigint").alias("sum_frame_n"),
+    )
+
+
+# -- D3: distributed PCA over the embedding table -----------------------
+
+_PCA_K = 8
+_PCA_DIM = 64  # the fixture's embedding width (all SFs); domain-declared
+
+
+def pca_model(
+    spark: SparkSession, sf: str, k: int = _PCA_K
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Distributed PCA model over ``embeddings.embedding``: returns
+    ``(eigvals_desc[k], components[k, dim], mean[dim], n)``.
+
+    Domain: vectors that are non-NULL, exactly {dim}-wide, and free of
+    NULL/NaN components (the hostile-embeddings corpus classes inject
+    all three) — the same vector-hygiene filter the d3 search family
+    applies.
+
+    Scale design: one Arrow-batched ``mapInPandas`` pass emits each
+    batch's PARTIAL Gram upper triangle (dim·(dim+1)/2 doubles), column
+    sums and row count as (i, j, s) rows; a single (i, j) groupBy
+    reduces them and only the dim²-bounded model state is collected —
+    the same bounded-collect contract as ``similarity.train_ivf_
+    centroids`` (K×dim) and the PQ codebooks. No per-row data ever
+    reaches the driver, and the reduce is map-side combinable. The
+    driver then forms the population covariance C = G/n − μμᵀ and runs
+    ``numpy.linalg.eigh`` on the dim×dim matrix (model-state math, like
+    the IVF argmax). Float partial sums are partition-order sensitive
+    at the ulp; every DOWNSTREAM consumer of this model is therefore
+    either jitter-immune (the spectral invariants in
+    ``d3_pca_variance``) or re-rounded (tests pin values to 1e-6 on
+    the clean fixture, where Gram entries are O(n) and ulp noise is
+    ~1e-10).
+    """
+    from pyspark.sql import types as T
+
+    emb = (
+        load(spark, sf, "embeddings")
+        .select("embedding")
+        .filter(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == _PCA_DIM)
+            & ~F.expr("exists(embedding, x -> x IS NULL OR isnan(x))")
+        )
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def gram(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            G = X.T @ X
+            iu, ju = np.triu_indices(X.shape[1])
+            out = {
+                "i": list(iu) + list(range(X.shape[1])) + [-1],
+                "j": list(ju) + [-1] * X.shape[1] + [-1],
+                "s": list(G[iu, ju]) + list(X.sum(axis=0)) + [float(len(X))],
+            }
+            yield pd.DataFrame(out)
+
+    rows = (
+        emb.mapInPandas(gram, schema)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()  # ≤ dim(dim+1)/2 + dim + 1 rows — model state
+    )
+    G = np.zeros((_PCA_DIM, _PCA_DIM))
+    m = np.zeros(_PCA_DIM)
+    n = 0
+    for r in rows:
+        if r["i"] == -1:
+            n = int(r["s"])
+        elif r["j"] == -1:
+            m[r["i"]] = r["s"]
+        else:
+            G[r["i"], r["j"]] = r["s"]
+            G[r["j"], r["i"]] = r["s"]
+    if n == 0:
+        return (
+            np.zeros(k),
+            np.zeros((k, _PCA_DIM)),
+            np.zeros(_PCA_DIM),
+            0,
+        )
+    mu = m / n
+    C = G / n - np.outer(mu, mu)
+    C = (C + C.T) / 2.0
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    # deterministic sign convention: the largest-|.| component positive
+    for r in range(comps.shape[0]):
+        imax = int(np.argmax(np.abs(comps[r])))
+        if comps[r, imax] < 0:
+            comps[r] = -comps[r]
+    return vals[order], comps, mu, n
+
+
+@query(
+    "d3_pca_variance",
+    oracle=f"""
+    SELECT 'n_vectors' AS metric,
+           CAST(COUNT(*) AS BIGINT) AS value
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = {_PCA_DIM}
+      AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x))) = 0
+    UNION ALL SELECT 'dim', {_PCA_DIM}
+    UNION ALL SELECT 'pc1_dominates_axes', 1
+    UNION ALL SELECT 'eigs_sorted_desc', 1
+    UNION ALL SELECT 'components_orthonormal', 1
+    """,
+)
+def d3_pca_variance(spark: SparkSession, sf: str) -> DataFrame:
+    """D3: distributed PCA spectral audit — the embedding-whitening /
+    dimensionality-reduction step ANN pipelines run before IVF/PQ
+    (reducing 64→8 dims cuts index bandwidth 8× and decorrelates the
+    quantizer's input). Emits the bounded-check form (the b13
+    protocol): exact domain counts plus spectral invariants that are
+    THEOREMS for a correct PCA — λ₁ ≥ every coordinate-axis variance
+    (Rayleigh quotient at eᵢ), eigenvalues sorted descending,
+    components orthonormal — so each boolean is immune to the float
+    jitter of partial-sum order even under 1e20-magnitude hostile
+    vectors, while an incorrect covariance/eigen implementation breaks
+    them. The exact eigendecomposition values are pinned against a
+    full-matrix numpy reference on the clean fixture in
+    ``tests/test_corpus.py`` (same split as d3_ivf_topk: bounded-check
+    oracle + precise pytest).
+
+    Scale: see :func:`pca_model` — one Arrow pass, one dim²-bounded
+    reduce, driver math on a 64×64 matrix. 100 TB of embeddings costs
+    one scan.
+    """
+    vals, comps, mu, n = pca_model(spark, sf)
+    # max per-axis variance: one built-in aggregate pass (no UDF) —
+    # var_pop of each coordinate via posexplode, exact same domain.
+    emb = (
+        load(spark, sf, "embeddings")
+        .select("embedding")
+        .filter(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == _PCA_DIM)
+            & ~F.expr("exists(embedding, x -> x IS NULL OR isnan(x))")
+        )
+    )
+    diag = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.var_pop("x").alias("v"))
+        .agg(F.max("v").alias("vmax"))
+        .collect()
+    )
+    axis_var_max = diag[0]["vmax"] if n > 0 and diag[0]["vmax"] is not None else 0.0
+    tol = 1e-9 * max(1.0, abs(axis_var_max))
+    pc1_dom = 1 if (n == 0 or vals[0] >= axis_var_max - tol) else 0
+    sorted_desc = 1 if all(vals[i] >= vals[i + 1] - tol for i in range(len(vals) - 1)) else 0
+    gram_err = np.abs(comps @ comps.T - np.eye(comps.shape[0])).max() if n > 0 else 0.0
+    ortho = 1 if gram_err < 1e-8 else 0
+    rows = [
+        ("n_vectors", n),
+        ("dim", _PCA_DIM),
+        ("pc1_dominates_axes", pc1_dom),
+        ("eigs_sorted_desc", sorted_desc),
+        ("components_orthonormal", ortho),
+    ]
+    return spark.createDataFrame(
+        [(m, int(v)) for m, v in rows], "metric string, value bigint"
     )

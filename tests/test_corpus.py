@@ -183,3 +183,47 @@ def test_incremental_dedup_matches_python_reference(spark):
         assert r["is_dup"] == (1 if hits else 0), doc_id
         assert r["n_base_copies"] == len(hits), doc_id
         assert r["first_seen"] == (min(hits) if hits else None), doc_id
+
+
+def test_pca_model_matches_numpy_reference(spark):
+    """The distributed partial-Gram PCA must reproduce a full-matrix
+    numpy PCA on the fixture: same eigenvalues (1e-6), same components
+    up to the pinned sign convention, same mean, exact n."""
+    import numpy as np
+
+    from event_streamer_spark.operators.corpus import pca_model
+
+    vals, comps, mu, n = pca_model(spark, SF)
+    X = np.array(
+        [
+            r["embedding"]
+            for r in pq.read_table(f"{SF}/embeddings.parquet").to_pylist()
+            if r["embedding"] is not None and len(r["embedding"]) == 64
+        ],
+        dtype=np.float64,
+    )
+    assert n == len(X)
+    ref_mu = X.mean(axis=0)
+    C = np.cov(X.T, bias=True)
+    ref_vals, ref_vecs = np.linalg.eigh(C)
+    order = np.argsort(ref_vals)[::-1][: len(vals)]
+    assert np.abs(mu - ref_mu).max() < 1e-9
+    assert np.abs(vals - ref_vals[order]).max() < 1e-9
+    for r in range(len(vals)):
+        ref = ref_vecs[:, order[r]]
+        # sign convention: largest-|.| component positive
+        if ref[int(np.argmax(np.abs(ref)))] < 0:
+            ref = -ref
+        assert np.abs(comps[r] - ref).max() < 1e-8, r
+
+
+def test_pca_variance_metrics_all_pass(spark):
+    rows = {
+        r["metric"]: r["value"]
+        for r in REGISTRY["d3_pca_variance"].fn(spark, SF).collect()
+    }
+    assert rows["dim"] == 64
+    assert rows["n_vectors"] > 0
+    assert rows["pc1_dominates_axes"] == 1
+    assert rows["eigs_sorted_desc"] == 1
+    assert rows["components_orthonormal"] == 1
