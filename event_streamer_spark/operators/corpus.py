@@ -86,17 +86,82 @@ _DSIR_CONTRIB = (
 )
 
 
+def dsir_doc_token_counts(docs: DataFrame) -> DataFrame:
+    """Per-document token counts — the shared DSIR primitive: one row
+    per (doc_id, source, is_target, tok) with multiplicity ``k``.
+    Expects ALREADY-CANONICAL documents (unique doc_id — the batch
+    query feeds :func:`unique_full_docs`; the streaming leg declares
+    it as the ingest precondition). Grouping to (doc, token) BEFORE
+    scoring shrinks the scoring join from token instances to distinct
+    doc-token pairs — a 2-3× row reduction on natural text, more on
+    repetitive web text."""
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("lang") == "en", F.lit(False)).alias(
+                "is_target"
+            ),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "source", "is_target", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+
+
+def dsir_score_from_counts(toks: DataFrame) -> DataFrame:
+    """Score + rank from (doc_id, source, is_target, tok, k) counts —
+    the shared DSIR tail used by both the batch query and the
+    streaming index's read side (the drift.py convention: one scoring
+    definition, two ingestion paths). See ``d7_dsir_resample`` for the
+    determinism and scale contract."""
+    cnt = toks.groupBy("tok").agg(
+        F.sum("k").cast("bigint").alias("c_a"),
+        F.sum(F.when(F.col("is_target"), F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("c_t"),
+    )
+    tot = cnt.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_t").cast("bigint").alias("n_t"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    scored = (
+        toks.join(cnt, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_toks"),
+            F.round(
+                F.sum(F.expr(f"CAST(k AS DOUBLE) * {_DSIR_CONTRIB}")), 6
+            ).alias("dsir_score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("dsir_score").desc(), F.col("doc_id").asc()
+    )
+    return scored.select(
+        "doc_id", "source", "n_toks", "dsir_score",
+        F.row_number().over(w).cast("bigint").alias("src_rank"),
+    )
+
+
 @query(
     "d7_dsir_resample",
     oracle=f"""
     WITH {_UNIQ_FULL_CTE},
     toks AS (
-      SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok
-      FROM uniq),
+      SELECT doc_id, source,
+             COALESCE(lang = 'en', FALSE) AS is_target,
+             tok, CAST(COUNT(*) AS BIGINT) AS k
+      FROM (SELECT doc_id, lang, source,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM uniq)
+      GROUP BY doc_id, source, is_target, tok),
     cnt AS (
       SELECT tok,
-             CAST(COUNT(*) AS BIGINT) AS c_a,
-             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             CAST(SUM(k) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN is_target THEN k ELSE 0 END) AS BIGINT)
                AS c_t
       FROM toks GROUP BY tok),
     tot AS (
@@ -106,8 +171,9 @@ _DSIR_CONTRIB = (
       FROM cnt),
     scored AS (
       SELECT doc_id, source,
-             CAST(COUNT(*) AS BIGINT) AS n_toks,
-             ROUND(SUM({_DSIR_CONTRIB}), 6) AS dsir_score
+             CAST(SUM(k) AS BIGINT) AS n_toks,
+             ROUND(SUM(CAST(k AS DOUBLE) * {_DSIR_CONTRIB}), 6)
+               AS dsir_score
       FROM toks JOIN cnt USING (tok) CROSS JOIN tot
       GROUP BY doc_id, source)
     SELECT doc_id, source, n_toks, dsir_score,
@@ -141,38 +207,15 @@ def d7_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
     are source-bounded. No driver state, no all-pairs anything; at
     100 TB the cost is two scans + two shuffles, the published DSIR
     hashed-ngram variant being a drop-in replacement for ``tok`` if
-    the vocabulary needs capping.
+    the vocabulary needs capping. Scoring runs on (doc, token, k)
+    GROUPED counts (``dsir_doc_token_counts``), so the per-token
+    contribution is weighted ``k·LN(ratio)`` on both engines — the
+    scoring join carries distinct doc-token pairs, not token
+    instances, and the same counts table is what the streaming index
+    (`streaming/dsir.py`) persists per micro-batch.
     """
-    toks = unique_full_docs(spark, sf).select(
-        "doc_id", "lang", "source",
-        F.explode(F.split("text", " ")).alias("tok"),
-    )
-    cnt = toks.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_a"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("bigint")
-        .alias("c_t"),
-    )
-    tot = cnt.agg(
-        F.sum("c_a").cast("bigint").alias("n_a"),
-        F.sum("c_t").cast("bigint").alias("n_t"),
-        F.count(F.lit(1)).cast("bigint").alias("v"),
-    )
-    scored = (
-        toks.join(cnt, "tok")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
-            F.round(F.sum(F.expr(_DSIR_CONTRIB)), 6).alias("dsir_score"),
-        )
-    )
-    w = Window.partitionBy("source").orderBy(
-        F.col("dsir_score").desc(), F.col("doc_id").asc()
-    )
-    return scored.select(
-        "doc_id", "source", "n_toks", "dsir_score",
-        F.row_number().over(w).cast("bigint").alias("src_rank"),
+    return dsir_score_from_counts(
+        dsir_doc_token_counts(unique_full_docs(spark, sf))
     )
 
 

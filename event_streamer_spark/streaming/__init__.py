@@ -48,6 +48,10 @@ from event_streamer_spark.streaming.er import (
     er_link_batch,
     read_er_matches,
 )
+from event_streamer_spark.streaming.dsir import (
+    dsir_tokens_batch,
+    read_dsir,
+)
 from event_streamer_spark.streaming.basket import (
     pair_mine_batch,
     read_frequent_pairs,
@@ -108,6 +112,8 @@ __all__ = [
     "read_fk_orphans",
     "er_link_batch",
     "read_er_matches",
+    "dsir_tokens_batch",
+    "read_dsir",
     "pair_mine_batch",
     "read_frequent_pairs",
     "kmv_batch",

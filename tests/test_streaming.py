@@ -2562,3 +2562,77 @@ def test_incremental_census_equals_batch(spark, tmp_path, n_splits, bseed):
     assert got == expected
     # empty-state read guard
     assert read_census(spark, str(tmp_path / "none")).count() == 0
+
+
+@pytest.mark.parametrize("n_splits,seed", BOUNDARY_SPLITS)
+def test_incremental_dsir_equals_batch(spark, tmp_path, n_splits, seed):
+    """D7 streaming leg: the per-document token counts ingested across
+    micro-batches, scored at read by the batch operator's own tail,
+    must equal d7_dsir_resample EXACTLY — scores, n_toks, and ranks —
+    at every batch boundary in the grid (scores are a pure function of
+    the merged counts)."""
+    from event_streamer_spark.operators import REGISTRY
+    from event_streamer_spark.streaming import dsir_tokens_batch, read_dsir
+
+    batch_rows = {
+        tuple(r)
+        for r in REGISTRY["d7_dsir_resample"].fn(spark, SF).collect()
+    }
+
+    src = str(tmp_path / "docs_src")
+    write_split_files(
+        load(spark, SF, "documents"), src, "doc_id", n_splits, seed
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "dsir_state")
+    q = (
+        stream.writeStream.foreachBatch(dsir_tokens_batch(state))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dsir_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {tuple(r) for r in read_dsir(spark, state).collect()}
+    assert got == batch_rows
+
+
+def test_incremental_dsir_first_writer_wins(spark, tmp_path):
+    """A document re-sent in a LATER micro-batch counts once: the read
+    side keeps the min-batch_id copy per doc_id, so an identical
+    redelivery leaves scores unchanged (the batch canonicalization
+    also keeps one copy)."""
+    from event_streamer_spark.streaming import dsir_tokens_batch, read_dsir
+
+    docs = load(spark, SF, "documents")
+    state = str(tmp_path / "dsir_state2")
+    fn = dsir_tokens_batch(state)
+    fn(docs, 0)
+    fn(docs.limit(50), 1)  # redelivery of a slice, later batch
+    from event_streamer_spark.operators.corpus import (
+        dsir_doc_token_counts,
+        dsir_score_from_counts,
+        unique_full_docs,
+    )
+
+    expect = {
+        tuple(r)
+        for r in dsir_score_from_counts(
+            dsir_doc_token_counts(unique_full_docs(spark, SF))
+        ).collect()
+    }
+    got = {tuple(r) for r in read_dsir(spark, state).collect()}
+    assert got == expect
+
+
+def test_read_dsir_empty_state(spark, tmp_path):
+    from event_streamer_spark.streaming import read_dsir
+
+    assert read_dsir(spark, str(tmp_path / "missing")).count() == 0
