@@ -38,30 +38,103 @@ def b14_pivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "b11_stats_agg",
-    oracle="""
-    SELECT l_returnflag,
-           ROUND(stddev_samp(l_extendedprice), 3) AS sd_price,
-           ROUND(var_samp(l_extendedprice), 0)    AS var_price,
-           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov
-    FROM lineitem GROUP BY l_returnflag
-    """,
+# b11_stats_agg exact-moment fragments, shared verbatim by both engines
+# (hostile seed 20260820: a 9.9e11-dollar price lifts var_samp to
+# ~4.6e20 where the engines' single-pass co-moment mergers disagree by
+# ~6.5e4 — far past any fixed rounding grain; the d14/d15 exact-moment
+# protocol applies).  xc/yc = integer cents; x-only moments use every
+# non-NULL xc (the builtin stddev/var NULL rule), pair moments use
+# pairwise-complete rows (the builtin corr/covar NULL rule).  All sums
+# are exact DECIMAL; the finals are ONE double expression evaluated on
+# identical exact inputs on both engines, so the doubles are
+# bit-identical and no ROUND (itself a b23-pinned tie hazard) is
+# needed.  Σxc² bound: ≤ (1e14 cents)²·rows — DECIMAL(38,0) holds to
+# ~1e9 max-magnitude rows; beyond that, shard and merge the moment
+# table (it is additive).
+_B11_MOMENTS = """
+  CAST(COUNT(xc) AS BIGINT)                                  AS nx,
+  SUM(CAST(xc AS DECIMAL(38,0)))                             AS sx,
+  SUM(CAST(xc AS DECIMAL(19,0)) * CAST(xc AS DECIMAL(19,0))) AS sxx,
+  CAST(COUNT(CASE WHEN xc IS NOT NULL AND yc IS NOT NULL
+                  THEN 1 END) AS BIGINT)                     AS np,
+  SUM(CASE WHEN yc IS NOT NULL
+           THEN CAST(xc AS DECIMAL(38,0)) END)               AS px,
+  SUM(CASE WHEN xc IS NOT NULL
+           THEN CAST(yc AS DECIMAL(38,0)) END)               AS py,
+  SUM(CAST(xc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0))) AS pxy,
+  SUM(CASE WHEN yc IS NOT NULL
+           THEN CAST(xc AS DECIMAL(19,0)) * CAST(xc AS DECIMAL(19,0))
+      END)                                                   AS pxx,
+  SUM(CASE WHEN xc IS NOT NULL
+           THEN CAST(yc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0))
+      END)                                                   AS pyy
+"""
+
+_B11_VAR_C = (
+    "(CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE))"
+    " / (CAST(nx AS DOUBLE) - 1)"
 )
+_B11_DX = (
+    "(CAST(np AS DOUBLE) * CAST(pxx AS DOUBLE)"
+    " - CAST(px AS DOUBLE) * CAST(px AS DOUBLE))"
+)
+_B11_DY = (
+    "(CAST(np AS DOUBLE) * CAST(pyy AS DOUBLE)"
+    " - CAST(py AS DOUBLE) * CAST(py AS DOUBLE))"
+)
+_B11_FINALS = f"""
+  CASE WHEN nx >= 2
+       THEN SQRT(GREATEST({_B11_VAR_C}, 0.0)) / 100.0 END AS sd_price,
+  CASE WHEN nx >= 2 THEN {_B11_VAR_C} / 10000.0 END       AS var_price,
+  CASE WHEN np >= 2 AND {_B11_DX} > 0 AND {_B11_DY} > 0
+       THEN (CAST(np AS DOUBLE) * CAST(pxy AS DOUBLE)
+             - CAST(px AS DOUBLE) * CAST(py AS DOUBLE))
+            / SQRT({_B11_DX} * {_B11_DY}) END             AS qty_price_corr,
+  CASE WHEN np >= 2
+       THEN (CAST(pxy AS DOUBLE)
+             - CAST(px AS DOUBLE) * CAST(py AS DOUBLE) / CAST(np AS DOUBLE))
+            / (CAST(np AS DOUBLE) - 1) / 10000.0 END      AS qty_price_cov
+"""
+
+# ONE SQL text, run verbatim by BOTH engines (Spark via register_views
+# — every construct here is shared dialect), so the double arithmetic
+# is op-for-op identical by construction.
+_B11_STATS_SQL = f"""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity * 100) AS BIGINT)      AS yc,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS xc
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag, {_B11_MOMENTS}
+      FROM c GROUP BY l_returnflag)
+    SELECT l_returnflag, {_B11_FINALS}
+    FROM m
+    """
+
+
+@query("b11_stats_agg", oracle=_B11_STATS_SQL)
 def b11_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
-    """B11: statistical aggregates. Rounding grains sized to magnitude so
-    partial-aggregation order noise (≲1e-9 relative) can't flip a digit:
-    stddev ~3e4 → 3dp, variance ~1e9 → 0dp, corr ∈ [-1,1] → 6dp."""
-    li = load(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 3).alias("sd_price"),
-        F.round(F.var_samp("l_extendedprice"), 0).alias("var_price"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
-            "qty_price_cov"
-        ),
-    )
+    """B11: statistical aggregates (sample stddev/variance of price,
+    quantity-price correlation and covariance per return flag) — via
+    EXACT integer-cents moment sums rather than the engines' built-in
+    single-pass co-moment aggregates: the builtins' merge order
+    differs per engine AND per run, which the round-10 hostile corpus
+    promoted from ulp noise to a 6.5e4 absolute split once a
+    9.9e11-dollar price entered the sums (see ``_B11_MOMENTS``). The
+    finals are one shared double expression over exact sums —
+    bit-identical cross-engine at any magnitude, emitted unrounded.
+    Degenerate groups (n<2, zero variance) yield NULL via exact
+    integer guards on both engines.
+
+    Scale: one map-side-combinable aggregate (9 exact sums per group)
+    — the same shuffle profile as the builtin version; the moment
+    table is additive across shards, so incremental/streaming merges
+    stay exact.
+    """
+    register_views(spark, sf)
+    return spark.sql(_B11_STATS_SQL)
 
 
 @query(

@@ -81,7 +81,7 @@ def _cosine(a: str, b: str) -> F.Column:
 @query(
     "d3_topk_cosine",
     oracle=f"""
-    WITH q AS (SELECT DISTINCT CAST(embedding AS DOUBLE[]) AS qv
+    WITH q AS (SELECT MIN(CAST(embedding AS DOUBLE[])) AS qv
                FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
     s AS (SELECT DISTINCT vec_id,
                  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS sim
@@ -96,12 +96,18 @@ def d3_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     Scale: one narrow map computing the score + TakeOrderedAndProject
     (per-partition top-k, driver merges k·P rows) — no shuffle of the
     table. Ties broken by (rounded sim, vec_id) so the row set is stable.
+    The query vector is the MIN array among the id's copies (elementwise
+    lexicographic, both engines) — ``head()`` on an unordered filter was
+    engine-arbitrary under the conflicting-duplicate corruption class
+    (the d3_knn_join seed-20260820 find applied to the query side).
     """
     emb = load_embeddings(spark, sf).withColumn(
         "vec", F.col("embedding").cast("array<double>")
     )
     qrow = (
-        emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("vec").head()
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .agg(F.min("vec").alias("vec"))
+        .head()
     )
     qlit = F.array(*[F.lit(float(x)) for x in qrow["vec"]])
     scored = (
@@ -229,9 +235,14 @@ def _recall_check(
 @query(
     "d3_knn_join",
     oracle=f"""
-    WITH e AS (SELECT DISTINCT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings
-               WHERE {_VALID_EMB_DUCK} AND label IS NOT NULL),
+    WITH e0 AS (SELECT DISTINCT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+                WHERE {_VALID_EMB_DUCK} AND label IS NOT NULL),
+    e AS (SELECT vec_id, label, v FROM (
+            SELECT vec_id, label, v,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY label, v) AS rn
+            FROM e0) WHERE rn = 1),
     pairs AS (
       SELECT a.vec_id AS src, b.vec_id AS nbr,
              ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
@@ -257,14 +268,34 @@ def d3_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     block and scores them against each other, while SQL equi-join
     blocking never matches NULL = NULL — unblockable rows are out of
     the operator's domain, not silently co-blocked.
+
+    CONFLICTING identities (one vec_id, different payloads — the
+    CDC/rekey corruption class) are canonicalized to ONE row per
+    vec_id first (min (label, v), a total order: labels are ints and
+    array<double> compares elementwise): k-NN ranks PER IDENTITY, so
+    a two-copy id would otherwise emit a top-3 per copy on the
+    blocked-GEMM side while the SQL oracle ranks one window per src —
+    caught by hostile seed 20260820 (vec_id 304, +3 rows), the same
+    one-row-per-key rule as d1 spans / b65 CDC. The min is a
+    map-combinable groupBy (no window shuffle) and a no-op on clean
+    unique-id data.
     """
     e = (
         load_embeddings(spark, sf)
         .filter(F.col("label").isNotNull())
         .select(
             "vec_id",
-            F.col("label").alias("block"),
-            F.col("embedding").cast("array<double>").alias("v"),
+            F.struct(
+                F.col("label").alias("label"),
+                F.col("embedding").cast("array<double>").alias("v"),
+            ).alias("lv"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("lv").alias("lv"))
+        .select(
+            "vec_id",
+            F.col("lv.label").alias("block"),
+            F.col("lv.v").alias("v"),
         )
     )
     return _block_topk(e, "block", 3)
