@@ -445,10 +445,13 @@ def b75_groups_frame(spark: SparkSession, sf: str) -> DataFrame:
     (priority, orderdate) peer position, so copies contribute
     identical rows to the multiset on both engines.
 
-    Scale: one shuffle on o_orderpriority (5 partitions — skewed by
-    design; the two-level distrank rewrite applies if a priority
-    class outgrows an executor), two window passes over the same sort
-    order (Catalyst reuses the sort), then a ~35-key aggregate.
+    Scale: ONE Exchange on o_orderpriority (verified: the executed
+    plan has a single shuffle; 5 partitions — skewed by design, and
+    the two-level distrank rewrite applies if a priority class
+    outgrows an executor), two window passes with two in-partition
+    sorts (the grp sort is order-equivalent to the orderdate sort but
+    Catalyst cannot prove it — no extra shuffle, one extra O(n log n)
+    in-memory pass), then a ~35-key aggregate.
     """
     orders = load(spark, sf, "orders").select(
         "o_orderpriority",

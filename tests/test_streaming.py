@@ -52,7 +52,7 @@ def write_split_files(df, src: str, key: str, n_splits: int, seed: str):
 # EVENT_STREAMER_BOUNDARY_SEED=<seed>, which also re-derives the split
 # count from the seed, covering the 1-way trivial boundary through
 # 5-way). Rotate the default when the incremental-index family changes.
-BOUNDARY_FUZZ_SEED = os.environ.get("EVENT_STREAMER_BOUNDARY_SEED", "r8")
+BOUNDARY_FUZZ_SEED = os.environ.get("EVENT_STREAMER_BOUNDARY_SEED", "r10s2")
 _n_fuzz = 1 + zlib.crc32(f"nsplits:{BOUNDARY_FUZZ_SEED}".encode()) % 5
 BOUNDARY_SPLITS = [(2, "parity"), (_n_fuzz, BOUNDARY_FUZZ_SEED)]
 
