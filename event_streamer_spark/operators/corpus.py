@@ -515,17 +515,27 @@ def pca_model(
     the clean fixture, where Gram entries are O(n) and ulp noise is
     ~1e-10).
     """
-    from pyspark.sql import types as T
+    rows = pca_gram_terms(pca_domain(load(spark, sf, "embeddings"))).collect()
+    return pca_model_from_terms(rows, k)
 
-    emb = (
-        load(spark, sf, "embeddings")
-        .select("embedding")
-        .filter(
-            F.col("embedding").isNotNull()
-            & (F.size("embedding") == _PCA_DIM)
-            & ~F.expr("exists(embedding, x -> x IS NULL OR isnan(x))")
-        )
+
+def pca_domain(emb: DataFrame) -> DataFrame:
+    """The PCA vector-hygiene domain filter (see :func:`pca_model`)."""
+    return emb.select("embedding").filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == _PCA_DIM)
+        & ~F.expr("exists(embedding, x -> x IS NULL OR isnan(x))")
     )
+
+
+def pca_gram_terms(emb: DataFrame) -> DataFrame:
+    """The REDUCED (i, j, s) Gram-term frame for ``emb.embedding``:
+    upper-triangle Gram entries, column sums (j = -1) and the row
+    count (i = j = -1) — ≤ dim(dim+1)/2 + dim + 1 rows. Terms are
+    ADDITIVE (merge = SUM), which is what makes them the streaming
+    index state (`streaming/pca.py`): per-batch term shards sum to
+    the corpus terms."""
+    from pyspark.sql import types as T
 
     schema = T.StructType(
         [
@@ -551,12 +561,20 @@ def pca_model(
             }
             yield pd.DataFrame(out)
 
-    rows = (
+    return (
         emb.mapInPandas(gram, schema)
         .groupBy("i", "j")
         .agg(F.sum("s").alias("s"))
-        .collect()  # ≤ dim(dim+1)/2 + dim + 1 rows — model state
     )
+
+
+def pca_model_from_terms(
+    rows, k: int = _PCA_K
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Driver-side model math over collected Gram-term rows — the
+    64×64 covariance + ``numpy.linalg.eigh`` + the pinned sign
+    convention. Shared by the batch model and the streaming read side
+    so the definitions cannot drift."""
     G = np.zeros((_PCA_DIM, _PCA_DIM))
     m = np.zeros(_PCA_DIM)
     n = 0
@@ -625,19 +643,14 @@ def d3_pca_variance(spark: SparkSession, sf: str) -> DataFrame:
     one scan.
     """
     vals, comps, mu, n = pca_model(spark, sf)
-    # max per-axis variance: one built-in aggregate pass (no UDF) —
-    # var_pop of each coordinate via posexplode, exact same domain.
-    emb = (
-        load(spark, sf, "embeddings")
-        .select("embedding")
-        .filter(
-            F.col("embedding").isNotNull()
-            & (F.size("embedding") == _PCA_DIM)
-            & ~F.expr("exists(embedding, x -> x IS NULL OR isnan(x))")
-        )
-    )
+    # max per-axis variance: an INDEPENDENT built-in aggregate pass
+    # (var_pop via posexplode, no UDF, same domain) — deliberately not
+    # derived from the model's own covariance diagonal, so the check
+    # also cross-validates the Arrow Gram pass against Catalyst's
+    # var_pop.
     diag = (
-        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        pca_domain(load(spark, sf, "embeddings"))
+        .select(F.posexplode("embedding").alias("pos", "x"))
         .groupBy("pos")
         .agg(F.var_pop("x").alias("v"))
         .agg(F.max("v").alias("vmax"))

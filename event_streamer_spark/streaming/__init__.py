@@ -52,6 +52,10 @@ from event_streamer_spark.streaming.dsir import (
     dsir_tokens_batch,
     read_dsir,
 )
+from event_streamer_spark.streaming.pca import (
+    pca_gram_batch,
+    read_pca_model,
+)
 from event_streamer_spark.streaming.basket import (
     pair_mine_batch,
     read_frequent_pairs,
@@ -114,6 +118,8 @@ __all__ = [
     "read_er_matches",
     "dsir_tokens_batch",
     "read_dsir",
+    "pca_gram_batch",
+    "read_pca_model",
     "pair_mine_batch",
     "read_frequent_pairs",
     "kmv_batch",

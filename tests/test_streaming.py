@@ -2636,3 +2636,50 @@ def test_read_dsir_empty_state(spark, tmp_path):
     from event_streamer_spark.streaming import read_dsir
 
     assert read_dsir(spark, str(tmp_path / "missing")).count() == 0
+
+
+@pytest.mark.parametrize("n_splits,seed", BOUNDARY_SPLITS)
+def test_incremental_pca_equals_batch(spark, tmp_path, n_splits, seed):
+    """D3 streaming leg: Gram-term shards ingested across micro-batches
+    must reproduce the batch PCA model — n exactly, spectrum/mean/
+    components to the documented 1e-9 float-merge jitter — at every
+    boundary in the grid."""
+    import numpy as np
+
+    from event_streamer_spark.operators.corpus import pca_model
+    from event_streamer_spark.streaming import pca_gram_batch, read_pca_model
+
+    b_vals, b_comps, b_mu, b_n = pca_model(spark, SF)
+
+    src = str(tmp_path / "emb_src")
+    write_split_files(
+        load(spark, SF, "embeddings"), src, "vec_id", n_splits, seed
+    )
+    stream = (
+        spark.readStream.schema(
+            "vec_id bigint, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "pca_state")
+    q = (
+        stream.writeStream.foreachBatch(pca_gram_batch(state))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "pca_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    s_vals, s_comps, s_mu, s_n = read_pca_model(spark, state)
+    assert s_n == b_n
+    assert np.abs(s_vals - b_vals).max() < 1e-9
+    assert np.abs(s_mu - b_mu).max() < 1e-9
+    assert np.abs(s_comps - b_comps).max() < 1e-6
+
+
+def test_read_pca_model_empty_state(spark, tmp_path):
+    from event_streamer_spark.streaming import read_pca_model
+
+    vals, comps, mu, n = read_pca_model(spark, str(tmp_path / "missing"))
+    assert n == 0 and vals.shape == (8,)
