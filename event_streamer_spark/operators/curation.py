@@ -30,7 +30,9 @@ _STOP = ("the", "a", "of", "and", "to", "in")
     oracle=f"""
     WITH hashed AS (
       SELECT doc_id, text, lang, source, sha256(text) AS content_hash,
-             ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+             ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                ORDER BY doc_id, lang NULLS LAST,
+                                         source NULLS LAST) AS rn
       FROM documents),
     deduped AS (SELECT * FROM hashed WHERE rn = 1),
     scored AS (
@@ -60,7 +62,16 @@ def d6_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").withColumn(
         "content_hash", F.sha2("text", 256)
     )
-    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    # total survivor order: (doc_id, lang, source) — doc_id alone is
+    # NOT total under the conflicting-duplicate class (seed-20260822
+    # skew corpus: one copy of a duplicated row had its source
+    # reassigned, and the rn=1 survivor's source became
+    # engine-arbitrary)
+    w = Window.partitionBy("content_hash").orderBy(
+        F.col("doc_id").asc(),
+        F.col("lang").asc_nulls_last(),
+        F.col("source").asc_nulls_last(),
+    )
     deduped = (
         docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -644,12 +644,14 @@ def b15_window_rank(spark: SparkSession, sf: str) -> DataFrame:
            FIRST_VALUE(o_totalprice) OVER w AS first_total,
            LAST_VALUE(o_totalprice)  OVER (PARTITION BY o_custkey
                                            ORDER BY o_orderdate NULLS LAST,
-                                                    o_orderkey NULLS LAST
+                                                    o_orderkey NULLS LAST,
+                                                    o_totalprice NULLS LAST
                                            ROWS BETWEEN UNBOUNDED PRECEDING
                                                     AND UNBOUNDED FOLLOWING) AS last_total
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
-                 ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST)
+                 ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST,
+                          o_totalprice NULLS LAST)
     """,
 )
 def b16_window_analytic(spark: SparkSession, sf: str) -> DataFrame:
@@ -657,11 +659,16 @@ def b16_window_analytic(spark: SparkSession, sf: str) -> DataFrame:
     NULL order keys pinned NULLS LAST on both engines (round-9 dirty
     corpus: Spark's ASC default is NULLS FIRST, DuckDB's NULLS LAST —
     left implicit, every lag/lead in a partition with a NULL-dated
-    order shifts by one)."""
+    order shifts by one). The windowed VALUE rides as final tiebreak
+    (the b16_ignore_nulls rule): (orderdate, orderkey) is not total
+    under conflicting duplicate orderkeys, and lag/lead of the two
+    copies' different totalprice was run-arbitrary — intermittent on
+    the seed-20260819+skew mega-customer corpus."""
     orders = load(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").asc_nulls_last(),
         F.col("o_orderkey").asc_nulls_last(),
+        F.col("o_totalprice").asc_nulls_last(),
     )
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return orders.select(
@@ -682,13 +689,15 @@ def b16_window_analytic(spark: SparkSession, sf: str) -> DataFrame:
     SELECT o_orderkey, o_custkey,
            CAST(SUM(cents) OVER (PARTITION BY o_custkey
                                  ORDER BY o_orderdate NULLS LAST,
-                                          o_orderkey NULLS LAST
+                                          o_orderkey NULLS LAST,
+                                          cents NULLS LAST
                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)/100 AS run_total,
            CAST((10000 * SUM(cents) OVER w3) // (COUNT(*) OVER w3)
                 AS DOUBLE) / 1000000 AS mov_avg
     FROM t
     WINDOW w3 AS (PARTITION BY o_custkey
-                  ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
+                  ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST,
+                           cents NULLS LAST
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
 )
@@ -701,9 +710,14 @@ def b17_window_frame(spark: SparkSession, sf: str) -> DataFrame:
     6) at 1e11-dollar magnitudes is a 1-ulp lottery between the
     engines' ROUND implementations (dirty seed 31337)."""
     orders = load(spark, sf, "orders").withColumn("cents", _cents("o_totalprice"))
+    # cents as final tiebreak: the running sums are order-sensitive
+    # across conflicting duplicate orderkeys (the b16 seed-20260819
+    # +skew lesson) — without it the per-copy prefix sums are
+    # run-arbitrary
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").asc_nulls_last(),
         F.col("o_orderkey").asc_nulls_last(),
+        F.col("cents").asc_nulls_last(),
     )
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w3 = w.rowsBetween(-2, Window.currentRow)
@@ -718,12 +732,14 @@ def b17_window_frame(spark: SparkSession, sf: str) -> DataFrame:
             "CAST((10000 * SUM(cents) OVER ("
             "  PARTITION BY o_custkey"
             "  ORDER BY o_orderdate ASC NULLS LAST,"
-            "           o_orderkey ASC NULLS LAST"
+            "           o_orderkey ASC NULLS LAST,"
+            "           cents ASC NULLS LAST"
             "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) DIV"
             " COUNT(*) OVER ("
             "  PARTITION BY o_custkey"
             "  ORDER BY o_orderdate ASC NULLS LAST,"
-            "           o_orderkey ASC NULLS LAST"
+            "           o_orderkey ASC NULLS LAST,"
+            "           cents ASC NULLS LAST"
             "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
             " AS DOUBLE) / 1000000"
         ).alias("mov_avg"),

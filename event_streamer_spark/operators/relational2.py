@@ -843,7 +843,8 @@ def b27_try_cast(spark: SparkSession, sf: str) -> DataFrame:
     SELECT o_orderkey, o_custkey,
            nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
                                             ORDER BY o_orderdate NULLS LAST,
-                                                     o_orderkey NULLS LAST
+                                                     o_orderkey NULLS LAST,
+                                                     o_totalprice NULLS LAST
                                             ROWS BETWEEN UNBOUNDED PRECEDING
                                                      AND UNBOUNDED FOLLOWING)
              AS second_total
@@ -851,7 +852,13 @@ def b27_try_cast(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def b16_nth_value(spark: SparkSession, sf: str) -> DataFrame:
-    """B16: nth_value over the full-partition frame."""
+    """B16: nth_value over the full-partition frame. The window order
+    carries the VALUE as final tiebreak (the b16_ignore_nulls rule):
+    (orderdate, orderkey) is not total under the conflicting-duplicate
+    class — two copies of one orderkey with different totalprice made
+    ``nth_value(..., 2)`` run-arbitrary, surfaced intermittently once
+    the seed-20260819+skew corpus concentrated 30% of orders into one
+    mega-customer partition and collision odds exploded."""
     from pyspark.sql import Window
 
     o = load(spark, sf, "orders")
@@ -860,6 +867,7 @@ def b16_nth_value(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(
             F.col("o_orderdate").asc_nulls_last(),
             F.col("o_orderkey").asc_nulls_last(),
+            F.col("o_totalprice").asc_nulls_last(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )

@@ -1181,7 +1181,8 @@ from event_streamer_spark.operators.sketches import (  # noqa: E402
                   AS BIGINT) AS x,
              CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
                     FILTER (WHERE ts >= TIMESTAMP '{_AB_SPLIT}'
-                            AND event_type = 'purchase' AND value >= 0),
+                            AND event_type = 'purchase'
+                            AND value >= 0 AND value <= 1000000000),
                     0) AS BIGINT) AS y,
              CAST(COUNT(*) FILTER (WHERE ts >= TIMESTAMP '{_AB_SPLIT}'
                     AND event_type = 'purchase') > 0
@@ -1212,7 +1213,7 @@ from event_streamer_spark.operators.sketches import (  # noqa: E402
                         - tn * (v.sum_x * p.n - p.sx * v.n_users))
                     * 10000000
                     // NULLIF(CAST(v.n_users AS HUGEINT) * td * p.n, 0)
-                    + 5) // 10) AS BIGINT) AS mean_y_adj_micro
+                    + 5) // 10) AS VARCHAR) AS mean_y_adj_micro
     FROM by_variant v CROSS JOIN (
       SELECT n, sx, sy, sxx, sxy,
              CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS tn,
@@ -1231,8 +1232,15 @@ def d14_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
     covariate/conversion tallies, integer-ppm conversion rate, and the
     CUPED-adjusted mean ȳ_v − θ·(x̄_v − x̄) with θ = cov(X,Y)/var(X)
     POOLED across variants (per-variant θ would bias the contrast).
-    The adjusted mean is the one float column, composed of exact
-    BIGINT moments and rounded at the repo's 6-decimal grain; negative
+    The adjusted mean is emitted as an exact micro-cents DIGIT STRING
+    (seed-20260822 skew corpus: a mega-user holding 30% of events plus
+    a 1e15-dollar hostile purchase pushed the value past int64 — the
+    BIGINT cast errored on DuckDB, and Spark's DECIMAL(38,0)
+    intermediates SILENTLY lost precision past 38 digits, a worse
+    failure). The outcome domain is pinned to [0, 1e9] dollars per
+    event (the Neyman/systematic sampler bound): that caps every
+    intermediate product at ~1e35, provably inside DECIMAL(38,0) and
+    HUGEINT on both engines, so the string is exact. Negative
     purchase values (refund-like dirty rows) are excluded from the
     outcome on both engines, and NULL users/timestamps drop out before
     assignment.
@@ -1258,7 +1266,8 @@ def d14_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
                 F.sum(
                     F.expr(
                         f"CASE WHEN ts >= {split}"
-                        " AND event_type = 'purchase' AND value >= 0"
+                        " AND event_type = 'purchase'"
+                        " AND value >= 0 AND value <= 1000000000"
                         " THEN CAST(ROUND(value * 100) AS BIGINT) END"
                     )
                 ),
@@ -1318,7 +1327,7 @@ def d14_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
             "         - tn * (sum_x * n - sx * n_users))"
             "     * 10000000"
             "     DIV NULLIF(CAST(n_users AS DECIMAL(38,0)) * td * n, 0)"
-            "     + 5) DIV 10) AS BIGINT)"
+            "     + 5) DIV 10) AS STRING)"
         ).alias("mean_y_adj_micro"),
     )
 

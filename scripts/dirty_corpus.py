@@ -379,6 +379,39 @@ def hostile_media_fields(tables: dict, rng: random.Random) -> None:
     doc[rng.randrange(n)] = 1  # likely inconsistent with its text
 
 
+def skewed_groups(tables: dict, rng: random.Random) -> None:
+    """Heavy-hitter key skew (round 10 session 2): re-point a large
+    fraction of rows at ONE existing group key per table — the
+    production shape where a single domain/customer/bot dominates a
+    partition key. Correctness-wise both engines see identical data
+    (group results must still hash-match — per-key windows, quota
+    ranks, cohort folds and sequence ops must stay deterministic when
+    one partition holds 30-40% of the table); scale-wise this is the
+    exact profile the skew toolkit (salting, AQE skew-join, basket
+    caps, two-level distrank) exists for, so the hostile replay
+    doubles as a check that none of those paths changes SEMANTICS
+    under skew."""
+    doc = tables["documents"]["data"]
+    n = len(doc["source"])
+    mega_src = next(
+        (v for v in doc["source"] if v is not None), "src0"
+    )
+    for i in _sample_idx(rng, n, max(2, (n * 2) // 5)):
+        doc["source"][i] = mega_src
+    ords = tables["orders"]["data"]
+    m = len(ords["o_custkey"])
+    mega_cust = next(
+        (v for v in ords["o_custkey"] if v is not None), 1
+    )
+    for i in _sample_idx(rng, m, max(2, (m * 3) // 10)):
+        ords["o_custkey"][i] = mega_cust
+    ev = tables["events"]["data"]
+    k = len(ev["user_id"])
+    mega_user = next((v for v in ev["user_id"] if v is not None), 1)
+    for i in _sample_idx(rng, k, max(2, (k * 3) // 10)):
+        ev["user_id"][i] = mega_user
+
+
 PERTURBATIONS: list[tuple[str, Callable]] = [
     ("null_injection", null_injection),
     ("overflow_magnitudes", overflow_magnitudes),
@@ -392,6 +425,7 @@ PERTURBATIONS: list[tuple[str, Callable]] = [
     ("hostile_embeddings", hostile_embeddings),
     ("timestamp_extremes", timestamp_extremes),
     ("hostile_media_fields", hostile_media_fields),
+    ("skewed_groups", skewed_groups),
 ]
 
 _ALL_TABLES = (

@@ -114,7 +114,15 @@ def test_seeded_dirty_sweep_sf001_grain(spark, tmp_path_factory):
     the duplicate-key-sensitive d1/d14/d19 at the bigger grain."""
     dst = tmp_path_factory.mktemp("dirty_sf001") / "sf"
     make_dirty("/root/testdata/sf0.01", str(dst), 20260819)
-    fams = ["b09_", "b16_", "b65_", "d1_span", "d1_max", "d14_", "d19_"]
+    # b15/b17 joined round-10 session 2: the skewed_groups class made
+    # duplicate-key collisions in the mega-customer partition frequent
+    # enough to surface run-arbitrary window orders INTERMITTENTLY
+    # (b16_nth_value, b16_window_analytic, b17 running sums — all now
+    # value-tiebroken)
+    fams = [
+        "b09_", "b15_", "b16_", "b17_", "b65_",
+        "d1_span", "d1_max", "d14_", "d19_",
+    ]
     total, failures = run_sweep(spark, str(dst), fams, quiet=True)
     assert total >= 12, total
     assert failures == [], failures

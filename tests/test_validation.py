@@ -518,7 +518,7 @@ def test_ab_cuped_first_principles(spark):
         else:
             if r["event_type"] == "purchase":
                 u[2] = 1
-                if r["value"] is not None and r["value"] >= 0:
+                if r["value"] is not None and 0 <= r["value"] <= 1e9:
                     u[1] += round(r["value"] * 100)
     stats = {0: [0, 0, 0, 0], 1: [0, 0, 0, 0]}  # n, sy, sx, conv
     n = sx = sy = sxx = sxy = 0
@@ -550,7 +550,9 @@ def test_ab_cuped_first_principles(spark):
         d_adj = nv * td * n
         sign = -1 if n_adj < 0 else 1
         exp_micro = sign * ((abs(n_adj) * 10_000_000 // d_adj + 5) // 10)
-        assert r["mean_y_adj_micro"] == exp_micro
+        # emitted as an exact digit string since the seed-20260822
+        # int64-overflow fix
+        assert int(r["mean_y_adj_micro"]) == exp_micro
         adj = syv / nv - theta * (sxv / nv - sx / n)
         assert abs(exp_micro / 1e6 - adj) < 2e-6
 
