@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_streamer_spark.operators.registry import query
-from event_streamer_spark.tables import load
+from event_streamer_spark.tables import load, register_views
 
 _ALLOWED_LANGS = ("en", "fr", "es", "de", "zh")
 
@@ -1448,4 +1448,96 @@ def d15_holt_monitor(spark: SparkSession, sf: str) -> DataFrame:
         out,
         "d string, day_cents long, level_cents long, trend_cents long,"
         " forecast_cents long, flagged boolean",
+    )
+
+
+# -- D14: chi-square independence audit --------------------------------
+
+
+@query(
+    "d14_chi2_independence",
+    oracle="""
+    WITH d AS (
+      SELECT lang, source FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL),
+    cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM d GROUP BY lang, source),
+    rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rtot
+           FROM cells GROUP BY lang),
+    ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ctot
+           FROM cells GROUP BY source),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+    SELECT c.lang, c.source, c.o AS obs,
+           CAST((1000000 * CAST(r.rtot AS HUGEINT) * t.ctot) // tot.n
+                AS VARCHAR) AS exp_micro,
+           CAST((1000000
+                 * (CAST(tot.n AS HUGEINT) * c.o
+                    - CAST(r.rtot AS HUGEINT) * t.ctot)
+                 * (CAST(tot.n AS HUGEINT) * c.o
+                    - CAST(r.rtot AS HUGEINT) * t.ctot))
+                // (CAST(tot.n AS HUGEINT) * r.rtot * t.ctot)
+               AS VARCHAR) AS chi2_cell_micro
+    FROM cells c
+    JOIN rt r USING (lang)
+    JOIN ct t USING (source)
+    CROSS JOIN tot
+    """,
+)
+def d14_chi2_independence(spark: SparkSession, sf: str) -> DataFrame:
+    """D14: chi-square independence audit over the (lang, source)
+    contingency table — the standard "is the corpus mix confounded"
+    check (a source that only ships one language skews any per-source
+    quality readout). Emits one row per observed cell with the exact
+    observed count, the expected count in micro units, and the cell's
+    chi² contribution in micro units: Σ cells ≫ (R−1)(C−1) flags
+    dependence.
+
+    Engine determinism: NO floating point anywhere — the cell
+    statistic is the integer identity
+    (O − E)²/E = (N·O − rtot·ctot)² / (N·rtot·ctot), computed in
+    exact wide-integer arithmetic (Spark DECIMAL(38,0) ``DIV`` ↔
+    DuckDB HUGEINT ``//``, the d15_trend_ols pairing) with truncating
+    integer division at the micro grain, emitted as digit strings.
+    Zero denominators are impossible (every joined cell has
+    rtot, ctot, n ≥ 1). Exactness bound: intermediates reach
+    1e6·(N·O)², inside 38 digits for corpora to ~1e8 classified rows —
+    at larger scale the contingency COUNTS are additive, so shard the
+    cell table and compute the statistic on merged counts (the sketch
+    family's merge-is-addition contract).
+
+    Scale: one narrow scan → one (lang, source) aggregate (cell-table
+    sized, tiny), two re-aggregations of the CELL table (not the
+    corpus), two broadcast-friendly joins + a 1-row cross join. The
+    corpus is read once.
+    """
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        WITH d AS (
+          SELECT lang, source FROM documents
+          WHERE lang IS NOT NULL AND source IS NOT NULL),
+        cells AS (
+          SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+          FROM d GROUP BY lang, source),
+        rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rtot
+               FROM cells GROUP BY lang),
+        ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ctot
+               FROM cells GROUP BY source),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+        SELECT c.lang, c.source, c.o AS obs,
+               CAST((1000000 * CAST(r.rtot AS DECIMAL(38,0)) * t.ctot)
+                    DIV tot.n AS STRING) AS exp_micro,
+               CAST((1000000
+                     * (CAST(tot.n AS DECIMAL(38,0)) * c.o
+                        - CAST(r.rtot AS DECIMAL(38,0)) * t.ctot)
+                     * (CAST(tot.n AS DECIMAL(38,0)) * c.o
+                        - CAST(r.rtot AS DECIMAL(38,0)) * t.ctot))
+                    DIV (CAST(tot.n AS DECIMAL(38,0)) * r.rtot * t.ctot)
+                   AS STRING) AS chi2_cell_micro
+        FROM cells c
+        JOIN rt r USING (lang)
+        JOIN ct t USING (source)
+        CROSS JOIN tot
+        """
     )

@@ -594,3 +594,36 @@ def test_holt_monitor_first_principles(spark):
         )
         neg_trend_seen = neg_trend_seen or trd < 0
     assert neg_trend_seen
+
+
+def test_chi2_independence_first_principles(spark):
+    """Every cell's exact-integer chi2 contribution must match a pure
+    Python recompute of (N*O - rt*ct)^2 * 1e6 // (N*rt*ct), and the
+    marginals must be consistent (sum of obs per lang == rt etc.)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+    cells = collections.Counter(
+        (r["lang"], r["source"])
+        for r in docs
+        if r["lang"] is not None and r["source"] is not None
+    )
+    rt = collections.Counter()
+    ct = collections.Counter()
+    for (lang, src), o in cells.items():
+        rt[lang] += o
+        ct[src] += o
+    n = sum(cells.values())
+    rows = REGISTRY["d14_chi2_independence"].fn(spark, SF).collect()
+    assert len(rows) == len(cells)
+    for r in rows:
+        o = cells[(r["lang"], r["source"])]
+        assert r["obs"] == o
+        rtot, ctot = rt[r["lang"]], ct[r["source"]]
+        assert int(r["exp_micro"]) == (1_000_000 * rtot * ctot) // n
+        diff = n * o - rtot * ctot
+        assert int(r["chi2_cell_micro"]) == (
+            1_000_000 * diff * diff
+        ) // (n * rtot * ctot)
