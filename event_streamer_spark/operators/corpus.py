@@ -58,20 +58,27 @@ _UNIQ_FULL_CTE = """uniq AS (
         FROM documents) WHERE __rn = 1)"""
 
 
-def unique_full_docs(spark: SparkSession, sf: str) -> DataFrame:
-    """Spark twin of :data:`_UNIQ_FULL_CTE`."""
+def canonicalize_docs(docs: DataFrame) -> DataFrame:
+    """One row per doc_id by the :data:`_UNIQ_FULL_CTE` rule (min
+    (text, lang, source), NULLS LAST) — shared by the batch reader and
+    the streaming ingest legs so "duplicate doc_id" resolves the same
+    way everywhere a raw document frame enters the engine."""
     w = Window.partitionBy("doc_id").orderBy(
         F.col("text").asc_nulls_last(),
         F.col("lang").asc_nulls_last(),
         F.col("source").asc_nulls_last(),
     )
     return (
-        load(spark, sf, "documents")
-        .select("doc_id", "text", "lang", "source")
+        docs.select("doc_id", "text", "lang", "source")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def unique_full_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark twin of :data:`_UNIQ_FULL_CTE`."""
+    return canonicalize_docs(load(spark, sf, "documents"))
 
 
 # -- D7: DSIR importance resampling ------------------------------------

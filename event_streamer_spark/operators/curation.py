@@ -31,7 +31,8 @@ _STOP = ("the", "a", "of", "and", "to", "in")
     WITH hashed AS (
       SELECT doc_id, text, lang, source, sha256(text) AS content_hash,
              ROW_NUMBER() OVER (PARTITION BY sha256(text)
-                                ORDER BY doc_id, lang NULLS LAST,
+                                ORDER BY doc_id NULLS LAST,
+                                         lang NULLS LAST,
                                          source NULLS LAST) AS rn
       FROM documents),
     deduped AS (SELECT * FROM hashed WHERE rn = 1),
@@ -66,9 +67,13 @@ def d6_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     # NOT total under the conflicting-duplicate class (seed-20260822
     # skew corpus: one copy of a duplicated row had its source
     # reassigned, and the rn=1 survivor's source became
-    # engine-arbitrary)
+    # engine-arbitrary). Null order pinned on EVERY key on BOTH sides
+    # (ADVICE r10: Spark asc defaults NULLS FIRST, DuckDB bare ORDER BY
+    # defaults NULLS LAST — latent today because doc_id is not in the
+    # dirty-corpus _NULLABLE set, but a nullable-id class would make
+    # the rn=1 survivor engine-arbitrary).
     w = Window.partitionBy("content_hash").orderBy(
-        F.col("doc_id").asc(),
+        F.col("doc_id").asc_nulls_last(),
         F.col("lang").asc_nulls_last(),
         F.col("source").asc_nulls_last(),
     )

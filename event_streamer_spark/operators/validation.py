@@ -1240,7 +1240,15 @@ def d14_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
     failure). The outcome domain is pinned to [0, 1e9] dollars per
     event (the Neyman/systematic sampler bound): that caps every
     intermediate product at ~1e35, provably inside DECIMAL(38,0) and
-    HUGEINT on both engines, so the string is exact. Negative
+    HUGEINT on both engines. The product bound does NOT bound the
+    final quotient |ȳ_adj|·1e7 under 2^63 (a whale variant — few
+    users, many near-cap purchases — pushes the adjusted mean itself
+    past long range, and Spark's DIV would wrap silently where
+    DuckDB's HUGEINT // stays exact), so the Spark side computes that
+    quotient by STAGED long division in DECIMAL(38,0) (see inline
+    comment): exact for |ȳ_adj| ≤ ~1e23 (the Cauchy–Schwarz bound
+    sd_y·√n with Σy in BIGINT and ≤1e8 users), NULL (loud) beyond the
+    1e35 product bound, never wrapped. Negative
     purchase values (refund-like dirty rows) are excluded from the
     outcome on both engines, and NULL users/timestamps drop out before
     assignment.
@@ -1310,7 +1318,61 @@ def d14_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
             " - CAST(sx AS DECIMAL(38,0)) * sx"
         ).alias("td"),
     )
-    return by_variant.crossJoin(F.broadcast(pooled_t)).select(
+    # Exact trunc(|num|·1e7 / den) WITHOUT any BIGINT-returning DIV on
+    # the (potentially > 2^63) quotient: Spark's DIV always returns a
+    # long and wraps silently past 2^63 (the d15_ewma lesson, line
+    # ~600), while the DuckDB oracle's HUGEINT // stays exact — a
+    # whale variant (many near-cap purchases on few users) makes the
+    # adjusted-mean quotient itself overflow long even though every
+    # PRODUCT is inside DECIMAL(38,0). Staged long division in base
+    # 1e3/1e2/1e2 keeps every intermediate ≤ 1e3·den ≤ ~1e38:
+    #   q0 = ⌊A/D⌋   exactly, via (A − A%D)/D — an integer-valued
+    #        decimal divide; |ȳ_adj| ≤ sd_y·√n ≤ 9.2e18·1e4 ≈ 1e23
+    #        (Σy is BIGINT, users ≤ 1e8), well inside the 32 integer
+    #        digits DECIMAL(38,6) division keeps exactly;
+    #   tᵢ  = next base-10^k digits of the quotient from the running
+    #        remainder rᵢ < D (so rᵢ·10^k ≤ 1e38 for D ≤ ~1e35, the
+    #        docstring's event-cap product bound; beyond it the
+    #        arithmetic NULLs out loudly rather than wrapping).
+    # Recombination: A·1e7 = D·(q0·1e7 + t1·1e4 + t2·1e2 + t3) + r3.
+    half = by_variant.crossJoin(F.broadcast(pooled_t)).withColumns(
+        {
+            "num": F.expr(
+                "sum_y_c * td * n - tn * (sum_x * n - sx * n_users)"
+            ),
+            "den": F.expr(
+                "NULLIF(CAST(n_users AS DECIMAL(38,0)) * td * n, 0)"
+            ),
+        }
+    ).withColumn("a0", F.expr("ABS(num)")).withColumns(
+        {
+            "q0": F.expr("CAST((a0 - a0 % den) / den AS DECIMAL(38,0))"),
+            "r0": F.expr("a0 % den"),
+        }
+    ).withColumns(
+        {
+            "t1": F.expr(
+                "CAST((r0 * 1000 - (r0 * 1000) % den) / den"
+                " AS DECIMAL(38,0))"
+            ),
+            "r1": F.expr("(r0 * 1000) % den"),
+        }
+    ).withColumns(
+        {
+            "t2": F.expr(
+                "CAST((r1 * 100 - (r1 * 100) % den) / den"
+                " AS DECIMAL(38,0))"
+            ),
+            "r2": F.expr("(r1 * 100) % den"),
+        }
+    ).withColumn(
+        "t3",
+        F.expr("CAST((r2 * 100 - (r2 * 100) % den) / den AS DECIMAL(38,0))"),
+    ).withColumn(
+        "q7",
+        F.expr("q0 * 10000000 + t1 * 10000 + t2 * 100 + t3"),
+    )
+    return half.select(
         "variant",
         "n_users",
         "sum_y_c",
@@ -1320,14 +1382,9 @@ def d14_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
             "conv_rate_ppm"
         ),
         F.expr(
-            "CAST(CASE WHEN sum_y_c * td * n"
-            "            - tn * (sum_x * n - sx * n_users) < 0"
-            "     THEN -1 ELSE 1 END"
-            " * ((ABS(sum_y_c * td * n"
-            "         - tn * (sum_x * n - sx * n_users))"
-            "     * 10000000"
-            "     DIV NULLIF(CAST(n_users AS DECIMAL(38,0)) * td * n, 0)"
-            "     + 5) DIV 10) AS STRING)"
+            "CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END"
+            " * CAST((q7 + 5 - (q7 + 5) % 10) / 10 AS DECIMAL(38,0))"
+            " AS STRING)"
         ).alias("mean_y_adj_micro"),
     )
 

@@ -31,6 +31,12 @@ Contracts (the incremental-index family's):
   of the declared domain (the ingest precondition is post-exact-dedup
   documents, the d1-span / CDC precedent; batch resolves those
   min-text, a rule the index cannot replay without storing full text).
+* **same-batch duplicate doc_ids** (an at-least-once source that
+  redelivers WITHIN one trigger) are canonicalized before counting
+  with the batch operator's own rule (``canonicalize_docs`` — min
+  (text, lang, source) per id), so k is never double-counted and
+  replay-equals-batch holds without relying on the cross-batch
+  first-writer-wins read.
 * **state size** is distinct (doc, token) pairs — the corpus's token
   index, parquet-append, compactable offline like the LSH ``sigs/``.
 """
@@ -62,9 +68,19 @@ def dsir_tokens_batch(state_dir: str) -> Callable[[DataFrame, int], None]:
     from event_streamer_spark.operators.corpus import dsir_doc_token_counts
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from event_streamer_spark.operators.corpus import canonicalize_docs
+
         _migrate_legacy_state(batch_df.sparkSession, state_dir)
+        # ADVICE r10: first-writer-wins at read resolves duplicates
+        # ACROSS batches only; an at-least-once source can also
+        # duplicate a doc WITHIN one trigger, and counting both copies
+        # doubles k. Canonicalize intra-batch exactly like the batch
+        # operator's unique_full_docs (min (text,lang,source) per id)
+        # so replay-equals-batch holds under same-batch duplicates too.
         _write_batch_partition(
-            dsir_doc_token_counts(batch_df), batch_id, state_dir
+            dsir_doc_token_counts(canonicalize_docs(batch_df)),
+            batch_id,
+            state_dir,
         )
 
     return process

@@ -160,16 +160,18 @@ def running_stats_tws(
         spark.sql.streaming.stateStore.providerClass =
           org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
 
-    and the ``protobuf`` package (the v2 Python worker protocol). When
-    protobuf is missing the operator DOWNGRADES to the v1
-    :func:`running_stats_with_state` — identical output schema and
-    semantics (the suite pins v1 == v2 == batch), logging one warning —
-    so the API works in every environment; pass ``require_v2=True`` to
-    get an ImportError instead of the fallback.
+    and the ``protobuf`` package (the v2 Python worker protocol). The
+    runtime is resolved via :mod:`event_streamer_spark.protobuf_compat`
+    (pip package first, then the container's gcloud-bundled pure-Python
+    runtime). When no runtime can be found the operator DOWNGRADES to
+    the v1 :func:`running_stats_with_state` — identical output schema
+    and semantics (the suite pins v1 == v2 == batch), logging one
+    warning — so the API works in every environment; pass
+    ``require_v2=True`` to get an ImportError instead of the fallback.
     """
-    try:
-        import google.protobuf  # noqa: F401 — v2 worker protocol dep
-    except ImportError:
+    from event_streamer_spark.protobuf_compat import ensure_protobuf
+
+    if not ensure_protobuf():
         if require_v2:
             raise ImportError(
                 "transformWithStateInPandas requires the protobuf package"
@@ -190,7 +192,23 @@ def running_stats_tws(
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     class _RunningStats(StatefulProcessor):
+        def __getstate__(self):  # noqa: ANN204
+            # Non-empty state forces pickle to emit a BUILD op, so
+            # __setstate__ below is guaranteed to run at unpickle.
+            return dict(self.__dict__, _es_pickle_guard=True)
+
+        def __setstate__(self, state) -> None:  # noqa: ANN001
+            # Runs at UNPICKLE time in every worker process — including
+            # the driver-side pre-init worker, whose first protocol call
+            # (set_handle_state(PRE_INIT)) imports StateMessage_pb2
+            # BEFORE the processor's init() is reached. Resolving the
+            # (possibly vendored) protobuf runtime here guarantees it is
+            # on sys.path before any pb2 import anywhere.
+            ensure_protobuf()
+            self.__dict__.update(state)
+
         def init(self, handle: StatefulProcessorHandle) -> None:
+            ensure_protobuf()
             self._stats = handle.getValueState("stats", STATS_STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001

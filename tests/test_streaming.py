@@ -966,38 +966,43 @@ def test_running_stats_tws_matches_v1_and_batch(spark, tmp_path):
     assert got == exp
 
 
-def test_running_stats_tws_fallback_contract(spark, tmp_path):
-    """Without protobuf the v2 operator must (a) warn once and return
-    the v1 plan, (b) raise ImportError under require_v2=True; with
-    protobuf present it must do neither."""
+def test_running_stats_tws_fallback_contract(spark, tmp_path, monkeypatch):
+    """Contract both ways: when protobuf_compat resolves a runtime the
+    operator must build the REAL v2 plan with no downgrade warning;
+    when it cannot (forced here by patching the resolver) it must (a)
+    warn once and return the v1 plan, (b) raise ImportError under
+    require_v2=True."""
     import warnings
 
+    from event_streamer_spark import protobuf_compat
     from event_streamer_spark.streaming import running_stats_tws
 
     stream = (
         spark.readStream.schema("user_id bigint, value double")
         .parquet(str(tmp_path))
     )
-    try:
-        import google.protobuf  # noqa: F401
 
-        has_protobuf = True
-    except ImportError:
-        has_protobuf = False
-
+    # This container resolves a runtime (pip package or the
+    # gcloud-vendored one) — the v2 leg must be live, not the fallback.
+    assert protobuf_compat.ensure_protobuf()
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         out = running_stats_tws(stream)
-        downgrades = [
-            w for w in caught if "falling back" in str(w.message)
-        ]
+        assert not [w for w in caught if "falling back" in str(w.message)]
     assert out.isStreaming
-    if has_protobuf:
-        assert not downgrades
-    else:
-        assert len(downgrades) == 1
-        with pytest.raises(ImportError, match="protobuf"):
-            running_stats_tws(stream, require_v2=True)
+    assert "transformwithstate" in out._jdf.queryExecution().analyzed().toString().lower()
+
+    # Forced-unavailable leg: warn + v1 plan, ImportError on require_v2.
+    monkeypatch.setattr(protobuf_compat, "ensure_protobuf", lambda: False)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = running_stats_tws(stream)
+        downgrades = [w for w in caught if "falling back" in str(w.message)]
+    assert out.isStreaming
+    assert len(downgrades) == 1
+    assert "flatmapgroupsinpandaswithstate" in out._jdf.queryExecution().analyzed().toString().lower()
+    with pytest.raises(ImportError, match="protobuf"):
+        running_stats_tws(stream, require_v2=True)
 
 
 @pytest.mark.parametrize("n_splits,bseed", BOUNDARY_SPLITS)
@@ -2621,6 +2626,36 @@ def test_incremental_dsir_first_writer_wins(spark, tmp_path):
         dsir_score_from_counts,
         unique_full_docs,
     )
+
+    expect = {
+        tuple(r)
+        for r in dsir_score_from_counts(
+            dsir_doc_token_counts(unique_full_docs(spark, SF))
+        ).collect()
+    }
+    got = {tuple(r) for r in read_dsir(spark, state).collect()}
+    assert got == expect
+
+
+def test_incremental_dsir_same_batch_duplicates(spark, tmp_path):
+    """ADVICE r10: an at-least-once source that duplicates a document
+    WITHIN one trigger must not double its token multiplicity k — the
+    ingest canonicalizes intra-batch with the batch operator's own
+    unique_full_docs rule, so scores equal the batch query exactly
+    even when the duplicate never spans a batch boundary (where
+    first-writer-wins can't see it)."""
+    from event_streamer_spark.operators.corpus import (
+        dsir_doc_token_counts,
+        dsir_score_from_counts,
+        unique_full_docs,
+    )
+    from event_streamer_spark.streaming import dsir_tokens_batch, read_dsir
+
+    docs = load(spark, SF, "documents")
+    dup_in_batch = docs.unionAll(docs.limit(40))  # same-trigger copies
+    state = str(tmp_path / "dsir_state3")
+    fn = dsir_tokens_batch(state)
+    fn(dup_in_batch, 0)
 
     expect = {
         tuple(r)

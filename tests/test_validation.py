@@ -627,3 +627,68 @@ def test_chi2_independence_first_principles(spark):
         assert int(r["chi2_cell_micro"]) == (
             1_000_000 * diff * diff
         ) // (n * rtot * ctot)
+
+
+def test_ab_cuped_whale_quotient_past_int64(spark, tmp_path):
+    """ADVICE r10 (medium): the [0,1e9]-per-EVENT cap bounds every
+    intermediate PRODUCT into DECIMAL(38,0) but not the final per-user
+    adjusted-mean quotient — a whale variant (one user holding
+    thousands of near-cap purchases) pushes |ȳ_adj|·1e7 past 2^63,
+    where Spark's DIV wraps silently and DuckDB's HUGEINT // stays
+    exact. The staged-long-division spelling must hash-match DuckDB on
+    such a corpus AND actually emit a digit string beyond long range
+    (proving the test reached the overflow regime the old spelling
+    wrapped in)."""
+    import hashlib
+    import os
+    import shutil
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    from check_oracles import run_sweep
+
+    from event_streamer_spark.tables import TABLES
+
+    dirty = tmp_path / "dirty_sf"
+    dirty.mkdir()
+    for t in TABLES:
+        shutil.copy(f"{SF}/{t}.parquet", dirty / f"{t}.parquet")
+
+    # a fresh user id assigned to variant 0 by the md5 52-bit hash
+    whale = next(
+        u for u in range(10**7, 10**7 + 100)
+        if int(hashlib.md5(str(u).encode()).hexdigest()[:13], 16) % 2 == 0
+    )
+    ev = pq.read_table(dirty / "events.parquet")
+    ts_type = ev.schema.field("ts").type
+    n_rows = 12_000  # 12k × $1e9 = $1.2e13 ≫ n_users(variant 0) × $9.2e9
+    extra = pa.table(
+        {
+            "event_id": pa.array(
+                [2 * 10**9 + i for i in range(n_rows)], type=pa.int64()
+            ),
+            # post-split (AB split is 2024-01-16): 2024-01-20
+            "ts": pa.array([1705708800_000_000] * n_rows, type=ts_type),
+            "user_id": pa.array([whale] * n_rows, type=pa.int64()),
+            "event_type": ["purchase"] * n_rows,
+            "value": pa.array([1e9] * n_rows, type=pa.float64()),
+            "props": ["{}"] * n_rows,
+        },
+        schema=ev.schema,
+    )
+    pq.write_table(pa.concat_tables([ev, extra]), dirty / "events.parquet")
+
+    total, failures = run_sweep(
+        spark, str(dirty), ["d14_ab_cuped"], quiet=True
+    )
+    assert total == 1 and failures == [], failures
+
+    rows = {r["variant"]: r for r in
+            REGISTRY["d14_ab_cuped"].fn(spark, str(dirty)).collect()}
+    adj0 = int(rows[0]["mean_y_adj_micro"])
+    assert abs(adj0) > 2**63, adj0  # the regime a bare DIV wraps in
