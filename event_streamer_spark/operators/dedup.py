@@ -335,7 +335,11 @@ def _minhash_signatures(df: DataFrame) -> DataFrame:
     )
 
 
-@query("d2_minhash_lsh", oracle=None)  # not SQL-expressible → rows-only check
+@query(
+    "d2_minhash_lsh",
+    oracle=None,  # estimates not SQL-expressible; recall pinned by the twin
+    covered_by="d2_minhash_lsh_check",
+)
 def d2_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """D2 (scale path): MinHash + LSH banding near-dup candidates.
 
@@ -495,6 +499,51 @@ def d2_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
     found = lsh_verified_pairs(spark, sf).filter(
         F.col("jaccard") >= 0.5
     ).select("doc_a", "doc_b")
+    exact = d2_ngram_jaccard(spark, sf).filter(
+        F.col("jaccard") >= 0.5
+    ).select("doc_a", "doc_b")
+    hits = found.join(exact, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact_strong"))
+    return tot.crossJoin(F.broadcast(hits)).select(
+        F.col("n_exact_strong").cast("bigint").alias("n_exact_strong"),
+        (
+            F.col("n_hit")
+            >= F.lit(0.9) * F.col("n_exact_strong")
+        ).alias("recall_ok"),
+    )
+
+
+@query(
+    "d2_minhash_lsh_check",
+    oracle=f"""
+    WITH {shingle_ctes()},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_strong, TRUE AS recall_ok
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both) >= 0.5
+    """,
+)
+def d2_minhash_lsh_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-check wrapper for the BENCH-HEADLINER ``d2_minhash_lsh``
+    (VERDICT r10 #2 — the raw estimated-Jaccard pair set can never
+    hash-match an exact engine, but its RECALL against the exact
+    strong-pair set can): the headliner's own output — the PLAN IS
+    :func:`d2_minhash_lsh` verbatim, so the benched query stays
+    byte-identical and this non-headliner wrapper only adds the
+    comparison tail — is scored against exact all-pairs Jaccard in the
+    j ≥ 0.5 regime (16×4-band analytic recall ≈ 0.97), emitting the
+    exact strong-pair count (hash-checked vs DuckDB) plus a
+    recall ≥ 0.9 boolean. A drop in MinHash quality (permutation bug,
+    banding bug, estimator bias past the 0.25 est-filter) flips the
+    boolean; rows-only checking could never see it."""
+    found = d2_minhash_lsh(spark, sf).select("doc_a", "doc_b")
     exact = d2_ngram_jaccard(spark, sf).filter(
         F.col("jaccard") >= 0.5
     ).select("doc_a", "doc_b")

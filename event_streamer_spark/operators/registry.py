@@ -36,6 +36,11 @@ class QuerySpec:
     fn: QueryFn
     oracle: Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
     doc: str = ""
+    # For oracle-less queries whose CORRECTNESS is nevertheless pinned
+    # by a registered bounded-check twin (b13-style): the twin's name.
+    # The sweep artifact then counts this query as covered rather than
+    # bare rows-only (VERDICT r10 #2).
+    covered_by: Optional[str] = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -76,8 +81,14 @@ def clear_plan_cache() -> None:
         _PLAN_CACHE.clear()
 
 
-def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query; ``oracle=None`` → driver does a rows-only check."""
+def query(
+    name: str,
+    oracle: Optional[str] = None,
+    covered_by: Optional[str] = None,
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle=None`` → driver does a rows-only check
+    (pass ``covered_by=<twin>`` when a bounded-check twin pins its
+    correctness so the sweep artifact can report it as covered)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
@@ -111,7 +122,8 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
         wrapped.__doc__ = fn.__doc__
         wrapped.__wrapped__ = fn  # introspection: point at the real body
         REGISTRY[name] = QuerySpec(
-            name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or ""
+            name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "",
+            covered_by=covered_by,
         )
         return fn
 

@@ -981,7 +981,11 @@ def train_pq_codebooks(emb: DataFrame) -> np.ndarray:
 _PQ_SHORTLIST = 64  # ADC candidates that get the exact re-rank
 
 
-@query("d3_pq_topk", oracle=None)  # approximate (quantized) → rows-only
+@query(
+    "d3_pq_topk",
+    oracle=None,  # quantized ordering not SQL-expressible; recall pinned by twin
+    covered_by="d3_pq_topk_check",
+)
 def d3_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """D3 scale path #4: product-quantized search via asymmetric
     distance computation (ADC) + exact re-rank — the FAISS-default
@@ -1054,6 +1058,48 @@ def d3_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", F.round(_cosine("v", "qv"), 6).alias("sim"))
         .orderBy(F.desc("sim"), "vec_id")
         .limit(10)
+    )
+
+
+@query(
+    "d3_pq_topk_check",
+    oracle=f"""
+    WITH q AS (SELECT MIN(CAST(embedding AS DOUBLE[])) AS qv
+               FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+    s AS (SELECT DISTINCT vec_id,
+                 ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS sim
+          FROM embeddings, q
+          WHERE vec_id <> {_QUERY_VEC_ID} AND {_VALID_EMB_DUCK}),
+    topk AS (SELECT vec_id FROM s ORDER BY sim DESC, vec_id LIMIT 10)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS pq_recall_ok
+    FROM topk
+    """,
+)
+def d3_pq_topk_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-check wrapper for the BENCH-HEADLINER ``d3_pq_topk``
+    (VERDICT r10 #2 — quantized ordering can never hash-match an exact
+    engine, but its recall@10 against the exact brute-force top-10
+    can): the headliner's own output — the PLAN IS :func:`d3_pq_topk`
+    verbatim, so the benched query stays byte-identical and this
+    non-headliner wrapper only adds the comparison tail — is joined
+    against :func:`d3_topk_cosine`'s exact top-10, emitting the exact
+    candidate count (hash-checked vs DuckDB's own exact top-k) plus a
+    recall@10 ≥ 0.7 boolean (measured 8/10 at sf0.001 — tightly
+    bunched sims, the hardest regime for quantized ordering; the same
+    floor ``tests/test_dedup_quality.py`` pins). A codebook/LUT/ADC
+    regression flips the boolean; rows-only checking could never see
+    it."""
+    found = d3_pq_topk(spark, sf).select("vec_id")
+    exact = d3_topk_cosine(spark, sf).select("vec_id")
+    hits = exact.join(found, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return tot.crossJoin(F.broadcast(hits)).select(
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (F.col("n_hit") >= F.lit(0.7) * F.col("n_exact")).alias(
+            "pq_recall_ok"
+        ),
     )
 
 

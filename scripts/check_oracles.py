@@ -90,8 +90,12 @@ def run_sweep(
             failures.append(name)
             continue
         if spec.oracle is None:
+            cover = (
+                f", bounded-check via {spec.covered_by}"
+                if spec.covered_by else ""
+            )
             say(f"ok*   {name}: rows-only ({len(srows)} rows, "
-                  f"{time.time()-t0:.1f}s)")
+                  f"{time.time()-t0:.1f}s{cover})")
             if len(srows) == 0 and name not in ("d2_minhash_lsh",):
                 say(f"      WARNING: zero rows")
             continue
@@ -165,11 +169,14 @@ def main() -> int:
     if out_path:
         import json
 
-        n_oracle = sum(
-            1
-            for n, s in REGISTRY.items()
-            if s.oracle is not None
-            and (not argv[1:] or any(f in n for f in argv[1:]))
+        in_scope = [
+            s for n, s in REGISTRY.items()
+            if not argv[1:] or any(f in n for f in argv[1:])
+        ]
+        n_oracle = sum(1 for s in in_scope if s.oracle is not None)
+        covered = sorted(
+            s.name for s in in_scope
+            if s.oracle is None and s.covered_by
         )
         with open(out_path, "w") as fh:
             json.dump(
@@ -177,7 +184,10 @@ def main() -> int:
                     "sf_dir": sf_dir,
                     "total": total,
                     "oracle_backed": n_oracle,
-                    "rows_only": total - n_oracle,
+                    # oracle-less queries whose correctness is pinned by
+                    # a registered bounded-check twin (VERDICT r10 #2)
+                    "rows_only_covered": covered,
+                    "rows_only": total - n_oracle - len(covered),
                     "failures": failures,
                     "wall_sec": round(time.time() - t0, 1),
                 },

@@ -911,7 +911,11 @@ def test_winnowing_density_and_soundness(spark):
     from event_streamer_spark.tables import load
 
     clear_slot("dedup.winnow_fp")
-    pairs = REGISTRY["d2_winnowing"].fn(spark, SF).collect()
+    # __wrapped__: run the real query BODY, not the prepared-plan cache
+    # (this test inspects the body's persist side effect, which a cache
+    # hit skips — an order-dependent flake when the full sweep ran
+    # first in the same session)
+    pairs = REGISTRY["d2_winnowing"].fn.__wrapped__(spark, SF).collect()
     assert pairs
     t = (
         load(spark, SF, "documents")
