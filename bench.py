@@ -184,6 +184,34 @@ def main() -> None:
                 f"# pass{rep} {name}: {dt:.2f}s ({n} rows)", file=sys.stderr
             )
 
+    # isolated floor (VERDICT r10 #5): the mixed-workload warm column
+    # above is the deployment-realistic number, but on a memory-
+    # constrained box later queries evict earlier queries' persisted
+    # slots, so a query's benched time can read far above its own
+    # steady-state floor (sf10 r10: q21 18.6 s mixed vs 7.5 s isolated
+    # — pure cache-eviction pressure, no plan change). Measure the
+    # floor explicitly: drop every cached frame, let the query rebuild
+    # ONLY its own working set, then time the steady-state run. Both
+    # columns ship in the artifact so a cross-round reader compares
+    # like with like instead of misreading eviction noise as a plan
+    # regression.
+    from event_streamer_spark.caching import clear_slot
+
+    isolated: dict[str, float] = {}
+    for name in HEADLINE:
+        clear_slot()
+        spark.catalog.clearCache()
+        fn = REGISTRY[name].fn
+        try:
+            fn(spark, sf_dir).count()  # rebuild this query's own caches
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            isolated[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — floor pass must not gate
+            print(f"# isolated {name} failed: {exc}", file=sys.stderr)
+    clear_slot()
+    spark.catalog.clearCache()
+
     warm_total = round(sum(warm.values()), 3)
     cold_total = round(sum(cold.values()), 3)
     print(
@@ -195,6 +223,10 @@ def main() -> None:
                 "queries": warm,
                 "cold": {"total_sec": cold_total, "queries": cold},
                 "warm": {"total_sec": warm_total, "queries": warm},
+                "isolated": {
+                    "total_sec": round(sum(isolated.values()), 3),
+                    "queries": isolated,
+                },
                 "sentinel": sentinel,
                 # totals in sentinel units: divide by the box-speed
                 # probe so cross-round tables compare plans, not boxes

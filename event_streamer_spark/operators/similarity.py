@@ -16,6 +16,8 @@ summation order on either engine hashes identically.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 
@@ -27,6 +29,20 @@ from event_streamer_spark.operators.registry import query
 from event_streamer_spark.tables import load
 
 _QUERY_VEC_ID = 0  # fixed query vector for the top-k baseline
+
+
+@functools.lru_cache(maxsize=32)
+def _seeded_planes(seed: int, n_planes: int, dim: int) -> np.ndarray:
+    """Seeded random hyperplanes, generated lazily PER DIMENSION
+    (round 11): the first draft drew a fixed (n, 64) matrix driver-side
+    and broadcast it, welding the LSH family to the fixture's 64-dim
+    vectors. Workers regenerate instead (16k draws — microseconds,
+    lru-cached per process), so the same operator serves any corpus
+    dimension; for dim=64 the C-order draw sequence reproduces the old
+    matrices bit-for-bit, keeping every pinned determinism test green.
+    """
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
 
 _PLANE_SEED = 7
 
@@ -322,18 +338,20 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     O(n·L·(planes+2)) — linear in n, no O(n²) stage, no driver state.
     Deterministic: seeded planes, 6-decimal rounding, (sim, nbr) ties.
     """
-    rng = np.random.RandomState(_PLANE_SEED)
-    planes = rng.standard_normal((_ANN_TABLES, _ANN_PLANES, 64))
-    b_planes = spark.sparkContext.broadcast(planes)
     n_buckets = 1 << _ANN_PLANES
 
     @pandas_udf("homes array<int>, probes array<int>")
     def bucket_keys(vs: pd.Series) -> pd.DataFrame:
+        if vs.empty:
+            return pd.DataFrame({"homes": [], "probes": []})
         X = np.array(vs.tolist(), dtype=np.float64)
+        planes = _seeded_planes(
+            _PLANE_SEED, _ANN_TABLES * _ANN_PLANES, X.shape[1]
+        ).reshape(_ANN_TABLES, _ANN_PLANES, -1)
         weights = (1 << np.arange(_ANN_PLANES)).astype(np.int64)
         homes = np.empty((len(X), _ANN_TABLES), dtype=np.int64)
         for t in range(_ANN_TABLES):
-            signs = (X @ b_planes.value[t].T) > 0
+            signs = (X @ planes[t].T) > 0
             homes[:, t] = t * n_buckets + signs @ weights
         flips = np.stack(
             [homes ^ (1 << j) for j in range(_ANN_PLANES)], axis=2
@@ -541,14 +559,15 @@ def neardup_lsh_pruned_pairs(spark: SparkSession, sf: str) -> DataFrame:
     with 8-row bands prunes ~90% of pairs at recall ≈ 1. Approximate —
     recall vs the exact op is asserted in tests/test_dedup_quality.py.
     """
-    rng = np.random.RandomState(_PRUNE_SEED)
-    planes = rng.standard_normal((_PRUNE_BANDS * _PRUNE_ROWS, 64))
-    b_planes = spark.sparkContext.broadcast(planes)
-
     @pandas_udf("array<int>")
     def band_buckets(vs: pd.Series) -> pd.Series:
+        if vs.empty:
+            return pd.Series([], dtype=object)
         X = np.array(vs.tolist(), dtype=np.float64)
-        signs = ((X @ b_planes.value.T) > 0).astype(np.int64)
+        planes = _seeded_planes(
+            _PRUNE_SEED, _PRUNE_BANDS * _PRUNE_ROWS, X.shape[1]
+        )
+        signs = ((X @ planes.T) > 0).astype(np.int64)
         signs = signs.reshape(len(X), _PRUNE_BANDS, _PRUNE_ROWS)
         weights = (1 << np.arange(_PRUNE_ROWS)).astype(np.int64)
         return pd.Series((signs @ weights).astype("int32").tolist())
@@ -640,10 +659,18 @@ _IVF_SEED = 11
 _IVF_KMEANS_ITERS = 3
 
 
-def random_ivf_centroids(dim: int = 64) -> np.ndarray:
-    """Seeded random unit centroids — the untrained baseline."""
+def random_ivf_centroids(dim: int = 64, k: int = _IVF_CELLS) -> np.ndarray:
+    """Seeded random unit centroids — the untrained baseline.
+
+    ``k``/``dim`` are parameters (round 11): the registered queries
+    keep the fixture-sized defaults for cross-round comparability, but
+    IVF sizing is corpus-dependent — the classic rule is K ≈ √n so the
+    within-cell quadratic work stays ~n·√n total — and the
+    embedding-scale probe (``scripts/embed_scale_probe.py``) trains
+    √n-cell quantizers over 256-dim corpora.
+    """
     rng = np.random.RandomState(_IVF_SEED)
-    cents = rng.standard_normal((_IVF_CELLS, dim))
+    cents = rng.standard_normal((k, dim))
     return cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
 
@@ -661,7 +688,10 @@ def _cell_assigner(spark: SparkSession, cents: np.ndarray):
 
 
 def train_ivf_centroids(
-    spark: SparkSession, emb: DataFrame, iters: int = _IVF_KMEANS_ITERS
+    spark: SparkSession,
+    emb: DataFrame,
+    iters: int = _IVF_KMEANS_ITERS,
+    k: int = _IVF_CELLS,
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer, trained DataFrame-side.
 
@@ -671,8 +701,15 @@ def train_ivf_centroids(
     seeded init and centroids rounded to 6 decimals each round, so
     partial-aggregation order noise (~1e-13) cannot flip assignments.
     Empty cells keep their previous centroid.
+
+    ``k`` and the vector dimension are no longer fixture constants
+    (round 11): dim comes from the data (one LIMIT-1 probe — planning
+    cost, not a scan) and ``k`` from the caller, so the same trainer
+    serves the 2000×64 fixture (K=8 default) and the √n-cell sizing
+    the embedding-scale probe uses at 2M×256.
     """
-    cents = np.round(random_ivf_centroids(), 6)
+    dim = emb.select(F.size("v")).head()[0]
+    cents = np.round(random_ivf_centroids(dim=dim, k=k), 6)
     norm = emb.select(
         "vec_id",
         F.expr(
@@ -690,16 +727,15 @@ def train_ivf_centroids(
             .collect()  # K×dim rows of model state — bounded by K, not n
         )
         new = cents.copy()
-        dim = cents.shape[1]
-        sums = np.zeros((_IVF_CELLS, dim))
-        counts = np.zeros(_IVF_CELLS)
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
         for r in agg:
             sums[r["cell"], r["pos"]] += r["s"]
             counts[r["cell"]] = r["n"]
-        for k in range(_IVF_CELLS):
-            if counts[k] > 0:
-                mean = sums[k] / counts[k]
-                new[k] = mean / np.linalg.norm(mean)
+        for c in range(k):
+            if counts[c] > 0:
+                mean = sums[c] / counts[c]
+                new[c] = mean / np.linalg.norm(mean)
         cents = np.round(new, 6)
     norm.unpersist()
     return cents
@@ -708,29 +744,55 @@ def train_ivf_centroids(
 def _ivf_topk_impl(
     spark: SparkSession, sf: str, cents: np.ndarray
 ) -> DataFrame:
-    """IVF-flat top-3 given a coarse quantizer: assign cells, then one
-    exact numpy GEMM per cell (single shuffle on cell_id, per-task
-    memory bounded by the largest cell)."""
+    """IVF-flat top-3 given a coarse quantizer: assign cells, then an
+    exact numpy GEMM per cell (single shuffle on cell_id).
+
+    The within-cell similarity matrix is computed in ROW TILES
+    (round 11): the first draft built the full n_cell×n_cell matrix in
+    one shot, which is fine at fixture cell sizes (~250 rows) but is
+    500 GB for a 250k-row cell — per-task memory must be bounded by
+    tile×cell (the GEMM working set), never cell². FLOP count is
+    identical; numpy runs each tile as one BLAS call so throughput is
+    unchanged at fixture sizes (measured: d3_ivf_topk warm flat).
+    """
     emb = load_embeddings(spark, sf).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cells = emb.withColumn("cell", _cell_assigner(spark, cents)(F.col("v")))
 
+    tile = 4096
+
     def topk_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         X = np.array(pdf["v"].tolist(), dtype=np.float64)
         X = X / np.linalg.norm(X, axis=1, keepdims=True)
-        S = X @ X.T
-        np.fill_diagonal(S, -2.0)
         ids = pdf["vec_id"].to_numpy()
         out = {"src": [], "nbr": [], "sim": []}
-        for i in range(len(ids)):
-            sims = np.round(S[i], 6)
-            # top-3 by (sim desc, nbr asc) — stable under ties
-            order = np.lexsort((ids, -sims))[:3]
-            for j in order:
-                out["src"].append(ids[i])
-                out["nbr"].append(ids[j])
-                out["sim"].append(float(sims[j]))
+        # candidate pool per row: argpartition (O(cell)) instead of a
+        # full per-row sort (O(cell log cell)); exact tie semantics are
+        # preserved by the boundary check — if the selected 3rd-best
+        # sim ties the pool's floor value, an id-smaller tied element
+        # could sit outside the pool, so that row falls back to the
+        # full lexsort (rare: needs ≥P-way sim ties at the cut).
+        pool = 64
+        for t0 in range(0, len(ids), tile):
+            S = X[t0 : t0 + tile] @ X.T  # tile×cell, bounded
+            for ti in range(S.shape[0]):
+                i = t0 + ti
+                sims = np.round(S[ti], 6)
+                sims[i] = -2.0  # self
+                if len(ids) > pool:
+                    cand = np.argpartition(-sims, pool - 1)[:pool]
+                    # top-3 by (sim desc, nbr asc) — stable under ties
+                    order = cand[np.lexsort((ids[cand], -sims[cand]))][:3]
+                    floor = sims[cand].min()
+                    if len(order) == 3 and sims[order[-1]] <= floor:
+                        order = np.lexsort((ids, -sims))[:3]
+                else:
+                    order = np.lexsort((ids, -sims))[:3]
+                for j in order:
+                    out["src"].append(ids[i])
+                    out["nbr"].append(ids[j])
+                    out["sim"].append(float(sims[j]))
         return pd.DataFrame(out)
 
     return cells.groupBy("cell").applyInPandas(
