@@ -542,34 +542,51 @@ _PRUNE_ROWS = 4  # planes per band
 _PRUNE_SEED = 13
 
 
-def neardup_lsh_pruned_pairs(spark: SparkSession, sf: str) -> DataFrame:
+def neardup_lsh_pruned_pairs(
+    spark: SparkSession,
+    sf: str,
+    bands: int = _PRUNE_BANDS,
+    rows: int = _PRUNE_ROWS,
+    threshold: float = 0.45,
+) -> DataFrame:
     """D2 scale path: near-dup pairs from banded hyperplane-LSH candidates.
     (Raw pair frame — the registered ``d2_neardup_lsh_pruned`` wraps it
-    in the round-10 bounded recall check; tests call this directly.)
+    in the round-10 bounded recall check with the fixture defaults;
+    tests call this directly.)
 
-    The 100 TB entry point: 16 bands × 4 hyperplanes — a vector's band
-    bucket is its 4-bit sign pattern; any shared (band, bucket) makes a
-    candidate pair. For plane-agreement p = 1 − θ/π, recall is
-    1 − (1 − p⁴)¹⁶ ≈ 0.96 at cos 0.46 (the fixture's near-dup range) and
-    → 1 at high thresholds. Candidates are scored with one vectorized
-    row-wise dot (mapInPandas) — no O(n²) stage, no driver state.
-    Geometry note: 4-row bands trade pruning power for recall because the
-    fixture's threshold (0.45, θ≈63°) is the hardest regime for sign LSH;
-    at the production near-dup regime (cos ≥ 0.9, θ≈26°) the same code
-    with 8-row bands prunes ~90% of pairs at recall ≈ 1. Approximate —
-    recall vs the exact op is asserted in tests/test_dedup_quality.py.
+    A vector's band bucket is its ``rows``-bit sign pattern; any shared
+    (band, bucket) makes a candidate pair, exact-rescored at
+    ``threshold``. For plane-agreement p = 1 − θ/π, recall is
+    1 − (1 − p^rows)^bands; RANDOM pairs collide per band with
+    probability ~2^-rows, so expected candidate volume is
+    ~bands · n² / 2^(rows+1) + the true-pair mass.
+
+    **The band geometry is a function of corpus size and threshold
+    regime, not a constant** (round 11, found by the 2M-vector probe):
+    the fixture default (16×4 — only 16 buckets per band) is forced by
+    the fixture's adversarially-hard cos≈0.45 regime (θ≈63°, p≈0.65,
+    so deep bands destroy recall) and is fine at fixture counts, but
+    at 50k vectors it already generates ~10⁹ candidates — banded LSH
+    is only subquadratic when ``rows ≳ log2(n)``. At the production
+    near-dup regime (cos ≥ 0.9, θ≤26°, p ≥ 0.86) deep bands are
+    cheap: 16×24 holds planted-dup recall ≈ 1 at 2M×256 with ~n-sized
+    candidate volume (measured, `scripts/embed_scale_probe.py`).
+    Callers own the choice; the registered fixture query keeps 16×4.
+    Approximate — recall vs the exact op is asserted in
+    tests/test_dedup_quality.py.
     """
+    if rows > 30:
+        raise ValueError("rows > 30 overflows the int32 bucket encoding")
+
     @pandas_udf("array<int>")
     def band_buckets(vs: pd.Series) -> pd.Series:
         if vs.empty:
             return pd.Series([], dtype=object)
         X = np.array(vs.tolist(), dtype=np.float64)
-        planes = _seeded_planes(
-            _PRUNE_SEED, _PRUNE_BANDS * _PRUNE_ROWS, X.shape[1]
-        )
+        planes = _seeded_planes(_PRUNE_SEED, bands * rows, X.shape[1])
         signs = ((X @ planes.T) > 0).astype(np.int64)
-        signs = signs.reshape(len(X), _PRUNE_BANDS, _PRUNE_ROWS)
-        weights = (1 << np.arange(_PRUNE_ROWS)).astype(np.int64)
+        signs = signs.reshape(len(X), bands, rows)
+        weights = (1 << np.arange(rows)).astype(np.int64)
         return pd.Series((signs @ weights).astype("int32").tolist())
 
     emb = (
@@ -606,7 +623,7 @@ def neardup_lsh_pruned_pairs(spark: SparkSession, sf: str) -> DataFrame:
             X = X / np.linalg.norm(X, axis=1, keepdims=True)
             Y = Y / np.linalg.norm(Y, axis=1, keepdims=True)
             sims = np.einsum("ij,ij->i", X, Y)  # row-wise dot, one pass
-            keep = sims >= 0.45
+            keep = sims >= threshold
             yield pd.DataFrame(
                 {
                     "vec_a": pdf["vec_a"].to_numpy()[keep],
@@ -695,12 +712,19 @@ def train_ivf_centroids(
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer, trained DataFrame-side.
 
-    Each iteration: assign cells (Arrow UDF GEMM), then per-(cell, dim)
-    sums via posexplode + groupBy — only the K×dim aggregate (model
-    state, independent of n) ever reaches the driver. Deterministic:
-    seeded init and centroids rounded to 6 decimals each round, so
-    partial-aggregation order noise (~1e-13) cannot flip assignments.
-    Empty cells keep their previous centroid.
+    Each iteration is ONE fused Arrow pass: assign cells (numpy GEMM
+    against the broadcast centroids) and reduce to per-cell partial
+    sum vectors INSIDE the same batch iterator — each partition emits
+    at most K (cell, Σv, n) rows, a second K-group merge collapses the
+    partials, and only the K×dim result (model state, independent of
+    n) ever reaches the driver. Round 11: this replaces the first
+    draft's posexplode + groupBy, which pushed n·dim exploded rows per
+    iteration through a hash aggregate — correct, but at 2M×256 that
+    is 512M rows per iteration for an aggregate whose true input is
+    partitions×K partial rows. Deterministic: seeded init and
+    centroids rounded to 6 decimals each round, so summation-order
+    noise (~1e-13) cannot flip assignments. Empty cells keep their
+    previous centroid.
 
     ``k`` and the vector dimension are no longer fixture constants
     (round 11): dim comes from the data (one LIMIT-1 probe — planning
@@ -716,26 +740,56 @@ def train_ivf_centroids(
             "transform(v, x -> x / sqrt(aggregate(v, 0D, (s, y) -> s + y * y)))"
         ).alias("nv"),
     ).persist()
-    for _ in range(iters):
-        assigned = norm.withColumn(
-            "cell", _cell_assigner(spark, cents)(F.col("nv"))
+
+    def merge_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cell": [key[0]],
+                "s": [np.array(pdf["s"].tolist()).sum(axis=0).tolist()],
+                "n": [int(pdf["n"].sum())],
+            }
         )
+
+    for _ in range(iters):
+        b_cents = spark.sparkContext.broadcast(cents)
+
+        def partial(batches):
+            C = b_cents.value
+            sums = np.zeros((C.shape[0], C.shape[1]))
+            counts = np.zeros(C.shape[0], dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                seen = True
+                X = np.array(pdf["nv"].tolist(), dtype=np.float64)
+                cells = np.argmax(X @ C.T, axis=1)
+                order = np.argsort(cells, kind="stable")
+                uniq, starts = np.unique(cells[order], return_index=True)
+                sums[uniq] += np.add.reduceat(X[order], starts, axis=0)
+                counts += np.bincount(cells, minlength=C.shape[0])
+            if not seen:
+                return
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": nz.astype("int32"),
+                    "s": [s.tolist() for s in sums[nz]],
+                    "n": counts[nz],
+                }
+            )
+
         agg = (
-            assigned.select("cell", F.posexplode("nv").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()  # K×dim rows of model state — bounded by K, not n
+            norm.mapInPandas(partial, "cell int, s array<double>, n long")
+            .groupBy("cell")
+            .applyInPandas(merge_cell, "cell int, s array<double>, n long")
+            .collect()  # K rows of model state — bounded by K, not n
         )
         new = cents.copy()
-        sums = np.zeros((k, dim))
-        counts = np.zeros(k)
         for r in agg:
-            sums[r["cell"], r["pos"]] += r["s"]
-            counts[r["cell"]] = r["n"]
-        for c in range(k):
-            if counts[c] > 0:
-                mean = sums[c] / counts[c]
-                new[c] = mean / np.linalg.norm(mean)
+            if r["n"] > 0:
+                mean = np.array(r["s"], dtype=np.float64) / r["n"]
+                new[r["cell"]] = mean / np.linalg.norm(mean)
         cents = np.round(new, 6)
     norm.unpersist()
     return cents
@@ -991,7 +1045,14 @@ def d2_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 # -- Product Quantization (Jégou et al., TPAMI 2011) -------------------
 
-_PQ_M = 8  # subspaces (64-dim → 8 dims each)
+# Subspace WIDTH is the PQ invariant, not subspace COUNT (round 11):
+# quantization error grows with the dims each 1-byte code must cover,
+# so m must scale with dim (FAISS convention: m = dim/8). The 2M×256
+# probe measured the cost of freezing m=8: recall@10 collapsed 0.8 →
+# 0.2 because each code covered 32 dims. dim=64 → m=8, identical to
+# the old constant, so every fixture artifact is unchanged.
+_PQ_SUB_DIM = 8  # dims per subspace → m = dim // 8
+_PQ_M = 8  # fixture-dim (64) subspace count; kept for the fixed LUTs
 _PQ_K = 32  # centroids per subspace → codes are m bytes/vector
 _PQ_SEED = 17
 _PQ_ITERS = 8
@@ -1023,9 +1084,10 @@ def train_pq_codebooks(emb: DataFrame) -> np.ndarray:
     X = np.array([r["v"] for r in sample], dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     dim = X.shape[1]
-    d_sub = dim // _PQ_M
-    books = np.empty((_PQ_M, _PQ_K, d_sub))
-    for j in range(_PQ_M):
+    m = max(1, dim // _PQ_SUB_DIM)  # subspace width stays ~8 dims
+    d_sub = dim // m
+    books = np.empty((m, _PQ_K, d_sub))
+    for j in range(m):
         S = X[:, j * d_sub : (j + 1) * d_sub]
         rng = np.random.RandomState(_PQ_SEED + j)
         cents = S[rng.choice(len(S), size=_PQ_K, replace=len(S) < _PQ_K)]
@@ -1078,9 +1140,10 @@ def d3_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     qv = qv / np.linalg.norm(qv)
     # ADC lookup table: exact dot of each query subvector with every
     # centroid — m×k floats, computed once
+    m = books.shape[0]
     lut = np.einsum(
         "jd,jkd->jk",
-        qv.reshape(_PQ_M, d_sub),
+        qv.reshape(m, d_sub),
         books,
     )
     b_lut = spark.sparkContext.broadcast(np.round(lut, 9))
@@ -1094,7 +1157,7 @@ def d3_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
             X = np.array(pdf["v"].tolist(), dtype=np.float64)
             X = X / np.linalg.norm(X, axis=1, keepdims=True)
             sims = np.zeros(len(X))
-            for j in range(_PQ_M):
+            for j in range(bk.shape[0]):
                 S = X[:, j * d_sub : (j + 1) * d_sub]
                 d2 = ((S[:, None, :] - bk[j][None, :, :]) ** 2).sum(axis=2)
                 codes = d2.argmin(axis=1)  # the m-byte code, one subspace
