@@ -219,6 +219,16 @@ def d19_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
     catalog-sized, not corpus-sized). The basket count is a 1-row
     cross join.
     """
+    return assoc_rules_from_arrays(basket_arrays(spark, sf))
+
+
+def assoc_rules_from_arrays(
+    arrs: DataFrame, slot: str = "d19_combo"
+) -> DataFrame:
+    """The d19 rule stage over any (ok, sorted-array) basket frame —
+    split out (round 11) so the sf10 A/B harness can feed variant
+    basket sources (sort-agg build, bucketed storage) through the
+    identical downstream plan."""
     from event_streamer_spark.caching import bounded_persist
 
     # Round-10 stage split (the r9 bench's slowest warm headliner,
@@ -236,7 +246,7 @@ def d19_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
     # bounded by pairs + item universe + 1, so the persisted slot is
     # catalog-sized, never corpus-sized.
     combo = bounded_persist(
-        basket_arrays(spark, sf)
+        arrs
         .select(
             F.explode(
                 F.expr(
@@ -256,7 +266,7 @@ def d19_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
         .select("p.x", "p.y")
         .groupBy("x", "y")
         .agg(F.count("*").cast("bigint").alias("cnt")),
-        "d19_combo",
+        slot,
     )
     pairs = combo.filter(
         F.col("y").isNotNull() & (F.col("cnt") >= _MIN_SUPPORT)
