@@ -734,12 +734,12 @@ def train_ivf_centroids(
     """
     dim = emb.select(F.size("v")).head()[0]
     cents = np.round(random_ivf_centroids(dim=dim, k=k), 6)
-    norm = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(v, x -> x / sqrt(aggregate(v, 0D, (s, y) -> s + y * y)))"
-        ).alias("nv"),
-    ).persist()
+    # persist the RAW vectors and normalize inside the Arrow pass:
+    # Catalyst evaluates higher-order lambdas (transform/aggregate)
+    # per ELEMENT interpreted — at 500k×256 the SQL normalize was the
+    # single largest trainer cost (measured round 11); one vectorized
+    # numpy divide per batch is ~free next to the assignment GEMM
+    norm = emb.select(F.col("v").alias("nv")).persist()
 
     def merge_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -776,6 +776,7 @@ def train_ivf_centroids(
                     .to_numpy(zero_copy_only=False)
                     .reshape(rb.num_rows, -1)
                 )
+                X = X / np.linalg.norm(X, axis=1, keepdims=True)
                 cells = np.argmax(X @ C.T, axis=1)
                 order = np.argsort(cells, kind="stable")
                 uniq, starts = np.unique(cells[order], return_index=True)

@@ -84,6 +84,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     results: dict = {"sf_dir": sf}
 
+    # session warm-up: JVM/codegen/Arrow-worker bootstrap must not be
+    # billed to whichever variant happens to run first
+    load(spark, sf, "lineitem").groupBy("l_returnflag").count().collect()
+    load(spark, sf, "orders").select("o_orderkey").count()
+
     # ---------------- d19_assoc_rules ---------------------------------
     base_rows = timed(
         spark, lambda: basket.d19_assoc_rules(spark, sf), "d19_baseline",
@@ -225,6 +230,17 @@ def main() -> int:
         )
     finally:
         graph._capped_edges = orig_capped
+
+    # re-run both baselines at the end: if the recheck beats the first
+    # run materially, the inter-variant deltas are order noise, not plan
+    timed(
+        spark, lambda: basket.d19_assoc_rules(spark, sf),
+        "d19_baseline_recheck", results,
+    )
+    timed(
+        spark, lambda: graph.d17_triangles(spark, sf),
+        "d17_baseline_recheck", results,
+    )
 
     print(json.dumps(results), flush=True)
     if args.out:

@@ -36,6 +36,7 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
 import shutil
 import sys
 import time
@@ -197,6 +198,11 @@ def main() -> int:
 
     from event_streamer_spark.session import get_spark
 
+    # 2M×256 doubles is a ~4 GiB working set; local mode shares one
+    # JVM between driver and all 32 executor threads, so the default
+    # 8g heap OOMs under cache + Arrow buffers. A real cluster sizes
+    # executor memory to the partition working set the same way.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark("embed-scale-probe", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     results = []
