@@ -1187,7 +1187,15 @@ def d3_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(encode_and_score, "vec_id long, sim double")
     )
-    shortlist = scored.orderBy(F.desc("sim"), "vec_id").limit(_PQ_SHORTLIST)
+    # ADC rank noise is absolute (quantization error), so the number
+    # of true-top-10 competitors it must out-rank grows with n — a
+    # FIXED shortlist starves at corpus scale (round-11 probe: fixed
+    # 64 read recall@10 0.7 at 500k but 0.3 at 2M). Scale it ~n/10k
+    # (still a TakeOrdered + broadcast — model-sized at any corpus);
+    # fixture corpora stay at exactly 64, so benched plans and
+    # artifacts are unchanged.
+    shortlist_size = max(_PQ_SHORTLIST, emb.count() // 500)
+    shortlist = scored.orderBy(F.desc("sim"), "vec_id").limit(shortlist_size)
     # exact re-rank: float vectors are fetched for the shortlist ONLY
     # (a broadcast join of ≤{64} ids against the table)
     qdf = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
