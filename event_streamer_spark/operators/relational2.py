@@ -164,23 +164,46 @@ def b11_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     "b11_collect_agg",
     oracle="""
     SELECT o_custkey,
-           string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses,
+           string_agg(o_orderstatus, ','
+                      ORDER BY o_orderkey, o_orderstatus) AS statuses,
            CAST(MAX(o_orderkey) AS BIGINT) AS last_order
     FROM orders GROUP BY o_custkey
     """,
 )
 def b11_collect_agg(spark: SparkSession, sf: str) -> DataFrame:
     """B11: ordered collect/string aggregation (deterministic via sort
-    before aggregation + unique order key)."""
+    before aggregation + unique order key).
+
+    Two hostile-corpus pins (seed 20260830, sf0.1 grain — the first
+    divergence a fresh seed has surfaced since 20260823):
+
+    * **All-NULL groups**: ``concat_ws`` over a list with no non-NULL
+      element returns ``''`` while ``string_agg`` returns NULL — a
+      customer whose every order status is NULLed diverged. Rule
+      pinned: NULL (the SQL aggregate convention), via the
+      ``count(col) > 0`` guard below.
+    * **Duplicate-key ties** (latent, same class as d6's NULLS-LAST
+      pin): the struct sort tie-breaks equal order keys by STATUS,
+      the oracle's bare ``ORDER BY o_orderkey`` left tie order
+      engine-arbitrary; both sides now order by (key, status).
+
+    Clean-fixture output is byte-identical to prior rounds (unique
+    keys, no NULL statuses there).
+    """
     o = load(spark, sf, "orders")
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.concat_ws(
-                ",",
-                F.array_sort(
-                    F.collect_list(F.struct("o_orderkey", "o_orderstatus"))
-                ).getField("o_orderstatus"),
+            F.when(
+                F.count("o_orderstatus") > 0,
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("o_orderkey", "o_orderstatus")
+                        )
+                    ).getField("o_orderstatus"),
+                ),
             ).alias("statuses"),
             F.max("o_orderkey").alias("last_order"),
         )

@@ -185,3 +185,48 @@ def test_pin_quantized_calibration_survives_magnitude_outlier(spark):
     exact = {r["vec_id"] for r in d3_topk_cosine(spark, tmp).collect()}
     quant = {r["vec_id"] for r in quantized_topk_scores(spark, tmp).collect()}
     assert len(exact & quant) >= 6, (sorted(exact), sorted(quant))
+
+
+def test_pin_collect_agg_all_null_group_and_key_ties(spark):
+    """Round-11 hostile-corpus pin (seed 20260830, sf0.1 grain): a
+    group whose EVERY status is NULL must aggregate to NULL (the SQL
+    aggregate convention DuckDB's string_agg follows) — concat_ws
+    alone returned '' there. And duplicate order keys with DIFFERENT
+    statuses must concatenate in the pinned (key, status) order on
+    both engines — the oracle's former bare ORDER BY o_orderkey left
+    tie order engine-arbitrary."""
+    import duckdb
+    import pandas as pd
+
+    from event_streamer_spark.operators.relational2 import b11_collect_agg
+    from event_streamer_spark.operators.registry import REGISTRY
+
+    pdf = pd.DataFrame(
+        {
+            "o_custkey": [1, 1, 2, 2, 2, 3],
+            "o_orderkey": [10, 11, 5, 5, 6, 7],
+            "o_orderstatus": [None, None, "B", "A", None, "F"],
+        }
+    )
+    tmp = "/tmp/pin_collect_agg"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp}/orders.parquet"
+    )
+    got = {
+        r["o_custkey"]: (r["statuses"], r["last_order"])
+        for r in b11_collect_agg(spark, tmp).collect()
+    }
+    assert got[1] == (None, 11), got  # all-NULL group -> NULL, not ''
+    assert got[2] == ("A,B", 6), got  # tie on key 5 ordered by status
+    assert got[3] == ("F", 7), got
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{tmp}/orders.parquet/*.parquet'"
+    )
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(REGISTRY["b11_collect_agg"].oracle).fetchall()
+    }
+    assert oracle == got, (oracle, got)
