@@ -1188,13 +1188,19 @@ def d3_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         .mapInPandas(encode_and_score, "vec_id long, sim double")
     )
     # ADC rank noise is absolute (quantization error), so the number
-    # of true-top-10 competitors it must out-rank grows with n — a
+    # of true-top-10 competitors that can leapfrog grows with n — a
     # FIXED shortlist starves at corpus scale (round-11 probe: fixed
-    # 64 read recall@10 0.7 at 500k but 0.3 at 2M). Scale it ~n/10k
-    # (still a TakeOrdered + broadcast — model-sized at any corpus);
-    # fixture corpora stay at exactly 64, so benched plans and
-    # artifacts are unchanged.
-    shortlist_size = max(_PQ_SHORTLIST, emb.count() // 500)
+    # 64 read recall@10 0.7 at 500k / 0.3 at 2M×256), and at the
+    # fixture's ADVERSARIAL near-random regime (neighbor sims bunched
+    # within the quantization error) it starves even at 2k vectors
+    # (measured ADC ranks of the exact top-10 at sf0.1: recall 0.3 at
+    # 64, 1.0 at 400). Sizing rule, measured at both regimes:
+    # n/5 covers the bunched-sim small-corpus case; the 4096 cap keeps
+    # the TakeOrdered + broadcast model-sized at any corpus (recall@10
+    # 1.0 at 2M with 4096; production FAISS practice sizes the rerank
+    # list to the recall target the same way). sf0.001/sf0.01 corpora
+    # stay at exactly 64 — driver-gate artifacts unchanged.
+    shortlist_size = max(_PQ_SHORTLIST, min(4096, emb.count() // 5))
     shortlist = scored.orderBy(F.desc("sim"), "vec_id").limit(shortlist_size)
     # exact re-rank: float vectors are fetched for the shortlist ONLY
     # (a broadcast join of ≤{64} ids against the table)
