@@ -218,18 +218,126 @@ def d19_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
     probability joins broadcast at any corpus size (item universes are
     catalog-sized, not corpus-sized). The basket count is a 1-row
     cross join.
+
+    Shape is SIZE-ADAPTIVE (round 11, the distrank-auto pattern): the
+    fused single-shuffle combo below wins when the observed-pair
+    universe fits one hash aggregate comfortably (sf0.1 warm 1.45 →
+    0.71 s, the r10 win), but the sf10 A/B (`AB_SF10_r11.json`)
+    measured the crossover: at 60M lines the combo's single aggregate
+    carries ~10⁸ mostly-support-1 pair keys plus the marker rows and
+    reads cold 59.4 s, while the pre-r10 TWO-shuffle split — item
+    frequencies combining map-side onto catalog-sized keys, pairs
+    shuffling alone — reads 34.6 s (−42%; sortagg −15% and bucketed
+    storage −34%+14s-write were both measured and rejected). Cold is
+    the metric that matters at scale (a 100 TB job runs once; the
+    combo's warm advantage exists only while its all-observed-pairs
+    slot — NOT catalog-sized, the r10 docstring overclaimed — stays
+    cached). Auto rule: Catalyst's size estimate for the 2-column
+    lineitem projection vs ``spark.event_streamer.basket.splitMinBytes``
+    (default 256 MiB: sf0.1 ≈ 11 MB stays combo — benched plan
+    unchanged; sf10 ≈ 1.1 GB goes split). Both shapes are
+    value-identical (pinned by a forced-mode equality test).
     """
-    return assoc_rules_from_arrays(basket_arrays(spark, sf))
+    from event_streamer_spark.operators.distrank import _plan_size_bytes
+
+    est = _plan_size_bytes(
+        load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    )
+    threshold = int(
+        spark.conf.get(
+            "spark.event_streamer.basket.splitMinBytes",
+            str(_SPLIT_MIN_BYTES),
+        )
+    )
+    mode = "split" if est is not None and est > threshold else "combo"
+    return assoc_rules_from_arrays(basket_arrays(spark, sf), mode=mode)
+
+
+# the combo-vs-split crossover (see d19_assoc_rules): below this input
+# size the fused single-shuffle shape wins, above it the two-shuffle
+# split does (measured at sf0.1 / sf10; conf-overridable)
+_SPLIT_MIN_BYTES = 256 << 20
+
+
+def _rules_tail(
+    pairs: DataFrame, freq: DataFrame, n_baskets: DataFrame
+) -> DataFrame:
+    """Rule directions + broadcast probability joins — shared by both
+    aggregate shapes; inputs are (part_x, part_y, support),
+    (pk, c) and the 1-row basket count."""
+    # both rule directions in ONE pass over the pair subtree: a
+    # two-select union would reference `pairs` twice, and Catalyst
+    # executes the self-join + aggregate once per reference (the
+    # d18_er_golden review lesson) — explode duplicates rows instead
+    rules = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_x").alias("antecedent"),
+                    F.col("part_y").alias("consequent"),
+                    F.col("support"),
+                ),
+                F.struct(
+                    F.col("part_y").alias("antecedent"),
+                    F.col("part_x").alias("consequent"),
+                    F.col("support"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.support")
+    fa = F.broadcast(
+        freq.select(F.col("pk").alias("antecedent"), F.col("c").alias("ca"))
+    )
+    fc = F.broadcast(
+        freq.select(F.col("pk").alias("consequent"), F.col("c").alias("cc"))
+    )
+    return (
+        rules.join(fa, "antecedent")
+        .join(fc, "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.expr("(1000000 * support) DIV ca").alias("confidence_ppm"),
+            F.expr("(1000000 * support * n_baskets) DIV (ca * cc)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
 
 
 def assoc_rules_from_arrays(
-    arrs: DataFrame, slot: str = "d19_combo"
+    arrs: DataFrame, slot: str = "d19_combo", mode: str = "combo"
 ) -> DataFrame:
     """The d19 rule stage over any (ok, sorted-array) basket frame —
     split out (round 11) so the sf10 A/B harness can feed variant
-    basket sources (sort-agg build, bucketed storage) through the
-    identical downstream plan."""
+    basket sources and force either aggregate shape.
+
+    ``mode="combo"``: ONE NULL-marker shuffle (below). ``mode="split"``:
+    the pair count and the item-frequency count each shuffle separately
+    — at large corpora the freq aggregate combines map-side onto
+    catalog-sized keys instead of riding a ~n²-key pair aggregate
+    (sf10 cold 59.4 → 34.6 s), and only the post-support-filter pairs
+    (frequent-pair-sized) and freq (catalog-sized) persist, never the
+    all-observed-pairs frame.
+    """
     from event_streamer_spark.caching import bounded_persist
+
+    if mode == "split":
+        pairs = bounded_persist(
+            pairs_from_arrays(arrs), "d19_pairs_split"
+        )
+        freq = bounded_persist(
+            arrs.select(F.explode("arr").alias("pk"))
+            .groupBy("pk")
+            .agg(F.count("*").cast("bigint").alias("c")),
+            "d19_freq_split",
+        )
+        n_baskets = arrs.agg(
+            F.count("*").cast("bigint").alias("n_baskets")
+        )
+        return _rules_tail(pairs, freq, n_baskets)
 
     # Round-10 stage split (the r9 bench's slowest warm headliner,
     # 1.85 s flat two rounds running — measured stages: pair shuffle
@@ -280,44 +388,8 @@ def assoc_rules_from_arrays(
     ).select(F.col("x").alias("pk"), F.col("cnt").alias("c"))
     n_baskets = combo.filter(F.col("x").isNull()).select(
         F.col("cnt").alias("n_baskets")
-    )  # 1-row frame, broadcast below — stays lazy, no driver action
-
-    # both rule directions in ONE pass over the pair subtree: a
-    # two-select union would reference `pairs` twice, and Catalyst
-    # executes the self-join + aggregate once per reference (the
-    # d18_er_golden review lesson) — explode duplicates rows instead
-    rules = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("part_x").alias("antecedent"),
-                    F.col("part_y").alias("consequent"),
-                    F.col("support"),
-                ),
-                F.struct(
-                    F.col("part_y").alias("antecedent"),
-                    F.col("part_x").alias("consequent"),
-                    F.col("support"),
-                ),
-            )
-        ).alias("r")
-    ).select("r.antecedent", "r.consequent", "r.support")
-    fa = F.broadcast(freq.select(F.col("pk").alias("antecedent"), F.col("c").alias("ca")))
-    fc = F.broadcast(freq.select(F.col("pk").alias("consequent"), F.col("c").alias("cc")))
-    return (
-        rules.join(fa, "antecedent")
-        .join(fc, "consequent")
-        .crossJoin(F.broadcast(n_baskets))
-        .select(
-            "antecedent",
-            "consequent",
-            "support",
-            F.expr("(1000000 * support) DIV ca").alias("confidence_ppm"),
-            F.expr("(1000000 * support * n_baskets) DIV (ca * cc)").alias(
-                "lift_ppm"
-            ),
-        )
-    )
+    )  # 1-row frame, broadcast in the tail — stays lazy, no driver action
+    return _rules_tail(pairs, freq, n_baskets)
 
 
 @query(

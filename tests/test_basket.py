@@ -408,3 +408,30 @@ def test_pairs_from_arrays_property(spark):
         assert got == expected
 
     check()
+
+
+def test_assoc_rules_split_equals_combo(spark):
+    """The size-adaptive aggregate shapes (round 11: fused NULL-marker
+    combo below the splitMinBytes crossover, two-shuffle split above —
+    the sf10 A/B's −42% cold win) must be value-identical: same rule
+    set, same exact-ppm arithmetic, at a SF where both run in
+    seconds."""
+    from event_streamer_spark.operators.basket import (
+        assoc_rules_from_arrays,
+        basket_arrays,
+    )
+
+    arrs = basket_arrays(spark, "/root/testdata/sf0.001")
+    combo = {
+        (r["antecedent"], r["consequent"]): (
+            r["support"], r["confidence_ppm"], r["lift_ppm"]
+        )
+        for r in assoc_rules_from_arrays(arrs, mode="combo").collect()
+    }
+    split = {
+        (r["antecedent"], r["consequent"]): (
+            r["support"], r["confidence_ppm"], r["lift_ppm"]
+        )
+        for r in assoc_rules_from_arrays(arrs, mode="split").collect()
+    }
+    assert combo == split and len(combo) > 100
