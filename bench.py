@@ -197,18 +197,28 @@ def main() -> None:
     # regression.
     from event_streamer_spark.caching import clear_slot
 
+    # the prepared-plan cache must be bypassed here: persist() side
+    # effects happen at plan-BUILD time, so a cache-hit fn() returns a
+    # frame whose cleared InMemoryRelations never re-register and both
+    # runs measure raw lineage recompute instead of the floor (caught
+    # by the r11 sf1 artifact: isolated read ~cold for every
+    # slot-backed query)
     isolated: dict[str, float] = {}
-    for name in HEADLINE:
-        clear_slot()
-        spark.catalog.clearCache()
-        fn = REGISTRY[name].fn
-        try:
-            fn(spark, sf_dir).count()  # rebuild this query's own caches
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            isolated[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 — floor pass must not gate
-            print(f"# isolated {name} failed: {exc}", file=sys.stderr)
+    os.environ["EVENT_STREAMER_PLAN_CACHE"] = "0"
+    try:
+        for name in HEADLINE:
+            clear_slot()
+            spark.catalog.clearCache()
+            fn = REGISTRY[name].fn
+            try:
+                fn(spark, sf_dir).count()  # rebuild this query's caches
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                isolated[name] = round(time.time() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — must not gate
+                print(f"# isolated {name} failed: {exc}", file=sys.stderr)
+    finally:
+        os.environ.pop("EVENT_STREAMER_PLAN_CACHE", None)
     clear_slot()
     spark.catalog.clearCache()
 
