@@ -1138,11 +1138,13 @@ def d3_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     against the broadcast {8}×{32}×8 codebook); the query builds an
     m×k lookup table of exact subspace dot products, and the SCAN is
     LUT-gather + sum per code — no float vector is touched at scan
-    time. The top-{64} ADC shortlist (TakeOrdered) then gets an exact
+    time. The ADC shortlist (TakeOrdered, max(64, min(4096, n/5))
+    candidates — see the sizing note at the limit) then gets an exact
     cosine re-rank — the published two-stage recipe (Jégou et al. §V;
     quantized scan for bandwidth, float math only on the shortlist).
     Shortlist recall of the true top-10 is asserted in
-    tests/test_dedup_quality.py.
+    tests/test_dedup_quality.py and at 500k/2M×256 in
+    EMBED_SCALE_r11.json.
     """
     emb = load_embeddings(spark, sf).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
