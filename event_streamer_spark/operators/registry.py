@@ -53,10 +53,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 # Column op in this sandbox) — for the cheap half of the headline bench
 # that is MORE than execution itself. So ``wrapped`` memoizes the built
 # frame per (applicationId, sf_dir, table-mtime fingerprint) — exactly a
-# prepared statement. The mtime fingerprint invalidates when any table
-# under sf_dir is rewritten (tests overwrite tmp fixtures in place); the
-# applicationId drops entries from stopped sessions. Disable with
-# EVENT_STREAMER_PLAN_CACHE=0.
+# prepared statement. The fingerprint is CONTENT-DERIVED (r12, VERDICT
+# r11 #6): per table, file count + total bytes + lexicographically-max
+# part filename — all listable on any object store, where mtime is
+# coarse, clock-skewed, or synthesized (the r10/r11 watch item). A
+# rewrite changes bytes or part names, so it invalidates; a bare
+# ``touch`` does NOT (correct: the plan is still valid). For the
+# pathological same-size/same-names in-place rewrite, set
+# EVENT_STREAMER_PLAN_CACHE_VERSION to any new string (it is part of
+# the key) or EVENT_STREAMER_PLAN_CACHE=0 to kill the cache outright.
+# The applicationId drops entries from stopped sessions.
 
 _PLAN_CACHE: dict[tuple, DataFrame] = {}
 _PLAN_LOCK = threading.Lock()
@@ -67,13 +73,12 @@ _TABLE_NAMES = (
 
 
 def _sf_fingerprint(sf_dir: str) -> tuple:
-    out = []
-    for t in _TABLE_NAMES:
-        try:
-            out.append((t, os.path.getmtime(os.path.join(sf_dir, f"{t}.parquet"))))
-        except OSError:
-            out.append((t, None))
-    return tuple(out)
+    from event_streamer_spark.tables import table_fingerprint
+
+    return tuple(
+        (t, table_fingerprint(os.path.join(sf_dir, f"{t}.parquet")))
+        for t in _TABLE_NAMES
+    )
 
 
 def clear_plan_cache() -> None:
@@ -106,6 +111,7 @@ def query(
                 spark.sparkContext.applicationId,
                 os.path.abspath(sf_dir),
                 _sf_fingerprint(sf_dir),
+                os.environ.get("EVENT_STREAMER_PLAN_CACHE_VERSION"),
             )
             with _PLAN_LOCK:
                 cached = _PLAN_CACHE.get(key)

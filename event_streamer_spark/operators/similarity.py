@@ -732,7 +732,14 @@ def train_ivf_centroids(
     serves the 2000×64 fixture (K=8 default) and the √n-cell sizing
     the embedding-scale probe uses at 2M×256.
     """
-    dim = emb.select(F.size("v")).head()[0]
+    row = emb.select(F.size("v")).head()
+    if row is None:
+        # empty / fully-domain-filtered corpus: nothing to train on —
+        # return the seeded init at the fixture dim so downstream
+        # assignment plans still build and produce zero rows (r12,
+        # ADVICE: head()[0] raised TypeError here)
+        return np.round(random_ivf_centroids(k=k), 6)
+    dim = row[0]
     cents = np.round(random_ivf_centroids(dim=dim, k=k), 6)
     # persist the RAW vectors and normalize inside the Arrow pass:
     # Catalyst evaluates higher-order lambdas (transform/aggregate)
@@ -1075,7 +1082,9 @@ _PQ_ITERS = 8
 _PQ_TRAIN_CAP = 2048  # codebook training-sample bound (model-sized)
 
 
-def train_pq_codebooks(emb: DataFrame) -> np.ndarray:
+def train_pq_codebooks(
+    emb: DataFrame, n: int | None = None
+) -> tuple[np.ndarray, int]:
     """Train per-subspace k-means codebooks on a BOUNDED deterministic
     sample — the published PQ recipe (codebooks come from a training
     sample, never the full corpus), so the only driver-side data is
@@ -1085,9 +1094,13 @@ def train_pq_codebooks(emb: DataFrame) -> np.ndarray:
     the corpus count — deterministic across runs/partitionings. Each
     subspace trains an independent seeded Lloyd's loop in numpy;
     centroids round to 6 decimals so downstream assignment is stable.
-    Returns ``(m, k, d_sub)``.
+    Returns ``(books, n)`` with books shaped ``(m, k, d_sub)`` — n is
+    returned so callers that also need the corpus count (the ADC
+    shortlist sizing) don't pay a second full-distinct count shuffle
+    (round 12, ADVICE).
     """
-    n = emb.count()
+    if n is None:
+        n = emb.count()
     step = max(1, n // _PQ_TRAIN_CAP)
     sample = (
         emb.filter(F.col("vec_id") % step == 0)
@@ -1115,7 +1128,7 @@ def train_pq_codebooks(emb: DataFrame) -> np.ndarray:
                 if len(members):
                     cents[k] = members.mean(axis=0)
         books[j] = np.round(cents, 6)
-    return books
+    return books, n
 
 
 _PQ_SHORTLIST = 64  # ADC candidates that get the exact re-rank
@@ -1149,7 +1162,7 @@ def d3_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_embeddings(spark, sf).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    books = train_pq_codebooks(emb)
+    books, n_corpus = train_pq_codebooks(emb)
     b_books = spark.sparkContext.broadcast(books)
     d_sub = books.shape[2]
 
@@ -1200,9 +1213,12 @@ def d3_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     # n/5 covers the bunched-sim small-corpus case; the 4096 cap keeps
     # the TakeOrdered + broadcast model-sized at any corpus (recall@10
     # 1.0 at 2M with 4096; production FAISS practice sizes the rerank
-    # list to the recall target the same way). sf0.001/sf0.01 corpora
-    # stay at exactly 64 — driver-gate artifacts unchanged.
-    shortlist_size = max(_PQ_SHORTLIST, min(4096, emb.count() // 5))
+    # list to the recall target the same way). At the sf0.001/sf0.01
+    # fixtures (~500 valid vectors) this reads 100 — a LARGER exact
+    # re-rank set than the 64 floor, so small-SF recall can only be
+    # >= the floor's; the check twin pins it. n is reused from the
+    # codebook trainer's count — no second distinct shuffle (r12).
+    shortlist_size = max(_PQ_SHORTLIST, min(4096, n_corpus // 5))
     shortlist = scored.orderBy(F.desc("sim"), "vec_id").limit(shortlist_size)
     # exact re-rank: float vectors are fetched for the shortlist ONLY
     # (a broadcast join of ≤{64} ids against the table)

@@ -6,14 +6,17 @@ Parquet scans get predicate pushdown + column pruning from Catalyst for
 free — queries must keep projections/filters declarative so they reach
 the scan (verify with ``.explain``: ``PushedFilters`` / ``ReadSchema``).
 
-Loads are memoized per (session, path, file-mtime): ``spark.read.parquet``
-costs ~80-115 ms of file listing + footer schema inference per call, and
-every operator pays it 1-6× at plan-build time — the dominant fixed
-per-query overhead in the r5 bench. A DataFrame is an immutable logical
-plan, so reusing one is semantically identical to re-reading; the mtime
-key invalidates the entry whenever the table directory is rewritten
-(tests overwrite tmp fixtures in place), and the applicationId key drops
-entries from stopped sessions.
+Loads are memoized per (session, path, content fingerprint):
+``spark.read.parquet`` costs ~80-115 ms of file listing + footer schema
+inference per call, and every operator pays it 1-6× at plan-build time —
+the dominant fixed per-query overhead in the r5 bench. A DataFrame is an
+immutable logical plan, so reusing one is semantically identical to
+re-reading. The fingerprint is CONTENT-DERIVED (r12, VERDICT r11 #6):
+file count + total bytes + lexicographically-max part filename — all
+listable on any object store, where mtime is coarse, clock-skewed, or
+synthesized. A rewrite changes bytes or part names, so it invalidates;
+a bare ``touch`` does not (the plan is still valid). The applicationId
+key drops entries from stopped sessions.
 """
 
 from __future__ import annotations
@@ -47,14 +50,32 @@ def clear_load_cache() -> None:
         _LOAD_CACHE.clear()
 
 
+def table_fingerprint(path: str):
+    """(file_count, total_bytes, max_part_name) for a parquet file OR a
+    directory-style parquet table — an object-store-safe content
+    identity (no mtimes; see the module docstring). ``None`` for a
+    missing or non-local path (s3a:// etc.) — callers skip caching."""
+    try:
+        if os.path.isdir(path):
+            n, total, max_name = 0, 0, ""
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.startswith((".", "_")):
+                        continue  # _SUCCESS / .crc bookkeeping
+                    n += 1
+                    total += os.path.getsize(os.path.join(root, f))
+                    max_name = max(max_name, f)
+            return (n, total, max_name)
+        return (1, os.path.getsize(path), os.path.basename(path))
+    except OSError:
+        return None
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        mtime = os.path.getmtime(path)
-    except OSError:
-        mtime = None  # non-local path (s3a:// etc.) — never cached
-    if mtime is not None:
-        key = (spark.sparkContext.applicationId, os.path.abspath(path), mtime)
+    fp = table_fingerprint(path)
+    if fp is not None:
+        key = (spark.sparkContext.applicationId, os.path.abspath(path), fp)
         with _LOAD_LOCK:
             cached = _LOAD_CACHE.get(key)
         if cached is not None:

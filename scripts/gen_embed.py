@@ -85,6 +85,18 @@ def main() -> int:
         if n_dup:
             dup_pos = crng.choice(np.arange(1, n), size=n_dup, replace=False)
             src_pos = (crng.rand(n_dup) * dup_pos).astype(np.int64)
+            # a src that is ITSELF a dup target gets overwritten by the
+            # fancy assignment below, silently breaking that planted
+            # pair's ground truth (~0.5% of pairs pre-r12) — resample
+            # those srcs until every src is outside the dup set (always
+            # terminates: position 0 is never a dup target)
+            dup_set = set(dup_pos.tolist())
+            bad = np.array([s in dup_set for s in src_pos])
+            while bad.any():
+                src_pos[bad] = (
+                    crng.rand(int(bad.sum())) * dup_pos[bad]
+                ).astype(np.int64)
+                bad = np.array([s in dup_set for s in src_pos])
             X[dup_pos] = X[src_pos] + 0.01 * sigma * crng.standard_normal(
                 (n_dup, args.dim)
             )

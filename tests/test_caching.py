@@ -63,8 +63,10 @@ class TestPlanCache:
 
     The contract under test: repeated identical calls return the SAME
     frame object (zero rebuild cost), and rewriting a table under the
-    sf_dir invalidates both caches via the mtime fingerprint — a stale
-    plan over a rewritten fixture would silently serve old data."""
+    sf_dir invalidates both caches via the CONTENT fingerprint (file
+    count + total bytes + max part name — r12, object-store-safe; no
+    mtimes) — a stale plan over a rewritten fixture would silently
+    serve old data, while a bare ``touch`` must NOT evict."""
 
     def test_same_call_returns_cached_frame(self, spark, sf_dir):
         from event_streamer_spark.operators import REGISTRY
@@ -89,11 +91,100 @@ class TestPlanCache:
         assert q(spark, sf) is a  # cached while untouched
         time.sleep(0.01)
         src.limit(10).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
-        os.utime(f"{sf}/orders.parquet")  # ensure mtime tick on coarse fs
         b = q(spark, sf)
         assert b is not a
         n2 = b.count()
         assert n2 != n1  # fresh plan sees the rewritten table
+
+    def test_touch_without_change_keeps_cache(self, spark, tmp_path):
+        """Object-store semantics (r12): a bare mtime bump is NOT a
+        content change — the prepared plan stays valid and cached."""
+        import os
+        import time
+
+        from event_streamer_spark import tables
+        from event_streamer_spark.operators import REGISTRY
+
+        sf = str(tmp_path)
+        tables.load(spark, "/root/testdata/sf0.001", "orders").write.parquet(
+            f"{sf}/orders.parquet"
+        )
+        q = REGISTRY["b11_group_having"].fn
+        a = q(spark, sf)
+        time.sleep(0.01)
+        now = time.time()
+        for root, _dirs, files in os.walk(f"{sf}/orders.parquet"):
+            for f in files:
+                os.utime(os.path.join(root, f), (now, now))
+        os.utime(f"{sf}/orders.parquet", (now, now))
+        assert q(spark, sf) is a  # still a cache hit
+
+    def test_change_without_mtime_bump_invalidates(self, spark, tmp_path):
+        """The converse object-store hazard: content changes while
+        mtimes are restored to their old values (clock skew / copy
+        tools). The content fingerprint must still evict."""
+        import os
+        import time
+
+        from event_streamer_spark import tables
+        from event_streamer_spark.operators import REGISTRY
+
+        sf = str(tmp_path)
+        src = tables.load(spark, "/root/testdata/sf0.001", "orders")
+        src.write.parquet(f"{sf}/orders.parquet")
+        old_times = {}
+        for root, _dirs, files in os.walk(f"{sf}/orders.parquet"):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                old_times[f] = (st.st_atime, st.st_mtime)
+        q = REGISTRY["b11_group_having"].fn
+        n1 = q(spark, sf).count()
+        a = q(spark, sf)
+        time.sleep(0.01)
+        src.limit(10).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+        # restore any surviving old mtimes + pin every new file to a
+        # FIXED old timestamp — an mtime-keyed cache now sees no change
+        fixed = min(t[1] for t in old_times.values())
+        for root, _dirs, files in os.walk(f"{sf}/orders.parquet"):
+            for f in files:
+                os.utime(os.path.join(root, f), old_times.get(f, (fixed, fixed)))
+        os.utime(f"{sf}/orders.parquet", (fixed, fixed))
+        b = q(spark, sf)
+        assert b is not a
+        assert b.count() != n1
+
+    def test_version_conf_invalidates(self, spark, sf_dir, monkeypatch):
+        """EVENT_STREAMER_PLAN_CACHE_VERSION is part of the key — the
+        explicit escape hatch for same-size in-place rewrites."""
+        from event_streamer_spark.operators import REGISTRY
+
+        q = REGISTRY["b11_tpch_q1"].fn
+        a = q(spark, sf_dir)
+        monkeypatch.setenv("EVENT_STREAMER_PLAN_CACHE_VERSION", "v2")
+        b = q(spark, sf_dir)
+        assert b is not a
+        assert q(spark, sf_dir) is b  # stable within the new version
+
+    def test_table_fingerprint_shape(self, tmp_path):
+        """Unit contract: (count, bytes, max_name) for files and dirs;
+        bookkeeping files ignored; None for missing paths."""
+        import os
+
+        from event_streamer_spark.tables import table_fingerprint
+
+        f = tmp_path / "one.parquet"
+        f.write_bytes(b"x" * 10)
+        assert table_fingerprint(str(f)) == (1, 10, "one.parquet")
+        d = tmp_path / "tbl.parquet"
+        d.mkdir()
+        (d / "part-00000.parquet").write_bytes(b"a" * 7)
+        (d / "part-00001.parquet").write_bytes(b"b" * 5)
+        (d / "_SUCCESS").write_bytes(b"")
+        (d / ".part-00000.crc").write_bytes(b"c")
+        assert table_fingerprint(str(d)) == (2, 12, "part-00001.parquet")
+        assert table_fingerprint(str(tmp_path / "nope.parquet")) is None
+        os.remove(str(f))
 
     def test_plan_cache_disabled_by_env(self, spark, sf_dir, monkeypatch):
         from event_streamer_spark.operators import REGISTRY

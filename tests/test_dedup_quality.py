@@ -538,8 +538,8 @@ def test_pq_codebooks_deterministic_and_model_sized(spark):
     emb = load(spark, SF, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    b1 = train_pq_codebooks(emb)
-    b2 = train_pq_codebooks(emb)
+    b1, _ = train_pq_codebooks(emb)
+    b2, _ = train_pq_codebooks(emb)
     assert b1.shape == (_PQ_M, _PQ_K, 64 // _PQ_M)
     assert (b1 == b2).all()
 
@@ -635,8 +635,8 @@ def test_pq_codebooks_invariant_under_partitioning(spark):
     emb = load(spark, SF, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    b1 = train_pq_codebooks(emb)
-    b2 = train_pq_codebooks(emb.repartition(13))
+    b1, _ = train_pq_codebooks(emb)
+    b2, _ = train_pq_codebooks(emb.repartition(13))
     assert (b1 == b2).all()
 
 
