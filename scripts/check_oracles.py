@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
@@ -58,13 +59,21 @@ def run_sweep(
     sf_dir: str,
     name_filters: list[str] | None = None,
     quiet: bool = False,
+    exact_names: list[str] | None = None,
 ) -> tuple[int, list[str]]:
     """Run the full Spark-vs-DuckDB sweep; returns (total, failures).
 
     Reusable from pytest (tests/test_oracle_harness.py) so any oracle
     regression fails CI between driver rounds, not just this script.
+    ``exact_names`` (r12) selects by exact registry name — used by
+    ``--changed-since`` so substring matching can't widen the set.
     """
     name_filters = name_filters or []
+
+    def in_scope(name: str) -> bool:
+        if exact_names is not None and name not in exact_names:
+            return False
+        return not name_filters or any(f in name for f in name_filters)
 
     def say(msg: str) -> None:
         if not quiet:
@@ -78,7 +87,7 @@ def run_sweep(
 
     failures = []
     for name, spec in sorted(REGISTRY.items()):
-        if name_filters and not any(f in name for f in name_filters):
+        if not in_scope(name):
             continue
         t0 = time.time()
         try:
@@ -146,23 +155,83 @@ def run_sweep(
                 say("      WARNING: vacuous pass (0 rows on both engines)")
 
     say("")
-    total = len([n for n in REGISTRY if not name_filters or any(f in n for f in name_filters)])
+    total = len([n for n in REGISTRY if in_scope(n)])
     say(f"{total - len(failures)}/{total} ok; failures: {failures}")
     return total, failures
+
+
+def changed_query_names(rev: str) -> list[str]:
+    """Registry names whose DEFINING module file changed since ``rev``
+    (``git diff --name-only rev``, plus untracked files) — the
+    targeted-sweep filter for between-gate iteration (VERDICT r11 #8).
+    Conservative by construction: a query whose HELPER module changed
+    but whose own module didn't is not selected, so the full sweep
+    stays the round-close gate; this flag only shortens the inner loop.
+    """
+    import inspect
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    diff = subprocess.run(
+        ["git", "diff", "--name-only", rev],
+        cwd=repo, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    untracked = subprocess.run(
+        ["git", "ls-files", "--others", "--exclude-standard"],
+        cwd=repo, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    changed = {os.path.normpath(p) for p in diff + untracked}
+    names = []
+    for name, spec in REGISTRY.items():
+        fn = getattr(spec.fn, "__wrapped__", spec.fn)
+        try:
+            src = os.path.relpath(inspect.getsourcefile(fn), repo)
+        except (TypeError, ValueError):
+            names.append(name)  # can't locate → stay conservative: run it
+            continue
+        if os.path.normpath(src) in changed:
+            names.append(name)
+    return sorted(names)
 
 
 def main() -> int:
     """``--out PATH`` writes a machine-readable sweep artifact (VERDICT
     r8 #4: the per-round full-registry sweep at the bench SF is recorded
     as checked-in JSON, so regressions at sf0.1 diff between rounds
-    instead of living only in COVERAGE prose)."""
+    instead of living only in COVERAGE prose).
+
+    ``--changed-since REV`` restricts the sweep to queries whose
+    defining source file changed since REV (plus untracked files) —
+    the targeted between-gates sweep (VERDICT r11 #8). Combines with
+    positional name filters (intersection). The FULL sweep remains the
+    round-close gate."""
     argv = sys.argv[1:]
     out_path = None
     if "--out" in argv:
         i = argv.index("--out")
         out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    since_rev = None
+    if "--changed-since" in argv:
+        i = argv.index("--changed-since")
+        since_rev = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    if since_rev is not None:
+        changed = changed_query_names(since_rev)
+        print(f"# --changed-since {since_rev}: {len(changed)} queries")
+        if not changed:
+            print("0/0 ok; failures: []")
+            return 0
+        # exact-name filters: wrap so substring matching can't widen
+        name_filter = argv[1:]
+        selected = [
+            n for n in changed
+            if not name_filter or any(f in n for f in name_filter)
+        ]
+        spark = get_spark("oracle-check", shuffle_partitions=8)
+        total, failures = run_sweep(spark, sf_dir, exact_names=selected)
+        return 1 if failures else 0
     spark = get_spark("oracle-check", shuffle_partitions=8)
     t0 = time.time()
     total, failures = run_sweep(spark, sf_dir, argv[1:])
