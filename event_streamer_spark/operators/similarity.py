@@ -704,6 +704,28 @@ def _cell_assigner(spark: SparkSession, cents: np.ndarray):
     return cell_of
 
 
+def _multi_cell_assigner(spark: SparkSession, cents: np.ndarray, p: int):
+    """Top-``p``-cosine cell assignment (deterministic: sim desc, cell
+    asc on ties), ordered nearest-first — ``cells[0]`` is the argmax
+    home cell, identical to :func:`_cell_assigner`'s choice."""
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    @pandas_udf("array<int>")
+    def cells_of(vs: pd.Series) -> pd.Series:
+        C = b_cents.value
+        X = np.array(vs.tolist(), dtype=np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = X @ C.T
+        take = min(p, C.shape[0])
+        out = []
+        for i in range(len(X)):
+            order = np.lexsort((np.arange(C.shape[0]), -S[i]))[:take]
+            out.append(order.astype("int32").tolist())
+        return pd.Series(out)
+
+    return cells_of
+
+
 def train_ivf_centroids(
     spark: SparkSession,
     emb: DataFrame,
@@ -819,7 +841,7 @@ def train_ivf_centroids(
 
 
 def _ivf_topk_impl(
-    spark: SparkSession, sf: str, cents: np.ndarray
+    spark: SparkSession, sf: str, cents: np.ndarray, nprobe: int = 1
 ) -> DataFrame:
     """IVF-flat top-3 given a coarse quantizer: assign cells, then an
     exact numpy GEMM per cell (single shuffle on cell_id).
@@ -831,10 +853,29 @@ def _ivf_topk_impl(
     tile×cell (the GEMM working set), never cell². FLOP count is
     identical; numpy runs each tile as one BLAS call so throughput is
     unchanged at fixture sizes (measured: d3_ivf_topk warm flat).
+
+    ``nprobe`` (round 12): with 1 (every registered plan — byte-
+    identical to r11) each vector's neighbors come from its home cell
+    only. Single-probe recall@3 is GEOMETRY-DEPENDENT: the 256-dim
+    probe corpus reads 0.34 at 50k but 1.0 at 2M under sqrt-n cells —
+    sparse clusters put a vector's nearest neighbors at cosines
+    comparable to the cell-boundary distance, so small corpora lose
+    them across the boundary; dense corpora (order statistics of 2000
+    cluster-mates) keep them well inside. nprobe>1 is the standard IVF
+    cure: each vector QUERIES its nprobe nearest cells (membership
+    stays single-cell, so the index itself doesn't grow), the per-cell
+    GEMM scores query-rows × member-rows, and a final per-src top-3
+    merge (one groupBy) combines the probed cells. Work scales
+    linearly with nprobe, the task memory bound (tile × cell) is
+    unchanged, and the merge shuffle carries ≤ 3·nprobe rows per
+    vector — model-sized. Probe-measured recall/wall per nprobe is
+    pinned in ``EMBED_SCALE_r12.json``.
     """
     emb = load_embeddings(spark, sf).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    if nprobe > 1:
+        return _ivf_topk_multiprobe(spark, emb, cents, nprobe)
     cells = emb.withColumn("cell", _cell_assigner(spark, cents)(F.col("v")))
 
     tile = 4096
@@ -874,6 +915,73 @@ def _ivf_topk_impl(
 
     return cells.groupBy("cell").applyInPandas(
         topk_in_cell, "src long, nbr long, sim double"
+    )
+
+
+def _ivf_topk_multiprobe(
+    spark: SparkSession, emb: DataFrame, cents: np.ndarray, nprobe: int
+) -> DataFrame:
+    """Multi-probe leg of :func:`_ivf_topk_impl` (see its docstring).
+
+    Shape: posexplode the top-``nprobe`` cell list (pos 0 = home cell
+    = membership; pos > 0 = probe-only copies), one shuffle on cell,
+    per-cell GEMM of ALL rows (queries) × member rows, local top-3 per
+    (query, cell), then a per-src global top-3 merge. Deterministic:
+    sims rounded to 6, ties by nbr asc at both the local cut and the
+    merge window; duplicate (src, nbr) rows from overlapping probes
+    carry identical sims and collapse in the pre-merge groupBy.
+    """
+    tile = 4096
+    probed = emb.select(
+        "vec_id",
+        "v",
+        F.posexplode(
+            _multi_cell_assigner(spark, cents, nprobe)(F.col("v"))
+        ).alias("pos", "cell"),
+    ).select(
+        "vec_id", "v", "cell", (F.col("pos") == 0).alias("is_member")
+    )
+
+    def topk_in_cell_mp(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy()
+        mem = pdf["is_member"].to_numpy().astype(bool)
+        M = X[mem]
+        mids = ids[mem]
+        out = {"src": [], "nbr": [], "sim": []}
+        if len(mids) == 0:
+            return pd.DataFrame(out)
+        pool = 64
+        for t0 in range(0, len(ids), tile):
+            S = X[t0 : t0 + tile] @ M.T  # tile×members, bounded
+            for ti in range(S.shape[0]):
+                i = t0 + ti
+                sims = np.round(S[ti], 6)
+                sims[mids == ids[i]] = -2.0  # self
+                if len(mids) > pool:
+                    cand = np.argpartition(-sims, pool - 1)[:pool]
+                    order = cand[np.lexsort((mids[cand], -sims[cand]))][:3]
+                    floor = sims[cand].min()
+                    if len(order) == 3 and sims[order[-1]] <= floor:
+                        order = np.lexsort((mids, -sims))[:3]
+                else:
+                    order = np.lexsort((mids, -sims))[:3]
+                for j in order:
+                    out["src"].append(ids[i])
+                    out["nbr"].append(mids[j])
+                    out["sim"].append(float(sims[j]))
+        return pd.DataFrame(out)
+
+    local = probed.groupBy("cell").applyInPandas(
+        topk_in_cell_mp, "src long, nbr long, sim double"
+    )
+    merged = local.groupBy("src", "nbr").agg(F.max("sim").alias("sim"))
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("nbr"))
+    return (
+        merged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
     )
 
 

@@ -146,6 +146,30 @@ def probe_corpus(spark, d: str) -> dict:
         f"recall@3 {out['ivf_recall_at3']}"
     )
 
+    # --- multi-probe leg (r12): single-probe recall is geometry-
+    # dependent (sparse clusters lose boundary neighbors — see the
+    # _ivf_topk_impl docstring); nprobe=4 is the standard cure. Same
+    # qids, same truth, so the two recall columns are comparable.
+    t0 = time.time()
+    pairs4 = _ivf_topk_impl(spark, d, cents, nprobe=4)
+    got4 = (
+        pairs4.filter(F.col("src").isin(qids))
+        .orderBy("src", F.desc("sim"), "nbr")
+        .collect()
+    )
+    out["ivf_build_nprobe4_sec"] = round(time.time() - t0, 2)
+    by_src4: dict[int, list] = {}
+    for r in got4:
+        by_src4.setdefault(r["src"], []).append(r["nbr"])
+    hits4 = sum(
+        len(set(by_src4.get(s, [])[:3]) & set(t)) for s, t in truth.items()
+    )
+    out["ivf_recall_at3_nprobe4"] = round(hits4 / (3 * len(truth)), 4)
+    log(
+        f"ivf nprobe4 build {out['ivf_build_nprobe4_sec']}s "
+        f"recall@3 {out['ivf_recall_at3_nprobe4']}"
+    )
+
     # --- banded-LSH near-dup + planted recall ------------------------
     t0 = time.time()
     found = neardup_lsh_pruned_pairs(
@@ -163,9 +187,17 @@ def probe_corpus(spark, d: str) -> dict:
     )
 
     # --- PQ+ADC re-rank top-10 vs exact ------------------------------
+    # pq cost curve (r12, VERDICT #1): the ADC shortlist saturates its
+    # 4096 cap at every corpus here (n/5 >= 4096 from 20480 vectors
+    # up), so the exact re-rank cost is CONSTANT across these corpora
+    # and the wall should scale with the linear ADC scan alone — the
+    # r11 artifact's 90 s at 500k vs 34 s at 2M was mixed code states
+    # (shortlist sizing changed mid-probe), not a real inversion; the
+    # shortlist size is recorded per corpus so that can't hide again.
     t0 = time.time()
     pq_ids = {r["vec_id"] for r in d3_pq_topk(spark, d).collect()}
     out["pq_topk_sec"] = round(time.time() - t0, 2)
+    out["pq_shortlist"] = max(64, min(4096, n // 5))
     exact10 = exact_topk_sampled(spark, emb, [0], k=10)[0]
     out["pq_recall_at10"] = round(len(pq_ids & set(exact10)) / 10, 4)
     log(f"pq {out['pq_topk_sec']}s recall@10 {out['pq_recall_at10']}")
@@ -205,6 +237,13 @@ def main() -> int:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark("embed-scale-probe", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+    # box-speed sentinel (r12): same convention as bench.py, so probe
+    # walls compare across rounds in sentinel units, not raw seconds
+    from bench import _sentinel
+
+    spark.range(100).count()  # JVM warm-up before the sentinel
+    sentinel = _sentinel(spark)
+    print(f"# sentinel: {sentinel}", file=sys.stderr, flush=True)
     results = []
     for d in args.dirs:
         r = probe_corpus(spark, d)
@@ -212,7 +251,7 @@ def main() -> int:
         results.append(r)
     if args.out:
         with open(args.out, "w") as f:
-            json.dump({"corpora": results}, f, indent=1)
+            json.dump({"corpora": results, "sentinel": sentinel}, f, indent=1)
     return 0
 
 

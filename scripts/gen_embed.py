@@ -43,23 +43,26 @@ import pyarrow.parquet as pq
 CHUNK = 100_000
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("out_dir")
-    ap.add_argument("--rows", type=int, default=2_000_000)
-    ap.add_argument("--dim", type=int, default=256)
-    ap.add_argument("--clusters", type=int, default=1024)
-    ap.add_argument("--dup-frac", type=float, default=0.005)
-    ap.add_argument("--seed", type=int, default=11)
-    args = ap.parse_args()
+def generate(
+    out_dir: str,
+    rows: int = 2_000_000,
+    dim: int = 256,
+    clusters: int = 1024,
+    dup_frac: float = 0.005,
+    seed: int = 11,
+) -> int:
+    """Write the corpus; returns the number of planted near-dup pairs.
 
-    os.makedirs(args.out_dir, exist_ok=True)
-    rng = np.random.RandomState(args.seed)
-    cents = rng.standard_normal((args.clusters, args.dim))
+    Callable from pytest (tests/test_embed_scale.py, r12) so the
+    dimension-generic IVF/PQ/LSH code paths get exercised at a
+    non-fixture dim every round, not once per manual probe."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    cents = rng.standard_normal((clusters, dim))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     # within-cluster cosine for normalize(c + n), n ~ N(0, s^2 I):
     # E[cos] ≈ 1 / (1 + dim·s^2); target 0.30 → dim·s^2 ≈ 7/3
-    sigma = float(np.sqrt((1 / 0.30 - 1.0) / args.dim))
+    sigma = float(np.sqrt((1 / 0.30 - 1.0) / dim))
 
     schema = pa.schema(
         [
@@ -71,17 +74,17 @@ def main() -> int:
     planted_src: list[int] = []
     planted_dup: list[int] = []
     writer = pq.ParquetWriter(
-        os.path.join(args.out_dir, "embeddings.parquet"), schema
+        os.path.join(out_dir, "embeddings.parquet"), schema
     )
-    for lo in range(0, args.rows, CHUNK):
-        n = min(CHUNK, args.rows - lo)
-        crng = np.random.RandomState(args.seed + lo + 1)
-        labels = crng.randint(0, args.clusters, size=n)
-        X = cents[labels] + sigma * crng.standard_normal((n, args.dim))
+    for lo in range(0, rows, CHUNK):
+        n = min(CHUNK, rows - lo)
+        crng = np.random.RandomState(seed + lo + 1)
+        labels = crng.randint(0, clusters, size=n)
+        X = cents[labels] + sigma * crng.standard_normal((n, dim))
         # planted near-dups: overwrite a seeded subset with a tiny
         # perturbation of ANOTHER row in the same chunk (source index
         # strictly lower, so (src, dup) is a canonical lo<hi pair)
-        n_dup = int(n * args.dup_frac)
+        n_dup = int(n * dup_frac)
         if n_dup:
             dup_pos = crng.choice(np.arange(1, n), size=n_dup, replace=False)
             src_pos = (crng.rand(n_dup) * dup_pos).astype(np.int64)
@@ -98,7 +101,7 @@ def main() -> int:
                 ).astype(np.int64)
                 bad = np.array([s in dup_set for s in src_pos])
             X[dup_pos] = X[src_pos] + 0.01 * sigma * crng.standard_normal(
-                (n_dup, args.dim)
+                (n_dup, dim)
             )
             labels[dup_pos] = labels[src_pos]
             planted_src.extend((lo + src_pos).tolist())
@@ -123,13 +126,27 @@ def main() -> int:
             ],
             names=["vec_a", "vec_b"],
         ),
-        os.path.join(args.out_dir, "planted_pairs.parquet"),
+        os.path.join(out_dir, "planted_pairs.parquet"),
     )
     print(
-        f"wrote {args.rows}x{args.dim} ({args.clusters} clusters, "
+        f"wrote {rows}x{dim} ({clusters} clusters, "
         f"{len(planted_dup)} planted near-dups, sigma={sigma:.4f}) "
-        f"-> {args.out_dir}"
+        f"-> {out_dir}"
     )
+    return len(planted_dup)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--clusters", type=int, default=1024)
+    ap.add_argument("--dup-frac", type=float, default=0.005)
+    ap.add_argument("--seed", type=int, default=11)
+    a = ap.parse_args()
+    generate(a.out_dir, rows=a.rows, dim=a.dim, clusters=a.clusters,
+             dup_frac=a.dup_frac, seed=a.seed)
     return 0
 
 
