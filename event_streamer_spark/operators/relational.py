@@ -549,11 +549,15 @@ def b14_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     SELECT * FROM (
       SELECT l_returnflag, l_orderkey, l_linenumber,
              ROW_NUMBER() OVER (PARTITION BY l_returnflag
-                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn,
+                                ORDER BY l_extendedprice DESC,
+                                         l_orderkey NULLS LAST,
+                                         l_linenumber NULLS LAST) AS rn,
              RANK()       OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk,
              DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk,
              NTILE(4)     OVER (PARTITION BY l_returnflag
-                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS tile
+                                ORDER BY l_extendedprice DESC,
+                                         l_orderkey NULLS LAST,
+                                         l_linenumber NULLS LAST) AS tile
       FROM lineitem)
     WHERE rn <= 100
     """,
@@ -592,7 +596,17 @@ def b15_window_rank(spark: SparkSession, sf: str) -> DataFrame:
             "l_extendedprice", "l_quantity",
         ),
         ["l_returnflag"],
-        [F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"],
+        # tiebreak NULLS LAST explicitly on BOTH engines (r12, sf1-grain
+        # hostile seed 20260901): Spark's bare-ASC default is NULLS
+        # FIRST where DuckDB's is NULLS LAST, so an injected NULL
+        # l_orderkey inside an extendedprice tie group scrambled every
+        # rn after it — only visible once the corpus is big enough for
+        # a NULL to collide with a tie inside the top-100
+        [
+            F.desc("l_extendedprice"),
+            F.asc_nulls_last("l_orderkey"),
+            F.asc_nulls_last("l_linenumber"),
+        ],
         bucket_value=-F.col("l_extendedprice"),
         out_col="rn",
         count_col="__n",

@@ -187,6 +187,57 @@ def test_pin_quantized_calibration_survives_magnitude_outlier(spark):
     assert len(exact & quant) >= 6, (sorted(exact), sorted(quant))
 
 
+def test_pin_window_rank_null_tiebreak_in_tie_group(spark):
+    """Round-12 hostile-corpus pin (seed 20260901, sf1 grain — the
+    first sf1-grain replay): a NULL l_orderkey INSIDE an
+    l_extendedprice tie group must row_number NULLS LAST on both
+    engines. Spark's bare-ASC default is NULLS FIRST where DuckDB's is
+    NULLS LAST, so every rn after the NULL was shifted — visible only
+    once the corpus is big enough for an injected NULL to collide with
+    a tie inside the top-100."""
+    import duckdb
+    import pandas as pd
+
+    from event_streamer_spark.operators.registry import REGISTRY
+    from event_streamer_spark.operators.relational import b15_window_rank
+
+    pdf = pd.DataFrame(
+        {
+            "l_returnflag": ["A"] * 6,
+            # tie group at price 100.0 holds orderkeys 3, NULL, 1 —
+            # NULLS FIRST would rank the NULL row ahead of both
+            "l_orderkey": [3, None, 1, 7, 8, 9],
+            "l_linenumber": [1, 1, 1, 1, 1, 1],
+            "l_extendedprice": [100.0, 100.0, 100.0, 50.0, 200.0, 25.0],
+            "l_quantity": [5.0, 5.0, 2.0, 1.0, 9.0, 1.0],
+        }
+    )
+    tmp = "/tmp/pin_window_rank_null"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp}/lineitem.parquet"
+    )
+    rows = sorted(
+        (tuple(r) for r in b15_window_rank(spark, tmp).collect()),
+        key=lambda t: (t[3],),
+    )
+    # rn order: 200 (rn1), then the tie group by orderkey NULLS LAST
+    # (1, 3, NULL -> rn 2,3,4), then 50, 25
+    assert [(r[1], r[3]) for r in rows] == [
+        (8, 1), (1, 2), (3, 3), (None, 4), (7, 5), (9, 6)
+    ], rows
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{tmp}/lineitem.parquet/*.parquet'"
+    )
+    oracle = sorted(
+        (tuple(r) for r in con.sql(REGISTRY["b15_window_rank"].oracle).fetchall()),
+        key=lambda t: (t[3],),
+    )
+    assert oracle == rows, (oracle, rows)
+
+
 def test_pin_collect_agg_all_null_group_and_key_ties(spark):
     """Round-11 hostile-corpus pin (seed 20260830, sf0.1 grain): a
     group whose EVERY status is NULL must aggregate to NULL (the SQL
