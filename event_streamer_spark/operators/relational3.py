@@ -98,7 +98,7 @@ def b67_unpivot(spark: SparkSession, sf: str) -> DataFrame:
       SELECT c_name, c_acctbal
       FROM customer c
       WHERE c.c_nationkey = n.n_nationkey
-      ORDER BY c_acctbal DESC, c_name
+      ORDER BY c_acctbal DESC, c_name NULLS LAST
       LIMIT 3) t
     """,
 )
@@ -112,8 +112,13 @@ def b68_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
     rank-filter over one customer shuffle partitioned by nationkey —
     not N per-nation scans — so it scales as one pass over the fact
     side regardless of outer-row count. Tie-break on (acctbal DESC,
-    name) is total because c_name is unique. acctbal passes through
-    unchanged (same parquet double on both engines, no arithmetic).
+    name NULLS LAST) — explicit on BOTH engines since the r12
+    sf1-grain hostile replay (seed 20260901): an injected NULL c_name
+    at an acctbal tie on the LIMIT-3 boundary sorted NULLS FIRST under
+    Spark's bare-ASC default but NULLS LAST under DuckDB's. Rows tying
+    on the full (acctbal, name) pair are output-identical, so the cut
+    is determined. acctbal passes through unchanged (same parquet
+    double on both engines, no arithmetic).
     """
     register_views(spark, sf)
     return spark.sql(
@@ -124,7 +129,7 @@ def b68_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
           SELECT c_name, c_acctbal
           FROM customer c
           WHERE c.c_nationkey = n.n_nationkey
-          ORDER BY c_acctbal DESC, c_name
+          ORDER BY c_acctbal DESC, c_name NULLS LAST
           LIMIT 3) t
         """
     )

@@ -106,7 +106,10 @@ def b31_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     WITH r AS (
       SELECT event_id, user_id, event_type, value,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts DESC, event_id DESC) AS rn
+                                ORDER BY ts DESC NULLS LAST,
+                                         event_id DESC NULLS LAST,
+                                         value DESC NULLS LAST,
+                                         event_type DESC NULLS LAST) AS rn
       FROM events)
     SELECT event_id, user_id, event_type, ROUND(value, 4) AS value
     FROM r WHERE rn = 1
@@ -120,10 +123,20 @@ def b45_latest_per_key(spark: SparkSession, sf: str) -> DataFrame:
     sorts only that user's events, so there is no low-cardinality
     straggler (the case needing ``distrank``). At 100 TB this is the
     standard changelog→snapshot compaction.
+
+    Tiebreak (r12, sf1-grain hostile seed 20260901): (ts, event_id)
+    alone is NOT a total order on a CDC changelog — conflicting
+    duplicates (one event_id, two payloads) made each engine keep an
+    arbitrary survivor. The ordering now extends through (value,
+    event_type), all DESC NULLS LAST on both engines; rows tying on
+    the FULL tuple are output-identical, so the winner is determined.
     """
     e = load(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy(
-        F.desc("ts"), F.desc("event_id")
+        F.desc_nulls_last("ts"),
+        F.desc_nulls_last("event_id"),
+        F.desc_nulls_last("value"),
+        F.desc_nulls_last("event_type"),
     )
     return (
         e.withColumn("rn", F.row_number().over(w))

@@ -238,6 +238,111 @@ def test_pin_window_rank_null_tiebreak_in_tie_group(spark):
     assert oracle == rows, (oracle, rows)
 
 
+def test_pin_latest_per_key_conflicting_duplicate_total_order(spark):
+    """Round-12 hostile-corpus pin (seed 20260901, sf1 grain): a CDC
+    changelog with CONFLICTING duplicates (one event_id, two payloads,
+    same ts) makes (ts, event_id) a PARTIAL order — each engine kept an
+    arbitrary survivor. The ordering now extends through (value,
+    event_type) DESC NULLS LAST on both engines."""
+    import duckdb
+    import pandas as pd
+
+    from event_streamer_spark.operators.registry import REGISTRY
+    from event_streamer_spark.operators.temporal import b45_latest_per_key
+
+    ts = pd.Timestamp("2026-01-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "event_id": [5, 5, 6, 7, 7],
+            "user_id": [1, 1, 2, 3, 3],
+            "event_type": ["signup", "signup", "click", "b", "a"],
+            "value": [8.49, 9.99, 1.0, 2.0, 2.0],
+            "ts": [ts, ts, ts, ts, ts],
+        }
+    )
+    tmp = "/tmp/pin_latest_per_key"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp}/events.parquet"
+    )
+    got = sorted(tuple(r) for r in b45_latest_per_key(spark, tmp).collect())
+    # user 1: value 9.99 wins the conflicting duplicate; user 3: the
+    # value tie falls through to event_type DESC ('b')
+    assert got == [
+        (5, 1, "signup", 9.99),
+        (6, 2, "click", 1.0),
+        (7, 3, "b", 2.0),
+    ], got
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp}/events.parquet/*.parquet'"
+    )
+    oracle = sorted(
+        tuple(r)
+        for r in con.sql(REGISTRY["b45_latest_per_key"].oracle).fetchall()
+    )
+    assert oracle == got, (oracle, got)
+
+
+def test_pin_lateral_topn_null_name_at_limit_boundary(spark):
+    """Round-12 hostile-corpus pin (seed 20260901, sf1 grain): a NULL
+    c_name at an acctbal tie on the LIMIT-3 boundary sorted NULLS
+    FIRST under Spark's bare-ASC default but NULLS LAST under
+    DuckDB's; both engines now say NULLS LAST."""
+    import duckdb
+    import pandas as pd
+
+    from event_streamer_spark.operators.registry import REGISTRY
+    from event_streamer_spark.operators.relational3 import b68_lateral_topn
+
+    nation = pd.DataFrame(
+        {"n_nationkey": [0], "n_name": ["NATION_0"], "n_regionkey": [0],
+         "n_comment": ["x"]}
+    )
+    cust = pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3, 4],
+            "c_name": ["alice", None, "bob", "zed"],
+            "c_nationkey": [0, 0, 0, 0],
+            # NULL-name row ties bob at the boundary: NULLS FIRST would
+            # admit it to the top-3 and evict bob
+            "c_acctbal": [100.0, 50.0, 50.0, 80.0],
+        }
+    )
+    tmp = "/tmp/pin_lateral_topn"
+    spark.createDataFrame(nation).write.mode("overwrite").parquet(
+        f"{tmp}/nation.parquet"
+    )
+    spark.createDataFrame(cust).write.mode("overwrite").parquet(
+        f"{tmp}/customer.parquet"
+    )
+    # b68 registers ALL table views — stub the unused ones as empties
+    from event_streamer_spark.tables import TABLES, load as load_table
+
+    for t in TABLES:
+        if t in ("nation", "customer"):
+            continue
+        load_table(spark, "/root/testdata/sf0.001", t).limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/{t}.parquet")
+    got = sorted(
+        ((r[1], r[2]) for r in b68_lateral_topn(spark, tmp).collect()),
+        key=lambda t: -t[1],
+    )
+    assert got == [("alice", 100.0), ("zed", 80.0), ("bob", 50.0)], got
+    con = duckdb.connect()
+    for t in ("nation", "customer"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp}/{t}.parquet/*.parquet'"
+        )
+    oracle = sorted(
+        ((r[1], r[2]) for r in con.sql(
+            REGISTRY["b68_lateral_topn"].oracle).fetchall()),
+        key=lambda t: -t[1],
+    )
+    assert oracle == got, (oracle, got)
+
+
 def test_pin_collect_agg_all_null_group_and_key_ties(spark):
     """Round-11 hostile-corpus pin (seed 20260830, sf0.1 grain): a
     group whose EVERY status is NULL must aggregate to NULL (the SQL
