@@ -538,17 +538,21 @@ _CUSUM_H = 5.0
       FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
     ), m AS (
       SELECT d,
-             CAST(cents AS DOUBLE) / cnt / 100 AS day_mean,
              (10000 * CAST(cents AS HUGEINT)) // cnt AS dm_e6,
              (10000 * CAST(SUM(cents) OVER () AS HUGEINT))
                // SUM(cnt) OVER () AS target_e6
       FROM daily
     ), s AS (
-      SELECT d, day_mean,
+      -- display double derives from the EXACT integer micro-units
+      -- (r12, sf1-grain hostile seed 20260901): ROUND(double, 6) at a
+      -- 4e10-magnitude day mean asks for more precision than a double
+      -- holds, and the engines' ROUND implementations differ by 1 ulp
+      -- there; CAST(exact int AS DOUBLE)/1e6 is bit-identical on both
+      SELECT d, CAST(dm_e6 AS DOUBLE) / 1000000 AS day_mean,
              SUM(dm_e6 - target_e6) OVER (ORDER BY d) AS cum
       FROM m
     )
-    SELECT d, ROUND(day_mean, 6) AS day_mean,
+    SELECT d, day_mean,
            cum - LEAST(0, MIN(cum) OVER (ORDER BY d)) AS cusum_pos_e6,
            (cum - LEAST(0, MIN(cum) OVER (ORDER BY d)))
              > {int(_CUSUM_H * 1_000_000)} AS shifted
@@ -595,9 +599,6 @@ def d15_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
     w_all = Window.partitionBy()
     m = daily.select(
         "d",
-        (F.col("cents").cast("double") / F.col("cnt") / 100).alias(
-            "day_mean"
-        ),
         # Exact micro-unit means BEYOND int64 (round-9 dirty corpus: a
         # 1e15-unit outlier day overflows BIGINT micro-units, and three
         # naive spellings each fail — Spark's DIV always RETURNS a
@@ -624,7 +625,12 @@ def d15_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
     w_ord = Window.orderBy("d")  # #days rows, one task
     s = m.select(
         "d",
-        "day_mean",
+        # display double from the EXACT integer micro-units (r12,
+        # sf1-grain hostile seed 20260901): ROUND(double, 6) at a
+        # 4e10-magnitude day mean asks for more precision than a
+        # double holds and the engines' ROUND differ by 1 ulp there;
+        # CAST(exact int AS DOUBLE)/1e6 is bit-identical on both
+        (F.col("dm_e6").cast("double") / 1_000_000).alias("day_mean"),
         F.sum(F.col("dm_e6") - F.col("target_e6")).over(w_ord).alias("cum"),
     )
     cusum = F.col("cum") - F.least(
@@ -632,7 +638,7 @@ def d15_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
     )
     return s.select(
         "d",
-        F.round("day_mean", 6).alias("day_mean"),
+        "day_mean",
         cusum.cast("decimal(38,0)").alias("cusum_pos_e6"),
         (cusum > int(_CUSUM_H * 1_000_000)).alias("shifted"),
     )

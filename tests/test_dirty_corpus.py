@@ -343,6 +343,63 @@ def test_pin_lateral_topn_null_name_at_limit_boundary(spark):
     assert oracle == got, (oracle, got)
 
 
+def test_pin_cusum_day_mean_beyond_round_precision(spark):
+    """Round-12 hostile-corpus pin (seed 20260901, sf1 grain): a
+    4e10-magnitude day mean has ~17 significant digits at 6 decimals —
+    more than a double holds — and the engines' ROUND(double, 6)
+    implementations differ by 1 ulp there. The display double now
+    derives from the exact integer micro-units (CAST(dm_e6 AS
+    DOUBLE)/1e6), which is bit-identical on both engines."""
+    import duckdb
+    import pandas as pd
+
+    from event_streamer_spark.operators.registry import REGISTRY
+    from event_streamer_spark.operators.validation import (
+        d15_changepoint_cusum,
+    )
+
+    # one whale day: mean = -99999999868343289 cents / 26563 rows
+    # (the exact sf1 repro pair), plus a normal day
+    pdf = pd.DataFrame(
+        {
+            "event_id": list(range(4)),
+            "user_id": [1, 2, 3, 4],
+            "event_type": ["a"] * 4,
+            "value": [
+                -999999998683432.89,
+                0.0,
+                0.0,
+                12.34,
+            ],
+            "ts": [
+                pd.Timestamp("2024-01-30 01:00:00"),
+                pd.Timestamp("2024-01-30 02:00:00"),
+                pd.Timestamp("2024-01-30 03:00:00"),
+                pd.Timestamp("2024-01-31 01:00:00"),
+            ],
+        }
+    )
+    tmp = "/tmp/pin_cusum_round"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp}/events.parquet"
+    )
+    got = sorted(tuple(r) for r in d15_changepoint_cusum(spark, tmp).collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp}/events.parquet/*.parquet'"
+    )
+    oracle = sorted(
+        tuple(r)
+        for r in con.sql(REGISTRY["d15_changepoint_cusum"].oracle).fetchall()
+    )
+    assert len(got) == 2
+    for (gd, gm, gc, gs), (od, om, oc, osh) in zip(got, oracle):
+        assert str(gd) == str(od)
+        assert f"{gm:.6f}" == f"{om:.6f}", (gm, om)  # bit-stable display
+        assert int(gc) == int(oc) and gs == osh
+
+
 def test_pin_collect_agg_all_null_group_and_key_ties(spark):
     """Round-11 hostile-corpus pin (seed 20260830, sf0.1 grain): a
     group whose EVERY status is NULL must aggregate to NULL (the SQL
