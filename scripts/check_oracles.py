@@ -80,6 +80,13 @@ def run_sweep(
             print(msg)
 
     con = duckdb.connect()
+    # the canonical compare is ORDER-INSENSITIVE (rows sorted before
+    # hashing), so DuckDB's default preserve_insertion_order buys
+    # nothing and costs full materialization of giant join/aggregate
+    # intermediates — at the sf1-dirty grain the d17_triangles oracle
+    # exhausted ~80 GB of spill under it (r12); streaming execution
+    # keeps the same results
+    con.execute("SET preserve_insertion_order = false")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
