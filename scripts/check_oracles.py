@@ -60,6 +60,7 @@ def run_sweep(
     name_filters: list[str] | None = None,
     quiet: bool = False,
     exact_names: list[str] | None = None,
+    shard: tuple[int, int] | None = None,
 ) -> tuple[int, list[str]]:
     """Run the full Spark-vs-DuckDB sweep; returns (total, failures).
 
@@ -67,10 +68,25 @@ def run_sweep(
     regression fails CI between driver rounds, not just this script.
     ``exact_names`` (r12) selects by exact registry name — used by
     ``--changed-since`` so substring matching can't widen the set.
+    ``shard=(i, n)`` (r13, VERDICT #5) keeps only queries whose
+    DETERMINISTIC name hash lands in shard i of n — a stable partition
+    of the registry by name (md5, not Python ``hash()``, which is
+    salted per process), so N processes each running one shard cover
+    the full registry exactly once and the union of their artifacts
+    equals the serial sweep.
     """
     name_filters = name_filters or []
 
+    def in_shard(name: str) -> bool:
+        if shard is None:
+            return True
+        i, n = shard
+        digest = hashlib.md5(name.encode()).hexdigest()
+        return int(digest, 16) % n == i
+
     def in_scope(name: str) -> bool:
+        if not in_shard(name):
+            return False
         if exact_names is not None and name not in exact_names:
             return False
         return not name_filters or any(f in name for f in name_filters)
@@ -87,6 +103,23 @@ def run_sweep(
     # exhausted ~80 GB of spill under it (r12); streaming execution
     # keeps the same results
     con.execute("SET preserve_insertion_order = false")
+    # concurrent sharded sweeps (r13 #5): DuckDB's default memory limit
+    # is ~80% of RAM PER PROCESS, so N shards would overcommit the box;
+    # cap each shard's DuckDB explicitly when the launcher asks
+    duck_mem = os.environ.get("EVENT_STREAMER_DUCKDB_MEM")
+    if duck_mem:
+        con.execute(f"SET memory_limit = '{duck_mem}'")
+    # per-process spill dir (r13): DuckDB's default temp_directory is
+    # CWD-relative ``.tmp`` — N concurrent shards in one repo checkout
+    # deleted each other's spill files and two shards died with
+    # IOException mid-sweep (observed on the first 4-way sf1-dirty
+    # run). A pid-keyed dir under $TMPDIR also keeps spill out of the
+    # repo tree entirely.
+    spill = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"duckspill_{os.getpid()}"
+    )
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory = '{spill}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
@@ -179,15 +212,18 @@ def changed_query_names(rev: str) -> list[str]:
     import subprocess
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # -z + NUL split (r13, ADVICE): whitespace splitting fragmented any
+    # path containing a space, silently excluding its queries from the
+    # targeted sweep — the opposite of conservative
     diff = subprocess.run(
-        ["git", "diff", "--name-only", rev],
+        ["git", "diff", "--name-only", "-z", rev],
         cwd=repo, capture_output=True, text=True, check=True,
-    ).stdout.split()
+    ).stdout.split("\0")
     untracked = subprocess.run(
-        ["git", "ls-files", "--others", "--exclude-standard"],
+        ["git", "ls-files", "--others", "--exclude-standard", "-z"],
         cwd=repo, capture_output=True, text=True, check=True,
-    ).stdout.split()
-    changed = {os.path.normpath(p) for p in diff + untracked}
+    ).stdout.split("\0")
+    changed = {os.path.normpath(p) for p in diff + untracked if p}
     names = []
     for name, spec in REGISTRY.items():
         fn = getattr(spec.fn, "__wrapped__", spec.fn)
@@ -211,7 +247,13 @@ def main() -> int:
     defining source file changed since REV (plus untracked files) —
     the targeted between-gates sweep (VERDICT r11 #8). Combines with
     positional name filters (intersection). The FULL sweep remains the
-    round-close gate."""
+    round-close gate.
+
+    ``--shard i/N`` (r13, VERDICT #5) runs only the queries whose name
+    hashes into shard i of N (0-based), so a full sweep can run as N
+    concurrent processes: ``for i in 0..N-1: check_oracles.py SF --shard
+    i/N --out part_i.json &``. The shard partition is deterministic by
+    name, so the union of the N artifacts equals the serial sweep."""
     argv = sys.argv[1:]
     out_path = None
     if "--out" in argv:
@@ -223,55 +265,89 @@ def main() -> int:
         i = argv.index("--changed-since")
         since_rev = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    shard = None
+    if "--shard" in argv:
+        i = argv.index("--shard")
+        si, _, sn = argv[i + 1].partition("/")
+        shard = (int(si), int(sn))
+        if not (0 <= shard[0] < shard[1]):
+            print(f"bad --shard {argv[i + 1]!r}: want i/N with 0 <= i < N")
+            return 2
+        argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    name_filter = argv[1:]
+
+    exact_names = None
     if since_rev is not None:
         changed = changed_query_names(since_rev)
         print(f"# --changed-since {since_rev}: {len(changed)} queries")
         if not changed:
             print("0/0 ok; failures: []")
+            if out_path:
+                _write_artifact(out_path, sf_dir, 0, [], 0.0, [], shard)
             return 0
         # exact-name filters: wrap so substring matching can't widen
-        name_filter = argv[1:]
-        selected = [
+        exact_names = [
             n for n in changed
             if not name_filter or any(f in n for f in name_filter)
         ]
-        spark = get_spark("oracle-check", shuffle_partitions=8)
-        total, failures = run_sweep(spark, sf_dir, exact_names=selected)
-        return 1 if failures else 0
+
     spark = get_spark("oracle-check", shuffle_partitions=8)
     t0 = time.time()
-    total, failures = run_sweep(spark, sf_dir, argv[1:])
+    total, failures = run_sweep(
+        spark, sf_dir, name_filter, exact_names=exact_names, shard=shard
+    )
     if out_path:
-        import json
+        # artifact on EVERY path (r13, ADVICE: the --changed-since
+        # branch returned early and silently dropped --out)
+        def in_scope(n: str) -> bool:
+            if shard is not None:
+                i, num = shard
+                if int(hashlib.md5(n.encode()).hexdigest(), 16) % num != i:
+                    return False
+            if exact_names is not None and n not in exact_names:
+                return False
+            return not name_filter or any(f in n for f in name_filter)
 
-        in_scope = [
-            s for n, s in REGISTRY.items()
-            if not argv[1:] or any(f in n for f in argv[1:])
-        ]
-        n_oracle = sum(1 for s in in_scope if s.oracle is not None)
-        covered = sorted(
-            s.name for s in in_scope
-            if s.oracle is None and s.covered_by
+        scoped = [s for n, s in REGISTRY.items() if in_scope(n)]
+        _write_artifact(
+            out_path, sf_dir, total, failures,
+            round(time.time() - t0, 1), scoped, shard,
         )
-        with open(out_path, "w") as fh:
-            json.dump(
-                {
-                    "sf_dir": sf_dir,
-                    "total": total,
-                    "oracle_backed": n_oracle,
-                    # oracle-less queries whose correctness is pinned by
-                    # a registered bounded-check twin (VERDICT r10 #2)
-                    "rows_only_covered": covered,
-                    "rows_only": total - n_oracle - len(covered),
-                    "failures": failures,
-                    "wall_sec": round(time.time() - t0, 1),
-                },
-                fh,
-                indent=1,
-            )
-            fh.write("\n")
     return 1 if failures else 0
+
+
+def _write_artifact(
+    out_path: str,
+    sf_dir: str,
+    total: int,
+    failures: list[str],
+    wall_sec: float,
+    scoped_specs: list,
+    shard: tuple[int, int] | None,
+) -> None:
+    import json
+
+    n_oracle = sum(1 for s in scoped_specs if s.oracle is not None)
+    covered = sorted(
+        s.name for s in scoped_specs if s.oracle is None and s.covered_by
+    )
+    payload = {
+        "sf_dir": sf_dir,
+        "total": total,
+        "oracle_backed": n_oracle,
+        # oracle-less queries whose correctness is pinned by
+        # a registered bounded-check twin (VERDICT r10 #2)
+        "rows_only_covered": covered,
+        "rows_only": total - n_oracle - len(covered),
+        "failures": failures,
+        "wall_sec": wall_sec,
+    }
+    if shard is not None:
+        payload["shard"] = f"{shard[0]}/{shard[1]}"
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
 
 
 if __name__ == "__main__":

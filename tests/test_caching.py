@@ -167,15 +167,25 @@ class TestPlanCache:
         assert q(spark, sf_dir) is b  # stable within the new version
 
     def test_table_fingerprint_shape(self, tmp_path):
-        """Unit contract: (count, bytes, max_name) for files and dirs;
-        bookkeeping files ignored; None for missing paths."""
+        """Unit contract: (count, bytes, max_name, footer_token) for
+        single files — the token is a hash of the last 64 bytes, so a
+        SAME-SIZE in-place rewrite still invalidates (r13, ADVICE) —
+        (count, bytes, max_name) for dirs; bookkeeping files ignored;
+        None for missing paths."""
         import os
 
         from event_streamer_spark.tables import table_fingerprint
 
         f = tmp_path / "one.parquet"
         f.write_bytes(b"x" * 10)
-        assert table_fingerprint(str(f)) == (1, 10, "one.parquet")
+        fp1 = table_fingerprint(str(f))
+        assert fp1[:3] == (1, 10, "one.parquet")
+        assert len(fp1) == 4 and isinstance(fp1[3], str)
+        # same-size rewrite → different token (the r12 hazard: the old
+        # (1, size, basename) key silently served a stale plan here)
+        f.write_bytes(b"y" * 10)
+        fp2 = table_fingerprint(str(f))
+        assert fp2[:3] == fp1[:3] and fp2[3] != fp1[3]
         d = tmp_path / "tbl.parquet"
         d.mkdir()
         (d / "part-00000.parquet").write_bytes(b"a" * 7)

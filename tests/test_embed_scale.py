@@ -16,13 +16,17 @@ regime) while keeping the module under ~3 min on local[32].
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-sys.path.insert(0, "/root/repo")
+# repo root from __file__, not a hardcoded checkout path (r13, ADVICE)
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from scripts.gen_embed import generate  # noqa: E402
 

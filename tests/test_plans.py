@@ -473,3 +473,65 @@ def test_vwap_single_fact_aggregate(spark):
     part_schema = [l for l in read_schemas if "p_brand" in l]
     assert part_schema and "p_type" not in part_schema[0]
     assert plan.count("HashAggregate") >= 2
+
+
+def _distinct_exchanges(plan: str) -> int:
+    """Count DISTINCT shuffle Exchange operator nodes from explain-
+    formatted detail lines ('(n) Exchange'), excluding broadcasts —
+    the tree section repeats nodes, so a raw substring count
+    double-counts."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange\s*$", plan, re.M))
+
+
+def test_ivf_multiprobe_bounded_shuffles(spark):
+    """d3_ivf_topk's multi-probe leg (r13, VERDICT #7): the probed
+    index must keep exactly the declared shuffles — probe-list
+    explode, one hash exchange on cell into the per-cell GEMM
+    (FlatMapGroupsInPandas), the (src, nbr) dedup aggregate, and the
+    per-src top-3 merge — with the rank filter compiled to a
+    WindowGroupLimit (group-local top-k), never a global sort, never a
+    join. A refactor that adds an exchange or degrades the merge to a
+    full window sort fails here before it ships."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from event_streamer_spark.operators.similarity import (
+        _ivf_topk_impl,
+        load_embeddings,
+        train_ivf_centroids,
+    )
+
+    emb = load_embeddings(spark, SF).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = train_ivf_centroids(spark, emb)
+    df = _ivf_topk_impl(spark, SF, cents, nprobe=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("FlatMapGroupsInPandas") >= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan  # top-3 merge is group-local
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert _distinct_exchanges(plan) <= 4, plan
+
+
+def test_pq_topk_shortlist_no_global_sort(spark):
+    """d3_pq_topk (r13, VERDICT #7): the ADC shortlist must compile to
+    TakeOrderedAndProject (per-partition top-k + merge — never an
+    Exchange rangepartitioning full sort), the only nested-loop joins
+    are the broadcast of the 1-row query vector / LUT, and the scan →
+    shortlist → re-rank chain keeps its bounded exchange budget."""
+    plan = plan_of(spark, "d3_pq_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    # the 1-row query-vector broadcasts are the ONLY nested-loop joins
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert _distinct_exchanges(plan) <= 4, plan
