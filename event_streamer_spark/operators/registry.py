@@ -91,6 +91,80 @@ def clear_plan_cache() -> None:
         _PLAN_CACHE.clear()
 
 
+def materialize_multiref_ctes(sql: str) -> str:
+    """Add ``MATERIALIZED`` to every top-level WITH-clause CTE that the
+    rest of the statement references two or more times.
+
+    DuckDB 1.0 INLINES a CTE at each reference — the same plan-
+    explosion gotcha Catalyst has and this repo's Spark legs pin with
+    ``bounded_persist``. For iterative/graph/shingle oracles the
+    repeated subtree is the expensive fact join: the d17_triangles
+    oracle needed >75 GB of spill at the sf1-dirty grain un-hinted and
+    5 s materialized (identical rows/hash — the hint is plan-only);
+    d17_hits re-ran its ``pairs`` join ~6x. Applied at REGISTRATION so
+    the driver, the sweep, and the fuzzer all run one canonical text.
+
+    A real scanner, not a regex-over-everything: top-level CTEs are
+    enumerated by walking ``WITH name AS (balanced…)[, …]``, so WINDOW
+    clause definitions (``WINDOW w AS (PARTITION BY …)`` — same
+    ``name AS (`` shape, where MATERIALIZED is a syntax error) and
+    anything nested inside CTE bodies are never touched. Reference
+    counts use whole-word matches outside the CTE's own definition
+    span; over-counting (a name echoed in a string literal) merely
+    materializes a CTE that did not need it, which is harmless.
+    """
+    import re
+
+    m = re.search(r"\bWITH\b", sql)
+    if not m:
+        return sql
+    i = m.end()
+    n = len(sql)
+    ctes: list[tuple[str, int, int, bool]] = []  # name, def_start, def_end, mat
+    while True:
+        while i < n and sql[i].isspace():
+            i += 1
+        nm = re.match(r"(\w+)\s+AS\s+(MATERIALIZED\s+)?\(", sql[i:], re.I)
+        if not nm:
+            break
+        name, already = nm.group(1), bool(nm.group(2))
+        body_open = i + nm.end() - 1  # index of '('
+        depth, j = 0, body_open
+        while j < n:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            return sql  # unbalanced — leave untouched
+        ctes.append((name, i, j + 1, already))
+        i = j + 1
+        while i < n and sql[i].isspace():
+            i += 1
+        if i < n and sql[i] == ",":
+            i += 1
+        else:
+            break
+    out = sql
+    for name, d0, d1, already in reversed(ctes):  # right-to-left edits
+        if already:
+            continue
+        outside = sql[:d0] + sql[d1:]
+        refs = len(re.findall(rf"\b{re.escape(name)}\b", outside))
+        if refs < 2:
+            continue
+        defn = out[d0:d1]
+        defn2 = re.sub(
+            rf"^({re.escape(name)}\s+AS\s+)\(", r"\1MATERIALIZED (",
+            defn, count=1, flags=re.I,
+        )
+        out = out[:d0] + defn2 + out[d1:]
+    return out
+
+
 def query(
     name: str,
     oracle: Optional[str] = None,
@@ -98,7 +172,11 @@ def query(
 ) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle=None`` → driver does a rows-only check
     (pass ``covered_by=<twin>`` when a bounded-check twin pins its
-    correctness so the sweep artifact can report it as covered)."""
+    correctness so the sweep artifact can report it as covered).
+    Oracle SQL is normalized through :func:`materialize_multiref_ctes`
+    at registration."""
+    if oracle is not None:
+        oracle = materialize_multiref_ctes(oracle)
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:

@@ -104,3 +104,47 @@ def test_full_oracle_sweep_sf01(spark):
     total, failures = run_sweep(spark, "/root/testdata/sf0.1", quiet=True)
     assert total >= 246, f"registry shrank: {total}"
     assert not failures, failures
+
+
+def test_materialize_multiref_ctes_contract():
+    """r13: the registration-time oracle normalizer materializes only
+    top-level multi-referenced WITH CTEs — WINDOW clause definitions
+    (same ``name AS (`` shape, MATERIALIZED is a syntax error there),
+    single-reference CTEs, and nested subqueries stay untouched; the
+    rewrite is idempotent."""
+    from event_streamer_spark.operators.registry import (
+        materialize_multiref_ctes as mat,
+    )
+
+    # multi-ref CTE -> materialized; single-ref stays
+    s = mat(
+        "WITH a AS (SELECT 1 AS x), b AS (SELECT x FROM a) "
+        "SELECT * FROM a JOIN b USING (x)"
+    )
+    assert "a AS MATERIALIZED (" in s
+    assert "b AS MATERIALIZED" not in s
+    # WINDOW clause untouched even when the window name repeats
+    w = (
+        "SELECT SUM(x) OVER w, AVG(x) OVER w FROM t "
+        "WINDOW w AS (PARTITION BY k ORDER BY x)"
+    )
+    assert mat(w) == w
+    # WITH + WINDOW combined: CTE rewritten, window definition not
+    c = mat(
+        "WITH base AS (SELECT k, x FROM t) "
+        "SELECT SUM(x) OVER w FROM base JOIN base b2 USING (k) "
+        "WINDOW w AS (PARTITION BY k)"
+    )
+    assert "base AS MATERIALIZED (" in c
+    assert "w AS (PARTITION BY k)" in c
+    # nested balanced parens in the body survive; idempotent
+    n = (
+        "WITH a AS (SELECT (1 + (2 * 3)) AS x), "
+        "c AS (SELECT x FROM a WHERE x IN (SELECT x FROM a)) "
+        "SELECT * FROM c"
+    )
+    out = mat(n)
+    assert "a AS MATERIALIZED (SELECT (1 + (2 * 3))" in out
+    assert mat(out) == out
+    # no WITH -> unchanged
+    assert mat("SELECT 1") == "SELECT 1"
