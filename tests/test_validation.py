@@ -39,9 +39,18 @@ def test_quality_suite_fails_on_violations(spark):
     try:
         # re-run the SAME suite SQL over the dirty view via the oracle
         # text on Spark (the registry fn reads parquet directly, so the
-        # constraint logic is exercised through its SQL twin here)
-        rows = {r["check_name"]: r for r in
-                spark.sql(REGISTRY["d14_data_quality"].oracle).collect()}
+        # constraint logic is exercised through its SQL twin here).
+        # Oracles are canonical-DuckDB since r13's registration-time
+        # CTE normalization; the AS MATERIALIZED hint is plan-only
+        # (DuckDB syntax Spark can't parse), so strip it for this
+        # Spark-side replay.
+        import re
+
+        sql = re.sub(
+            r"\bAS\s+MATERIALIZED\s*\(", "AS (",
+            REGISTRY["d14_data_quality"].oracle, flags=re.I,
+        )
+        rows = {r["check_name"]: r for r in spark.sql(sql).collect()}
         assert not rows["completeness_text"]["passed"]
         assert not rows["uniqueness_doc_id"]["passed"]
         assert rows["min_n_chars"]["passed"]
