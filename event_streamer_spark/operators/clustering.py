@@ -96,24 +96,52 @@ def connected_components(
     """(id) × (u, v) → (id, label): label = min vertex id of the component.
 
     Min-label propagation with pointer jumping. ``edges`` is consumed
-    many times — callers should persist it (this function persists the
-    evolving label table itself). Rounds are O(log diameter); each round
-    is two shuffle joins sized by |E| and |V| — no driver-side state.
+    ONCE (r13): the symmetrized edge frame is persisted here and every
+    round's neighbor join reads that cache, so callers need not persist
+    their edge subtree. Rounds are O(log diameter); each round is two
+    shuffle joins sized by |E| and |V| — no driver-side state.
     Every ``checkpoint_every`` rounds the label table is
     ``localCheckpoint()``-ed so lineage stays bounded on deep graphs
     (without it, the plan grows two joins per round and Catalyst
     re-analysis dominates after ~20 rounds).
     """
-    sym = edges.select("u", "v").unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # r13 (guide §2.4/§2.5): symmetrize ONCE into an edge frame that is
+    # explode-built (a two-branch union would inline the caller's edge
+    # subtree per branch) — the per-round joins below scan this cached
+    # frame instead of re-deriving it. bounded_persist, not a raw
+    # persist: the slot is shared by every CC consumer in a session
+    # (d2_dup_clusters → d13_leakage_safe_split → d2_dedup_corpus all
+    # walk the SAME pair pipeline), it survives repeat invocations
+    # (sameSemantics keeps the materialized entry), and a different
+    # edge source evicts it instead of leaking (the old code persisted
+    # the caller's edge frame and never released it).
+    from event_streamer_spark.caching import bounded_persist
+
+    sym = bounded_persist(
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v"),
+        "cc.sym",
     )
     labels = vertices.select("id", F.col("id").alias("label")).persist()
+    cached = labels  # the persisted frame backing `labels` (for release)
     for rnd in range(max_rounds):
         nbr_min = (
             sym.join(labels, sym["v"] == labels["id"])
             .groupBy("u")
             .agg(F.min("label").alias("cand"))
         )
+        # stepped feeds BOTH sides of the pointer-jump self-join below;
+        # r13: persist it — unpersisted, Catalyst inlined the whole
+        # nbr_min subtree (edge join + aggregate) once per side, doubling
+        # every round's shuffle work. The old label rides along so
+        # convergence detection is a scan of the cached round result
+        # instead of a third per-round join.
         stepped = (
             labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
             .select(
@@ -121,7 +149,9 @@ def connected_components(
                 F.least(
                     labels["label"], F.coalesce(F.col("cand"), labels["label"])
                 ).alias("label"),
+                labels["label"].alias("old"),
             )
+            .persist()
         )
         # pointer jumping: follow the label one hop (label of my label)
         ptr = stepped.select(
@@ -132,25 +162,24 @@ def connected_components(
             .select(
                 stepped["id"].alias("id"),
                 F.coalesce(F.col("plabel"), stepped["label"]).alias("label"),
+                stepped["old"].alias("old"),
             )
             .persist()
         )
         changed = (
-            jumped.join(
-                labels.select("id", F.col("label").alias("old")), "id"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
+            jumped.filter(F.col("label") != F.col("old")).limit(1).count()
         )
-        labels.unpersist()
-        labels = jumped
+        cached.unpersist()
+        stepped.unpersist()
+        labels = jumped.drop("old")
+        cached = jumped
         if changed == 0:
             break
         if (rnd + 1) % checkpoint_every == 0:
             ckpt = labels.localCheckpoint()  # eager: materializes first
-            labels.unpersist()  # release the pre-checkpoint cached frame
+            cached.unpersist()  # release the pre-checkpoint cached frame
             labels = ckpt
+            cached = ckpt
     return labels
 
 
@@ -169,7 +198,10 @@ def cluster_documents(
         .select(F.col("doc_id").alias("id"))
         .distinct()
     )
-    labels = connected_components(vertices, edges.persist())
+    # edges is consumed exactly once (the symmetrized frame inside
+    # connected_components is what's persisted and re-read per round —
+    # r13; the old edges.persist() here was never released)
+    labels = connected_components(vertices, edges)
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("label").cast("bigint").alias("cluster_id"),

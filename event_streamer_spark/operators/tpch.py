@@ -20,7 +20,7 @@ Scale notes per operator; the shared themes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from event_streamer_spark.operators.registry import query
@@ -694,16 +694,16 @@ def b50_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     correlated self-joins on lineitem — the only multi-self-join
     decorrelation in the suite (spec Q21).
 
-    Spark-first decorrelation: EXISTS(other supplier in same order) is a
-    LEFT SEMI self-join on the uniform orderkey with the supplier
-    inequality as residual; NOT EXISTS(other supplier ALSO late) is a
-    LEFT ANTI self-join against the pre-filtered late-line set (the
-    lateness predicate is evaluated once per line on the orders-joined
-    frame, not per candidate pair). The nation filter prunes supplier to
-    1/25 BEFORE its broadcast join, so the fact flow is filtered early;
-    both self-joins shuffle on the same orderkey partitioning and AQE
-    reuses it. Top-100 on the deterministic (numwait DESC, s_name) pair
-    is TakeOrderedAndProject.
+    Spark-first decorrelation (restructured r13, guide §2.3/§3): both
+    quantifiers are per-ORDER supplier-key min/max statistics —
+    EXISTS(other supplier) ⟺ min≠max over the order's suppkeys,
+    NOT EXISTS(other late supplier) ⟺ min=max over its LATE suppkeys —
+    so the two lineitem-grain semi/anti self-joins become one window
+    over the post-filter late lines plus one map-side-combinable
+    aggregate on the raw scan. The nation filter prunes supplier to
+    1/25 BEFORE its broadcast join, so the fact flow is filtered early.
+    Top-100 on the deterministic (numwait DESC, s_name) pair is
+    TakeOrderedAndProject.
     """
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
     nat = (
@@ -726,30 +726,46 @@ def b50_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     )
     # every F-order line, tagged with its order date (lateness computable once)
     lined = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
-    l1 = (
+    # r13 optimization (guide §2.3 "aggregate before you shuffle", §3):
+    # both correlated quantifiers reduce to per-ORDER min/max of the
+    # supplier key, so the two lineitem-grain self-joins (which shuffled
+    # the full line set twice as semi/anti probe sides) become
+    # order-grain statistics:
+    #   EXISTS(other supplier in order)  ⟺  min≠max over the order's
+    #     non-NULL suppkeys (mine is among them, so min=max ⇒ all mine);
+    #   NOT EXISTS(other supplier ALSO late)  ⟺  min=max over the
+    #     order's LATE suppkeys (my own late line is in that set).
+    # NULL suppkeys are ignored by min/max exactly as the old
+    # `<>`-residual joins ignored them (NULL <> x is never TRUE), and
+    # duplicate order rows can't perturb a min/max. Equivalence proven
+    # hash-identical vs the unchanged DuckDB oracle at sf0.001/0.01/0.1
+    # + the sf1-grain hostile seed (OPTIMIZATION_r13.md).
+    #
+    # Plan shape: the late-supplier min/max rides a window over the
+    # POST-FILTER late lines (no self-reference, so the lined subtree
+    # is built once per consumer instead of twice), and the all-lines
+    # min/max is a map-side-combinable aggregate on the raw scan —
+    # shuffled bytes drop from 3 lineitem-grain probe sides to
+    # (late lines) + (per-order 3-column partials).
+    w_ord = Window.partitionBy("l_orderkey")
+    flagged = (
         lined.filter(late)
+        .select("l_orderkey", "l_suppkey")
+        .withColumn("__min_l", F.min("l_suppkey").over(w_ord))
+        .withColumn("__max_l", F.max("l_suppkey").over(w_ord))
+    )
+    l1 = (
+        flagged.filter(F.col("__min_l") == F.col("__max_l"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("l_orderkey", "l_suppkey", "s_name")
+        .select("l_orderkey", "s_name")
     )
-    other = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"),
-        F.col("l_suppkey").alias("o2_suppkey"),
-    )
-    late_other = lined.filter(late).select(
-        F.col("l_orderkey").alias("o3_orderkey"),
-        F.col("l_suppkey").alias("o3_suppkey"),
+    per_order = li.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.min("l_suppkey").alias("__min_s"),
+        F.max("l_suppkey").alias("__max_s"),
     )
     waited = l1.join(
-        other,
-        (F.col("o2_orderkey") == F.col("l_orderkey"))
-        & (F.col("o2_suppkey") != F.col("l_suppkey")),
-        "left_semi",
-    ).join(
-        late_other,
-        (F.col("o3_orderkey") == F.col("l_orderkey"))
-        & (F.col("o3_suppkey") != F.col("l_suppkey")),
-        "left_anti",
-    )
+        per_order, F.col("l_orderkey") == F.col("__ok")
+    ).filter(F.col("__min_s") != F.col("__max_s"))
     return (
         waited.groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

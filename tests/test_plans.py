@@ -274,14 +274,19 @@ def test_tpch_q17_decorrelates_without_cartesian(spark):
     assert plan.count("HashAggregate") >= 2
 
 
-def test_tpch_q21_exists_pair_compiles_to_semi_and_anti(spark):
-    """Q21's EXISTS / NOT-EXISTS self-join pair must compile to one
-    LEFT SEMI and one LEFT ANTI join (no row-widening inner joins for
-    the existence checks) with the supplier-inequality as residual."""
+def test_tpch_q21_quantifiers_compile_to_order_grain_stats(spark):
+    """Q21's EXISTS / NOT-EXISTS pair must compile to per-order min/max
+    supplier statistics (r13: a window over the late lines + one
+    map-side-combinable aggregate on the raw scan) — NOT the
+    lineitem-grain semi/anti self-joins, which shuffled the full line
+    set twice as probe sides. Partial aggregation must be visible
+    (partial_min/partial_max before the exchange)."""
     plan = plan_of(spark, "b50_tpch_q21")
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert "LeftSemi" not in plan
+    assert "LeftAnti" not in plan
     assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "partial_min" in plan and "partial_max" in plan
 
 
 def test_tpch_q2_min_cost_broadcasts_keeper_set(spark):
