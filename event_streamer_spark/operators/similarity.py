@@ -1315,6 +1315,13 @@ def d3_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     def encode_and_score(batches):
         bk = b_books.value
         tbl = b_lut.value
+        # r13 (guide §4.2): the nearest-centroid argmin runs as a GEMM —
+        # argmin_k ||s−c_k||² == argmin_k (||c_k||² − 2 s·c_k) — instead
+        # of materializing the (batch × k × d_sub) broadcast difference
+        # tensor per subspace (allocation-bound at wide batches; output
+        # proven row-identical at 4 grains incl. the hostile corpus).
+        # Centroid norms are precomputed once per task.
+        cn = (bk ** 2).sum(axis=2)  # (m, k) centroid squared norms
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -1323,8 +1330,7 @@ def d3_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
             sims = np.zeros(len(X))
             for j in range(bk.shape[0]):
                 S = X[:, j * d_sub : (j + 1) * d_sub]
-                d2 = ((S[:, None, :] - bk[j][None, :, :]) ** 2).sum(axis=2)
-                codes = d2.argmin(axis=1)  # the m-byte code, one subspace
+                codes = (cn[j][None, :] - 2.0 * (S @ bk[j].T)).argmin(axis=1)
                 sims += tbl[j, codes]
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "sim": np.round(sims, 6)}
