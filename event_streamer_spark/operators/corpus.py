@@ -121,7 +121,16 @@ def dsir_score_from_counts(toks: DataFrame) -> DataFrame:
     the shared DSIR tail used by both the batch query and the
     streaming index's read side (the drift.py convention: one scoring
     definition, two ingestion paths). See ``d7_dsir_resample`` for the
-    determinism and scale contract."""
+    determinism and scale contract.
+
+    r13: ``toks`` feeds BOTH the vocabulary aggregate and the scoring
+    join — unpersisted, Catalyst inlined the whole explode + (doc,
+    token) groupBy subtree once per reference (plan-audited: 3 parquet
+    scans of documents, two token-explode shuffles per run). One
+    bounded_persist materialization serves both consumers."""
+    from event_streamer_spark.caching import bounded_persist
+
+    toks = bounded_persist(toks, "dsir.toks")
     cnt = toks.groupBy("tok").agg(
         F.sum("k").cast("bigint").alias("c_a"),
         F.sum(F.when(F.col("is_target"), F.col("k")).otherwise(0))
