@@ -72,6 +72,55 @@ def _merge_pair_udf(a: str, b: str):
     return merge
 
 
+_LOCAL_VOCAB_MAX_CONF = "spark.event_streamer.bpe.localVocabMaxRows"
+# Below this vocabulary size the merge loop runs driver-local (r13):
+# the distributed loop costs one persist + pair-aggregate + TakeOrdered
+# + collect + Arrow merge pass PER ROUND — ~0.7 s of fixed stage
+# latency per merge at local[32] over a table that can be dozens of
+# rows (the sf0.1 fixture has 31 distinct words; 12 rounds read 8.7 s
+# of pure overhead). The vocab table is the module's own "sufficient
+# statistic" — when it is provably model-state-sized (row count under
+# the threshold), holding it on the driver is the same contract as the
+# PQ training sample. Above the threshold (real corpora: 10M+ words)
+# the distributed loop is unchanged.
+_LOCAL_VOCAB_MAX_ROWS = 65536
+
+
+def _train_local(rows: list, n_merges: int) -> list:
+    """Driver-local twin of the distributed merge loop — identical
+    semantics op-for-op: pair counts weighted by word frequency
+    (adjacent positions, overlapping occurrences each count), argmax by
+    (count DESC, a ASC, b ASC), left-to-right non-overlapping merge
+    application, stop when the best pair occurs < 2 times."""
+    words = [(list(syms), int(cnt)) for syms, cnt in rows]
+    merges: list = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for syms, cnt in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 2:
+            break
+        merges.append((a, b))
+        for w, (syms, cnt) in enumerate(words):
+            i, acc = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    acc.append(a + b)
+                    i += 2
+                else:
+                    acc.append(syms[i])
+                    i += 1
+            words[w] = (acc, cnt)
+    return merges
+
+
 def train_bpe_merges(
     docs: DataFrame, n_merges: int = _N_MERGES, text_col: str = "text"
 ) -> list:
@@ -79,10 +128,16 @@ def train_bpe_merges(
     list ``[(a, b), ...]`` in application order (driver-side model
     state, bounded by ``n_merges``).
 
-    Each round: pair-count aggregate (map-side combinable; output is
+    Size-adaptive (r13, the distrank-auto pattern): the word table is
+    materialized once and counted; below
+    ``spark.event_streamer.bpe.localVocabMaxRows`` (default {65536})
+    the merge loop runs driver-local over the collected vocabulary
+    (model-state-sized by the threshold's own check — merge-for-merge
+    identical, pinned by tests/test_bpe.py), above it each round is a
+    distributed pair-count aggregate (map-side combinable; output is
     pair-vocabulary-sized) → deterministic argmax (count desc, pair
-    asc) → one narrow merge pass over the word table. The word table is
-    re-persisted per round so lineage stays flat across iterations.
+    asc) → one narrow merge pass over the word table, re-persisted per
+    round so lineage stays flat across iterations.
     """
     from event_streamer_spark.caching import bounded_persist, clear_slot
 
@@ -90,6 +145,22 @@ def train_bpe_merges(
         "syms",
         F.expr(f"array_append(split(word, ''), '{_END}')"),
     ).select("syms", "cnt")
+    try:
+        local_max = int(
+            docs.sparkSession.conf.get(
+                _LOCAL_VOCAB_MAX_CONF, str(_LOCAL_VOCAB_MAX_ROWS)
+            )
+        )
+    except Exception:  # pragma: no cover — connect-mode sessions
+        local_max = _LOCAL_VOCAB_MAX_ROWS
+    words = bounded_persist(words, "bpe.words.0")
+    if words.count() <= local_max:
+        rows = [(r["syms"], r["cnt"]) for r in words.collect()]
+        clear_slot("bpe.words.0")
+        # collect order is partition-arbitrary; the local loop's
+        # aggregates are order-insensitive (dict sums + total-order
+        # argmax), so no sort is needed for determinism
+        return _train_local(rows, n_merges)
     merges: list = []
     # two alternating persist slots: round k's table must be MATERIALIZED
     # (by its own pair-count job, reading round k-1 from cache) BEFORE
@@ -136,6 +207,13 @@ def bpe_token_count_udf(merges: Sequence):
     repeatedly apply the lowest-rank applicable merge (the standard BPE
     apply loop) and count the resulting tokens."""
     ranks = {tuple(m): i for i, m in enumerate(merges)}
+    # r13 (guide §4.5): per-task memo word → token count. Natural text
+    # repeats words heavily (the sf0.1 fixture: 270k instances over 31
+    # distinct words), so the apply loop runs once per DISTINCT word
+    # per task instead of once per instance. Same per-word computation,
+    # bit-identical counts; memory is bounded by the task's distinct
+    # words (vocabulary-sized, the module's model-state argument).
+    memo: dict = {}
 
     @pandas_udf("int")
     def count_tokens(texts: pd.Series) -> pd.Series:
@@ -145,17 +223,23 @@ def bpe_token_count_udf(merges: Sequence):
             for word in text.split(" "):
                 if not word:
                     continue
-                s = list(word) + [_END]
-                while len(s) > 1:
-                    best, best_rank = None, None
-                    for i in range(len(s) - 1):
-                        r = ranks.get((s[i], s[i + 1]))
-                        if r is not None and (best_rank is None or r < best_rank):
-                            best, best_rank = i, r
-                    if best is None:
-                        break
-                    s[best : best + 2] = [s[best] + s[best + 1]]
-                total += len(s)
+                n = memo.get(word)
+                if n is None:
+                    s = list(word) + [_END]
+                    while len(s) > 1:
+                        best, best_rank = None, None
+                        for i in range(len(s) - 1):
+                            r = ranks.get((s[i], s[i + 1]))
+                            if r is not None and (
+                                best_rank is None or r < best_rank
+                            ):
+                                best, best_rank = i, r
+                        if best is None:
+                            break
+                        s[best : best + 2] = [s[best] + s[best + 1]]
+                    n = len(s)
+                    memo[word] = n
+                total += n
             out.append(total)
         return pd.Series(out, dtype="int32")
 

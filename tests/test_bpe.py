@@ -104,3 +104,31 @@ def test_tokenize_compresses_and_registered_query_runs(spark):
         if r["n_bpe_tokens"] < ceiling:
             compressed_somewhere = True
     assert compressed_somewhere
+
+
+def test_local_and_distributed_trainers_agree(spark):
+    """r13 size-adaptive trainer: the driver-local merge loop (taken
+    below the vocab-row threshold) must be merge-for-merge identical to
+    the distributed per-round aggregate loop on the same corpus."""
+    from event_streamer_spark.caching import clear_slot
+    from event_streamer_spark.operators.bpe import (
+        _LOCAL_VOCAB_MAX_CONF,
+        train_bpe_merges,
+    )
+
+    docs = load(spark, SF, "documents").filter(
+        __import__("pyspark").sql.functions.col("text").isNotNull()
+    )
+    prior = spark.conf.get(_LOCAL_VOCAB_MAX_CONF, None)
+    try:
+        spark.conf.set(_LOCAL_VOCAB_MAX_CONF, "65536")
+        local = train_bpe_merges(docs)
+        clear_slot()
+        spark.conf.set(_LOCAL_VOCAB_MAX_CONF, "0")  # force distributed
+        dist = train_bpe_merges(docs)
+    finally:
+        if prior is None:
+            spark.conf.unset(_LOCAL_VOCAB_MAX_CONF)
+        else:
+            spark.conf.set(_LOCAL_VOCAB_MAX_CONF, prior)
+    assert local and local == dist
