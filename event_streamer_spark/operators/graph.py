@@ -628,7 +628,7 @@ def d17_hits(spark: SparkSession, sf: str) -> DataFrame:
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     a = None
-    for _ in range(_HITS_ITERS):
+    for it in range(_HITS_ITERS):
         araw = (
             pairs.join(h.select("ck", "h"), "ck")
             .groupBy("sk")
@@ -638,6 +638,13 @@ def d17_hits(spark: SparkSession, sf: str) -> DataFrame:
         a = araw.join(auths, "sk").select(
             "sk", "ideg", F.expr(norm).alias("a")
         )
+        if it == _HITS_ITERS - 1:
+            # r13: the FINAL auth vector is the one double-referenced
+            # frame (the last hub half-step consumes it AND it is the
+            # authority output leg) — unpersisted, Catalyst re-ran the
+            # entire unrolled iteration chain once per reference
+            # (measured: steady wall halves at sf0.1). Node-sized.
+            a = bounded_persist(a, "graph.hits_a")
         hraw = (
             pairs.join(a.select("sk", "a"), "sk")
             .groupBy("ck")

@@ -783,11 +783,54 @@ def train_ivf_centroids(
     # build) still covers the FULL corpus.
     train = emb
     cap = max(131072, 64 * k)
+    n = None
     if "vec_id" in emb.columns:
         n = emb.count()
         if n > cap:
             step = -(-n // cap)  # ceil
             train = emb.filter(F.col("vec_id") % step == 0)
+    # r13 (the BPE-trainer pattern): the train set is BOUNDED by `cap`
+    # whenever vec_id sampling applies, so when rows×dim provably fits
+    # the driver budget (spark.event_streamer.ivf.localTrainMaxCells,
+    # default 2^25 doubles ≈ 256 MB) the Lloyd's loop runs driver-local
+    # on the collected sample — one Arrow collect replaces one
+    # mapInArrow + applyInPandas + collect JOB PER ITERATION. The local
+    # loop is op-identical (same seeded init, same argmax assignment,
+    # same mean/normalize/round(6) — the 6-decimal round already
+    # declares summation-order noise irrelevant, which is what makes
+    # partial-sum merge order interchangeable); centroid equality vs
+    # the distributed loop is pinned by a forced-mode test. Oversized
+    # train sets (huge k via 64·k, or no vec_id column) keep the
+    # distributed loop.
+    try:
+        local_max = int(
+            spark.conf.get(
+                "spark.event_streamer.ivf.localTrainMaxCells",
+                str(1 << 25),
+            )
+        )
+    except Exception:  # pragma: no cover — connect-mode sessions
+        local_max = 1 << 25
+    bound = min(n, cap) if n is not None else None
+    if bound is not None and bound * dim <= local_max:
+        pdf = train.select("v").toPandas()
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        if len(X):
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            for _ in range(iters):
+                cells = np.argmax(X @ cents.T, axis=1)
+                order = np.argsort(cells, kind="stable")
+                uniq, starts = np.unique(cells[order], return_index=True)
+                sums = np.add.reduceat(X[order], starts, axis=0)
+                counts = np.bincount(cells, minlength=cents.shape[0])
+                new = cents.copy()
+                for ci, s in zip(uniq, sums):
+                    cn = counts[ci]
+                    if cn > 0:
+                        mean = s / cn
+                        new[ci] = mean / np.linalg.norm(mean)
+                cents = np.round(new, 6)
+        return cents
     # persist the RAW vectors and normalize inside the Arrow pass:
     # Catalyst evaluates higher-order lambdas (transform/aggregate)
     # per ELEMENT interpreted — at 500k×256 the SQL normalize was the

@@ -985,3 +985,31 @@ def test_winsorize_first_principles(spark):
             clipped_hi += 1
     assert clipped_lo <= 0.05 * n + 1 and clipped_hi <= 0.05 * n + 1
     assert clipped_lo > 0 and clipped_hi > 0  # the band genuinely bites
+
+
+def test_ivf_local_and_distributed_training_agree(spark):
+    """r13 size-adaptive IVF trainer: the driver-local Lloyd's loop
+    (taken when the bounded train sample fits the cell budget) must
+    produce centroids identical to the distributed per-iteration
+    aggregate loop — the 6-decimal round makes partial-sum merge order
+    irrelevant, and this pins it."""
+    import numpy as np
+
+    from event_streamer_spark.operators import similarity as sim
+
+    emb = sim.load_embeddings(spark, SF).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    conf = "spark.event_streamer.ivf.localTrainMaxCells"
+    prior = spark.conf.get(conf, None)
+    try:
+        spark.conf.set(conf, str(1 << 25))
+        local = sim.train_ivf_centroids(spark, emb)
+        spark.conf.set(conf, "0")  # force the distributed loop
+        dist = sim.train_ivf_centroids(spark, emb)
+    finally:
+        if prior is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prior)
+    assert np.array_equal(local, dist)
