@@ -468,14 +468,26 @@ def b13_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     same groups with ``TRUE``. The raw estimate can never hash-match an
     exact engine, but the bound can — and a future HLL++ drift past 5%
     flips the boolean and breaks the hash, which rows-only checking
-    could never see. Both aggregates fold into ONE two-phase groupBy
-    (single shuffle), so the exact leg costs no extra pass."""
+    could never see.
+
+    r13 (guide §2.3): computing both in ONE agg was 2.7× superadditive —
+    ``COUNT(DISTINCT)`` plans as an expand + two-phase aggregate, and the
+    rsd=0.01 HLL++ sketch (~1,640 LONG buffer words per group) was carried
+    through every expand/merge phase. Split into two map-side-combinable
+    aggregates joined on the group key (group-cardinality rows): each leg
+    shuffles only its own buffer, the HLL words never ride the expand.
+    Same estimates, same exact counts — output identical by construction.
+    """
+    o = load(spark, sf, "orders").select("o_orderstatus", "o_custkey")
+    approx = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_cust")
+    )
+    exact = o.groupBy(F.col("o_orderstatus").alias("__g")).agg(
+        F.countDistinct("o_custkey").alias("exact_cust")
+    )
     return (
-        load(spark, sf, "orders")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.approx_count_distinct("o_custkey", 0.01).alias("approx_cust"),
-            F.countDistinct("o_custkey").alias("exact_cust"),
+        approx.join(  # null-safe: NULL status is an ordinary group
+            exact, F.col("o_orderstatus").eqNullSafe(F.col("__g")), "inner"
         )
         .select(
             "o_orderstatus",

@@ -150,13 +150,84 @@ def b11_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
 )
 def b11_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     """B11: exact interpolated percentiles (both engines sort + linearly
-    interpolate — identical arithmetic, 6dp absorbs any ulp)."""
-    li = load(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
-        F.round(F.median("l_extendedprice"), 6).alias("med"),
+    interpolate — identical arithmetic, 6dp absorbs any ulp).
+
+    r13 (guide §2.2 / §5.2): Catalyst's exact ``percentile`` aggregate
+    collects EVERY group value into one task's buffer — with a 3-value
+    group key that is the same hot-group scale-killer ``d15_anomaly_mad``
+    documents, times four buffers (one per requested quantile). Rewritten
+    as a distributed order statistic over ONE ranking pass
+    (``distrank.two_level_row_number``, the b48/d15 machinery): rank rows
+    within each group, keep only the ≤2 boundary rows per quantile, and
+    interpolate with the engines' shared rule
+    ``v_lo*(ceil(h)-h) + v_hi*(h-floor(h))`` at ``h=(n-1)q``. NULL values
+    occupy no rank (SQL aggregate convention); group keys whose values
+    are all NULL survive via the group-keys left join, exactly as the
+    aggregate form behaved. Value-identical vs the unchanged oracle at 3
+    SFs + the hostile corpus.
+    """
+    from event_streamer_spark.operators.distrank import two_level_row_number
+
+    li = load(spark, sf, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    ranked = two_level_row_number(
+        li.filter(F.col("l_extendedprice").isNotNull()),
+        ["l_returnflag"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        bucket_value="l_extendedprice",
+        out_col="rn",
+        count_col="n",
+        mode="auto",
+    )
+    qs = {"p25": 0.25, "p50": 0.50, "p75": 0.75}
+    n, rn = F.col("n"), F.col("rn")
+
+    def _h(q):  # 0-based fractional position of quantile q
+        return (n - 1).cast("double") * F.lit(q)
+
+    keep = None
+    for q in qs.values():
+        cond = (rn == F.floor(_h(q)) + 1) | (rn == F.ceil(_h(q)) + 1)
+        keep = cond if keep is None else (keep | cond)
+    aggs = [F.max("n").alias("n")]
+    for name, q in qs.items():
+        aggs.append(
+            F.max(
+                F.when(rn == F.floor(_h(q)) + 1, F.col("l_extendedprice"))
+            ).alias(f"{name}_lo")
+        )
+        aggs.append(
+            F.max(
+                F.when(rn == F.ceil(_h(q)) + 1, F.col("l_extendedprice"))
+            ).alias(f"{name}_hi")
+        )
+    stats = ranked.filter(keep).groupBy("l_returnflag").agg(*aggs)
+
+    def _interp(name, q):
+        h = (F.col("n") - 1).cast("double") * F.lit(q)
+        lo_v, hi_v = F.col(f"{name}_lo"), F.col(f"{name}_hi")
+        exact = F.floor(h) == F.ceil(h)
+        return F.round(
+            F.when(exact, lo_v).otherwise(
+                lo_v * (F.ceil(h) - h) + hi_v * (h - F.floor(h))
+            ),
+            6,
+        )
+
+    groups = li.select("l_returnflag").distinct()
+    # null-safe: a NULL group KEY is an ordinary group (its non-NULL
+    # values rank normally) — hostile-corpus case
+    return groups.join(
+        stats.withColumnRenamed("l_returnflag", "__g"),
+        F.col("l_returnflag").eqNullSafe(F.col("__g")),
+        "left",
+    ).select(
+        "l_returnflag",
+        _interp("p25", 0.25).alias("p25"),
+        _interp("p50", 0.50).alias("p50"),
+        _interp("p75", 0.75).alias("p75"),
+        _interp("p50", 0.50).alias("med"),
     )
 
 
