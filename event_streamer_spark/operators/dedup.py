@@ -145,6 +145,29 @@ def shingle_sets(docs: DataFrame, max_df: int = _MAX_SHINGLE_DF) -> DataFrame:
     return shingles.join(F.broadcast(hot), "s", "left_anti")
 
 
+def capped_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    """THE shared DF-capped shingle frame ``(doc_id, s)`` for ``sf``,
+    ``bounded_persist``-ed under one slot.
+
+    r13 (guide §5.3): d2_ngram_jaccard referenced its unpersisted
+    shingle frame 4× (sizes + both self-join sides), d2_editdist_verify
+    2×, and lsh_verified_pairs / the d8 fuzzy decontaminator each built
+    a private copy under separate slots — every reference re-ran the
+    explode + distinct + DF-cap anti-join. One canonical plan (docs
+    spread across cores first — the single-file parquet arrives as one
+    split) persisted once now serves every consumer; all consumers are
+    aggregates/joins over the set, so partitioning never changes
+    results."""
+    from event_streamer_spark.caching import bounded_persist
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return bounded_persist(
+        shingle_sets(docs.select("doc_id", "text")), "dedup.shingle_sets"
+    )
+
+
 @query(
     "d2_ngram_jaccard",
     oracle=f"""
@@ -171,7 +194,7 @@ def d2_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     no boilerplate trigram can go quadratic; at 100 TB this exact join
     additionally runs only on LSH candidate pairs (see d2_minhash_lsh).
     """
-    shingles = shingle_sets(load(spark, sf, "documents"))
+    shingles = capped_shingles(spark, sf)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -240,7 +263,7 @@ def d2_editdist_verify(spark: SparkSession, sf: str) -> DataFrame:
     DF-cap geometry, not the corpus size squared.
     """
     docs = load(spark, sf, "documents")
-    shingles = shingle_sets(docs)
+    shingles = capped_shingles(spark, sf)
     a = shingles.alias("a")
     b = shingles.alias("b")
     cand = (
@@ -439,10 +462,7 @@ def lsh_verified_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
 
-    shingles = bounded_persist(
-        shingle_sets(docs.select("doc_id", "text")),
-        "dedup.lsh_verified_shingles",
-    )
+    shingles = capped_shingles(spark, sf)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sh_a = shingles.select(F.col("doc_id").alias("doc_a"), "s")
     sh_b = shingles.select(F.col("doc_id").alias("doc_b"), "s")
@@ -462,6 +482,21 @@ def lsh_verified_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .join(sb, "doc_b")
         .filter(jacc >= 0.1)
         .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+def _exact_strong_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact all-pairs Jaccard ≥ 0.5 pair set (doc_a, doc_b) — the
+    recall denominator shared by both bounded-check wrappers; persisted
+    (tiny: strong pairs only) so each wrapper's two references and the
+    twin query share ONE materialization of the all-pairs subtree."""
+    from event_streamer_spark.caching import bounded_persist
+
+    return bounded_persist(
+        d2_ngram_jaccard(spark, sf)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b"),
+        "dedup.exact_strong_pairs",
     )
 
 
@@ -499,9 +534,11 @@ def d2_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
     found = lsh_verified_pairs(spark, sf).filter(
         F.col("jaccard") >= 0.5
     ).select("doc_a", "doc_b")
-    exact = d2_ngram_jaccard(spark, sf).filter(
-        F.col("jaccard") >= 0.5
-    ).select("doc_a", "doc_b")
+    # the exact strong-pair set feeds two consumers here AND the
+    # d2_minhash_lsh_check twin (identical plan → shared slot): persist
+    # the tiny pair frame instead of re-running the all-pairs subtree
+    # per reference (r13, guide §5.3)
+    exact = _exact_strong_pairs(spark, sf)
     hits = found.join(exact, ["doc_a", "doc_b"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_hit")
     )
@@ -544,9 +581,7 @@ def d2_minhash_lsh_check(spark: SparkSession, sf: str) -> DataFrame:
     banding bug, estimator bias past the 0.25 est-filter) flips the
     boolean; rows-only checking could never see it."""
     found = d2_minhash_lsh(spark, sf).select("doc_a", "doc_b")
-    exact = d2_ngram_jaccard(spark, sf).filter(
-        F.col("jaccard") >= 0.5
-    ).select("doc_a", "doc_b")
+    exact = _exact_strong_pairs(spark, sf)  # shared slot, see d2_lsh_verified
     hits = found.join(exact, ["doc_a", "doc_b"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_hit")
     )

@@ -217,13 +217,12 @@ def d8_decontaminate_neardup(spark: SparkSession, sf: str) -> DataFrame:
     shingle explode and DF-cap anti-join (plan-audited: 16 parquet
     scans → 4).
     """
-    from event_streamer_spark.caching import bounded_persist
-    from event_streamer_spark.operators.dedup import shingle_sets
+    from event_streamer_spark.operators.dedup import capped_shingles
 
-    shingles = bounded_persist(
-        shingle_sets(load(spark, sf, "documents")),
-        "pipeline.decon_shingles",
-    )
+    # r13: share the near-dup family's canonical persisted shingle frame
+    # (one slot, one build) instead of a private copy — see
+    # dedup.capped_shingles
+    shingles = capped_shingles(spark, sf)
     sizes = shingles.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n")
     )
