@@ -104,6 +104,30 @@ def _copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _mirrored_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The undirected (src, dst) edge list — customers as ``2k``,
+    suppliers as ``2k+1`` — shared by PageRank and label propagation.
+
+    r13 (guide §2.1): ONE slot instead of the former per-query twins
+    (``graph.pr_edges`` / ``graph.lpa_edges`` held byte-identical
+    frames), and the frame is hash-partitioned on ``src`` BEFORE the
+    persist: every iteration of both loops joins ``edges`` on ``src``,
+    so the cached partitioning satisfies the join's distribution and
+    only the node-sized rank/label vector shuffles per round — the
+    edge table (the big side at scale) never re-exchanges."""
+    from event_streamer_spark.caching import bounded_persist
+
+    pairs = _copurchase_pairs(spark, sf)
+    ck = (F.col("ck") * 2).alias
+    sk = (F.col("sk") * 2 + 1).alias
+    return bounded_persist(
+        pairs.select(ck("src"), sk("dst"))
+        .unionAll(pairs.select(sk("src"), ck("dst")))
+        .repartition("src"),
+        "graph.edges",
+    )
+
+
 def _capped_edges(spark: SparkSession, sf: str) -> DataFrame:
     """Co-purchase edges with hub customers (degree > _CN_MAX_DEGREE)
     removed — the quadratic-burst guard shared by common-neighbors and
@@ -161,15 +185,7 @@ def d17_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """
     from event_streamer_spark.caching import bounded_persist
 
-    pairs = _copurchase_pairs(spark, sf)
-    ck = (F.col("ck") * 2).alias
-    sk = (F.col("sk") * 2 + 1).alias
-    edges = bounded_persist(
-        pairs.select(ck("src"), sk("dst")).unionAll(
-            pairs.select(sk("src"), ck("dst"))
-        ),
-        "graph.pr_edges",
-    )
+    edges = _mirrored_edges(spark, sf)
     deg = bounded_persist(
         edges.groupBy(F.col("src").alias("node")).agg(
             F.count(F.lit(1)).alias("deg")
@@ -745,18 +761,8 @@ def d17_label_prop(spark: SparkSession, sf: str) -> DataFrame:
 
     from event_streamer_spark.caching import bounded_persist
 
-    # the union's two branches each reference pairs — the module-shared
-    # persisted slot means the fact join + distinct runs once, not once
-    # per branch (the d18_er_golden review lesson)
-    pairs = _copurchase_pairs(spark, sf)
-    ck = (F.col("ck") * 2).alias
-    sk = (F.col("sk") * 2 + 1).alias
-    edges = bounded_persist(
-        pairs.select(ck("src"), sk("dst")).unionAll(
-            pairs.select(sk("src"), ck("dst"))
-        ),
-        "graph.lpa_edges",
-    )
+    # shared src-partitioned slot with PageRank — see _mirrored_edges
+    edges = _mirrored_edges(spark, sf)
     lab = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
