@@ -259,7 +259,17 @@ def d4_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     Determinism: tf/df/dl/N are exact integers; the float expression is
     written with identical association on both engines, and ln() on the
     same libm — bit-stable, so ROUND(...,6) matches the oracle.
+
+    r13 (guide §5.3): the per-doc tf frame feeds BOTH the corpus-stats
+    aggregate and the scoring projection — unpersisted, Catalyst inlines
+    the tokenize subtree (split + 3 array filters over every document)
+    at each reference, so the corpus was tokenized twice per run. The
+    frame is 5 narrow numerics per doc (no text column), so one
+    ``bounded_persist`` halves the heavy pass; at scale the cached frame
+    is doc-count-sized, not corpus-byte-sized.
     """
+    from event_streamer_spark.caching import bounded_persist
+
     terms = ["spark", "merge", "window"]
     t = load(spark, sf, "documents").withColumn("toks", F.split("text", " "))
 
@@ -267,10 +277,13 @@ def d4_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
         # single-param lambda: a 2-param one is read as (element, index)
         return F.size(F.filter("toks", lambda x: x == F.lit(trm)))
 
-    d = t.select(
-        "doc_id",
-        F.size("toks").alias("dl"),
-        *[tf(trm).alias(f"tf{i+1}") for i, trm in enumerate(terms)],
+    d = bounded_persist(
+        t.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            *[tf(trm).alias(f"tf{i+1}") for i, trm in enumerate(terms)],
+        ),
+        "text2.bm25_docstats",
     )
     stats = d.agg(
         F.count(F.lit(1)).alias("n"),
