@@ -224,6 +224,7 @@ def two_level_row_number(
     mode: str = "two_level",
     naive_max_bytes: Optional[int] = None,
     cache: bool = True,
+    cached_out: Optional[dict] = None,
 ) -> DataFrame:
     """Global per-partition ``row_number`` without a per-partition sort.
 
@@ -269,6 +270,15 @@ def two_level_row_number(
     bucketed frame is unwanted (persisting it spills ≈ the input size
     to executor disk), ``cache=False`` trades it back for a third scan
     — measured tradeoff at ``_CACHE_SLOT``.
+
+    ``cached_out`` (r13, guide §5.3): when given a dict and the
+    two-level path persists its bucketed frame, the persisted frame is
+    exposed as ``cached_out["bucketed"]`` (the caller's input rows plus
+    a ``__bucket`` column, one entry per input row). A caller that needs
+    a SECOND aggregate over the same input (b15's tied-rank counts) can
+    feed it this frame instead of re-scanning the fact table — one fact
+    pass instead of two. Left unset on the naive path and when
+    ``cache=False``; callers must fall back to their own input then.
     """
     part_cols = list(part_cols)
     if mode == "auto":
@@ -350,6 +360,8 @@ def two_level_row_number(
             b, _CACHE_SLOT, columnar_compressed=False,
             columnar_batch_size=100_000,
         )
+        if cached_out is not None:
+            cached_out["bucketed"] = b
 
     # pass 1: per-bucket counts → cumulative base offsets (tiny table)
     counts = b.groupBy(*part_cols, "__bucket").agg(

@@ -602,6 +602,7 @@ def b15_window_rank(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem")
     # prune BEFORE the two-level call: its persist() caches its input
     # frame, so hand it only the 5 columns the query needs, not all 16
+    shared: dict = {}
     ranked = two_level_row_number(
         li.select(
             "l_returnflag", "l_orderkey", "l_linenumber",
@@ -631,13 +632,18 @@ def b15_window_rank(spark: SparkSession, sf: str) -> DataFrame:
         # naive path re-sorts per pass with nothing to share. The
         # single-consumer distrank call sites DO run auto.
         mode="two_level",
+        cached_out=shared,
     )
-    # tied rank lookup computed from the RAW table (one cheap aggregate),
-    # broadcast onto the 300 surviving rows — running the two-level
-    # pipeline through the rank aggregate would recompute it entirely
+    # tied rank lookup from the PERSISTED bucketed frame (r13, guide
+    # §5.3): it holds exactly the input rows (plus __bucket), so the
+    # (flag, quantity) counts are identical — and the second full fact
+    # scan per run becomes a read of the already-cached narrow frame.
+    # One fact pass for the whole query instead of two; broadcast onto
+    # the 300 surviving rows — running the two-level pipeline through
+    # the rank aggregate would recompute it entirely.
     ranks = tied_rank_table(
-        li, ["l_returnflag"], "l_quantity", descending=True,
-        rank_col="rnk", dense_rank_col="drnk",
+        shared.get("bucketed", li), ["l_returnflag"], "l_quantity",
+        descending=True, rank_col="rnk", dense_rank_col="drnk",
     )
     from event_streamer_spark.operators.distrank import _nullsafe_equi_join
 

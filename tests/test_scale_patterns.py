@@ -272,6 +272,50 @@ def test_two_level_naive_mode_count_and_limit(spark):
     assert all(1 <= r["rn"] <= 5 for r in rows)
 
 
+def test_two_level_cached_out_exposes_input_rows(spark):
+    """``cached_out`` (r13) must expose the persisted bucketed frame —
+    the caller's rows exactly once each (plus ``__bucket``) — so a
+    second aggregate (b15's tied-rank counts) can read the cache
+    instead of re-scanning the fact table, with identical counts."""
+    from event_streamer_spark.operators.distrank import (
+        tied_rank_table,
+        two_level_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(k % 3, k, k % 7) for k in range(60)], "pk bigint, uid bigint, v bigint"
+    )
+    shared: dict = {}
+    two_level_row_number(
+        df, ["pk"], ["uid"], bucket_value="uid", out_col="rn",
+        mode="two_level", cached_out=shared,
+    ).collect()
+    assert "bucketed" in shared
+    cached = shared["bucketed"]
+    # same rows, exactly once each, with the __bucket helper appended
+    assert "__bucket" in cached.columns
+    assert sorted(
+        (r["pk"], r["uid"], r["v"]) for r in cached.collect()
+    ) == sorted((k % 3, k, k % 7) for k in range(60))
+    # a tied-rank table computed from the cache matches one from the raw
+    from_cache = {
+        (r["pk"], r["v"]): (r["rnk"], r["drnk"])
+        for r in tied_rank_table(cached, ["pk"], "v").collect()
+    }
+    from_raw = {
+        (r["pk"], r["v"]): (r["rnk"], r["drnk"])
+        for r in tied_rank_table(df, ["pk"], "v").collect()
+    }
+    assert from_cache == from_raw
+    # naive mode must leave the hook unset (callers fall back)
+    missing: dict = {}
+    two_level_row_number(
+        df, ["pk"], ["uid"], bucket_value="uid", out_col="rn",
+        mode="naive", cached_out=missing,
+    ).collect()
+    assert "bucketed" not in missing
+
+
 def test_percent_rank_expr_single_row_partition(spark):
     """percent_rank() of a 1-row partition is 0.0 by SQL definition —
     the (rn-1)/(n-1) arithmetic must not NULL out (ADVICE r4)."""
