@@ -123,3 +123,14 @@ def clear_slot(slot: Optional[str] = None) -> None:
             df = _SLOTS.pop(name, None)
             if df is not None:
                 _safe_unpersist(df)
+
+
+def clear_slots_with_prefix(prefix: str) -> None:
+    """Eagerly release every slot whose name starts with ``prefix`` —
+    for operator families that fan one logical cache out over several
+    per-call-site slots (distrank, r13)."""
+    with _LOCK:
+        for name in [n for n in _SLOTS if n.startswith(prefix)]:
+            df = _SLOTS.pop(name, None)
+            if df is not None:
+                _safe_unpersist(df)

@@ -291,6 +291,10 @@ def b72_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
             out_col="__rn",
             count_col="__n",
             mode="auto",  # size-aware: naive below the local threshold
+            # three two-level calls in ONE plan: per-metric slots, or
+            # each call's persist evicts the previous at build time and
+            # the two-level path (the at-scale pick) runs uncached (r13)
+            slot=f"distrank.bucketed.b72_{score}",
         )
         scored = ranked.withColumn(
             score, ntile_expr(F.col("__rn"), F.col("__n"), 5)

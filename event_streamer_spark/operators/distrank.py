@@ -66,10 +66,11 @@ _CACHE_SLOT = "distrank.bucketed"
 
 
 def clear_cache() -> None:
-    """Release the most recent two-level bucketed frame from the cache."""
-    from event_streamer_spark.caching import clear_slot
+    """Release every two-level bucketed frame (the shared default slot
+    and any per-call-site ``distrank.bucketed.*`` slots)."""
+    from event_streamer_spark.caching import clear_slots_with_prefix
 
-    clear_slot(_CACHE_SLOT)
+    clear_slots_with_prefix(_CACHE_SLOT)
 
 
 def _bucket_assign(value: Column, bounds: Column, n_bounds: int) -> Column:
@@ -225,6 +226,7 @@ def two_level_row_number(
     naive_max_bytes: Optional[int] = None,
     cache: bool = True,
     cached_out: Optional[dict] = None,
+    slot: Optional[str] = None,
 ) -> DataFrame:
     """Global per-partition ``row_number`` without a per-partition sort.
 
@@ -279,6 +281,18 @@ def two_level_row_number(
     feed it this frame instead of re-scanning the fact table — one fact
     pass instead of two. Left unset on the naive path and when
     ``cache=False``; callers must fall back to their own input then.
+
+    ``slot`` (r13): the bounded-cache slot name, default
+    ``distrank.bucketed``. A query that places SEVERAL two-level calls
+    in ONE plan (b72's three quintiles, d15_anomaly_mad's med+MAD pair)
+    MUST pass a distinct per-call-site slot (prefix
+    ``distrank.bucketed.``): with the shared default, each call's
+    ``bounded_persist`` evicts the previous call's frame at plan-BUILD
+    time, so on the two-level path every earlier level runs UNCACHED
+    and its two consumers recompute the whole upstream subtree —
+    invisible locally (auto resolves naive there), a silent
+    2^levels-scans regression at cluster scale. Per-call-site names
+    keep the cache bounded: one live frame per site.
     """
     part_cols = list(part_cols)
     if mode == "auto":
@@ -357,7 +371,7 @@ def two_level_row_number(
         # write 100k-row cache batches (another 1.8×: 2.37 s → 1.29 s
         # measured round 8) — see bounded_persist for both tradeoffs
         b = bounded_persist(
-            b, _CACHE_SLOT, columnar_compressed=False,
+            b, slot or _CACHE_SLOT, columnar_compressed=False,
             columnar_batch_size=100_000,
         )
         if cached_out is not None:

@@ -390,9 +390,14 @@ def d15_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     def mid():
         return middle_ranks(F.col("rn"), F.col("n"))
 
+    # two two-level calls in ONE plan (median, then MAD): distinct
+    # slots, or the MAD call's persist evicts the median's bucketed
+    # frame at build time and the at-scale two-level path recomputes
+    # the whole upstream subtree per consumer (r13)
     ranked = two_level_row_number(
         ev, ["event_type"], ["c2", "event_id"], bucket_value="c2",
         out_col="rn", count_col="n", mode="auto",
+        slot="distrank.bucketed.d15_med",
     )
     med = (
         ranked.filter(mid())
@@ -413,6 +418,7 @@ def d15_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     ranked2 = two_level_row_number(
         dev, ["event_type"], ["d4", "event_id"], bucket_value="d4",
         out_col="rn", count_col="n", mode="auto",
+        slot="distrank.bucketed.d15_mad",
     )
     mad = (
         ranked2.filter(mid())

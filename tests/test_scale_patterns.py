@@ -316,6 +316,48 @@ def test_two_level_cached_out_exposes_input_rows(spark):
     assert "bucketed" not in missing
 
 
+def test_two_level_per_site_slots_keep_both_frames_cached(spark):
+    """Two forced-two-level calls in ONE plan (the d15/b72 shape) must
+    keep BOTH bucketed frames persisted when given distinct slots; with
+    the shared default slot the second call's persist evicts the first
+    at build time (the r13 at-scale hazard this guards against)."""
+    from event_streamer_spark.operators.distrank import (
+        clear_cache,
+        two_level_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(k % 3, k) for k in range(60)], "pk bigint, uid bigint"
+    )
+
+    def chain(slots):
+        c1: dict = {}
+        r1 = two_level_row_number(
+            df, ["pk"], ["uid"], bucket_value="uid", out_col="rn1",
+            mode="two_level", cached_out=c1, slot=slots[0],
+        )
+        c2: dict = {}
+        r2 = two_level_row_number(
+            r1, ["pk"], [F.col("rn1").desc(), "uid"],
+            bucket_value=-F.col("rn1"), out_col="rn2",
+            mode="two_level", cached_out=c2, slot=slots[1],
+        )
+        return r2, c1["bucketed"], c2["bucketed"]
+
+    clear_cache()
+    # shared default slot: the second persist evicts the first frame
+    out, b1, b2 = chain([None, None])
+    assert not b1.storageLevel.useMemory, "expected eviction (shared slot)"
+    # distinct per-site slots: both frames stay persisted
+    clear_cache()
+    out, b1, b2 = chain(["distrank.bucketed.t1", "distrank.bucketed.t2"])
+    assert b1.storageLevel.useMemory and b2.storageLevel.useMemory
+    rows = {(r["pk"], r["uid"]): (r["rn1"], r["rn2"]) for r in out.collect()}
+    # rn2 is the reverse ranking of rn1 within each 20-row key
+    assert all(rn2 == 21 - rn1 for rn1, rn2 in rows.values())
+    clear_cache()
+
+
 def test_percent_rank_expr_single_row_partition(spark):
     """percent_rank() of a 1-row partition is 0.0 by SQL definition —
     the (rn-1)/(n-1) arithmetic must not NULL out (ADVICE r4)."""
