@@ -193,23 +193,27 @@ def score_pairs(a_keyed: DataFrame, b_keyed: DataFrame) -> DataFrame:
     batch queries and the streaming linkage (``streaming.er``)."""
     a = a_keyed.filter(F.col("src") == "A").alias("a")
     b = b_keyed.filter(F.col("src") == "B").alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.pass") == F.col("b.pass")),
-        )
-        .select(
-            F.col("a.rec_id").alias("rec_a"),
-            F.col("b.rec_id").alias("rec_b"),
-            F.col("a.f1").alias("f1_a"),
-            F.col("b.f1").alias("f1_b"),
-            F.col("a.f2").alias("f2_a"),
-            F.col("b.f2").alias("f2_b"),
-            F.col("a.f3").alias("f3_a"),
-            F.col("b.f3").alias("f3_b"),
-        )
-        .distinct()
+    # Score BEFORE the cross-pass dedup (r13, guide §2.3 — shuffle fewer
+    # bytes): the per-field scores are deterministic functions of the
+    # joined fields, and a pair found by both passes carries IDENTICAL
+    # fields, so distinct-on-scored-rows equals score-after-distinct —
+    # but the distinct's exchange now moves (2 ids + 2 ints) instead of
+    # six md5-width strings (~4× narrower rows). The duplicate pair's
+    # levenshtein is computed twice pre-dedup; the 32-char compare is
+    # codegen-cheap next to the saved shuffle bytes.
+    cand = a.join(
+        b,
+        (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.pass") == F.col("b.pass")),
+    ).select(
+        F.col("a.rec_id").alias("rec_a"),
+        F.col("b.rec_id").alias("rec_b"),
+        F.col("a.f1").alias("f1_a"),
+        F.col("b.f1").alias("f1_b"),
+        F.col("a.f2").alias("f2_a"),
+        F.col("b.f2").alias("f2_b"),
+        F.col("a.f3").alias("f3_a"),
+        F.col("b.f3").alias("f3_b"),
     )
     return cand.selectExpr(
         "rec_a",
@@ -222,7 +226,7 @@ def score_pairs(a_keyed: DataFrame, b_keyed: DataFrame) -> DataFrame:
                   THEN {_W_F2_EXACT} ELSE 0 END
            + CASE WHEN f3_a = f3_b THEN {_W_F3_EXACT} ELSE 0 END
           AS BIGINT) AS score""",
-    )
+    ).distinct()
 
 
 @query("d18_er_blocked_match", oracle=_MATCH_SQL)
