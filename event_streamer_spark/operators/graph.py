@@ -128,22 +128,49 @@ def _mirrored_edges(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _capped_edges(spark: SparkSession, sf: str) -> DataFrame:
-    """Co-purchase edges with hub customers (degree > _CN_MAX_DEGREE)
-    removed — the quadratic-burst guard shared by common-neighbors and
-    triangles. Persisted in its own slot: both of its consumers
-    self-join it (two references each), and the degree filter is a
-    second aggregate over the pairs cache."""
+def _capped_neighbor_arrays(spark: SparkSession, sf: str) -> DataFrame:
+    """Each non-hub customer's distinct suppliers as ONE sorted-array
+    row — the wedge source shared by common-neighbors and triangles.
+
+    r13 (guide §2.1/§2.4, the basket.py lesson): the former
+    ``_capped_edges`` kept (ck, sk) ROWS, which cost a degree-count
+    aggregate plus a semi-join to apply the hub cap and then a full
+    self-join on ``ck`` inside every consumer to open wedges. One
+    map-side-partial ``collect_set`` shuffle replaces all of that: the
+    cap is a free ``size(arr)`` filter on the built array (count of
+    distinct (ck, sk) pairs ≡ set size), and wedge pairs expand with
+    JVM-side generators — no self-join at all, with the quadratic burst
+    still bounded at C(_CN_MAX_DEGREE, 2) per row. The persisted frame
+    is also smaller: one row per kept customer, suppliers sorted so
+    pair expansion emits each unordered pair exactly once in canonical
+    lo < hi order (the same contract the a.sk < b.sk join enforced)."""
     from event_streamer_spark.caching import bounded_persist
 
     pairs = _copurchase_pairs(spark, sf)
-    ok = (
+    return bounded_persist(
         pairs.groupBy("ck")
-        .agg(F.count(F.lit(1)).alias("cd"))
-        .filter(F.col("cd") <= _CN_MAX_DEGREE)
-        .select("ck")
+        .agg(F.sort_array(F.collect_set("sk")).alias("arr"))
+        .filter(F.size("arr") <= _CN_MAX_DEGREE)
+        .select("arr"),
+        "graph.capped_edges",
     )
-    return bounded_persist(pairs.join(ok, "ck"), "graph.capped_edges")
+
+
+def _wedge_counts(arrs: DataFrame) -> DataFrame:
+    """(s_lo, s_hi, c): how many kept customers connect each supplier
+    pair — generator-expanded from the capped neighbor arrays (strict
+    suffix slice; ``slice`` is 1-based, so 0-based position ``i`` pairs
+    with elements from 1-based ``i + 2``), then ONE map-side-combinable
+    pair count. Replaces the wedge self-join both d17 consumers ran."""
+    return (
+        arrs.select(F.posexplode("arr").alias("i", "s_lo"), "arr")
+        .select(
+            "s_lo",
+            F.explode(F.expr("slice(arr, i + 2, size(arr))")).alias("s_hi"),
+        )
+        .groupBy("s_lo", "s_hi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
 
 
 @query("d17_pagerank", oracle=_pagerank_oracle())
@@ -277,33 +304,30 @@ def d17_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
 
     The classic common-neighbor link prediction, shaped for scale the
     same way the shingle join is: customers above the degree cap are
-    excluded BEFORE the self-join (one map-combinable degree count +
-    a broadcast-friendly semi join), so no hub customer can contribute
-    a quadratic pair burst; after the cap, every join key carries at
-    most ``_CN_MAX_DEGREE`` rows. Degrees for the Jaccard denominator
-    come from the SAME capped edge set, keeping the metric internally
-    consistent. Two shuffles: the pair self-join on customer, the
-    shared-count aggregate on the supplier pair. The capped edge set
-    feeds three consumers (degrees + both self-join sides), so it is
-    ``bounded_persist``-ed — without the cache each reference inlines
-    the fact-join subtree (plan-audited: 32 parquet scans → 4). The
-    slot is shared with d17_triangles (identical frame), so a session
-    running both materializes it once.
+    excluded BEFORE pair generation, so no hub customer can contribute
+    a quadratic pair burst. r13: wedges come from the shared
+    ``_capped_neighbor_arrays`` generator expansion instead of a
+    self-join on customer (guide §2.4 — the degree-count + semi-join +
+    both self-join exchanges collapse into the one collect_set
+    shuffle); per-row emission stays bounded at C(_CN_MAX_DEGREE, 2).
+    Degrees for the Jaccard denominator come from the SAME capped
+    arrays (one explode + map-combinable count), keeping the metric
+    internally consistent. The array frame is ``bounded_persist``-ed —
+    without the cache each reference inlines the fact-join subtree
+    (plan-audited: 32 parquet scans → 4). The slot is shared with
+    d17_triangles (identical frame), so a session running both
+    materializes it once.
     """
-    e = _capped_edges(spark, sf)
-    deg = e.groupBy("sk").agg(F.count(F.lit(1)).alias("deg"))
-    a = e.alias("a")
-    b = e.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("a.sk") < F.col("b.sk")),
-        )
-        .groupBy(
-            F.col("a.sk").alias("supp_a"), F.col("b.sk").alias("supp_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared_customers"))
+    arrs = _capped_neighbor_arrays(spark, sf)
+    deg = (
+        arrs.select(F.explode("arr").alias("sk"))
+        .groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    shared = _wedge_counts(arrs).select(
+        F.col("s_lo").alias("supp_a"),
+        F.col("s_hi").alias("supp_b"),
+        F.col("c").alias("shared_customers"),
     )
     da = deg.select(F.col("sk").alias("supp_a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("sk").alias("supp_b"), F.col("deg").alias("deg_b"))
@@ -430,35 +454,30 @@ def d17_triangles(spark: SparkSession, sf: str) -> DataFrame:
     frame, 2.9 s of the round-8 cold pass at sf0.1) bought nothing —
     removed in round 9. On an UNBOUNDED-degree graph the degree
     orientation is load-bearing; behind mutual k-NN it is not. Three
-    shuffles beyond the edge build: the wedge self-join on the low
-    endpoint, the closing-edge hash join on (b, c), the member
-    aggregate.
+    shuffles beyond the array build: the wedge pair count on
+    (s_lo, s_hi) (r13: generator-expanded from the capped arrays, no
+    self-join — see ``_capped_neighbor_arrays``), the closing-edge
+    hash join on (b, c), the member aggregate.
 
     The Spark leg is DataFrame-built rather than the oracle's SQL text
     because ``shared`` is referenced three times — Catalyst INLINES an
     unpersisted CTE subtree at every reference (the plan-explosion
     gotcha this repo pins with InMemoryTableScan tests), re-running
     the fact join ~9x; ``bounded_persist`` caps it at one
-    materialization. The capped edge set comes from the module-shared
-    ``graph.capped_edges`` slot (same frame as d17_common_neighbors).
+    materialization. The capped neighbor arrays come from the
+    module-shared ``graph.capped_edges`` slot (same frame as
+    d17_common_neighbors).
     """
     from event_streamer_spark.caching import bounded_persist
 
-    # feeds BOTH sides of the weighted self-join: persisted, or
-    # Catalyst inlines the fact-join + distinct subtree once per side
-    # (the d17_common_neighbors 32→4-scan lesson; round-9 advice)
-    e = _capped_edges(spark, sf)
-    a, b = e.alias("a"), e.alias("b")
-    weighted = (
-        a.join(
-            b,
-            (F.col("a.ck") == F.col("b.ck")) & (F.col("a.sk") < F.col("b.sk")),
-        )
-        .groupBy(F.col("a.sk").alias("s_lo"), F.col("b.sk").alias("s_hi"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= _TRI_MIN_SHARED)
+    # wedge weights from the persisted capped arrays (r13): generator
+    # expansion + one pair count instead of the former self-join on ck
+    # (see _capped_neighbor_arrays; the d17_common_neighbors
+    # 32→4-scan lesson still applies — the array frame is the cache)
+    weighted = _wedge_counts(_capped_neighbor_arrays(spark, sf)).filter(
+        F.col("c") >= _TRI_MIN_SHARED
     )
-    # ONE reference to the expensive weighted self-join (explode, not a
+    # ONE reference to the expensive weighted subtree (explode, not a
     # two-branch union — Catalyst would inline the subtree per branch)
     directed = weighted.select(
         F.explode(

@@ -202,3 +202,49 @@ def test_label_prop_first_principles(spark):
     got = {r["node"]: r["label"] for r in rows}
     assert got == lab
     assert set(got.values()) <= set(nbrs)
+
+
+def test_wedge_counts_equal_self_join_and_use_generators(spark):
+    """r13 pin: the wedge machinery expands pairs from the capped
+    sorted arrays with JVM generators — on a constructed frame its
+    counts must equal the self-join spelling it replaced (including
+    the hub cap: the degree-33 customer contributes nothing), and the
+    executed plan must open wedges via Generate nodes, not a join."""
+    from event_streamer_spark.caching import clear_slot
+    from event_streamer_spark.operators.graph import (
+        _CN_MAX_DEGREE,
+        _wedge_counts,
+    )
+
+    # customers 1..3 normal; customer 99 is a hub one over the cap
+    rows = [(1, s) for s in (10, 20, 30)] + [(2, s) for s in (10, 20)]
+    rows += [(3, 10)] + [(99, s) for s in range(_CN_MAX_DEGREE + 1)]
+    pairs = spark.createDataFrame(rows, "ck long, sk long")
+    arrs = (
+        pairs.groupBy("ck")
+        .agg(F.sort_array(F.collect_set("sk")).alias("arr"))
+        .filter(F.size("arr") <= _CN_MAX_DEGREE)
+        .select("arr")
+    )
+    got = {
+        (r["s_lo"], r["s_hi"]): r["c"] for r in _wedge_counts(arrs).collect()
+    }
+    capped = pairs.filter(F.col("ck") != 99)
+    a, b = capped.alias("a"), capped.alias("b")
+    want = {
+        (r["s_lo"], r["s_hi"]): r["c"]
+        for r in a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck")) & (F.col("a.sk") < F.col("b.sk")),
+        )
+        .groupBy(F.col("a.sk").alias("s_lo"), F.col("b.sk").alias("s_hi"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == want == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
+    plan = (
+        _wedge_counts(arrs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" in plan, plan
+    assert "Join" not in plan, plan
+    clear_slot()
