@@ -1338,12 +1338,26 @@ def d3_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_embeddings(spark, sf).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    books, n_corpus = train_pq_codebooks(emb)
+    # ONE aggregate fetches the corpus count AND the query vector
+    # (r13, guide §1.2: the old count()/head() pair was two full
+    # distinct-exchanged passes over the vector payload for two scalars
+    # of model state). The query vector canonicalizes as the MIN array
+    # among the id's copies — the same rule d3_topk_cosine and every
+    # embeddings oracle adopted in r10 (head() on an unordered filter
+    # is engine-arbitrary under conflicting-duplicate corruption).
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(
+            F.when(F.col("vec_id") == _QUERY_VEC_ID, F.col("v"))
+        ).alias("qv"),
+    ).head()
+    n_corpus = stats["n"]
+    qv_raw = list(stats["qv"])
+    books, _ = train_pq_codebooks(emb, n=n_corpus)
     b_books = spark.sparkContext.broadcast(books)
     d_sub = books.shape[2]
 
-    qrow = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head()
-    qv = np.array(qrow["v"], dtype=np.float64)
+    qv = np.array(qv_raw, dtype=np.float64)
     qv = qv / np.linalg.norm(qv)
     # ADC lookup table: exact dot of each query subvector with every
     # centroid — m×k floats, computed once
@@ -1379,10 +1393,13 @@ def d3_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
                 {"vec_id": pdf["vec_id"], "sim": np.round(sims, 6)}
             )
 
-    scored = (
-        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(encode_and_score, "vec_id long, sim double")
+    # No repartition before the encode pass: load_embeddings ends in a
+    # distinct(), whose exchange already spread the rows across tasks —
+    # the old keyless repartition re-shuffled the full vector payload
+    # (plus sortBeforeRepartition) a second time for nothing (r13,
+    # guide §2.4 "a repartition someone added for parallelism").
+    scored = emb.filter(F.col("vec_id") != _QUERY_VEC_ID).mapInPandas(
+        encode_and_score, "vec_id long, sim double"
     )
     # ADC rank noise is absolute (quantization error), so the number
     # of true-top-10 competitors that can leapfrog grows with n — a
@@ -1398,18 +1415,21 @@ def d3_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     # list to the recall target the same way). At the sf0.001/sf0.01
     # fixtures (~500 valid vectors) this reads 100 — a LARGER exact
     # re-rank set than the 64 floor, so small-SF recall can only be
-    # >= the floor's; the check twin pins it. n is reused from the
-    # codebook trainer's count — no second distinct shuffle (r12).
+    # >= the floor's; the check twin pins it. n comes from the single
+    # stats aggregate shared with the query vector — no second
+    # distinct shuffle (r12/r13).
     shortlist_size = max(_PQ_SHORTLIST, min(4096, n_corpus // 5))
     shortlist = scored.orderBy(F.desc("sim"), "vec_id").limit(shortlist_size)
     # exact re-rank: float vectors are fetched for the shortlist ONLY
-    # (a broadcast join of ≤{64} ids against the table)
-    qdf = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("v").alias("qv")
-    )
+    # (a broadcast join of ≤{64} ids against the table). The query
+    # vector is already driver-held model state — inlining it as a
+    # literal array (the d3_topk_cosine idiom) deletes the old qdf
+    # subtree: one full scan+distinct of the corpus and a broadcast,
+    # spent re-fetching a vector we had (r13, guide §1.2/§5).
+    qlit = F.array(*[F.lit(float(x)) for x in qv_raw])
     return (
         emb.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
-        .crossJoin(F.broadcast(qdf))
+        .withColumn("qv", qlit)
         .select("vec_id", F.round(_cosine("v", "qv"), 6).alias("sim"))
         .orderBy(F.desc("sim"), "vec_id")
         .limit(10)
