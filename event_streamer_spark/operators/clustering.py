@@ -99,7 +99,13 @@ def connected_components(
     ONCE (r13): the symmetrized edge frame is persisted here and every
     round's neighbor join reads that cache, so callers need not persist
     their edge subtree. Rounds are O(log diameter); each round is two
-    shuffle joins sized by |E| and |V| — no driver-side state.
+    shuffle joins sized by |E| and |touched| — the loop runs over EDGE
+    ENDPOINTS only (r13, guide §2.3): a vertex in no edge can never
+    receive a candidate label, so singletons — the overwhelming bulk of
+    a near-dup corpus at scale — ride zero rounds and self-label in one
+    final left join instead of shuffling through every iteration.
+    Edge endpoints must be a subset of ``vertices`` (true for every
+    caller: edges derive from the same table as the vertex set).
     Every ``checkpoint_every`` rounds the label table is
     ``localCheckpoint()``-ed so lineage stays bounded on deep graphs
     (without it, the plan grows two joins per round and Catalyst
@@ -128,7 +134,17 @@ def connected_components(
         ).select("e.u", "e.v"),
         "cc.sym",
     )
-    labels = vertices.select("id", F.col("id").alias("label")).persist()
+    # localCheckpoint truncates the edge-derivation lineage (guide §3.3
+    # / §5.4): without it every round's plan embeds the caller's whole
+    # pair-pipeline subtree twice (via sym and via the touched vertex
+    # set) and Catalyst re-optimizes that growing tree per round —
+    # measured 3× slower rounds at sf0.1. The slot above still dedups
+    # the materialization across CC consumers; the checkpoint is one
+    # cache-to-cache copy of the edge-sized frame per call.
+    sym = sym.localCheckpoint()
+    # sym holds both directions, so its u column covers every endpoint
+    touched = sym.select(F.col("u").alias("id")).distinct()
+    labels = touched.select("id", F.col("id").alias("label")).persist()
     cached = labels  # the persisted frame backing `labels` (for release)
     for rnd in range(max_rounds):
         nbr_min = (
@@ -166,9 +182,11 @@ def connected_components(
             )
             .persist()
         )
-        changed = (
-            jumped.filter(F.col("label") != F.col("old")).limit(1).count()
-        )
+        # FULL count, not limit(1): next round reads every partition of
+        # the jumped cache anyway, and a limit-gated count materializes
+        # only a prefix — the rest recomputed through the unpersisted
+        # previous round (measured: rounds 2× slower with limit(1))
+        changed = jumped.filter(F.col("label") != F.col("old")).count()
         cached.unpersist()
         stepped.unpersist()
         labels = jumped.drop("old")
@@ -180,7 +198,14 @@ def connected_components(
             cached.unpersist()  # release the pre-checkpoint cached frame
             labels = ckpt
             cached = ckpt
-    return labels
+    # untouched vertices (no incident edge) label themselves; the
+    # touched-label side is near-dup-pair-sized, so at scale this join
+    # broadcasts instead of shuffling the corpus-grain vertex set
+    return vertices.join(
+        labels.withColumnRenamed("label", "cc_label"), "id", "left"
+    ).select(
+        "id", F.coalesce(F.col("cc_label"), F.col("id")).alias("label")
+    )
 
 
 def cluster_documents(
