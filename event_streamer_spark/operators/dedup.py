@@ -887,12 +887,16 @@ def d1_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
 
     from event_streamer_spark.caching import bounded_persist
 
-    toks = (
+    # toks feeds BOTH the hash-doubling chain and the final anti-join;
+    # persist it so the unique-docs window + posexplode run once per
+    # invocation instead of twice (r13, guide §5.3)
+    toks = bounded_persist(
         unique_docs(spark, sf)
         .select(
             "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
         )
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok"),
+        "d1_span_scrub_toks",
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     cur = toks.withColumn("h", F.col("tok"))
@@ -934,9 +938,15 @@ def d1_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("cleaned"),
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
     )
+    # unique_docs keeps exactly one row per doc_id, so its doc_id set
+    # IS the distinct doc_id set — the plain distinct prunes the scan
+    # to one column and skips the per-doc window sort (r13, guide §2.3;
+    # NULL-text docs must still emit ('', 0), so this cannot come from
+    # toks, which drops them at the posexplode)
     return (
-        unique_docs(spark, sf)
+        load(spark, sf, "documents")
         .select("doc_id")
+        .distinct()
         .join(reassembled, "doc_id", "left")
         .select(
             "doc_id",
