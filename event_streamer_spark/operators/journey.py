@@ -244,6 +244,17 @@ def _session_paths(spark: SparkSession, sf: str) -> DataFrame:
     )
     us = F.unix_micros(F.col("ts"))
     prev_us = F.unix_micros(F.lag("ts").over(w))
+    # r14 (guide §2.4 — establish the ordering once): the whole chain
+    # runs on ONE user_id exchange and ONE sort. The per-user row_number
+    # rides the same Window pass as the lag; the within-session rank is
+    # rn_user − (rn_user of the session's first event) + 1, where the
+    # session-start rn is a running max over the SAME ordering — the
+    # r13 shape re-sorted every event by (user_id, session_seq, ts,
+    # event_id) just to run a second row_number, a full local re-sort
+    # of data already in exactly that order (session_seq is monotonic
+    # in (ts, event_id) within a user). The session-start rn replaces
+    # session_seq as the group key: both are unique per session within
+    # a user, and the key never leaves this helper.
     ordered = e.select(
         "user_id",
         "event_type",
@@ -252,18 +263,24 @@ def _session_paths(spark: SparkSession, sf: str) -> DataFrame:
         F.when(
             prev_us.isNull() | ((us - prev_us) > _PATH_GAP_US), 1
         ).otherwise(0).alias("is_new"),
+        F.row_number().over(w).alias("rn_user"),
     )
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
     sess = ordered.withColumn(
-        "session_seq",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        "session_start",
+        # is_new=1 on every session's first row (lag NULL on the first
+        # user row), so the running max is never NULL
+        F.max(F.when(F.col("is_new") == 1, F.col("rn_user"))).over(w_run),
     )
-    w_s = Window.partitionBy("user_id", "session_seq").orderBy(
-        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
-    )
-    numbered = sess.withColumn("rn", F.row_number().over(w_s)).filter(
-        F.col("rn") <= _PATH_MAX_EVENTS
-    )
-    return numbered.groupBy("user_id", "session_seq").agg(
+    numbered = sess.select(
+        "user_id",
+        "event_type",
+        "session_start",
+        (F.col("rn_user") - F.col("session_start") + 1).alias("rn"),
+    ).filter(F.col("rn") <= _PATH_MAX_EVENTS)
+    return numbered.groupBy(
+        "user_id", F.col("session_start").alias("session_seq")
+    ).agg(
         F.array_join(
             F.transform(
                 F.array_sort(

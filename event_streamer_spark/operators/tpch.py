@@ -20,7 +20,7 @@ Scale notes per operator; the shared themes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_streamer_spark.operators.registry import query
@@ -694,16 +694,17 @@ def b50_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     correlated self-joins on lineitem — the only multi-self-join
     decorrelation in the suite (spec Q21).
 
-    Spark-first decorrelation (restructured r13, guide §2.3/§3): both
-    quantifiers are per-ORDER supplier-key min/max statistics —
+    Spark-first decorrelation (r13, tightened r14 — guide §2.2/§2.3/§3):
+    both quantifiers are per-ORDER supplier-key min/max statistics —
     EXISTS(other supplier) ⟺ min≠max over the order's suppkeys,
     NOT EXISTS(other late supplier) ⟺ min=max over its LATE suppkeys —
-    so the two lineitem-grain semi/anti self-joins become one window
-    over the post-filter late lines plus one map-side-combinable
-    aggregate on the raw scan. The nation filter prunes supplier to
-    1/25 BEFORE its broadcast join, so the fact flow is filtered early.
-    Top-100 on the deterministic (numwait DESC, s_name) pair is
-    TakeOrderedAndProject.
+    and r14 computes every statistic (plus the per-order late-line
+    count that replaces the per-line fan-out) in ONE map-side-combinable
+    aggregate riding the lineitem×orders join's own partitioning: no
+    window sort, one lineitem scan, no order-grain SMJ. The nation
+    filter prunes supplier to 1/25 BEFORE its broadcast join, so the
+    fact flow is filtered early. Top-100 on the deterministic
+    (numwait DESC, s_name) pair is TakeOrderedAndProject.
     """
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
     nat = (
@@ -726,49 +727,50 @@ def b50_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     )
     # every F-order line, tagged with its order date (lateness computable once)
     lined = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
-    # r13 optimization (guide §2.3 "aggregate before you shuffle", §3):
-    # both correlated quantifiers reduce to per-ORDER min/max of the
-    # supplier key, so the two lineitem-grain self-joins (which shuffled
-    # the full line set twice as semi/anti probe sides) become
-    # order-grain statistics:
+    # r13 reduced both correlated quantifiers to per-ORDER min/max
+    # supplier-key statistics (guide §2.3/§3):
     #   EXISTS(other supplier in order)  ⟺  min≠max over the order's
     #     non-NULL suppkeys (mine is among them, so min=max ⇒ all mine);
-    #   NOT EXISTS(other supplier ALSO late)  ⟺  min=max over the
-    #     order's LATE suppkeys (my own late line is in that set).
-    # NULL suppkeys are ignored by min/max exactly as the old
-    # `<>`-residual joins ignored them (NULL <> x is never TRUE), and
-    # duplicate order rows can't perturb a min/max. Equivalence proven
-    # hash-identical vs the unchanged DuckDB oracle at sf0.001/0.01/0.1
-    # + the sf1-grain hostile seed (OPTIMIZATION_r13.md).
-    #
-    # Plan shape: the late-supplier min/max rides a window over the
-    # POST-FILTER late lines (no self-reference, so the lined subtree
-    # is built once per consumer instead of twice), and the all-lines
-    # min/max is a map-side-combinable aggregate on the raw scan —
-    # shuffled bytes drop from 3 lineitem-grain probe sides to
-    # (late lines) + (per-order 3-column partials).
-    w_ord = Window.partitionBy("l_orderkey")
-    flagged = (
-        lined.filter(late)
-        .select("l_orderkey", "l_suppkey")
-        .withColumn("__min_l", F.min("l_suppkey").over(w_ord))
-        .withColumn("__max_l", F.max("l_suppkey").over(w_ord))
-    )
-    l1 = (
-        flagged.filter(F.col("__min_l") == F.col("__max_l"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("l_orderkey", "s_name")
-    )
-    per_order = li.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+    #   NOT EXISTS(other supplier ALSO late)  ⟺  min=max over its LATE
+    #     suppkeys (my own late line is in that set).
+    # r14 folds ALL of them into ONE map-side-combinable aggregate over
+    # the joined frame (guide §2.2 — the r13 shape still paid a window
+    # sort over the late lines plus a SECOND lineitem scan + order-grain
+    # SMJ for the all-lines stats):
+    #   - the all-lines min/max per F-order is identical over `lined`
+    #     and over raw lineitem (the orders join preserves every line of
+    #     a matched order), so the second scan is redundant;
+    #   - when min=max over an order's late suppkeys, EVERY late line
+    #     with a non-NULL suppkey belongs to that one supplier, so the
+    #     per-line count the old window+join produced equals
+    #     count(late, l_suppkey non-NULL) — late lines with NULL
+    #     suppkeys never matched the supplier equi-join before, and
+    #     count(CASE WHEN late THEN l_suppkey END) skips them the same
+    #     way. NULL o_orderdate makes `late` NULL ⇒ skipped, exactly as
+    #     the old filter dropped those lines.
+    # The aggregate rides the orderkey partitioning the join already
+    # established (no new exchange, no sort), and only order-grain
+    # 5-column rows survive to the broadcast supplier join. Equivalence
+    # proven hash-identical vs the unchanged DuckDB oracle at
+    # sf0.001/0.01/0.1 + the hostile corpus (OPTIMIZATION_r14.md).
+    late_key = F.when(late, F.col("l_suppkey"))
+    stats = lined.groupBy("l_orderkey").agg(
         F.min("l_suppkey").alias("__min_s"),
         F.max("l_suppkey").alias("__max_s"),
+        F.min(late_key).alias("__min_l"),
+        F.max(late_key).alias("__max_l"),
+        F.count(late_key).alias("__n_late"),
     )
-    waited = l1.join(
-        per_order, F.col("l_orderkey") == F.col("__ok")
-    ).filter(F.col("__min_s") != F.col("__max_s"))
+    qualified = stats.filter(
+        (F.col("__min_l") == F.col("__max_l"))
+        & (F.col("__min_s") != F.col("__max_s"))
+    )
     return (
-        waited.groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        qualified.join(
+            F.broadcast(supp), F.col("__min_l") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.sum("__n_late").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

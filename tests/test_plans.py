@@ -276,17 +276,19 @@ def test_tpch_q17_decorrelates_without_cartesian(spark):
 
 def test_tpch_q21_quantifiers_compile_to_order_grain_stats(spark):
     """Q21's EXISTS / NOT-EXISTS pair must compile to per-order min/max
-    supplier statistics (r13: a window over the late lines + one
-    map-side-combinable aggregate on the raw scan) — NOT the
-    lineitem-grain semi/anti self-joins, which shuffled the full line
-    set twice as probe sides. Partial aggregation must be visible
-    (partial_min/partial_max before the exchange)."""
+    supplier statistics folded into ONE map-side-combinable aggregate
+    over the lineitem×orders join (r14) — NOT the lineitem-grain
+    semi/anti self-joins (pre-r13), and NOT the r13 window + second
+    lineitem scan + order-grain SMJ. Partial aggregation must be
+    visible (partial_min/partial_max), there must be no Window pass,
+    and lineitem must be scanned exactly once."""
     plan = plan_of(spark, "b50_tpch_q21")
     assert "LeftSemi" not in plan
     assert "LeftAnti" not in plan
     assert "CartesianProduct" not in plan
-    assert "Window" in plan
+    assert "Window" not in plan
     assert "partial_min" in plan and "partial_max" in plan
+    assert plan.count("lineitem.parquet") == 1
 
 
 def test_tpch_q2_min_cost_broadcasts_keeper_set(spark):
