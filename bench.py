@@ -94,7 +94,11 @@ def _sentinel(spark, runs: int = 5) -> dict[str, float]:
     flat; the median tracks the box's typical speed, not its best."""
     import statistics
 
-    range_t, scan_t = [], []
+    range_t, scan_t, par_t = [], [], []
+    # parallel leg sized so each of the default 32 cores gets real work
+    # (~10M rows/core): a single-threaded probe cannot see multi-core
+    # capacity loss under hypervisor-neighbor load (VERDICT r13 #1b)
+    n_par = 10_000_000 * max(spark.sparkContext.defaultParallelism, 1)
     for _ in range(runs):
         t0 = time.time()
         spark.range(10_000_000).selectExpr("sum(id)").collect()
@@ -102,6 +106,11 @@ def _sentinel(spark, runs: int = 5) -> dict[str, float]:
         t0 = time.time()
         spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").count()
         scan_t.append(time.time() - t0)
+        t0 = time.time()
+        # xxhash64 gives real per-row CPU work; avg avoids ANSI long
+        # overflow on the summed hashes
+        spark.range(n_par).selectExpr("avg(xxhash64(id))").collect()
+        par_t.append(time.time() - t0)
     med_r = statistics.median(range_t)
     med_s = statistics.median(scan_t)
     return {
@@ -110,6 +119,12 @@ def _sentinel(spark, runs: int = 5) -> dict[str, float]:
         "sentinel_sec": round(med_r + med_s, 4),
         "sentinel_min_sec": round(min(range_t) + min(scan_t), 4),
         "sentinel_samples": [round(a + b, 4) for a, b in zip(range_t, scan_t)],
+        # all-cores leg (r14, VERDICT r13 #1): kept OUT of sentinel_sec
+        # so su units stay r13-comparable; reported alongside so a
+        # cross-round reader can spot multi-core capacity shifts the
+        # single-threaded pair misses
+        "sentinel_par_sec": round(statistics.median(par_t), 4),
+        "sentinel_par_samples": [round(v, 4) for v in par_t],
     }
 
 
@@ -242,6 +257,7 @@ def main() -> None:
     cold_total = round(sum(cold.values()), 3)
     isolated_total = round(sum(isolated.values()), 3)
     s_sec = sentinel["sentinel_sec"]
+    s_min = sentinel["sentinel_min_sec"]
 
     def in_units(col: dict[str, float]) -> dict[str, float]:
         # per-query sentinel units (r12, VERDICT #2): divide every
@@ -278,8 +294,17 @@ def main() -> None:
         "warm_total_sentinel_units": round(warm_total / s_sec, 2),
         "cold_total_sentinel_units": round(cold_total / s_sec, 2),
         "isolated_total_sentinel_units": round(isolated_total / s_sec, 2),
+        # r14 (VERDICT r13 #1a): su under BOTH sentinel definitions —
+        # the r12→r13 comparison mixed a min-of-3 denominator with a
+        # median-of-5 one; publishing both ends the ambiguity
+        "totals_su_min": {
+            "cold": round(cold_total / s_min, 2),
+            "warm": round(warm_total / s_min, 2),
+            "isolated": round(isolated_total / s_min, 2),
+        },
         "repeats": repeats,
         "sf": sf,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
 
     # Full detail to a file; the LAST stdout line is a compact summary
@@ -290,11 +315,14 @@ def main() -> None:
     # contract (metric/value/unit/queries/sf) plus su totals and the
     # top-10 warm su headliners; everything else lives in the file,
     # whose path the summary carries.
+    # per-cpus default filename (r14, VERDICT r13 #2): the shared
+    # BENCH_full_sf0.1.json was clobbered per run, so the driver's
+    # 32-core per-query columns were lost to its later 8-core run
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
-            f"BENCH_full_sf{sf}.json",
+            f"BENCH_full_sf{sf}_c{os.environ.get('SPARK_GRAFT_CPUS', '32')}.json",
         ),
     )
     try:
@@ -315,6 +343,8 @@ def main() -> None:
         "queries": warm,
         "sf": sf,
         "sentinel_sec": s_sec,
+        "sentinel_min_sec": s_min,
+        "sentinel_par_sec": sentinel["sentinel_par_sec"],
         "totals_sec": {
             "cold": cold_total,
             "warm": warm_total,
@@ -325,6 +355,7 @@ def main() -> None:
             "warm": round(warm_total / s_sec, 2),
             "isolated": round(isolated_total / s_sec, 2),
         },
+        "totals_su_min": full["totals_su_min"],
         "top10_warm_su": top10_su,
         "full_artifact": out_path,
     }
@@ -332,7 +363,14 @@ def main() -> None:
     # hard budget: the driver tail is 2,000 chars; leave headroom for a
     # trailing newline and any stray stderr interleave. Shed detail in
     # order of dispensability until the line fits.
-    for victim in ("top10_warm_su", "queries", "full_artifact"):
+    for victim in (
+        "totals_su_min",
+        "sentinel_min_sec",
+        "sentinel_par_sec",
+        "top10_warm_su",
+        "queries",
+        "full_artifact",
+    ):
         if len(line) <= 1900:
             break
         summary.pop(victim, None)
