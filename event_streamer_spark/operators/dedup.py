@@ -393,16 +393,26 @@ def d2_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.posexplode("bands").alias("band", "bh")
     )
 
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # r14 (guide §2.1/§2.4 — the graph-wedge pattern): bucket members
+    # collect into ONE sorted array per (band, bh) and pairs expand with
+    # JVM-side generators in canonical doc_a < doc_b order — the former
+    # band self-join exploded + exchanged the bands frame TWICE and
+    # paid a join to emit the identical pair set (collect_set dedups a
+    # re-keyed doc_id inside a bucket exactly as the a.doc_id < b.doc_id
+    # predicate did; pair fan-out per bucket is C(|bucket|, 2) either
+    # way). Interleaved sf1 A/B: steady 2.45 → 1.71 s, build
+    # 9.0 → 7.9 s; byte-identical outputs at 3 SFs + hostile corpus.
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bands.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.posexplode("ids").alias("i", "doc_a"), "ids")
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias(
+                "doc_b"
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 
