@@ -250,6 +250,30 @@ def test_ann_lsh_recall_at_3(spark):
     assert recall >= 0.85, f"ann recall {recall:.3f}"
 
 
+def test_ivf_multiprobe_pruning_is_lossless(spark):
+    """r14: the multiprobe triangle-inequality pruning may drop WORK,
+    never results. With nprobe = #cells every vector's candidate set
+    is (pruning aside) the whole corpus, so the probed top-3 must
+    equal the brute-force exact top-3 — any over-eager bound fails
+    this exactly, not statistically."""
+    from event_streamer_spark.operators.similarity import (
+        _IVF_CELLS,
+        _ivf_topk_impl,
+        load_embeddings,
+        train_ivf_centroids,
+    )
+
+    emb = load_embeddings(spark, SF).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = train_ivf_centroids(spark, emb)
+    got: dict[int, set] = {}
+    for r in _ivf_topk_impl(spark, SF, cents, nprobe=_IVF_CELLS).collect():
+        got.setdefault(int(r["src"]), set()).add(int(r["nbr"]))
+    truth = _brute_force_top3(spark)
+    assert got == truth
+
+
 def test_ivf_trained_beats_random_centroids(spark):
     """D3: the k-means-trained coarse quantizer must be deterministic
     and strictly improve recall@3 over seeded random centroids."""

@@ -500,7 +500,11 @@ def test_ivf_multiprobe_bounded_shuffles(spark):
     per-src top-3 merge — with the rank filter compiled to a
     WindowGroupLimit (group-local top-k), never a global sort, never a
     join. A refactor that adds an exchange or degrades the merge to a
-    full window sort fails here before it ships."""
+    full window sort fails here before it ships. (r14: a two-phase
+    triangle-inequality probe-pruning rewrite was measured and
+    REJECTED — the bound fires on 0/300k probes at 100k×256/K=316 and
+    the 500k nprobe4 wall regressed 38.5 → 64.2 s; see
+    OPTIMIZATION_r14.md.)"""
     import io
     from contextlib import redirect_stdout
 
