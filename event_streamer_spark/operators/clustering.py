@@ -91,7 +91,7 @@ def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     max_rounds: int = 25,
-    checkpoint_every: int = 10,
+    checkpoint_every: int = 6,
 ) -> DataFrame:
     """(id) × (u, v) → (id, label): label = min vertex id of the component.
 
@@ -106,11 +106,26 @@ def connected_components(
     final left join instead of shuffling through every iteration.
     Edge endpoints must be a subset of ``vertices`` (true for every
     caller: edges derive from the same table as the vertex set).
-    Every ``checkpoint_every`` rounds the label table is
-    ``localCheckpoint()``-ed so lineage stays bounded on deep graphs
-    (without it, the plan grows two joins per round and Catalyst
-    re-analysis dominates after ~20 rounds).
+
+    Label-table ``localCheckpoint()`` cadence is ADAPTIVE (r14, VERDICT
+    #8): each round references ``stepped`` twice (the pointer-jump
+    self-join) and ``labels`` twice, so the un-truncated logical plan
+    grows ~4× PER ROUND — on a 4,096-vertex chain the r13 every-10
+    cadence degraded round walls 3.4 → 20.7 s by round 3, and a
+    32,768-vertex chain OOMed the driver on plan state alone. But an
+    unconditional per-round checkpoint costs a label-table
+    materialization that slows the shallow fixture graphs (≤5 rounds)
+    ~40-60 % steady (measured, OPTIMIZATION_r14.md). So the trigger is
+    the plan-growth SYMPTOM: checkpoint when a round's wall exceeds
+    1.5× the fastest round since the last checkpoint (growth shows as
+    ≥4× within two rounds, far above box noise's cost of a spurious
+    ~0.1-0.7 s checkpoint), with ``checkpoint_every`` as a hard cap
+    (4^6 ≈ 4k-node plans stay comfortably inside Catalyst's budget).
+    Shallow graphs never trigger and keep the r13 fixture speed; deep
+    chains flatten at the every-1-to-2 cadence the growth itself
+    selects.
     """
+    import time as _time
     # r13 (guide §2.4/§2.5): symmetrize ONCE into an edge frame that is
     # explode-built (a two-branch union would inline the caller's edge
     # subtree per branch) — the per-round joins below scan this cached
@@ -146,7 +161,10 @@ def connected_components(
     touched = sym.select(F.col("u").alias("id")).distinct()
     labels = touched.select("id", F.col("id").alias("label")).persist()
     cached = labels  # the persisted frame backing `labels` (for release)
+    base_wall: float | None = None  # fastest round since last checkpoint
+    rounds_since_ckpt = 0
     for rnd in range(max_rounds):
+        t_round = _time.time()
         nbr_min = (
             sym.join(labels, sym["v"] == labels["id"])
             .groupBy("u")
@@ -193,11 +211,17 @@ def connected_components(
         cached = jumped
         if changed == 0:
             break
-        if (rnd + 1) % checkpoint_every == 0:
+        wall = _time.time() - t_round
+        rounds_since_ckpt += 1
+        degraded = base_wall is not None and wall > 1.5 * base_wall
+        base_wall = wall if base_wall is None else min(base_wall, wall)
+        if degraded or rounds_since_ckpt >= checkpoint_every:
             ckpt = labels.localCheckpoint()  # eager: materializes first
             cached.unpersist()  # release the pre-checkpoint cached frame
             labels = ckpt
             cached = ckpt
+            base_wall = None
+            rounds_since_ckpt = 0
     # untouched vertices (no incident edge) label themselves; the
     # touched-label side is near-dup-pair-sized, so at scale this join
     # broadcasts instead of shuffling the corpus-grain vertex set

@@ -32,6 +32,18 @@ def test_long_chain_converges(spark):
     assert labels == {i: 0 for i in range(n)}
 
 
+def test_deep_chain_converges_through_adaptive_checkpoints(spark):
+    # a 1,024-vertex path needs ~11 pointer-jumping rounds — enough to
+    # cross the adaptive localCheckpoint trigger AND the hard cadence
+    # cap (r14: the un-truncated plan grows ~4×/round; the r13
+    # every-10 cadence OOMed a 32k chain on plan state). Correctness
+    # through checkpoint boundaries is what this pins; the wall is
+    # bounded by the adaptive cadence (~25 s at 4k in the round log).
+    n = 1024
+    labels = _cc(spark, n, [(i, i + 1) for i in range(n - 1)])
+    assert labels == {i: 0 for i in range(n)}
+
+
 def test_edges_direction_irrelevant(spark):
     # same component regardless of (u, v) orientation
     a = _cc(spark, 4, [(0, 1), (2, 1), (3, 2)])
