@@ -201,25 +201,28 @@ def b61_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
 # pair can't drift between the queries).
 _SESSION_PATHS_CTES = f"""
     ordered AS (
+      -- rno anchors every downstream window to the SAME tie order the
+      -- lag saw (one window pass): re-sorting by (ts, event_id) lets
+      -- exact-duplicate rows cross the is_new flag and split a session
+      -- nondeterministically (r14 — the c3_session_window oracle class)
       SELECT user_id, event_type, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w)
                           > {_PATH_GAP_US}
-                  THEN 1 ELSE 0 END AS is_new
+                  THEN 1 ELSE 0 END AS is_new,
+             ROW_NUMBER() OVER w AS rno
       FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id
                    ORDER BY ts NULLS LAST, event_id NULLS LAST)),
     sess AS (
-      SELECT user_id, event_type, ts, event_id,
-             SUM(is_new) OVER (PARTITION BY user_id
-                               ORDER BY ts NULLS LAST, event_id NULLS LAST
+      SELECT user_id, event_type, rno,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY rno
                                ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM ordered),
     numbered AS (
-      SELECT user_id, session_seq, event_type, ts, event_id,
+      SELECT user_id, session_seq, event_type,
              ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
-                                ORDER BY ts NULLS LAST,
-                                         event_id NULLS LAST) AS rn
+                                ORDER BY rno) AS rn
       FROM sess),
     paths AS (
       -- COALESCE: a session whose every event type is NULL aggregates

@@ -104,13 +104,22 @@ def c2_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
-                  THEN 1 ELSE 0 END AS new_s
+                  THEN 1 ELSE 0 END AS new_s,
+             -- rno anchors the running sum to the SAME tie order the
+             -- lag saw (both ride window w, one pass): ordering the
+             -- sum by (ts, event_id) re-sorts, and exact-duplicate
+             -- rows (dirty corpora) can land on the other side of the
+             -- new_s flag, splitting a session nondeterministically
+             -- (r14: sf1-dirty seed 20260901 flipped counts between
+             -- runs; Spark's setwise session_window has no such order
+             -- dependence)
+             ROW_NUMBER() OVER w AS rno
       FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id
                    ORDER BY ts, event_id NULLS LAST)),
     g AS (
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY rno
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM m)
     SELECT user_id,
@@ -280,19 +289,25 @@ def c5_dedup_first(spark: SparkSession, sf: str) -> DataFrame:
                        ELSE INTERVAL 5 MINUTE END AS ev_end
       FROM events WHERE ts IS NOT NULL),
     m AS (
+      -- rno anchors the running sum below to the SAME tie order the
+      -- running max saw (both ride window w in one pass): re-sorting
+      -- by (ts, event_id) lets exact-duplicate rows cross the new_s
+      -- flag and split a session nondeterministically (r14 — see the
+      -- c3_session_window oracle note)
       SELECT user_id, ts, event_id, ev_end,
-             MAX(ev_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND 1 PRECEDING) AS prev_end
-      FROM g),
+             MAX(ev_end) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_end,
+             ROW_NUMBER() OVER w AS rno
+      FROM g
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (
-      SELECT user_id, ts, event_id,
+      SELECT user_id, ts, event_id, rno,
              CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END
                AS new_s
       FROM m),
     i AS (
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY rno
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM s)
     SELECT user_id,
